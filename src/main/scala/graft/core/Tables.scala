@@ -1,6 +1,8 @@
 package graft.core
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Fixture-table loader for the driver-generated TPC-H-ish parquet tables
   * (TESTDATA.md). All queries take an `sfDir` and resolve tables here so the
@@ -20,7 +22,21 @@ object Tables {
   def orders(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "customer")
   def supplier(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "supplier")
-  def events(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native type
+    * for. With `spark.sql.legacy.parquet.nanosAsLong=true` (set by
+    * Verify/Bench sessions) it reads as LongType nanos; normalize to a real
+    * TimestampType (microsecond) column here so operators see a timestamp.
+    * The fixture's values are µs-aligned, so the truncation is lossless.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = load(spark, sfDir, "events")
+    df.schema("ts").dataType match {
+      // integer `div`, NOT `/`: epoch-nanos exceed double's 53-bit mantissa,
+      // so float division would round the timestamp by up to 256 ns.
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
+  }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 

@@ -1,0 +1,156 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact (hash-groupBy), MinHash+
+  * LSH near-dup, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is a single hash aggregate on a 128-bit digest — shuffle
+  *    carries (digest, doc_id), never the text;
+  *  - near-dup candidate generation is **bucketed by construction**: MinHash
+  *    band hashes are the join key, so only same-bucket pairs ever meet
+  *    (`groupBy` band → self-equi-join). There is NO crossJoin anywhere;
+  *  - verification (exact Jaccard) runs only on the candidate pairs.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact-duplicate groups keyed by content fingerprint. */
+  def exactDupGroups(df: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("keep_id"))
+
+  /** Exact dedup: keep the min-id document of each identical-text group. */
+  def dedupExact(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+
+  // -------------------------------------------------------------- minhash
+
+  /** Word-level shingles (n-grams of tokens) of the normalized text. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val starts = sequence(lit(1), greatest(size(toks) - (n - 1), lit(1)))
+    array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** MinHash signature: k permutations simulated by seeding xxhash64 with the
+    * permutation index; signature[i] = min hash over the shingle set.
+    * One narrow map per row — signatures shuffle, shingles don't.
+    */
+  def minhashSignature(text: Column, n: Int, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(shingles(text, n), sh => xxhash64(seed, sh))))
+
+  /** LSH banding: split the k-length signature into `bands` bands of k/bands
+    * rows each; each band hashes to one bucket key.
+    * Emits (idCol, band, band_hash) — the bucket table.
+    */
+  def lshBuckets(df: DataFrame, textCol: String, idCol: String,
+                 n: Int, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    val sig = minhashSignature(col(textCol), n, k)
+    df.select(col(idCol), sig.as("sig"))
+      .select(col(idCol), col("sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"), xxhash64(concat_ws(",",
+            slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")), lit("band")).as("band_hash"))
+        )).as("bk"))
+      .select(col(idCol), col("sig"), col("bk.band"), col("bk.band_hash"))
+  }
+
+  /** Near-dup candidate pairs via LSH: self-join the bucket table on
+    * (band, band_hash) — only same-bucket docs pair up. Estimated Jaccard =
+    * fraction of agreeing minhash components; pairs below `minEstJaccard`
+    * are dropped.
+    */
+  def nearDupPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                   n: Int = 3, k: Int = 32, bands: Int = 8,
+                   minEstJaccard: Double = 0.5): DataFrame = {
+    val buckets = lshBuckets(df, textCol, idCol, n, k, bands)
+    val a = buckets.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("band_hash"))
+    val b = buckets.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("band_hash"))
+    val est = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / k
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("est_jaccard", est)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  // ------------------------------------------------------ n-gram jaccard
+
+  /** Exact token-shingle Jaccard for given (id_a, id_b) candidate pairs —
+    * the verification stage after LSH (joins shingle sets back by id).
+    */
+  def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
+                      textCol: String = "text", idCol: String = "doc_id",
+                      n: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    pairs
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", jac)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Blocked exact Jaccard: all pairs within a blocking key (e.g. source) —
+    * the SQL-checkable variant (block sizes are bounded, so the within-block
+    * self-join is safe; this is blocking, not a crossJoin).
+    */
+  def blockedJaccard(df: DataFrame, blockCol: String, textCol: String = "text",
+                     idCol: String = "doc_id", n: Int = 3,
+                     minJaccard: Double = 0.1): DataFrame = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol),
+      shingles(col(textCol), n).as("sh"))
+    val a = sh.select(col("blk"), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = sh.select(col("blk"), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+      size(array_union(col("sh_a"), col("sh_b")))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jac)
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over token xxhash64 values: bit j of the fingerprint is
+    * the sign of the vote sum over the tokens' j-th hash bits. The 64 bit
+    * positions are unrolled statically (bit index must be a literal for the
+    * shift functions); token hashes are materialized once in `_sh_hashes` so
+    * the 64 vote aggregates scan a ready array, not 64 re-tokenizations.
+    */
+  def withSimhash(df: DataFrame, textCol: String = "text",
+                  out: String = "simhash"): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val hashes = transform(array_distinct(toks), t => xxhash64(t))
+    def vote(j: Int): Column = aggregate(col("_sh_hashes"), lit(0),
+      (acc, h) => acc + when(shiftrightunsigned(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+    val fp = (0 until 64)
+      .map(j => when(vote(j) > 0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    df.withColumn("_sh_hashes", hashes)
+      .withColumn(out, fp)
+      .drop("_sh_hashes")
+  }
+
+  /** Hamming distance between two simhash fingerprints (popcount of XOR). */
+  def hammingDistance(a: Column, b: Column): Column =
+    call_function("bit_count", a.bitwiseXOR(b))
+}

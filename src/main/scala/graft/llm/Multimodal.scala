@@ -1,0 +1,53 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` payloads
+  * with typed metadata, plus the decode/feature/frame-sample stages a
+  * training pipeline runs over them.
+  *
+  * The real decode (JPEG/PNG/audio codecs) is STUBBED — the container ships
+  * no media libraries — behind `fakeDecodeFeatures`, a deterministic
+  * hash-derived feature vector. Everything around the stub is real Spark
+  * plumbing: binary columns, metadata structs, batch-shaped partition logic,
+  * and codegen'd expressions, so swapping in a real codec is a one-function
+  * change.
+  */
+object Multimodal {
+
+  /** Wrap a text column as a binary payload + metadata struct — the schema a
+    * real multimodal table would have (payload BLOB + typed sidecar).
+    */
+  def attachPayload(df: DataFrame, srcCol: String = "text"): DataFrame =
+    df.withColumn("payload", col(srcCol).cast("binary"))
+      .withColumn("meta", struct(
+        octet_length(col(srcCol)).cast("long").as("n_bytes"),
+        lit("text/plain").as("mime"),
+        sha2(col(srcCol).cast("binary"), 256).as("digest")))
+
+  /** STUB for media decode: a deterministic `dim`-length feature vector
+    * derived from the payload hash. A real implementation would decode the
+    * payload bytes (image/audio lib) and emit real features; the schema,
+    * partitioning and batch shape are identical.
+    */
+  def fakeDecodeFeatures(payload: Column, dim: Int): Column =
+    transform(sequence(lit(0), lit(dim - 1)), i =>
+      (pmod(xxhash64(payload, i), lit(1000)).cast("double") / 500.0) - 1.0)
+
+  /** Feature-extract stage over the payload table. */
+  def withFeatures(df: DataFrame, dim: Int = 16): DataFrame =
+    df.withColumn("features", fakeDecodeFeatures(col("payload"), dim))
+
+  /** Frame sampling for a chunked (video-like) payload: take every `stride`-th
+    * fixed-size chunk. Binary slicing via substr — no UDF, no decode.
+    */
+  def sampleFrames(df: DataFrame, chunkBytes: Int, stride: Int): DataFrame = {
+    val nChunks = ceil(octet_length(col("payload")).cast("double") / chunkBytes).cast("int")
+    val idxs = filter(sequence(lit(0), greatest(nChunks - 1, lit(0))),
+      i => i % stride === 0)
+    df.withColumn("frames",
+      transform(idxs, i => col("payload").substr((i * chunkBytes + 1).cast("int"), lit(chunkBytes))))
+      .withColumn("n_frames", size(col("frames")).cast("long"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * quality scoring, language-ID heuristics, fingerprinting.
+  *
+  * All operators are pure column expressions (whole-stage codegen, no UDFs):
+  * at 100 TB these run as a narrow map over the document scan — no shuffle
+  * unless the caller aggregates.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty tokens (leading/multi spaces) dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => t =!= "")
+
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Per-document token/char/quality metrics. Integer counts + IEEE double
+    * ratios of those counts — bit-identical across engines.
+    */
+  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    df.withColumn("n_chars_c", length(t).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(toks, w => lower(w).isInCollection(stopwords))).cast("long"))
+      .withColumn("n_punct",
+        (length(t) - length(regexp_replace(t, "[.,;:!?]", ""))).cast("long"))
+      .withColumn("sum_token_len",
+        aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("long"))
+      .withColumn("mean_token_len",
+        col("sum_token_len").cast("double") / col("n_tokens"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
+  }
+
+  /** Composite quality score in [0,1] — length band, token shape, stopword
+    * presence — the usual cheap pre-filter before expensive dedup/training.
+    * Weights are arbitrary but fixed; the score is a deterministic function
+    * of integer counts.
+    */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val stats = textStats(df, textCol)
+    val lenOk = when(col("n_tokens").between(10, 1000), 1.0).otherwise(0.0)
+    val tokOk = when(col("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.0)
+    val stopOk = when(col("stopword_ratio") > 0.01, 1.0).otherwise(0.0)
+    val punctOk = when(col("n_punct").cast("double") / col("n_chars_c") < 0.2, 1.0)
+      .otherwise(0.0)
+    stats
+      .withColumn("quality",
+        lenOk * 0.4 + tokOk * 0.2 + stopOk * 0.2 + punctOk * 0.2)
+      .withColumn("keep", col("quality") >= 0.6)
+  }
+
+  /** Language-ID marker words (tiny n-gram/stopword heuristic). */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is", "a"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y"),
+    "fr" -> Seq("le", "les", "des", "est", "et", "du"),
+  )
+
+  /** Heuristic language ID: score = marker-word hits per language; CJK chars
+    * short-circuit to zh; ties resolve in declaration order. Deterministic
+    * integer scoring (SQL-expressible for the oracle).
+    */
+  def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = tokens(lower(col(textCol)))
+    val scored = langMarkers.foldLeft(df) { case (d, (lang, markers)) =>
+      d.withColumn(s"score_$lang",
+        size(filter(toks, w => w.isInCollection(markers))).cast("long"))
+    }
+    val cjk = length(regexp_replace(col(textCol), "[^\\x{4e00}-\\x{9fff}]", ""))
+    val scores = langMarkers.map { case (l, _) => col(s"score_$l") }
+    val best = greatest(scores: _*)
+    val pick = langMarkers.foldRight(lit("unknown"): Column) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
+    }
+    scored
+      .withColumn("n_cjk", cjk.cast("long"))
+      .withColumn("pred_lang", when(cjk > 0, lit("zh")).otherwise(pick))
+  }
+
+  /** Document fingerprint: digest of the whitespace-normalized, lowercased
+    * text — the cheap exact-dup key (reference-style content addressing).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Coordinate population + SEG-Y coordinate scalar.
+  *
+  * C1 non-dim coordinate population (reference `ingestion/coordinates.py:
+  * 29-77`): reduce the trace table to one coordinate value per cell, taking
+  * the value at the first position of the reduced-out dims. Spark: `min_by`
+  * over a deterministic order key — same "first by order" semantics without a
+  * sort (single hash aggregate). The reference has a known unverified-
+  * consistency gap (TODO at `ingestion/coordinates.py:74-75`); we pick the
+  * deterministic min-key row and document it.
+  *
+  * P8 coordinate scalar (`segy/scalar.py:56-59`, applied
+  * `ingestion/coordinates.py:66-67`): SEG-Y convention — positive scalar
+  * multiplies, negative divides by |scalar|.
+  */
+object Coordinates {
+
+  /** P8: apply a SEG-Y coordinate scalar to a column. */
+  def applyScalar(c: Column, scalar: Int): Column = {
+    require(scalar != 0, "SEG-Y coordinate scalar must be non-zero")
+    if (scalar < 0) c / math.abs(scalar).toDouble else c * scalar.toDouble
+  }
+
+  /** C1: one coordinate value per cell = value on the first-ordered row. */
+  def populateCoordinate(df: DataFrame, cellDims: Seq[String], coordCol: String,
+                         orderKey: String, scalar: Int = 1): DataFrame = {
+    val first = min_by(col(coordCol), col(orderKey))
+    df.groupBy(cellDims.map(col): _*)
+      .agg(applyScalar(first, scalar).as(coordCol))
+  }
+}

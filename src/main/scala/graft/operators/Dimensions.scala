@@ -17,16 +17,24 @@ import org.apache.spark.sql.functions._
   */
 object Dimensions {
 
-  /** Sorted distinct values of one dimension column (G1). */
+  /** Sorted distinct values of one dimension column (G1). Null rows are
+    * dropped: reference headers are dense numpy arrays and can never hold a
+    * null, so a null can't be a grid coordinate.
+    */
   def computeDimension(df: DataFrame, dim: String): DataFrame =
-    df.select(col(dim).as("dim_value")).distinct().orderBy(col("dim_value"))
+    df.select(col(dim).as("dim_value"))
+      .where(col("dim_value").isNotNull)
+      .distinct()
+      .orderBy(col("dim_value"))
 
-  /** Per-dimension summary: min / max / cardinality (A5, S8 "info"). All three
+  /** Per-dimension summary: min / max / cardinality (A5, S8 "info"). All
     * aggregates run in ONE pass; countDistinct becomes a two-phase expand
     * aggregate with partial combine — no extra scan per dimension.
     */
   def dimSummary(df: DataFrame, dims: Seq[String]): DataFrame = {
-    val aggs: Seq[Column] = dims.flatMap { d =>
+    require(dims.nonEmpty, "dimSummary needs at least one dimension column")
+    val uniq = dims.distinct
+    val aggs: Seq[Column] = uniq.flatMap { d =>
       Seq(min(col(d)).as(s"${d}_min"),
           max(col(d)).as(s"${d}_max"),
           countDistinct(col(d)).as(s"${d}_n"))

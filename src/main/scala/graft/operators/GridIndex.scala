@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The grid map: sparse→dense cell indexing and its invariants.
+  *
+  * J1 `Grid.build_map` (reference `core/grid.py:95-146`) assigns each trace a
+  * dense cell index by `np.searchsorted(dimCoords, headerValue)` per spatial
+  * dim. In Spark the dense scatter array disappears: the same information is a
+  * broadcast equi-join of the trace table against each (tiny) sorted-distinct
+  * dimension table carrying a 0-based ordinal.
+  *
+  * J2 live-trace-count check (`ingestion/segy/pipeline.py:89-114`): the grid
+  * holds every trace iff the dim tuples are unique — `countDistinct(dims*) ==
+  * count(*)`.
+  *
+  * J3 grid density QC (`ingestion/grid_qc.py:19-69`, thresholds
+  * `core/config.py:41-50`): sparsity = ∏ dimSizes / numTraces; warn > 2,
+  * error > 10.
+  *
+  * Scale: each dim-index table has cardinality ≪ rows (it is the reference's
+  * in-memory coordinate vector); `row_number` over it is a single-partition
+  * window over cardinality-sized data only, and the join back to the trace
+  * table is an explicit `broadcast` — no shuffle of the big side.
+  */
+object GridIndex {
+
+  /** Sorted-distinct dim values with 0-based ordinal — the searchsorted table. */
+  def dimIndex(df: DataFrame, dim: String): DataFrame = {
+    val w = Window.orderBy(col(dim))
+    df.select(col(dim)).where(col(dim).isNotNull).distinct()
+      .withColumn(s"${dim}_idx", (row_number().over(w) - 1).cast("long"))
+  }
+
+  /** J1: annotate each row with per-dim ordinals via broadcast equi-joins. */
+  def withDimIndices(df: DataFrame, dims: Seq[String]): DataFrame =
+    dims.foldLeft(df)((acc, d) => acc.join(broadcast(dimIndex(df, d)), Seq(d)))
+
+  /** J1: row-major (C-order) flat cell ordinal over the given dims.
+    * Sizes of trailing dims are needed for the stride; they come from the
+    * dim-index tables (metadata-sized `count()`s, not data-sized).
+    */
+  def withCellOrdinal(df: DataFrame, dims: Seq[String], out: String = "cell"): DataFrame = {
+    val indexed = withDimIndices(df, dims)
+    val sizes = dims.map(d => dimIndex(df, d).count())
+    // C-order strides: stride(i) = product of sizes of dims after i
+    val strides = sizes.scanRight(1L)(_ * _).tail
+    val cell = dims.zip(strides)
+      .map { case (d, s) => col(s"${d}_idx") * lit(s) }
+      .reduce(_ + _)
+    indexed.withColumn(out, cell.cast("long"))
+  }
+
+  /** J2: one-row invariant check — grid holds every trace iff dim tuples unique. */
+  def liveTraceCheck(df: DataFrame, dims: Seq[String]): DataFrame = {
+    val dcols = dims.map(col)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(dcols.head, dcols.tail: _*).as("n_cells"),
+    ).withColumn("all_unique", col("n_rows") === col("n_cells"))
+  }
+
+  /** J3: sparsity ratio with warn/error thresholds (2× / 10× defaults). */
+  def sparsityQC(df: DataFrame, dims: Seq[String],
+                 warnRatio: Double = 2.0, errorRatio: Double = 10.0): DataFrame = {
+    val aggs: Seq[Column] =
+      count(lit(1)).as("n_rows") +: dims.map(d => countDistinct(col(d)).as(s"${d}_n"))
+    val gridSize = dims.map(d => col(s"${d}_n")).reduce(_ * _)
+    df.agg(aggs.head, aggs.tail: _*)
+      .withColumn("grid_size", gridSize.cast("long"))
+      .withColumn("sparsity", col("grid_size").cast("double") / col("n_rows"))
+      .withColumn("warn", col("sparsity") > warnRatio)
+      .withColumn("error", col("sparsity") > errorRatio)
+  }
+}
