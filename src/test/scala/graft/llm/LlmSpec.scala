@@ -1,0 +1,165 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("textStats counts tokens/stopwords/punct and derives ratios") {
+    val df = Seq((1L, "the  quick brown fox, and the dog.")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(df).collect().head
+    assert(r.getAs[Long]("n_tokens") == 7L)
+    assert(r.getAs[Long]("n_stopwords") == 3L) // the, and, the
+    assert(r.getAs[Long]("n_punct") == 2L)     // comma + period
+    assert(r.getAs[Double]("stopword_ratio") == 3.0 / 7.0)
+  }
+
+  test("languageId picks marker-word argmax; CJK short-circuits to zh") {
+    val df = Seq(
+      (1L, "the cat and the dog is here"),
+      (2L, "der hund und die katze ist da"),
+      (3L, "el gato y la casa es grande"),
+      (4L, "le chat et les maisons est du pain"),
+      (5L, "你好世界"),
+      (6L, "zzz qqq www")).toDF("doc_id", "text")
+    val got = TextAnalysis.languageId(df).select("doc_id", "pred_lang")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "es", 4L -> "fr",
+      5L -> "zh", 6L -> "unknown"))
+  }
+
+  test("fingerprint is whitespace/case-insensitive") {
+    val df = Seq(Tuple1("A  B\tc"), Tuple1("a b C")).toDF("text")
+    val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog while the " +
+    "morning sun rises slowly above the quiet green valley and birds sing"
+  private val corpus = Seq(
+    (1L, base),
+    (2L, base),                              // exact dup of 1
+    (3L, base.replace("dog", "cat")),        // near dup of 1 (1 of 24 tokens)
+    (4L, "completely different words about spark shuffles and partitions here"),
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps min doc_id per identical text") {
+    val survivors = Dedup.dedupExact(corpus).as[Long].collect().toSet
+    assert(survivors == Set(1L, 3L, 4L))
+    val groups = Dedup.exactDupGroups(corpus)
+      .where(col("n") > 1).collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash signatures are equal for identical text, length k") {
+    val sigs = corpus.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), n = 3, k = 16).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L).length == 16)
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("nearDupPairs finds exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.nearDupPairs(corpus, minEstJaccard = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("blockedJaccard computes exact shingle jaccard within blocks") {
+    val df = Seq(
+      ("s1", 1L, "a b c d e"), ("s1", 2L, "a b c d e"), ("s1", 3L, "x y z w v"),
+      ("s2", 4L, "a b c d e")).toDF("source", "doc_id", "text")
+    val got = Dedup.blockedJaccard(df, "source", minJaccard = 0.9)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+    assert(got == Set((1L, 2L, 1.0))) // 3↛1 (disjoint), 4 in another block
+  }
+
+  test("simhash: identical text → identical hash; similar → small hamming") {
+    val withH = Dedup.withSimhash(corpus).select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(withH(1L) == withH(2L))
+    val d13 = java.lang.Long.bitCount(withH(1L) ^ withH(3L))
+    val d14 = java.lang.Long.bitCount(withH(1L) ^ withH(4L))
+    assert(d13 < d14, s"near-dup hamming $d13 should be < unrelated $d14")
+    // hammingDistance column matches JVM popcount
+    val dist = corpus.as("a").crossJoin(corpus.as("b"))
+      .where(col("a.doc_id") === 1 && col("b.doc_id") === 3)
+    val viaCol = Dedup.withSimhash(corpus).as("x")
+      .join(Dedup.withSimhash(corpus).as("y"),
+        col("x.doc_id") === 1 && col("y.doc_id") === 3)
+      .select(Dedup.hammingDistance(col("x.simhash"), col("y.simhash")))
+      .collect().head.getInt(0)
+    assert(viaCol == d13)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of known vectors") {
+    val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
+      .toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(sims(0)) < 1e-12)
+    assert(math.abs(sims(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine, excludes self") {
+    // vec 0 ≈ vec 2, orthogonal to vec 1
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0f, 1f, 0f)),
+      (2L, Array(0.9f, 0.1f, 0f)), (3L, Array(0.8f, 0.6f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.bruteForceTopK(df, Seq(0L), k = 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L), (3L, 2L)))
+  }
+
+  test("lshTopK finds the identical vector (recall on exact match)") {
+    val vecs = (0L until 50L).map { i =>
+      (i, Array.tabulate(16)(d => math.sin(i * 17 + d).toFloat))
+    } :+ (99L, Array.tabulate(16)(d => math.sin(0 * 17 + d).toFloat)) // clone of 0
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(df, Seq(0L), k = 5, bits = 4, tables = 4)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    // the identical clone must share every bucket → always a candidate, rank 1
+    assert(got.get(99L).contains(1L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("attachPayload builds binary payload + typed metadata") {
+    val df = Seq((1L, "hello")).toDF("doc_id", "text")
+    val r = Multimodal.attachPayload(df).select("meta.n_bytes", "meta.mime").collect().head
+    assert(r.getAs[Long]("n_bytes") == 5L && r.getAs[String]("mime") == "text/plain")
+  }
+
+  test("fakeDecodeFeatures is deterministic with the right shape and range") {
+    val df = Seq(Tuple1("payload-a"), Tuple1("payload-a"), Tuple1("payload-b")).toDF("text")
+    val feats = Multimodal.withFeatures(Multimodal.attachPayload(df), dim = 8)
+      .select("features").as[Seq[Double]].collect()
+    assert(feats(0).length == 8)
+    assert(feats(0) == feats(1) && feats(0) != feats(2))
+    assert(feats.flatten.forall(v => v >= -1.0 && v <= 1.0))
+  }
+
+  test("sampleFrames takes every stride-th chunk") {
+    val text = "abcdefghij" // 10 bytes, chunk 2 → 5 chunks, stride 2 → chunks 0,2,4
+    val df = Seq(Tuple1(text)).toDF("text")
+    val r = Multimodal.sampleFrames(Multimodal.attachPayload(df), chunkBytes = 2, stride = 2)
+      .select("n_frames", "frames").collect().head
+    assert(r.getAs[Long]("n_frames") == 3L)
+    val frames = r.getSeq[Array[Byte]](r.fieldIndex("frames")).map(new String(_))
+    assert(frames == Seq("ab", "ef", "ij"))
+  }
+}
