@@ -40,24 +40,42 @@ object Dedup {
     array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
+  /** Base shingle hashes: each string shingle hashed once to a long. All k
+    * minhash permutations re-hash these longs, never the strings.
+    */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** Signature from precomputed shingle hashes. */
+  def signatureFromHashes(h0: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), seed =>
+      array_min(transform(h0, h => xxhash64(seed, h))))
+
   /** MinHash signature: k permutations simulated by seeding xxhash64 with the
-    * permutation index; signature[i] = min hash over the shingle set.
-    * One narrow map per row — signatures shuffle, shingles don't.
+    * permutation index; signature[i] = min hash over the shingle-hash set.
     */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(shingles(text, n), sh => xxhash64(seed, sh))))
+    signatureFromHashes(shingleHashes(text, n), k)
 
   /** LSH banding: split the k-length signature into `bands` bands of k/bands
     * rows each; each band hashes to one bucket key.
-    * Emits (idCol, band, band_hash) — the bucket table.
+    * Emits (idCol, sig, band, band_hash) — the bucket table.
+    *
+    * Two-stage with an explicit materialization barrier: higher-order
+    * functions are interpreted (not codegen'd) and Catalyst's projection
+    * collapse would otherwise re-evaluate the whole shingle pipeline once
+    * per permutation and once per band. Stage 1 (shingle → long hash, the
+    * expensive string work) is persisted — O(docs × shingles) longs — so
+    * stage 2's k permutations scan ready long arrays.
     */
   def lshBuckets(df: DataFrame, textCol: String, idCol: String,
                  n: Int, k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
-    val sig = minhashSignature(col(textCol), n, k)
-    df.select(col(idCol), sig.as("sig"))
+    val hashed = df.select(col(idCol), shingleHashes(col(textCol), n).as("h0"))
+      .persist()
+    hashed
+      .select(col(idCol), signatureFromHashes(col("h0"), k).as("sig"))
       .select(col(idCol), col("sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)), b =>
           struct(b.as("band"), xxhash64(concat_ws(",",
@@ -74,7 +92,11 @@ object Dedup {
   def nearDupPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    n: Int = 3, k: Int = 32, bands: Int = 8,
                    minEstJaccard: Double = 0.5): DataFrame = {
-    val buckets = lshBuckets(df, textCol, idCol, n, k, bands)
+    // Persist the bucket table: signatures are higher-order-function
+    // expressions (interpreted, not codegen'd) and would otherwise be
+    // re-evaluated per band AND per join side. The table is O(docs × k)
+    // longs — tiny relative to the text it summarizes.
+    val buckets = lshBuckets(df, textCol, idCol, n, k, bands).persist()
     val a = buckets.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
       col("band"), col("band_hash"))
     val b = buckets.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
@@ -99,7 +121,7 @@ object Dedup {
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
                       textCol: String = "text", idCol: String = "doc_id",
                       n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh"))
+    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh")).persist()
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
     pairs
@@ -109,21 +131,35 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Blocked exact Jaccard: all pairs within a blocking key (e.g. source) —
-    * the SQL-checkable variant (block sizes are bounded, so the within-block
-    * self-join is safe; this is blocking, not a crossJoin).
+  /** Blocked exact Jaccard: all qualifying pairs within a blocking key (e.g.
+    * source), via an inverted-index equi-join — NOT per-pair array
+    * intersection. Explode the distinct shingle set, self-join on
+    * (block, shingle) so only docs sharing a shingle ever meet, count
+    * matches per pair (= |A∩B|), and derive |A∪B| = |A|+|B|−|A∩B| from
+    * per-doc set sizes. Everything after the explode is codegen'd
+    * shuffle/join/agg — no interpreted array ops in the hot path, and the
+    * shuffle carries (block, shingle-hash, id), never the text.
     */
   def blockedJaccard(df: DataFrame, blockCol: String, textCol: String = "text",
                      idCol: String = "doc_id", n: Int = 3,
                      minJaccard: Double = 0.1): DataFrame = {
-    val sh = df.select(col(blockCol).as("blk"), col(idCol),
-      shingles(col(textCol), n).as("sh"))
-    val a = sh.select(col("blk"), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = sh.select(col("blk"), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-      size(array_union(col("sh_a"), col("sh_b")))
-    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .withColumn("jaccard", jac)
+    // hash each shingle to a long before the explode: joins/aggregates on
+    // 8-byte keys instead of n-word strings
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("h0")).persist()
+    val sizes = sh.select(col("id"), size(col("h0")).cast("long").as("n_sh"))
+    val inverted = sh.select(col("blk"), col("id"), explode(col("h0")).as("s"))
+    val inter = inverted.as("a")
+      .join(inverted.as("b"),
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .where(col("jaccard") >= minJaccard)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -72,6 +72,7 @@ object Similarity {
       embeddings.select(col(idCol), col(vecCol),
         lit(t).as("tbl"), lshSignature(col(vecCol), bits, t).as("bucket"))
     }.reduce(_ unionAll _)
+      .persist() // signatures are interpreted HOFs; compute once, not per join side
     val queries = sigs.where(col(idCol).isInCollection(queryIds))
       .select(col("tbl"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val corpus = sigs.select(col("tbl"), col("bucket"),
