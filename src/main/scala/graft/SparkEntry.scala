@@ -150,6 +150,39 @@ object SparkEntry {
       Similarity.bruteForceTopK(embeddings(s, d), (0L until 10L), k = 10)),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    // --- S4/S5: MDIO store write→open→sel round-trip --------------------
+    "q_store_roundtrip" -> ((s, d) => {
+      import graft.schema._
+      import graft.storage.MdioDataset
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_" +
+        java.util.UUID.randomUUID().toString
+      val li = lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+      val schema = MdioSchema(
+        variables = Seq(Variable("l_quantity", Seq("l_orderkey", "l_linenumber"),
+          Left(ScalarType.Float64), compressor = Some(Blosc()))),
+        metadata = DatasetMetadata("lineitem-slice", "1.0.0", "2026-01-01T00:00:00Z"))
+      MdioDataset.write(li, path, schema, sortDims = Seq("l_suppkey"))
+      MdioDataset.open(s, path)
+        .sel("l_suppkey" -> Selection.Point(7L))
+        .groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+    }),
+    // --- O1: access-pattern materialization + catalog resolve ------------
+    "q_access_fast" -> ((s, d) => {
+      import graft.operators.AccessPatterns
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ap_" +
+        java.util.UUID.randomUUID().toString
+      val li = lineitem(s, d).select("l_partkey", "l_orderkey", "l_extendedprice")
+      li.write.parquet(s"$base/base")
+      AccessPatterns.optimize(li, base, Seq("l_partkey"))
+      AccessPatterns.resolve(s, base, "base", "l_partkey")
+        .where(col("l_partkey") < 100)
+        .agg(count(lit(1)).as("n"), min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+    }),
     // --- LLM pipeline: multimodal plumbing ------------------------------
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.attachPayload(documents(s, d))
@@ -398,6 +431,14 @@ object SparkEntry {
         |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
         |FROM s
         |QUALIFY rank <= 10""".stripMargin,
+    "q_store_roundtrip" ->
+      """SELECT l_linenumber, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_suppkey = 7 GROUP BY 1""".stripMargin,
+    "q_access_fast" ->
+      """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem WHERE l_partkey < 100""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS digest
         |FROM documents""".stripMargin,
