@@ -150,6 +150,28 @@ object SparkEntry {
       Similarity.bruteForceTopK(embeddings(s, d), (0L until 10L), k = 10)),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    // --- §3.1 end-to-end ingest: strategies → invariants → stats → store --
+    "q_ingest_e2e" -> ((s, d) => {
+      import s.implicits._
+      import graft.ingestion._
+      import graft.schema.DatasetTemplate
+      import graft.storage.MdioDataset
+      val tmpl = DatasetTemplate("LineitemGrid", "time",
+        Seq("l_suppkey", "l_partkey", "time"), Seq(8, 8, 512))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_" +
+        java.util.UUID.randomUUID().toString
+      val traces = lineitem(s, d).select("l_suppkey", "l_partkey",
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+      val r = IngestPipeline.ingest(s, traces, tmpl,
+        GridOverrides(hasDuplicates = true), path,
+        ordinal = Seq("l_orderkey", "l_linenumber"),
+        valueCol = "l_extendedprice", sparsityError = 1e9)
+      val ds = MdioDataset.open(s, path)
+      val storeRows = ds.df.count()
+      val traceMax = ds.df.agg(max(col("trace"))).first().getLong(0)
+      Seq((r.nTraces, r.nCells, traceMax, storeRows, r.stats.sum))
+        .toDF("n_rows", "n_cells", "trace_max", "store_rows", "sum_val")
+    }),
     // --- S4/S5: MDIO store write→open→sel round-trip --------------------
     "q_store_roundtrip" -> ((s, d) => {
       import graft.schema._
@@ -431,6 +453,14 @@ object SparkEntry {
         |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
         |FROM s
         |QUALIFY rank <= 10""".stripMargin,
+    "q_ingest_e2e" ->
+      """WITH g AS (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey, l_partkey)
+        |SELECT (SELECT count(*) FROM lineitem) AS n_rows,
+        |  (SELECT count(*) FROM lineitem) AS n_cells,
+        |  (SELECT max(c) FROM g) AS trace_max,
+        |  (SELECT count(*) FROM lineitem) AS store_rows,
+        |  CAST((SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem
+        |    WHERE l_extendedprice IS NOT NULL AND l_extendedprice != 0) AS DOUBLE) AS sum_val""".stripMargin,
     "q_store_roundtrip" ->
       """SELECT l_linenumber, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -1,0 +1,129 @@
+package graft.ingestion
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Coordinates, Dimensions, GridIndex, Stats}
+import graft.schema._
+import graft.storage.MdioDataset
+
+/** The end-to-end ingestion pipeline — the Spark shape of
+  * `ingestion/segy/pipeline.py:117-195` (§3.1 of SURVEY.md):
+  *
+  * 1. validate spec fields vs schema (`ingestion/segy/validation.py:15-38`)
+  * 2. schema resolve: template + override effect → ResolvedSchema
+  * 3. index-strategy transform (G2–G9) on the trace table
+  * 4. calculated-dim verification (G11, `pipeline.py:65-87`)
+  * 5. grid invariants: trace-count uniqueness (J2, `pipeline.py:89-114`) and
+  *    sparsity QC (J3, `ingestion/grid_qc.py:19-69`)
+  * 6. summary statistics (A1–A3, `segy/_workers.py:179-194` + merge)
+  * 7. dimension tables (G1/C2) + store write with sidecar (S3/S5)
+  *
+  * All stages are one logical DataFrame pipeline; the only driver-side values
+  * are metadata-sized (geometry decisions, QC scalars, the stats row).
+  */
+object IngestPipeline {
+
+  final class GridTraceCountError(msg: String) extends RuntimeException(msg)
+  final class GridSparsityError(msg: String) extends RuntimeException(msg)
+
+  final case class IngestResult(
+      path: String,
+      schema: ResolvedSchema,
+      nTraces: Long,
+      nCells: Long,
+      sparsity: Double,
+      stats: SummaryStatistics)
+
+  /** Ingest `traces` under `template` (+`overrides`) into an MDIO store.
+    *
+    * @param ordinal  explicit file-order columns for counter strategies
+    * @param valueCol amplitude-like column for summary statistics
+    * @param sparsityWarn/sparsityError thresholds (`core/config.py:41-50`)
+    * @param ignoreChecks like MDIO_IGNORE_CHECKS (`core/config.py:73-77`)
+    */
+  def ingest(spark: SparkSession, traces: DataFrame, template: DatasetTemplate,
+             overrides: GridOverrides, path: String,
+             ordinal: Seq[String], valueCol: String,
+             sparsityWarn: Double = 2.0, sparsityError: Double = 10.0,
+             ignoreChecks: Boolean = false): IngestResult = {
+
+    // 1-2: resolve schema; validate required header fields exist
+    val effect = IndexStrategyRegistry.schemaEffect(overrides, template)
+    val resolved = SchemaResolver.resolve(template, effect)
+    // P1 semantics: required = schema fields ∩ available spec fields — absent
+    // coordinates are simply not read (`ingestion/segy/reader.py:47-57`);
+    // only the non-calculated spatial DIMS are hard requirements.
+    val available = traces.columns.toSet
+    val hardRequired = resolved.dimensions.dropRight(1).toSet --
+      resolved.calculatedDims.toSet -- template.synthesizeMissingDims.toSet
+    val missing = hardRequired.diff(available)
+    require(missing.isEmpty,
+      s"header fields required by the schema are absent: ${missing.mkString(", ")}")
+
+    // 3: strategy transform
+    val strategy = IndexStrategyRegistry.createStrategy(overrides, template)
+    val ctx = StrategyContext(template, ordinal)
+    val transformed = strategy.transform(traces, ctx)
+
+    // 4: every calculated dim must now exist as a column
+    SchemaResolver.verifyCalculatedDims(resolved, transformed.columns.toSeq)
+
+    // 5: grid invariants over the spatial dims present in the data
+    val gridDims = resolved.dimensions.dropRight(1).filter(transformed.columns.contains)
+    val check = GridIndex.liveTraceCheck(transformed, gridDims).collect().head
+    val nTraces = check.getAs[Long]("n_rows")
+    val nCells = check.getAs[Long]("n_cells")
+    if (nCells != nTraces && !ignoreChecks)
+      throw new GridTraceCountError(
+        s"grid holds $nCells cells for $nTraces traces — duplicate index tuples " +
+        "(use HasDuplicates/NonBinned overrides)")
+    val qc = GridIndex.sparsityQC(transformed, gridDims, sparsityWarn, sparsityError)
+      .collect().head
+    val sparsity = qc.getAs[Double]("sparsity")
+    if (qc.getAs[Boolean]("error") && !ignoreChecks)
+      throw new GridSparsityError(f"grid sparsity $sparsity%.2f exceeds $sparsityError")
+
+    // 6: summary statistics in one pass
+    val sRow = Stats.summaryStats(transformed, valueCol).collect().head
+    val stats = SummaryStatistics(
+      count = sRow.getAs[Long]("n"),
+      sum = sRow.getAs[Double]("sum_val"),
+      sumSquares = sRow.getAs[Double]("sumsq_val"),
+      min = sRow.getAs[Double]("min_val"),
+      max = sRow.getAs[Double]("max_val"))
+
+    // 7: dim sizes (G1 cardinalities are metadata-sized) + store write
+    val dimSizes = gridDims.map(d =>
+      NamedDimension(d, Dimensions.computeDimension(transformed, d).count()))
+    val variables = Seq(Variable(
+      name = valueCol,
+      dimensions = resolved.dimensions,
+      dataType = Left(ScalarType.Float64),
+      compressor = Some(Blosc()),
+      coordinates = resolved.coordinates.map(_.name),
+      metadata = Some(VariableMetadata(
+        chunkGrid = Some(RegularChunkGrid(resolved.chunkShape)),
+        statsV1 = Some(stats)))))
+    val schema = MdioSchema(
+      variables = variables,
+      metadata = DatasetMetadata(resolved.name, "1.0.0",
+        java.time.Instant.now().toString,
+        attributes = overrides.toLegacyMap), // grid-override provenance (ingestion/metadata.py:12-19)
+      dimensions = dimSizes)
+    MdioDataset.write(transformed, path, schema, sortDims = gridDims)
+
+    IngestResult(path, resolved, nTraces, nCells, sparsity, stats)
+  }
+
+  /** C1/C2 helper: populate one coordinate table per declared coordinate. */
+  def populateCoordinates(transformed: DataFrame, resolved: ResolvedSchema,
+                          orderKey: String, scalar: Int = 1): Map[String, DataFrame] =
+    resolved.coordinates
+      .filter(c => transformed.columns.contains(c.name))
+      .map { c =>
+        val cellDims = c.dimensions.filter(transformed.columns.contains)
+        c.name -> Coordinates.populateCoordinate(transformed, cellDims, c.name,
+          orderKey, scalar)
+      }.toMap
+}
