@@ -150,6 +150,24 @@ object SparkEntry {
       Similarity.bruteForceTopK(embeddings(s, d), (0L until 10L), k = 10)),
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    "q_ann_ivf" -> ((s, d) =>
+      Ivf.ivfTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    // recall of the approximate paths vs exact top-k (quality report)
+    "q_ann_recall" -> ((s, d) => {
+      val qids = (0L until 10L)
+      val exact = Similarity.bruteForceTopK(embeddings(s, d), qids, k = 10)
+        .select(col("query_id"), col("neighbor_id"))
+      def recallOf(approx: DataFrame, name: String): DataFrame =
+        approx.select(col("query_id"), col("neighbor_id"))
+          .join(exact, Seq("query_id", "neighbor_id"))
+          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
+          .agg((sum(col("hits")) / (qids.size * 10.0)).as("recall"))
+          .withColumn("method", lit(name))
+      recallOf(Similarity.lshTopK(embeddings(s, d), qids, k = 10), "lsh")
+        .unionAll(recallOf(Ivf.ivfTopK(embeddings(s, d), qids, k = 10), "ivf"))
+    }),
+    // --- S1/S2/P7: source scans -----------------------------------------
+    "q_file_info" -> ((s, d) => graft.sources.Sources.fileInfo(s, d, "lineitem")),
     // --- §3.1 end-to-end ingest: strategies → invariants → stats → store --
     "q_ingest_e2e" -> ((s, d) => {
       import s.implicits._
@@ -453,6 +471,9 @@ object SparkEntry {
         |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
         |FROM s
         |QUALIFY rank <= 10""".stripMargin,
+    "q_file_info" ->
+      """SELECT count(*) AS n_traces, 11 AS n_fields, 'lineitem' AS table_name
+        |FROM lineitem""".stripMargin,
     "q_ingest_e2e" ->
       """WITH g AS (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey, l_partkey)
         |SELECT (SELECT count(*) FROM lineitem) AS n_rows,

@@ -1,0 +1,59 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus = {
+    // two well-separated clusters + a clone of vec 0
+    val a = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => (10.0 + math.sin(i * 13 + d)).toFloat)))
+    val b = (20L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => (-10.0 + math.cos(i * 7 + d)).toFloat)))
+    (a ++ b :+ (99L, a.head._2)).toDF("vec_id", "embedding")
+  }
+
+  test("buildIndex assigns every vector to one of nCells cells") {
+    val (indexed, centers) = Ivf.buildIndex(corpus, nCells = 4)
+    assert(centers.length == 4)
+    assert(indexed.where(col("cell").isNull).count() == 0)
+    assert(indexed.select("cell").distinct().count() <= 4)
+  }
+
+  test("ivfTopK finds the identical clone at rank 1") {
+    val got = Ivf.ivfTopK(corpus, Seq(0L), k = 5, nCells = 4, nProbe = 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(got.get(99L).contains(1L))
+    // all neighbors come from the same (near) cluster, never the far one
+    assert(got.keys.forall(id => id < 20L || id == 99L))
+  }
+}
+
+class SourcesSpec extends SparkSpec {
+  import graft.sources.Sources
+
+  test("fileInfo reports trace and field counts") {
+    val r = Sources.fileInfo(spark, "/root/testdata/sf0.001", "lineitem").collect().head
+    assert(r.getAs[Long]("n_traces") == 6000L)
+    assert(r.getAs[Int]("n_fields") == 11)
+  }
+
+  test("headerScan prunes to the projected fields") {
+    val df = Sources.headerScan(spark, "/root/testdata/sf0.001", "lineitem",
+      Seq("l_orderkey", "l_linenumber"))
+    assert(df.columns.toSeq == Seq("l_orderkey", "l_linenumber"))
+    // column pruning visible in the optimized scan schema
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("l_orderkey") && !plan.contains("l_extendedprice"))
+  }
+
+  test("promoteIbm32 casts declared fields to float") {
+    import spark.implicits._
+    val df = Seq((1, 2)).toDF("a", "b")
+    val out = Sources.promoteIbm32(df, Seq("b", "missing"))
+    assert(out.schema("b").dataType.typeName == "float")
+    assert(out.schema("a").dataType.typeName == "integer")
+  }
+}
