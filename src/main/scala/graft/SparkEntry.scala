@@ -148,8 +148,13 @@ object SparkEntry {
     // --- LLM pipeline: similarity search --------------------------------
     "q_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    // bits/tables tuned for recall on ~500-5k corpora: coarser buckets
+    // (2^4 = 16 cells) × 8 tables ≈ 40% of the corpus as candidates. On
+    // isotropic random embeddings (this fixture — the ANN worst case) that
+    // yields ~0.5 recall; real clustered embeddings bucket far better.
     "q_ann_lsh" -> ((s, d) =>
-      Similarity.lshTopK(embeddings(s, d), (0L until 10L), k = 10)),
+      Similarity.lshTopK(embeddings(s, d), (0L until 10L), k = 10,
+        bits = 4, tables = 8)),
     "q_ann_ivf" -> ((s, d) =>
       Ivf.ivfTopK(embeddings(s, d), (0L until 10L), k = 10)),
     // recall of the approximate paths vs exact top-k (quality report)
@@ -163,7 +168,8 @@ object SparkEntry {
           .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
           .agg((sum(col("hits")) / (qids.size * 10.0)).as("recall"))
           .withColumn("method", lit(name))
-      recallOf(Similarity.lshTopK(embeddings(s, d), qids, k = 10), "lsh")
+      recallOf(Similarity.lshTopK(embeddings(s, d), qids, k = 10,
+          bits = 4, tables = 8), "lsh")
         .unionAll(recallOf(Ivf.ivfTopK(embeddings(s, d), qids, k = 10), "ivf"))
     }),
     // --- S1/S2/P7: source scans -----------------------------------------

@@ -40,7 +40,13 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
 
-  /** Register every fixture table as a temp view (for spark.sql paths). */
+  /** Register every fixture table as a temp view (for spark.sql paths).
+    * A missing file skips that one view instead of failing them all. */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      try load(spark, sfDir, n).createOrReplaceTempView(n)
+      catch { case e: Throwable =>
+        System.err.println(s"[tables] skipping view $n: ${e.getMessage}")
+      }
+    }
 }

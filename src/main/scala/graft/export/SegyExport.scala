@@ -45,6 +45,61 @@ object SegyExport {
       .withColumn("record_len", octet_length(col("trace_record")).cast("long"))
   }
 
+  /** S6/E4: write a SEG-Y-shaped file — 3200-byte text header (EBCDIC when
+    * the JVM has IBM037, ASCII otherwise), 400-byte binary header, then all
+    * trace records in global order.
+    *
+    * The distributed part: each partition of the (range-sorted) record table
+    * writes one numbered part file in parallel; the driver then concatenates
+    * parts in partition order — exactly the reference's hierarchical merge
+    * collapsed to its final sequential `concat_files` step
+    * (`segy/blocked_io.py:214-303`, `segy/creation.py:236-263`).
+    */
+  def writeSegy(records: DataFrame, outFile: String,
+                textHeader: Seq[String], binaryHeader: Array[Byte]): Unit = {
+    require(binaryHeader.length == 400, "binary header must be 400 bytes")
+    SegyHeaders.validateTextHeader(textHeader)
+    val sess = records.sparkSession
+    val conf = new org.apache.hadoop.conf.Configuration(
+      sess.sparkContext.hadoopConfiguration)
+    val partsDir = outFile + ".parts"
+    val confSer = new org.apache.spark.util.SerializableConfiguration(conf)
+
+    val nParts = records.select("trace_record").rdd
+      .mapPartitionsWithIndex { case (idx, it) =>
+        val fs = new org.apache.hadoop.fs.Path(partsDir)
+          .getFileSystem(confSer.value)
+        val part = new org.apache.hadoop.fs.Path(f"$partsDir/part-$idx%05d")
+        val os = fs.create(part, true)
+        try it.foreach(r => os.write(r.getAs[Array[Byte]]("trace_record")))
+        finally os.close()
+        Iterator.single(1)
+      }.count().toInt
+
+    val outPath = new org.apache.hadoop.fs.Path(outFile)
+    val fs = outPath.getFileSystem(conf)
+    val os = fs.create(outPath, true)
+    try {
+      val charset =
+        try java.nio.charset.Charset.forName("IBM037")     // EBCDIC, like the reference
+        catch { case _: Exception => java.nio.charset.StandardCharsets.US_ASCII }
+      os.write(textHeader.mkString.getBytes(charset))
+      os.write(binaryHeader)
+      (0 until nParts).foreach { i =>
+        val part = new org.apache.hadoop.fs.Path(f"$partsDir/part-$i%05d")
+        if (fs.exists(part)) {
+          val in = fs.open(part)
+          try {
+            val buf = new Array[Byte](1 << 20)
+            var n = in.read(buf)
+            while (n > 0) { os.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+        }
+      }
+    } finally os.close()
+    fs.delete(new org.apache.hadoop.fs.Path(partsDir), true)
+  }
+
   /** E5: the masked-export pipeline. Returns the globally ordered, masked,
     * projected trace table with a contiguous `seq` — what the part-file
     * writer consumes.
