@@ -88,6 +88,14 @@ object SparkEntry {
         .select("o_custkey", "o_orderkey", "shot_index")),
     // --- A1-A3 / A4: statistics -----------------------------------------
     "q_stats" -> ((s, d) => Stats.summaryStats(lineitem(s, d), "l_extendedprice")),
+    "q_histogram" -> ((s, d) =>
+      Stats.histogram(lineitem(s, d), "l_quantity", nBins = 10, lo = 0.0, hi = 50.0)),
+    "q_salted_agg" -> ((s, d) =>
+      Salting.saltedAgg(lineitem(s, d), "l_returnflag",
+        sum(col("l_quantity").cast(DecimalType(18, 2))),
+        "sum_qty", saltBuckets = 16,
+        saltSource = Seq("l_orderkey", "l_linenumber"))
+        .withColumn("sum_qty", col("sum_qty").cast("double"))),
     "q_geom" -> ((s, d) =>
       Geometry.groupRanges(lineitem(s, d), "l_suppkey", "l_linenumber", "l_orderkey")),
     "q_geom_guns" -> ((s, d) =>
@@ -328,6 +336,18 @@ object SparkEntry {
         |  sumsq_val / n - (sum_val / n) * (sum_val / n) AS var_val,
         |  sqrt(sumsq_val / n - (sum_val / n) * (sum_val / n)) AS std_val
         |FROM s""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(least(greatest(floor((l_quantity - 0.0) / 50.0 * 10), 0), 9) AS BIGINT)
+        |    AS bucket,
+        |  count(*) AS n,
+        |  0.0 + CAST(least(greatest(floor((l_quantity - 0.0) / 50.0 * 10), 0), 9) AS BIGINT)
+        |    * 5.0 AS bin_lo
+        |FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1""".stripMargin,
+    "q_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_geom" ->
       """SELECT l_suppkey, min(l_linenumber) AS v_min, max(l_linenumber) AS v_max,
         |  count(DISTINCT l_orderkey) AS n_distinct, count(*) AS n_rows

@@ -116,6 +116,18 @@ object IngestPipeline {
     IngestResult(path, resolved, nTraces, nCells, sparsity, stats)
   }
 
+  /** C4: vertical dimension construction (`ingestion/segy/reader.py:84-89`):
+    * labels = sample_index × interval/1000 (µs → ms), cast to long when the
+    * interval is an integral number of milliseconds.
+    */
+  def buildVerticalDim(spark: SparkSession, numSamples: Int, intervalMicros: Int,
+                       name: String): DataFrame = {
+    val labels = spark.range(numSamples)
+      .select((col("id") * intervalMicros / 1000.0).as(name))
+    if (intervalMicros % 1000 == 0) labels.select(col(name).cast("long").as(name))
+    else labels
+  }
+
   /** C1/C2 helper: populate one coordinate table per declared coordinate. */
   def populateCoordinates(transformed: DataFrame, resolved: ResolvedSchema,
                           orderKey: String, scalar: Int = 1): Map[String, DataFrame] =

@@ -40,4 +40,25 @@ object Stats {
       .withColumn("var_val", col("sumsq_val") / col("n") - col("mean_val") * col("mean_val"))
       .withColumn("std_val", sqrt(col("var_val")))
   }
+
+  /** Equal-width histogram over [lo, hi): bucket index by direct arithmetic
+    * (no UDF, no custom aggregate — a groupBy over the computed bucket is
+    * Spark's partial/final combine). Values outside the range clamp to the
+    * edge buckets, like numpy's histogram with explicit range.
+    * Complements `SummaryStatistics.histogram`
+    * (`builder/schemas/v1/stats.py:26-45`; reference ingestion writes an
+    * empty histogram — `segy/_workers.py:186-194` — this is the query-side
+    * operator).
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int,
+                lo: Double, hi: Double): DataFrame = {
+    require(nBins > 0 && hi > lo, "need nBins > 0 and hi > lo")
+    val x = col(valueCol)
+    val raw = floor((x - lo) / (hi - lo) * nBins)
+    val bucket = least(greatest(raw, lit(0.0)), lit((nBins - 1).toDouble)).cast("long")
+    df.where(x.isNotNull)
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bin_lo", lit(lo) + col("bucket") * ((hi - lo) / nBins))
+  }
 }

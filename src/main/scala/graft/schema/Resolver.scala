@@ -76,6 +76,54 @@ final case class CollapseToTraceEffect(collapsedDims: Seq[String],
   }
 }
 
+/** C3 unit resolution (`ingestion/segy/coordinates.py:76-127`): spatial unit
+  * from the binary-header measurement system (1 = meters, 2 = feet); angle/
+  * azimuth default to degrees; template-declared units always win.
+  */
+object UnitResolution {
+  def resolve(dimOrCoord: String, measurementSystem: Int,
+              templateUnits: Map[String, String] = Map.empty): Option[String] =
+    templateUnits.get(dimOrCoord).orElse {
+      dimOrCoord match {
+        case "angle" | "azimuth" => Some("degrees")
+        case "time" => Some("millisecond")
+        case "depth" | "cdp_x" | "cdp_y" | "source_coord_x" | "source_coord_y" |
+             "group_coord_x" | "group_coord_y" | "receiver_x" | "receiver_y" =>
+          measurementSystem match {
+            case 1 => Some("meter")
+            case 2 => Some("ft")
+            case _ => None
+          }
+        case _ => None
+      }
+    }
+}
+
+/** C5 file-header attach (`ingestion/segy/file_headers.py:25-55`, modes
+  * `core/config.py:53-60`): store the SEG-Y text + binary headers as dataset
+  * attributes. `strict` fails on an invalid text header, `lenient`
+  * sanitizes, `off` stores nothing.
+  */
+object FileHeaderAttach {
+  object Mode extends Enumeration { val Off, Strict, Lenient = Value }
+
+  def attach(attributes: Map[String, String], textHeader: Seq[String],
+             binaryHeaderB64: String, mode: Mode.Value): Map[String, String] =
+    mode match {
+      case Mode.Off => attributes
+      case Mode.Strict =>
+        graft.`export`.SegyHeaders.validateTextHeader(textHeader)
+        attributes +
+          ("segyTextHeader" -> textHeader.mkString("\n")) +
+          ("segyBinaryHeaderRaw" -> binaryHeaderB64)
+      case Mode.Lenient =>
+        val clean = graft.`export`.SegyHeaders.sanitizeTextHeader(textHeader)
+        attributes +
+          ("segyTextHeader" -> clean.mkString("\n")) +
+          ("segyBinaryHeaderRaw" -> binaryHeaderB64)
+    }
+}
+
 object SchemaResolver {
 
   /** Resolve a template into a schema, applying at most one effect
