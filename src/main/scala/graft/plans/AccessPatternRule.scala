@@ -84,8 +84,10 @@ final case class AccessPatternRule(spark: SparkSession) extends Rule[LogicalPlan
 /** Session-extension entry point:
   * `spark.sql.extensions=graft.plans.GraftSparkExtensions`. */
 final class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(AccessPatternRule.apply)
+    ext.injectFunction(graft.functions.IbmFloatDecode.functionDescription)
+  }
 }
 
 object GraftSparkExtensions {
