@@ -84,34 +84,59 @@ object IngestPipeline {
     if (qc.getAs[Boolean]("error") && !ignoreChecks)
       throw new GridSparsityError(f"grid sparsity $sparsity%.2f exceeds $sparsityError")
 
-    // 6: summary statistics in one pass
-    val sRow = Stats.summaryStats(transformed, valueCol).collect().head
-    val stats = SummaryStatistics(
-      count = sRow.getAs[Long]("n"),
-      sum = sRow.getAs[Double]("sum_val"),
-      sumSquares = sRow.getAs[Double]("sumsq_val"),
-      min = sRow.getAs[Double]("min_val"),
-      max = sRow.getAs[Double]("max_val"))
+    // 6: summary statistics piggyback on the WRITE pass via observe() —
+    // exactly the reference's per-block partial stats collected by the
+    // ingest workers (`segy/_workers.py:179-194`): no extra scan. The
+    // non-zero mask lives inside each aggregate; sums accumulate in DECIMAL
+    // (exact, order-independent).
+    import org.apache.spark.sql.Observation
+    val x = col(valueCol)
+    val masked = when(x.isNotNull && x =!= 0.0, x)
+    val xd = masked.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val obs = Observation()
+    // Range-partition + sort FIRST, observe ABOVE it: repartitionByRange
+    // runs a sampling job over its child, and an observation below the
+    // exchange would be double-counted by that sampling pass.
+    val clustered =
+      if (gridDims.isEmpty) transformed
+      else transformed.repartitionByRange(gridDims.map(col): _*)
+        .sortWithinPartitions(gridDims.map(col): _*)
+    val observed = clustered.observe(obs,
+      count(masked).as("n"),
+      min(masked).as("min_val"), max(masked).as("max_val"),
+      sum(xd).cast("double").as("sum_val"),
+      sum(xd * xd).cast("double").as("sumsq_val"))
 
     // 7: dim sizes (G1 cardinalities are metadata-sized) + store write
     val dimSizes = gridDims.map(d =>
       NamedDimension(d, Dimensions.computeDimension(transformed, d).count()))
-    val variables = Seq(Variable(
-      name = valueCol,
-      dimensions = resolved.dimensions,
-      dataType = Left(ScalarType.Float64),
-      compressor = Some(Blosc()),
-      coordinates = resolved.coordinates.map(_.name),
-      metadata = Some(VariableMetadata(
-        chunkGrid = Some(RegularChunkGrid(resolved.chunkShape)),
-        statsV1 = Some(stats)))))
-    val schema = MdioSchema(
-      variables = variables,
+    def schemaWith(statsOpt: Option[SummaryStatistics]): MdioSchema = MdioSchema(
+      variables = Seq(Variable(
+        name = valueCol,
+        dimensions = resolved.dimensions,
+        dataType = Left(ScalarType.Float64),
+        compressor = Some(Blosc()),
+        coordinates = resolved.coordinates.map(_.name),
+        metadata = Some(VariableMetadata(
+          chunkGrid = Some(RegularChunkGrid(resolved.chunkShape)),
+          statsV1 = statsOpt)))),
       metadata = DatasetMetadata(resolved.name, "1.0.0",
         java.time.Instant.now().toString,
         attributes = overrides.toLegacyMap), // grid-override provenance (ingestion/metadata.py:12-19)
       dimensions = dimSizes)
-    MdioDataset.write(transformed, path, schema, sortDims = gridDims)
+
+    // the write IS the stats scan — observation resolves once it completes
+    // (clustering already applied above, so no sortDims here)
+    MdioDataset.write(observed, path, schemaWith(None))
+    val m = obs.get
+    val stats = SummaryStatistics(
+      count = m("n").asInstanceOf[Long],
+      sum = m("sum_val").asInstanceOf[Double],
+      sumSquares = m("sumsq_val").asInstanceOf[Double],
+      min = m("min_val").asInstanceOf[Double],
+      max = m("max_val").asInstanceOf[Double])
+    // patch stats into the sidecar, like the reference's post-write attr patch
+    MdioDataset.writeSidecar(spark, path, schemaWith(Some(stats)))
 
     IngestResult(path, resolved, nTraces, nCells, sparsity, stats)
   }

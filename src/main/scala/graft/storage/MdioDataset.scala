@@ -62,7 +62,10 @@ object MdioDataset {
     writeSidecar(df.sparkSession, path, schema)
   }
 
-  private def writeSidecar(spark: SparkSession, path: String, schema: MdioSchema): Unit = {
+  /** Write (or rewrite) the sidecar alone — used to patch post-write
+    * metadata such as stats collected during the data write (the reference
+    * patches stats into Zarr attrs the same way, `segy/blocked_io.py:137-144`). */
+  def writeSidecar(spark: SparkSession, path: String, schema: MdioSchema): Unit = {
     val p = new Path(sidecarPath(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
