@@ -164,6 +164,44 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** blockedJaccard with a document-frequency cap: shingles appearing in
+    * more than `maxDocFrac` of a block's documents are dropped from the
+    * inverted index before pairing. On low-entropy corpora (boilerplate,
+    * templated text) the hottest shingles produce O(blockDocs²) pair rows
+    * while carrying no discriminative signal — the standard mitigation in
+    * production near-dup pipelines. Jaccard is then computed over the
+    * CAPPED sets (sizes recomputed after the cap), so the score stays a
+    * true Jaccard of the filtered representation.
+    */
+  def blockedJaccardCapped(df: DataFrame, blockCol: String, textCol: String = "text",
+                           idCol: String = "doc_id", n: Int = 3,
+                           minJaccard: Double = 0.1,
+                           maxDocFrac: Double = 0.5): DataFrame = {
+    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      shingleHashes(col(textCol), n).as("h0")).persist()
+    val inverted = sh.select(col("blk"), col("id"), explode(col("h0")).as("s"))
+    val blockSizes = sh.groupBy(col("blk")).agg(count(lit(1)).as("n_docs"))
+    val kept = inverted
+      .groupBy(col("blk"), col("s")).agg(collect_list(col("id")).as("ids"))
+      .join(broadcast(blockSizes), "blk")
+      .where(size(col("ids")) <= col("n_docs") * maxDocFrac)
+      .select(col("blk"), col("s"), explode(col("ids")).as("id"))
+    val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = kept.as("a")
+      .join(kept.as("b"),
+        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token xxhash64 values: bit j of the fingerprint is

@@ -39,6 +39,38 @@ object Multimodal {
   def withFeatures(df: DataFrame, dim: Int = 16): DataFrame =
     df.withColumn("features", fakeDecodeFeatures(col("payload"), dim))
 
+  /** Batched decode over mapPartitions — the Scala analog of a Pandas-UDF
+    * `mapInPandas` stage: payloads stream through in batches of `batchSize`
+    * so a real codec amortizes its per-batch init (model load, JNI codec
+    * handle) across the batch. The decode itself is STUBBED (deterministic
+    * bytes→features hash); the schema, partitioning, batch shape and
+    * iterator plumbing are exactly what a real decoder plugs into.
+    */
+  def decodeBatched(df: DataFrame, dim: Int = 16, batchSize: Int = 64): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          // -- a real implementation initializes the codec HERE, once per batch
+          batch.iterator.map { case (id, bytes) =>
+            (id, stubDecodeJvm(bytes, dim), batch.length)
+          }
+        }
+      }
+      .toDF("doc_id", "features", "batch_size")
+  }
+
+  /** STUB decoder (JVM side): deterministic features from the payload hash. */
+  private[llm] def stubDecodeJvm(bytes: Array[Byte], dim: Int): Array[Double] = {
+    val base = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+    Array.tabulate(dim) { i =>
+      val h = scala.util.hashing.MurmurHash3.productHash((base, i))
+      (math.floorMod(h, 1000).toDouble / 500.0) - 1.0
+    }
+  }
+
   /** Frame sampling for a chunked (video-like) payload: take every `stride`-th
     * fixed-size chunk. Binary slicing via substr — no UDF, no decode.
     */

@@ -41,4 +41,18 @@ object Dimensions {
     }
     df.agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Interactive-info variant: exact countDistinct over many dims in one
+    * pass multiplies the expand-aggregate at 100 TB; the display path can
+    * use HyperLogLog instead (J2/J3 invariants keep the exact form).
+    */
+  def dimSummaryApprox(df: DataFrame, dims: Seq[String], rsd: Double = 0.05): DataFrame = {
+    require(dims.nonEmpty, "dimSummaryApprox needs at least one dimension column")
+    val aggs: Seq[Column] = dims.distinct.flatMap { d =>
+      Seq(min(col(d)).as(s"${d}_min"),
+          max(col(d)).as(s"${d}_max"),
+          approx_count_distinct(col(d), rsd).as(s"${d}_n"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+  }
 }

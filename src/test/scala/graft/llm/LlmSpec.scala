@@ -163,3 +163,42 @@ class MultimodalSpec extends SparkSpec {
     assert(frames == Seq("ab", "ef", "ij"))
   }
 }
+
+class BatchDecodeSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.llm.{Multimodal, Dedup}
+  import org.apache.spark.sql.functions._
+
+  test("decodeBatched: mapPartitions batches with deterministic stub features") {
+    val docs = (1L to 150L).map(i => (i, s"payload-$i")).toDF("doc_id", "text")
+    val out = Multimodal.decodeBatched(Multimodal.attachPayload(docs),
+      dim = 8, batchSize = 64)
+    val rows = out.select("doc_id", "features", "batch_size")
+      .as[(Long, Seq[Double], Int)].collect()
+    assert(rows.length == 150)
+    assert(rows.forall(_._2.length == 8))
+    assert(rows.forall(_._3 <= 64)) // batch shape respected
+    // deterministic: same payload → same features across runs
+    val again = Multimodal.decodeBatched(Multimodal.attachPayload(docs),
+      dim = 8, batchSize = 64).select("doc_id", "features")
+      .as[(Long, Seq[Double])].collect().toMap
+    rows.foreach { case (id, f, _) => assert(again(id) == f) }
+  }
+
+  test("blockedJaccardCapped drops hot shingles but keeps true near-dups") {
+    // 6 docs share boilerplate; two are real near-dups beyond it
+    val boiler = "terms and conditions apply to all entries in this corpus"
+    val df = Seq(
+      ("s1", 1L, s"$boiler alpha beta gamma delta epsilon zeta eta theta"),
+      ("s1", 2L, s"$boiler alpha beta gamma delta epsilon zeta eta iota"),
+      ("s1", 3L, s"$boiler completely different tail words here now one"),
+      ("s1", 4L, s"$boiler other unrelated closing sentence entirely two"),
+      ("s1", 5L, s"$boiler more filler text that matches nothing else three"),
+      ("s1", 6L, s"$boiler final doc with its own unique ending four"),
+    ).toDF("source", "doc_id", "text")
+    val capped = Dedup.blockedJaccardCapped(df, "source",
+      minJaccard = 0.3, maxDocFrac = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 2L))) // boilerplate shingles no longer pair everyone
+  }
+}
