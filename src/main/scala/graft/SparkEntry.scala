@@ -182,6 +182,14 @@ object SparkEntry {
     }),
     // --- S1/S2/P7: source scans -----------------------------------------
     "q_file_info" -> ((s, d) => graft.sources.Sources.fileInfo(s, d, "lineitem")),
+    // native codegen'd IBM hex-float decode over synthesized bit patterns
+    "q_ibm_decode" -> ((s, d) => {
+      import graft.functions.IbmFloatDecode
+      val pos = (col("l_orderkey") % 1000000L + 1090000000L).cast("int")
+      val neg = (-(col("l_orderkey") % 1000000L) - 1090000000L).cast("int")
+      lineitem(s, d).select(col("l_orderkey"),
+        IbmFloatDecode(pos).as("v_pos"), IbmFloatDecode(neg).as("v_neg"))
+    }),
     // --- §3.1 end-to-end ingest: strategies → invariants → stats → store --
     "q_ingest_e2e" -> ((s, d) => {
       import s.implicits._
@@ -500,6 +508,21 @@ object SparkEntry {
     "q_file_info" ->
       """SELECT count(*) AS n_traces, 11 AS n_fields, 'lineitem' AS table_name
         |FROM lineitem""".stripMargin,
+    "q_ibm_decode" ->
+      """WITH b AS (SELECT l_orderkey,
+        |    CAST(l_orderkey % 1000000 + 1090000000 AS INT) AS bp,
+        |    CAST(-(l_orderkey % 1000000) - 1090000000 AS INT) AS bn
+        |  FROM lineitem)
+        |SELECT l_orderkey,
+        |  CAST(CASE WHEN (bp & 2147483647) = 0 THEN 0.0
+        |    ELSE (CASE WHEN bp < 0 THEN -1.0 ELSE 1.0 END)
+        |      * ((bp & 16777215) / 16777216.0)
+        |      * power(16.0, ((bp >> 24) & 127) - 64) END AS FLOAT) AS v_pos,
+        |  CAST(CASE WHEN (bn & 2147483647) = 0 THEN 0.0
+        |    ELSE (CASE WHEN bn < 0 THEN -1.0 ELSE 1.0 END)
+        |      * ((bn & 16777215) / 16777216.0)
+        |      * power(16.0, ((bn >> 24) & 127) - 64) END AS FLOAT) AS v_neg
+        |FROM b""".stripMargin,
     "q_ingest_e2e" ->
       """WITH g AS (SELECT count(*) AS c FROM lineitem GROUP BY l_suppkey, l_partkey)
         |SELECT (SELECT count(*) FROM lineitem) AS n_rows,
