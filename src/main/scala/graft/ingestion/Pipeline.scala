@@ -138,6 +138,17 @@ object IngestPipeline {
     // patch stats into the sidecar, like the reference's post-write attr patch
     MdioDataset.writeSidecar(spark, path, schemaWith(Some(stats)))
 
+    // C2: persist the sorted-distinct dimension tables alongside the data
+    gridDims.foreach { d =>
+      Dimensions.computeDimension(transformed, d)
+        .write.mode("overwrite").parquet(s"$path/dims/$d")
+    }
+    // C1: persist declared coordinate tables that the headers actually carry
+    populateCoordinates(transformed, resolved, orderKey = ordinal.head)
+      .foreach { case (name, coordDf) =>
+        coordDf.write.mode("overwrite").parquet(s"$path/coords/$name")
+      }
+
     IngestResult(path, resolved, nTraces, nCells, sparsity, stats)
   }
 

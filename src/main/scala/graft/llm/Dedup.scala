@@ -91,12 +91,24 @@ object Dedup {
     */
   def nearDupPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                    n: Int = 3, k: Int = 32, bands: Int = 8,
-                   minEstJaccard: Double = 0.5): DataFrame = {
+                   minEstJaccard: Double = 0.5,
+                   maxBucketSize: Int = 10000): DataFrame = {
     // Persist the bucket table: signatures are higher-order-function
     // expressions (interpreted, not codegen'd) and would otherwise be
     // re-evaluated per band AND per join side. The table is O(docs × k)
     // longs — tiny relative to the text it summarizes.
-    val buckets = lshBuckets(df, textCol, idCol, n, k, bands).persist()
+    val raw = lshBuckets(df, textCol, idCol, n, k, bands)
+    // Hot-bucket cap: a bucket holding B docs emits B² candidate pairs; a
+    // boilerplate-duplicate flood (one bucket with 1M docs) would be a
+    // quadratic blowup. Buckets past the cap are dropped here — their
+    // members still pair through their OTHER bands, and true duplicate
+    // floods should be removed by exact dedup before near-dup anyway.
+    val hot = raw.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("_bucket_n"))
+      .where(col("_bucket_n") > maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val buckets = raw.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+      .persist()
     val a = buckets.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
       col("band"), col("band_hash"))
     val b = buckets.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
