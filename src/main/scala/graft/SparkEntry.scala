@@ -131,6 +131,17 @@ object SparkEntry {
     // --- events: windowed aggregation + sessionization ------------------
     "q_events_hourly" -> ((s, d) => Events.hourlyAgg(events(s, d))),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d))),
+    "q_session_stats" -> ((s, d) =>
+      Events.sessionize(events(s, d))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"))
+        .withColumn("duration_s",
+          (col("session_end").cast("long") - col("session_start").cast("long")))),
+    "q_coord_checked" -> ((s, d) =>
+      Coordinates.populateCoordinateChecked(customer(s, d), Seq("c_nationkey"),
+        "c_acctbal", "c_custkey", scalar = -100)),
     // --- LLM pipeline: dedup --------------------------------------------
     "q_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(documents(s, d))),
     "q_dedup_survivors" -> ((s, d) => Dedup.dedupExact(documents(s, d))),
@@ -402,6 +413,25 @@ object SparkEntry {
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         |FROM x""".stripMargin,
+    "q_session_stats" ->
+      """WITH x AS (SELECT event_id, user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |sess AS (SELECT event_id, user_id, ts,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
+        |        OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM x)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts) AS session_start, max(ts) AS session_end,
+        |  date_diff('second', min(ts), max(ts)) AS duration_s
+        |FROM sess GROUP BY 1, 2""".stripMargin,
+    "q_coord_checked" ->
+      """SELECT c_nationkey, min_by(c_acctbal, c_custkey) / 100.0 AS c_acctbal,
+        |  count(DISTINCT c_acctbal) AS n_values,
+        |  count(DISTINCT c_acctbal) = 1 AS consistent
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents GROUP BY 1""".stripMargin,

@@ -107,9 +107,15 @@ object IngestPipeline {
       sum(xd).cast("double").as("sum_val"),
       sum(xd * xd).cast("double").as("sumsq_val"))
 
-    // 7: dim sizes (G1 cardinalities are metadata-sized) + store write
-    val dimSizes = gridDims.map(d =>
-      NamedDimension(d, Dimensions.computeDimension(transformed, d).count()))
+    // 7: dim sizes — ALL cardinalities in one aggregate pass (a count()
+    // per dim would rescan the table N times)
+    val dimSizes: Seq[NamedDimension] =
+      if (gridDims.isEmpty) Nil
+      else {
+        val aggs = gridDims.map(d => countDistinct(col(d)).as(d))
+        val row = transformed.agg(aggs.head, aggs.drop(1): _*).collect().head
+        gridDims.map(d => NamedDimension(d, row.getAs[Long](d)))
+      }
     def schemaWith(statsOpt: Option[SummaryStatistics]): MdioSchema = MdioSchema(
       variables = Seq(Variable(
         name = valueCol,

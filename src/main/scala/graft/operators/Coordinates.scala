@@ -32,4 +32,19 @@ object Coordinates {
     df.groupBy(cellDims.map(col): _*)
       .agg(applyScalar(first, scalar).as(coordCol))
   }
+
+  /** C1 + consistency check: the reference reduces without verifying that
+    * all rows of a cell agree on the coordinate (TODO at
+    * `ingestion/coordinates.py:74-75`). This variant also reports, per cell,
+    * how many distinct raw values were collapsed — `n_values > 1` marks a
+    * cell whose reduction silently discarded disagreeing coordinates.
+    */
+  def populateCoordinateChecked(df: DataFrame, cellDims: Seq[String], coordCol: String,
+                                orderKey: String, scalar: Int = 1): DataFrame = {
+    val first = min_by(col(coordCol), col(orderKey))
+    df.groupBy(cellDims.map(col): _*)
+      .agg(applyScalar(first, scalar).as(coordCol),
+        countDistinct(col(coordCol)).as("n_values"))
+      .withColumn("consistent", col("n_values") === 1)
+  }
 }
