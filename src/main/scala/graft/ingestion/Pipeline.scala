@@ -69,19 +69,25 @@ object IngestPipeline {
     // 4: every calculated dim must now exist as a column
     SchemaResolver.verifyCalculatedDims(resolved, transformed.columns.toSeq)
 
-    // 5: grid invariants over the spatial dims present in the data
+    // 5: grid invariants (J2 + J3) and dim cardinalities in ONE aggregate
+    // pass — all are count/countDistinct, so a single scan answers the
+    // trace-count check, the sparsity QC and the sidecar dim sizes.
     val gridDims = resolved.dimensions.dropRight(1).filter(transformed.columns.contains)
-    val check = GridIndex.liveTraceCheck(transformed, gridDims).collect().head
+    val dcols = gridDims.map(col)
+    val checkAggs =
+      Seq(count(lit(1)).as("n_rows"),
+          countDistinct(dcols.head, dcols.drop(1): _*).as("n_cells")) ++
+        gridDims.map(d => countDistinct(col(d)).as(s"__n_$d"))
+    val check = transformed.agg(checkAggs.head, checkAggs.drop(1): _*).collect().head
     val nTraces = check.getAs[Long]("n_rows")
     val nCells = check.getAs[Long]("n_cells")
     if (nCells != nTraces && !ignoreChecks)
       throw new GridTraceCountError(
         s"grid holds $nCells cells for $nTraces traces — duplicate index tuples " +
         "(use HasDuplicates/NonBinned overrides)")
-    val qc = GridIndex.sparsityQC(transformed, gridDims, sparsityWarn, sparsityError)
-      .collect().head
-    val sparsity = qc.getAs[Double]("sparsity")
-    if (qc.getAs[Boolean]("error") && !ignoreChecks)
+    val cardinalities = gridDims.map(d => d -> check.getAs[Long](s"__n_$d")).toMap
+    val sparsity = cardinalities.values.map(_.toDouble).product / nTraces
+    if (sparsity > sparsityError && !ignoreChecks)
       throw new GridSparsityError(f"grid sparsity $sparsity%.2f exceeds $sparsityError")
 
     // 6: summary statistics piggyback on the WRITE pass via observe() —
@@ -107,15 +113,9 @@ object IngestPipeline {
       sum(xd).cast("double").as("sum_val"),
       sum(xd * xd).cast("double").as("sumsq_val"))
 
-    // 7: dim sizes — ALL cardinalities in one aggregate pass (a count()
-    // per dim would rescan the table N times)
+    // 7: dim sizes come from the same invariant pass above
     val dimSizes: Seq[NamedDimension] =
-      if (gridDims.isEmpty) Nil
-      else {
-        val aggs = gridDims.map(d => countDistinct(col(d)).as(d))
-        val row = transformed.agg(aggs.head, aggs.drop(1): _*).collect().head
-        gridDims.map(d => NamedDimension(d, row.getAs[Long](d)))
-      }
+      gridDims.map(d => NamedDimension(d, cardinalities(d)))
     def schemaWith(statsOpt: Option[SummaryStatistics]): MdioSchema = MdioSchema(
       variables = Seq(Variable(
         name = valueCol,
