@@ -137,7 +137,8 @@ object SchemaResolver {
       dimensions = template.dimNames,
       chunkShape = template.chunkShape,
       coordinates = template.coordinateNames.map(c =>
-        CoordinateSpec(c, template.spatialDimNames,
+        CoordinateSpec(c,
+          template.coordDimOverrides.getOrElse(c, template.spatialDimNames),
           if (template.physicalCoords.contains(c)) ScalarType.Float64
           else if (c == "gun") ScalarType.UInt8
           else ScalarType.Int32)),

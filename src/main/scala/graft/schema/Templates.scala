@@ -20,7 +20,11 @@ final case class DatasetTemplate(
     logicalCoords: Seq[String] = Nil,
     calculatedDims: Seq[String] = Nil,    // produced by index strategies, not headers
     synthesizeMissingDims: Seq[String] = Nil,
-    attributes: Map[String, String] = Map.empty) {
+    attributes: Map[String, String] = Map.empty,
+    /** Coordinate → dims it spans, when NOT all spatial dims (e.g. CDP
+      * gathers index cdp_x/y by (inline, crossline) only —
+      * `templates/seismic_3d_cdp.py:38-43`). */
+    coordDimOverrides: Map[String, Seq[String]] = Map.empty) {
   require(dataDomain == "time" || dataDomain == "depth",
     "domain must be 'depth' or 'time'") // base.py:40-42
   require(chunkShape.length == dimNames.length,
@@ -56,24 +60,31 @@ object Templates {
     s"Cdp${cap(gather)}Gathers2D${cap(domain)}", domain,
     Seq("cdp", gather, domain), Seq(16, 64, 1024),
     physicalCoords = Seq("cdp_x", "cdp_y"),
-    attributes = Map("surveyType" -> "2D", "gatherType" -> "cdp"))
+    attributes = Map("surveyType" -> "2D", "gatherType" -> "cdp"),
+    coordDimOverrides = Map("cdp_x" -> Seq("cdp"), "cdp_y" -> Seq("cdp")))
 
   private def cdp3D(domain: String, gather: String) = DatasetTemplate(
     s"Cdp${cap(gather)}Gathers3D${cap(domain)}", domain,
     Seq("inline", "crossline", gather, domain), Seq(8, 8, 32, 512),
     physicalCoords = Seq("cdp_x", "cdp_y"),
-    attributes = Map("surveyType" -> "3D", "gatherType" -> "cdp"))
+    attributes = Map("surveyType" -> "3D", "gatherType" -> "cdp"),
+    coordDimOverrides = Map("cdp_x" -> Seq("inline", "crossline"),
+      "cdp_y" -> Seq("inline", "crossline")))
 
   private def coca(domain: String) = DatasetTemplate(
     s"CocaGathers3D${cap(domain)}", domain,
     Seq("inline", "crossline", "offset", "azimuth", domain), Seq(8, 8, 32, 1, 1024),
-    physicalCoords = Seq("cdp_x", "cdp_y"))
+    physicalCoords = Seq("cdp_x", "cdp_y"),
+    coordDimOverrides = Map("cdp_x" -> Seq("inline", "crossline"),
+      "cdp_y" -> Seq("inline", "crossline")))
 
   private def offsetTiles(domain: String) = DatasetTemplate(
     s"OffsetTiles3D${cap(domain)}", domain,
     Seq("inline", "crossline", "inline_offset_tile", "crossline_offset_tile", domain),
     Seq(4, 4, 6, 6, 4096),
-    physicalCoords = Seq("cdp_x", "cdp_y"))
+    physicalCoords = Seq("cdp_x", "cdp_y"),
+    coordDimOverrides = Map("cdp_x" -> Seq("inline", "crossline"),
+      "cdp_y" -> Seq("inline", "crossline")))
 
   private val streamerShot2D = DatasetTemplate(
     "StreamerShotGathers2D", "time",

@@ -141,3 +141,21 @@ class ResolverSpec extends AnyFunSuite {
     }
   }
 }
+
+class CoordDimOverrideSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("CDP/Coca/OffsetTiles coordinates span (inline, crossline) only") {
+    val reg = TemplateRegistry.instance
+    Seq("CdpOffsetGathers3DTime", "CocaGathers3DDepth", "OffsetTiles3DTime")
+      .foreach { name =>
+        val s = SchemaResolver.resolve(reg.get(name))
+        val cdpX = s.coordinates.find(_.name == "cdp_x").get
+        assert(cdpX.dimensions == Seq("inline", "crossline"), name)
+      }
+    val s2d = SchemaResolver.resolve(reg.get("CdpAngleGathers2DTime"))
+    assert(s2d.coordinates.find(_.name == "cdp_x").get.dimensions == Seq("cdp"))
+    // non-overridden templates keep the all-spatial default
+    val ps = SchemaResolver.resolve(reg.get("PostStack3DTime"))
+    assert(ps.coordinates.find(_.name == "cdp_x").get.dimensions ==
+      Seq("inline", "crossline"))
+  }
+}
