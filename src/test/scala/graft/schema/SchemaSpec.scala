@@ -159,3 +159,30 @@ class CoordDimOverrideSpec extends org.scalatest.funsuite.AnyFunSuite {
       Seq("inline", "crossline"))
   }
 }
+
+class SentinelsSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("sentinel -> NULL on import, NULL -> sentinel on export, round-trip") {
+    val df = Seq(
+      (1, 10, 1.5), (2, Int.MaxValue, Double.NaN), (3, 20, 2.5))
+      .toDF("id", "xline", "amp")
+    val types = Map("xline" -> ScalarType.Int32, "amp" -> ScalarType.Float64)
+    val nulled = Sentinels.nullifySentinels(df, types)
+    val r2 = nulled.where(col("id") === 2).collect().head
+    assert(r2.isNullAt(1) && r2.isNullAt(2))
+    assert(nulled.where(col("id") === 1).collect().head.getInt(1) == 10)
+    val back = Sentinels.materializeSentinels(nulled, types)
+      .where(col("id") === 2).collect().head
+    assert(back.getInt(1) == Int.MaxValue)
+    assert(back.getDouble(2).isNaN)
+  }
+
+  test("unsigned widened sentinels match the reference max values") {
+    assert(Sentinels.fillValue(ScalarType.UInt8) == 255.toShort)
+    assert(Sentinels.fillValue(ScalarType.UInt32) == 4294967295L)
+    assert(Sentinels.fillValue(ScalarType.UInt64) ==
+      BigDecimal("18446744073709551615"))
+  }
+}
