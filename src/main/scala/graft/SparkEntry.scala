@@ -148,6 +148,9 @@ object SparkEntry {
     "q_neardup_lsh" -> ((s, d) => Dedup.nearDupPairs(documents(s, d))),
     "q_jaccard_blocked" -> ((s, d) =>
       Dedup.blockedJaccard(documents(s, d), "source", minJaccard = 0.05)),
+    "q_embed_neardup" -> ((s, d) =>
+      Dedup.embeddingNearDups(embeddings(s, d), minCosine = 0.4)
+        .orderBy(col("id_a"), col("id_b"))),
     "q_simhash" -> ((s, d) =>
       Dedup.withSimhash(documents(s, d)).select("doc_id", "simhash")),
     // --- LLM pipeline: text analysis ------------------------------------
@@ -437,6 +440,13 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_survivors" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_jaccard_blocked" ->
       """WITH sh AS (
         |  SELECT source AS blk, doc_id,

@@ -214,6 +214,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Embedding-cosine near-dup: pairs whose embeddings exceed a cosine
+    * threshold, blocked by a partition key (cluster label, source, LSH
+    * bucket…) so the pairing is an equi-join — never an all-pairs cross.
+    * The exact-threshold complement to the hash-based modes above: duplicate
+    * *meaning*, not duplicate tokens.
+    */
+  def embeddingNearDups(embeddings: org.apache.spark.sql.DataFrame,
+                        blockCol: String = "label",
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        minCosine: Double = 0.9): org.apache.spark.sql.DataFrame = {
+    val a = embeddings.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col(vecCol).as("va"))
+    val b = embeddings.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      col(vecCol).as("vb"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= minCosine)
+      .select(col("id_a"), col("id_b"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over token xxhash64 values: bit j of the fingerprint is
