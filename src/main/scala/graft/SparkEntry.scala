@@ -350,8 +350,9 @@ object SparkEntry {
       """WITH m AS (SELECT l_extendedprice AS x FROM lineitem
         |    WHERE l_extendedprice IS NOT NULL AND l_extendedprice != 0),
         |s AS (SELECT count(x) AS n, min(x) AS min_val, max(x) AS max_val,
-        |    CAST(sum(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
-        |    CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sumsq_val
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_val,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |      AS sumsq_val
         |  FROM m)
         |SELECT n, min_val, max_val, sum_val, sumsq_val,
         |  sum_val / n AS mean_val,
@@ -569,8 +570,9 @@ object SparkEntry {
         |  (SELECT count(*) FROM lineitem) AS n_cells,
         |  (SELECT max(c) FROM g) AS trace_max,
         |  (SELECT count(*) FROM lineitem) AS store_rows,
-        |  CAST((SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem
-        |    WHERE l_extendedprice IS NOT NULL AND l_extendedprice != 0) AS DOUBLE) AS sum_val""".stripMargin,
+        |  CAST(CAST((SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem
+        |    WHERE l_extendedprice IS NOT NULL AND l_extendedprice != 0) AS VARCHAR) AS DOUBLE)
+        |    AS sum_val""".stripMargin,
     "q_store_roundtrip" ->
       """SELECT l_linenumber, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

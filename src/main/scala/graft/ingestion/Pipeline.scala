@@ -110,8 +110,8 @@ object IngestPipeline {
     val observed = clustered.observe(obs,
       count(masked).as("n"),
       min(masked).as("min_val"), max(masked).as("max_val"),
-      sum(xd).cast("double").as("sum_val"),
-      sum(xd * xd).cast("double").as("sumsq_val"))
+      sum(xd).cast("string").cast("double").as("sum_val"),
+      sum(xd * xd).cast("string").cast("double").as("sumsq_val"))
 
     // 7: dim sizes come from the same invariant pass above
     val dimSizes: Seq[NamedDimension] =

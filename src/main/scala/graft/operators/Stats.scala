@@ -28,13 +28,18 @@ object Stats {
   def summaryStats(df: DataFrame, valueCol: String): DataFrame = {
     val x = col(valueCol)
     val xd = x.cast(DecimalType(18, 2))
+    // DECIMAL → STRING → DOUBLE, not DECIMAL → DOUBLE: once the exact sum
+    // exceeds 2^53 the decimal→double conversion is engine-dependent (DuckDB
+    // is off by 1 ulp from the JVM's correctly-rounded BigDecimal path), but
+    // string→double parsing is correctly rounded everywhere — bit-identical
+    // at any scale factor.
     df.where(x.isNotNull && x =!= 0.0)
       .agg(
         count(x).as("n"),
         min(x).as("min_val"),
         max(x).as("max_val"),
-        sum(xd).cast("double").as("sum_val"),
-        sum(xd * xd).cast("double").as("sumsq_val"),
+        sum(xd).cast("string").cast("double").as("sum_val"),
+        sum(xd * xd).cast("string").cast("double").as("sumsq_val"),
       )
       .withColumn("mean_val", col("sum_val") / col("n"))
       .withColumn("var_val", col("sumsq_val") / col("n") - col("mean_val") * col("mean_val"))
