@@ -61,5 +61,18 @@ class ExportRoundtripSpec extends SparkSpec {
     assert(keys.head == ((10, 100)))
     assert(keys == keys.sorted)
     assert(keys.map(_._1).forall(_ % 2 == 0))
+
+    // full circle: re-import the SEG-Y bytes into a trace table and compare
+    // against the masked original — the Teapot-style import→export→import
+    // equality (`tests/integration/test_segy_roundtrip_teapot.py:151-310`)
+    def beIntAt(off: Int) = java.nio.ByteBuffer.wrap(bytes, off, 4).getInt
+    val reimported = (0 until 200).map { i =>
+      val off = 3600 + i * recordLen
+      (beIntAt(off), beIntAt(off + 4), beIntAt(off + 8).toDouble)
+    }.toSet
+    val original = ds.df.where(col("inline") % 2 === 0)
+      .select(col("inline"), col("crossline"), col("amplitude").cast("int").cast("double"))
+      .as[(Int, Int, Double)].collect().toSet
+    assert(reimported == original)
   }
 }
