@@ -224,12 +224,23 @@ object Dedup {
                         blockCol: String = "label",
                         idCol: String = "vec_id", vecCol: String = "embedding",
                         minCosine: Double = 0.9): org.apache.spark.sql.DataFrame = {
-    val a = embeddings.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      col(vecCol).as("va"))
-    val b = embeddings.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      col(vecCol).as("vb"))
-    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .where(Similarity.cosine(col("va"), col("vb")) >= minCosine)
+    // Normalize each vector ONCE (persisted) so every candidate pair costs a
+    // single dot product instead of dot + two norms — cosine(a,b) ≡ dot(â,b̂)
+    // up to ~1e-15 float reordering, negligible against any sane threshold
+    // margin (callers output the pair SET, not the similarity value).
+    val dotSelf = aggregate(
+      zip_with(col(vecCol), col(vecCol), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val unit = embeddings.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double") / sqrt(dotSelf)).as("u"))
+      .persist()
+    val dotAB = aggregate(
+      zip_with(col("ua"), col("ub"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    unit.select(col("blk"), col("id").as("id_a"), col("u").as("ua"))
+      .join(unit.select(col("blk"), col("id").as("id_b"), col("u").as("ub")), Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .where(dotAB >= minCosine)
       .select(col("id_a"), col("id_b"))
   }
 
