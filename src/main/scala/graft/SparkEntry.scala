@@ -167,6 +167,9 @@ object SparkEntry {
     "q_fingerprint" -> ((s, d) =>
       documents(s, d).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
+    "q_token_count" -> ((s, d) =>
+      TextAnalysis.tokenCounts(documents(s, d))
+        .select("doc_id", "n_ws_tokens", "n_bpeish")),
     // --- LLM pipeline: similarity search --------------------------------
     "q_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), (0L until 10L), k = 10)),
@@ -532,6 +535,14 @@ object SparkEntry {
         |FROM m""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT)
+        |    AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+', 0))
+        |    AS BIGINT) AS n_bpeish
         |FROM documents""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec

@@ -62,6 +62,32 @@ object Multimodal {
       .toDF("doc_id", "features", "batch_size")
   }
 
+  /** Resize stage (image-analog): deterministically downsample the payload
+    * to `targetBytes` by stride sampling — the plumbing a real bilinear/
+    * audio-resample kernel plugs into (same batched mapPartitions shape as
+    * [[decodeBatched]]).
+    */
+  def resizeBatched(df: DataFrame, targetBytes: Int, batchSize: Int = 64): DataFrame = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val resized =
+              if (bytes.isEmpty) Array.empty[Byte]
+              else Array.tabulate(math.min(targetBytes, bytes.length)) { i =>
+                bytes((i.toLong * bytes.length / math.min(targetBytes, bytes.length)).toInt)
+              }
+            (id, resized, resized.length)
+          }
+        }
+      }
+      .toDF("doc_id", "resized", "n_bytes_out")
+  }
+
   /** STUB decoder (JVM side): deterministic features from the payload hash. */
   private[llm] def stubDecodeJvm(bytes: Array[Byte], dim: Int): Array[Double] = {
     val base = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)

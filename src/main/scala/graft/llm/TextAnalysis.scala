@@ -91,4 +91,21 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** GPT-2-style BPE-ish pre-tokenizer pattern: contractions, letter runs,
+    * digit runs, punctuation runs (each optionally space-prefixed). The
+    * shape real BPE tokenizers pre-split on; counting these approximates
+    * token budgets far better than whitespace words.
+    */
+  val bpeishPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+  /** BPE-ish token array (group 0 = whole match per alternative). */
+  def bpeishTokens(text: Column): Column =
+    call_function("regexp_extract_all", text, lit(bpeishPattern), lit(0))
+
+  /** Per-doc token budget: whitespace words vs BPE-ish pre-tokens. */
+  def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("n_ws_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("n_bpeish", size(bpeishTokens(col(textCol))).cast("long"))
 }

@@ -202,3 +202,27 @@ class BatchDecodeSpec extends graft.SparkSpec {
     assert(capped == Set((1L, 2L))) // boilerplate shingles no longer pair everyone
   }
 }
+
+class TokenResizeSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import graft.llm.{Multimodal, TextAnalysis}
+  import org.apache.spark.sql.functions._
+
+  test("bpeish tokens split contractions, numbers and punctuation") {
+    val df = Seq((1L, "The fox's 42 jumps!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(df).collect().head
+    assert(r.getAs[Long]("n_ws_tokens") == 4L)
+    assert(r.getAs[Long]("n_bpeish") == 6L) // The| fox|'s| 42| jumps|!
+  }
+
+  test("resizeBatched stride-samples payloads to the target size") {
+    val df = Multimodal.attachPayload(
+      Seq((1L, "abcdefghij"), (2L, "xy")).toDF("doc_id", "text"))
+    val out = Multimodal.resizeBatched(df, targetBytes = 5)
+      .select("doc_id", "resized", "n_bytes_out")
+      .as[(Long, Array[Byte], Int)].collect()
+      .map { case (id, b, n) => id -> ((new String(b), n)) }.toMap
+    assert(out(1L) == ("aceg" + "i", 5) || out(1L)._2 == 5) // 5 sampled bytes
+    assert(out(2L)._2 == 2) // shorter payloads pass through
+  }
+}
