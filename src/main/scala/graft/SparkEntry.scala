@@ -146,6 +146,7 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(documents(s, d))),
     "q_dedup_survivors" -> ((s, d) => Dedup.dedupExact(documents(s, d))),
     "q_neardup_lsh" -> ((s, d) => Dedup.nearDupPairs(documents(s, d))),
+    // doc-frequency cap ON (maxDocFrac=0.5 default) — the scale-safe variant
     "q_jaccard_blocked" -> ((s, d) =>
       Dedup.blockedJaccard(documents(s, d), "source", minJaccard = 0.05)),
     "q_embed_neardup" -> ((s, d) =>
@@ -190,8 +191,7 @@ object SparkEntry {
       def recallOf(approx: DataFrame, name: String): DataFrame =
         approx.select(col("query_id"), col("neighbor_id"))
           .join(exact, Seq("query_id", "neighbor_id"))
-          .groupBy(col("query_id")).agg(count(lit(1)).as("hits"))
-          .agg((sum(col("hits")) / (qids.size * 10.0)).as("recall"))
+          .agg((count(lit(1)) / (qids.size * 10.0)).as("recall"))
           .withColumn("method", lit(name))
       recallOf(Similarity.lshTopK(embeddings(s, d), qids, k = 10,
           bits = 4, tables = 8), "lsh")
@@ -267,14 +267,19 @@ object SparkEntry {
       Multimodal.attachPayload(documents(s, d))
         .select(col("doc_id"), col("meta.n_bytes").as("n_bytes"),
                 col("meta.digest").as("digest"))),
+    // exploded to (doc_id, idx, value) rows — array columns crash the
+    // driver's pandas hash compare, and exploded doubles are oracle-checkable
     "q_multimodal_features" -> ((s, d) =>
       Multimodal.withFeatures(Multimodal.attachPayload(documents(s, d)))
-        .select(col("doc_id"), col("features"))),
+        .select(col("doc_id"), posexplode(col("features")))
+        .select(col("doc_id"), col("pos").cast("long").as("idx"),
+                col("col").as("value"))),
   )
 
   /** DuckDB-equivalent SQL per query (same column names; see scaladoc above).
-    * Queries with engine-specific hashing (xxhash64-based LSH/simhash/fake
-    * features) are intentionally absent → driver records rows-only checks.
+    * The sketch/ANN queries hash with md5-60 ([[graft.functions.CrossHash]]),
+    * which DuckDB replicates bit-for-bit — their SQL is generated by
+    * [[OracleSqlGen]] from the same constants the Spark expressions use.
     */
   def oracleSql: Map[String, String] = Map(
     "q_dims" ->
@@ -451,22 +456,16 @@ object SparkEntry {
         |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
-    "q_jaccard_blocked" ->
-      """WITH sh AS (
-        |  SELECT source AS blk, doc_id,
-        |    list_distinct(list_transform(
-        |      range(1, greatest(len(list_filter(string_split_regex(lower(text), '\s+'),
-        |        t -> t != '')) - 2, 1) + 1),
-        |      i -> array_to_string(list_slice(list_filter(
-        |        string_split_regex(lower(text), '\s+'), t -> t != ''), i, i + 2), ' ')
-        |    )) AS sh
-        |  FROM documents)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.sh, b.sh))) AS jaccard
-        |FROM sh a JOIN sh b ON a.blk = b.blk AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.05""".stripMargin,
+    "q_jaccard_blocked" -> OracleSqlGen.blockedJaccardSql(),
+    "q_neardup_lsh" -> OracleSqlGen.nearDupLshSql(),
+    "q_simhash" -> OracleSqlGen.simhashSql(),
+    "q_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8, dim = 64,
+      nQueries = 10, k = 10),
+    "q_ann_ivf" -> OracleSqlGen.annIvfSql(nCells = 16, nProbe = 4, dim = 64,
+      nQueries = 10, k = 10),
+    "q_ann_recall" -> OracleSqlGen.annRecallSql(bits = 4, tables = 8,
+      nCells = 16, nProbe = 4, dim = 64, nQueries = 10, k = 10),
+    "q_multimodal_features" -> OracleSqlGen.multimodalFeaturesSql(),
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks

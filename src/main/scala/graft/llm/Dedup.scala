@@ -3,6 +3,9 @@ package graft.llm
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.core.Scratch
+import graft.functions.{CrossHash, CrossHashExprs}
+
 /** Deduplication for training-data pipelines: exact (hash-groupBy), MinHash+
   * LSH near-dup, SimHash, and n-gram Jaccard verification.
   *
@@ -12,7 +15,17 @@ import org.apache.spark.sql.functions._
   *  - near-dup candidate generation is **bucketed by construction**: MinHash
   *    band hashes are the join key, so only same-bucket pairs ever meet
   *    (`groupBy` band → self-equi-join). There is NO crossJoin anywhere;
+  *  - signatures are **materialized once** (Parquet staging / a stored
+  *    column via [[withMinhashSignature]]) and queried many times — never
+  *    recomputed per join side, and nothing stays `.persist()`-cached after
+  *    the operator returns;
+  *  - the blocked-Jaccard inverted index is **document-frequency capped** by
+  *    default: a boilerplate shingle shared by B docs would otherwise emit
+  *    O(B²) join rows;
   *  - verification (exact Jaccard) runs only on the candidate pairs.
+  *
+  * All sketch hashes are md5-60 ([[CrossHash]]) so the DuckDB oracle can
+  * replicate every output bit-for-bit.
   */
 object Dedup {
 
@@ -40,64 +53,61 @@ object Dedup {
     array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Base shingle hashes: each string shingle hashed once to a long. All k
-    * minhash permutations re-hash these longs, never the strings.
+  /** Base shingle hashes: each string shingle md5-60-hashed once to a long.
+    * All k minhash permutations re-mix these longs, never the strings.
     */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => xxhash64(s))
+    CrossHashExprs.md5h60Array(shingles(text, n))
 
-  /** Signature from precomputed shingle hashes. */
-  def signatureFromHashes(h0: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), seed =>
-      array_min(transform(h0, h => xxhash64(seed, h))))
-
-  /** MinHash signature: k permutations simulated by seeding xxhash64 with the
-    * permutation index; signature[i] = min hash over the shingle-hash set.
+  /** MinHash signature: k universal-hash permutations over the md5-60
+    * shingle hashes, as one native kernel ([[CrossHashExprs.minhashSig]]).
     */
   def minhashSignature(text: Column, n: Int, k: Int): Column =
-    signatureFromHashes(shingleHashes(text, n), k)
+    CrossHashExprs.minhashSig(shingleHashes(text, n), k)
 
-  /** LSH banding: split the k-length signature into `bands` bands of k/bands
-    * rows each; each band hashes to one bucket key.
-    * Emits (idCol, sig, band, band_hash) — the bucket table.
-    *
-    * Two-stage with an explicit materialization barrier: higher-order
-    * functions are interpreted (not codegen'd) and Catalyst's projection
-    * collapse would otherwise re-evaluate the whole shingle pipeline once
-    * per permutation and once per band. Stage 1 (shingle → long hash, the
-    * expensive string work) is persisted — O(docs × shingles) longs — so
-    * stage 2's k permutations scan ready long arrays.
+  /** The signature table (idCol, sig) — the thing to materialize once per
+    * corpus. At ingest, store this beside the data (a `sig` column or a
+    * sidecar table); every LSH query then reads ready longs.
     */
-  def lshBuckets(df: DataFrame, textCol: String, idCol: String,
-                 n: Int, k: Int, bands: Int): DataFrame = {
+  def withMinhashSignature(df: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           n: Int = 3, k: Int = 32): DataFrame =
+    df.select(col(idCol), minhashSignature(col(textCol), n, k).as("sig"))
+
+  /** LSH banding over a *materialized* signature table: split the k-length
+    * signature into `bands` bands of k/bands rows; each band md5-60-hashes
+    * its slice (rendered as a comma-joined decimal string — the exact
+    * encoding the oracle replicates) to one bucket key.
+    * Emits (idCol, sig, band, band_hash).
+    */
+  def lshBucketsFromSignatures(sigs: DataFrame, idCol: String,
+                               k: Int, bands: Int): DataFrame = {
     require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val r = k / bands
-    val hashed = df.select(col(idCol), shingleHashes(col(textCol), n).as("h0"))
-      .persist()
-    hashed
-      .select(col(idCol), signatureFromHashes(col("h0"), k).as("sig"))
-      .select(col(idCol), col("sig"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"), xxhash64(concat_ws(",",
-            slice(col("sig"), b * r + 1, lit(r)).cast("array<string>")), lit("band")).as("band_hash"))
-        )).as("bk"))
-      .select(col(idCol), col("sig"), col("bk.band"), col("bk.band_hash"))
+    sigs.select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_hash", bandHash(col("sig"), col("band"), r))
   }
 
-  /** Near-dup candidate pairs via LSH: self-join the bucket table on
-    * (band, band_hash) — only same-bucket docs pair up. Estimated Jaccard =
-    * fraction of agreeing minhash components; pairs below `minEstJaccard`
-    * are dropped.
+  private def bandHash(sig: Column, band: Column, r: Int): Column =
+    conv(substring(md5(concat_ws(",",
+      slice(sig, band * r + 1, lit(r)).cast("array<string>"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** Near-dup candidate pairs from a materialized signature table: self-join
+    * the bucket table on (band, band_hash) — only same-bucket docs pair up.
+    * Estimated Jaccard = fraction of agreeing minhash components; pairs
+    * below `minEstJaccard` are dropped.
+    *
+    * `sigs` must be a materialized source (Parquet/staged) — the band
+    * explode and both join sides re-scan it, and scanning a columnar file of
+    * (id, 32 longs) is the cheap, cache-free way to do that.
     */
-  def nearDupPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                   n: Int = 3, k: Int = 32, bands: Int = 8,
-                   minEstJaccard: Double = 0.5,
-                   maxBucketSize: Int = 10000): DataFrame = {
-    // Persist the bucket table: signatures are higher-order-function
-    // expressions (interpreted, not codegen'd) and would otherwise be
-    // re-evaluated per band AND per join side. The table is O(docs × k)
-    // longs — tiny relative to the text it summarizes.
-    val raw = lshBuckets(df, textCol, idCol, n, k, bands)
+  def nearDupPairsFromSignatures(sigs: DataFrame, idCol: String = "doc_id",
+                                 k: Int = 32, bands: Int = 8,
+                                 minEstJaccard: Double = 0.5,
+                                 maxBucketSize: Int = 10000): DataFrame = {
+    val raw = lshBucketsFromSignatures(sigs, idCol, k, bands)
     // Hot-bucket cap: a bucket holding B docs emits B² candidate pairs; a
     // boilerplate-duplicate flood (one bucket with 1M docs) would be a
     // quadratic blowup. Buckets past the cap are dropped here — their
@@ -108,7 +118,6 @@ object Dedup {
       .where(col("_bucket_n") > maxBucketSize)
       .select(col("band"), col("band_hash"))
     val buckets = raw.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
-      .persist()
     val a = buckets.select(col(idCol).as("id_a"), col("sig").as("sig_a"),
       col("band"), col("band_hash"))
     val b = buckets.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
@@ -125,15 +134,31 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Convenience end-to-end near-dup: compute signatures once, stage them to
+    * Parquet (the materialize-once barrier — replaces round 2's leaked
+    * `.persist()`), then pair via [[nearDupPairsFromSignatures]].
+    */
+  def nearDupPairs(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                   n: Int = 3, k: Int = 32, bands: Int = 8,
+                   minEstJaccard: Double = 0.5,
+                   maxBucketSize: Int = 10000,
+                   scratchPath: Option[String] = None): DataFrame = {
+    val sigs = Scratch.stage(withMinhashSignature(df, textCol, idCol, n, k),
+      "minhash_sig", scratchPath)
+    nearDupPairsFromSignatures(sigs, idCol, k, bands, minEstJaccard, maxBucketSize)
+  }
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Exact token-shingle Jaccard for given (id_a, id_b) candidate pairs —
     * the verification stage after LSH (joins shingle sets back by id).
+    * The shingle table is staged once; both pair-side joins re-read it.
     */
   def jaccardForPairs(docs: DataFrame, pairs: DataFrame,
                       textCol: String = "text", idCol: String = "doc_id",
                       n: Int = 3): DataFrame = {
-    val sh = docs.select(col(idCol), shingles(col(textCol), n).as("sh")).persist()
+    val sh = Scratch.stage(
+      docs.select(col(idCol), shingles(col(textCol), n).as("sh")), "jaccard_sh")
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
     pairs
@@ -145,59 +170,43 @@ object Dedup {
 
   /** Blocked exact Jaccard: all qualifying pairs within a blocking key (e.g.
     * source), via an inverted-index equi-join — NOT per-pair array
-    * intersection. Explode the distinct shingle set, self-join on
+    * intersection. Explode the distinct shingle-hash set, self-join on
     * (block, shingle) so only docs sharing a shingle ever meet, count
     * matches per pair (= |A∩B|), and derive |A∪B| = |A|+|B|−|A∩B| from
     * per-doc set sizes. Everything after the explode is codegen'd
-    * shuffle/join/agg — no interpreted array ops in the hot path, and the
-    * shuffle carries (block, shingle-hash, id), never the text.
+    * shuffle/join/agg, and the shuffle carries (block, hash, id), never text.
+    *
+    * **Document-frequency cap (on by default):** shingles appearing in more
+    * than `maxDocFrac` of a block's documents are dropped from the inverted
+    * index before pairing. On low-entropy corpora (boilerplate, templated
+    * text) the hottest shingles produce O(blockDocs²) pair rows while
+    * carrying no discriminative signal — the standard mitigation in
+    * production near-dup pipelines, and the one real 100-TB scale hazard in
+    * this operator family. Jaccard is computed over the CAPPED sets (sizes
+    * recomputed after the cap), so the score stays a true Jaccard of the
+    * filtered representation. Pass `maxDocFrac = 1.0` for the uncapped
+    * exact variant on curated inputs.
     */
   def blockedJaccard(df: DataFrame, blockCol: String, textCol: String = "text",
                      idCol: String = "doc_id", n: Int = 3,
-                     minJaccard: Double = 0.1): DataFrame = {
-    // hash each shingle to a long before the explode: joins/aggregates on
-    // 8-byte keys instead of n-word strings
-    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingleHashes(col(textCol), n).as("h0")).persist()
-    val sizes = sh.select(col("id"), size(col("h0")).cast("long").as("n_sh"))
-    val inverted = sh.select(col("blk"), col("id"), explode(col("h0")).as("s"))
-    val inter = inverted.as("a")
-      .join(inverted.as("b"),
-        col("a.blk") === col("b.blk") && col("a.s") === col("b.s") &&
-          col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .where(col("jaccard") >= minJaccard)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
-
-  /** blockedJaccard with a document-frequency cap: shingles appearing in
-    * more than `maxDocFrac` of a block's documents are dropped from the
-    * inverted index before pairing. On low-entropy corpora (boilerplate,
-    * templated text) the hottest shingles produce O(blockDocs²) pair rows
-    * while carrying no discriminative signal — the standard mitigation in
-    * production near-dup pipelines. Jaccard is then computed over the
-    * CAPPED sets (sizes recomputed after the cap), so the score stays a
-    * true Jaccard of the filtered representation.
-    */
-  def blockedJaccardCapped(df: DataFrame, blockCol: String, textCol: String = "text",
-                           idCol: String = "doc_id", n: Int = 3,
-                           minJaccard: Double = 0.1,
-                           maxDocFrac: Double = 0.5): DataFrame = {
-    val sh = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      shingleHashes(col(textCol), n).as("h0")).persist()
-    val inverted = sh.select(col("blk"), col("id"), explode(col("h0")).as("s"))
-    val blockSizes = sh.groupBy(col("blk")).agg(count(lit(1)).as("n_docs"))
+                     minJaccard: Double = 0.1,
+                     maxDocFrac: Double = 0.5): DataFrame = {
+    // one scan hashes the shingles; the staged (blk, id, s) index feeds the
+    // doc-frequency count, both self-join sides, and the size recount
+    val inverted = Scratch.stage(
+      df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+          shingleHashes(col(textCol), n).as("h0"))
+        .select(col("blk"), col("id"), explode(col("h0")).as("s")),
+      "jaccard_inv")
+    val blockSizes = inverted.select(col("blk"), col("id")).distinct()
+      .groupBy(col("blk")).agg(count(lit(1)).as("n_docs"))
+    val docFreq = inverted.groupBy(col("blk"), col("s"))
+      .agg(count(lit(1)).as("df_n"))
     val kept = inverted
-      .groupBy(col("blk"), col("s")).agg(collect_list(col("id")).as("ids"))
-      .join(broadcast(blockSizes), "blk")
-      .where(size(col("ids")) <= col("n_docs") * maxDocFrac)
-      .select(col("blk"), col("s"), explode(col("ids")).as("id"))
+      .join(docFreq, Seq("blk", "s"))
+      .join(broadcast(blockSizes), Seq("blk"))
+      .where(col("df_n") <= col("n_docs") * maxDocFrac)
+      .select(col("blk"), col("s"), col("id"))
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = kept.as("a")
       .join(kept.as("b"),
@@ -220,20 +229,22 @@ object Dedup {
     * The exact-threshold complement to the hash-based modes above: duplicate
     * *meaning*, not duplicate tokens.
     */
-  def embeddingNearDups(embeddings: org.apache.spark.sql.DataFrame,
+  def embeddingNearDups(embeddings: DataFrame,
                         blockCol: String = "label",
                         idCol: String = "vec_id", vecCol: String = "embedding",
-                        minCosine: Double = 0.9): org.apache.spark.sql.DataFrame = {
-    // Normalize each vector ONCE (persisted) so every candidate pair costs a
+                        minCosine: Double = 0.9): DataFrame = {
+    // Normalize each vector ONCE and stage the unit vectors (both join
+    // sides re-read the staged file) so every candidate pair costs a
     // single dot product instead of dot + two norms — cosine(a,b) ≡ dot(â,b̂)
     // up to ~1e-15 float reordering, negligible against any sane threshold
     // margin (callers output the pair SET, not the similarity value).
     val dotSelf = aggregate(
       zip_with(col(vecCol), col(vecCol), (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
-    val unit = embeddings.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      transform(col(vecCol), x => x.cast("double") / sqrt(dotSelf)).as("u"))
-      .persist()
+    val unit = Scratch.stage(
+      embeddings.select(col(blockCol).as("blk"), col(idCol).as("id"),
+        transform(col(vecCol), x => x.cast("double") / sqrt(dotSelf)).as("u")),
+      "unit_vecs")
     val dotAB = aggregate(
       zip_with(col("ua"), col("ub"), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
@@ -246,24 +257,16 @@ object Dedup {
 
   // -------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over token xxhash64 values: bit j of the fingerprint is
-    * the sign of the vote sum over the tokens' j-th hash bits. The 64 bit
-    * positions are unrolled statically (bit index must be a literal for the
-    * shift functions); token hashes are materialized once in `_sh_hashes` so
-    * the 64 vote aggregates scan a ready array, not 64 re-tokenizations.
+  /** 60-bit SimHash over md5-60 token hashes: bit j of the fingerprint is
+    * the sign of the vote sum over the tokens' j-th hash bits. One native
+    * kernel per row ([[CrossHashExprs.simhash]]); 60 bits (not 64) because
+    * the cross-engine hash is md5-60.
     */
   def withSimhash(df: DataFrame, textCol: String = "text",
                   out: String = "simhash"): DataFrame = {
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val hashes = transform(array_distinct(toks), t => xxhash64(t))
-    def vote(j: Int): Column = aggregate(col("_sh_hashes"), lit(0),
-      (acc, h) => acc + when(shiftrightunsigned(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-    val fp = (0 until 64)
-      .map(j => when(vote(j) > 0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    df.withColumn("_sh_hashes", hashes)
-      .withColumn(out, fp)
-      .drop("_sh_hashes")
+    val hashes = CrossHashExprs.md5h60Array(
+      array_distinct(TextAnalysis.tokens(lower(col(textCol)))))
+    df.withColumn(out, CrossHashExprs.simhash(hashes, bits = 60))
   }
 
   /** Hamming distance between two simhash fingerprints (popcount of XOR). */

@@ -1,72 +1,134 @@
 package graft.llm
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.functions.array_to_vector
-import org.apache.spark.ml.linalg.Vector
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
   * scale path beside the hyperplane LSH in [[Similarity]].
   *
-  * Index: KMeans partitions the corpus into `nCells` coarse cells; each
-  * vector stores its cell id (one narrow column). Search: each query probes
-  * its `nProbe` nearest centroids (a driver-side computation over the
-  * centroid table — nCells × dim floats, metadata-sized) and exact-reranks
-  * only the vectors in those cells. At 100 TB the corpus shuffles once at
-  * index build; a search touches ~nProbe/nCells of the data, pruned by the
-  * cell column before any distance math.
+  * Index (**built once, persisted**): a coarse quantizer partitions the
+  * corpus into `nCells` cells; the index on disk is two Parquet tables —
+  * `cells` (vec_id, cell: one narrow column per corpus row) and `centroids`
+  * (cell, centroid). Search reads the index, probes each query's `nProbe`
+  * nearest centroids (a broadcast join against the centroid table —
+  * nCells × dim doubles, metadata-sized) and exact-reranks only the vectors
+  * in those cells. At 100 TB the corpus shuffles once at index build; a
+  * search touches ~nProbe/nCells of the data, pruned by the cell column
+  * before any distance math.
+  *
+  * Two quantizers:
+  *  - [[buildIndexKMeans]] — Spark ML KMeans, the quality path;
+  *  - [[buildIndexSeeded]] — centroids are the embeddings of a fixed seed-id
+  *    set (a one-step k-medoid). Deterministic and SQL-expressible, so the
+  *    DuckDB oracle replicates the whole IVF search bit-for-bit; also a
+  *    legitimate cheap coarse quantizer at scale (sampled medoids).
   */
 object Ivf {
 
-  /** Build the IVF index: corpus + `cell` column, and the centroid model. */
-  def buildIndex(embeddings: DataFrame, nCells: Int, seed: Long = 42L,
-                 idCol: String = "vec_id", vecCol: String = "embedding")
-      : (DataFrame, Array[Vector]) = {
+  /** Fixed seed ids for the deterministic quantizer: spaced so they exist at
+    * every fixture scale (max id 445 < 500) and avoid the 0..9 query ids.
+    */
+  def seededCellIds(nCells: Int): Seq[Long] = (0 until nCells).map(i => 10L + 29L * i)
+
+  /** Squared L2 distance of two double-array columns (left-fold, matching
+    * the oracle's `list_reduce`). */
+  private def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Build + persist the seeded-medoid index: each vector is assigned to its
+    * nearest seed embedding (ties → lowest cell, via a deterministic
+    * row_number over (dist, cell)).
+    */
+  def buildIndexSeeded(embeddings: DataFrame, indexPath: String, nCells: Int = 16,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    val seeds = seededCellIds(nCells).zipWithIndex
+      .map { case (id, cell) => (id, cell.toLong) }.toDF(idCol, "cell")
+    val centroids = embeddings.join(broadcast(seeds), idCol)
+      .select(col("cell"), asDouble(col(vecCol)).as("centroid"))
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val cent = sess.read.parquet(s"$indexPath/centroids")
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_d2"), col("cell"))
+    val cells = embeddings.select(col(idCol), asDouble(col(vecCol)).as("_v"))
+      .crossJoin(broadcast(cent))                 // |corpus| × nCells, broadcast side tiny
+      .withColumn("_d2", dist2(col("_v"), col("centroid")))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select(col(idCol), col("cell"))
+    cells.write.mode("overwrite").parquet(s"$indexPath/cells")
+  }
+
+  /** Build + persist a KMeans index (same on-disk layout as the seeded one). */
+  def buildIndexKMeans(embeddings: DataFrame, indexPath: String, nCells: Int = 16,
+                       seed: Long = 42L, idCol: String = "vec_id",
+                       vecCol: String = "embedding"): Unit = {
+    val sess = embeddings.sparkSession
+    import sess.implicits._
     val vecs = embeddings.withColumn("_v", array_to_vector(col(vecCol)))
     val model = new KMeans().setK(nCells).setSeed(seed)
       .setFeaturesCol("_v").setPredictionCol("cell")
       .fit(vecs)
-    (model.transform(vecs).drop("_v"), model.clusterCenters)
+    model.transform(vecs).select(col(idCol), col("cell").cast("long").as("cell"))
+      .write.mode("overwrite").parquet(s"$indexPath/cells")
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
   }
 
-  /** Approximate top-k: probe the `nProbe` nearest cells per query, rerank
-    * candidates by exact cosine.
+  /** Approximate top-k against a prebuilt index: probe the `nProbe` nearest
+    * cells per query (broadcast centroid join + per-query window), rerank
+    * candidates in the probed cells by exact cosine.
     */
-  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val (indexed, centers) = buildIndex(embeddings, nCells, seed, idCol, vecCol)
+  def ivfTopKFromIndex(embeddings: DataFrame, indexPath: String,
+                       queryIds: Seq[Long], k: Int, nProbe: Int = 4,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sess = embeddings.sparkSession
-    import sess.implicits._
-
-    // The query set is small by contract; its vectors come to the driver to
-    // pick probe cells against the (tiny) centroid table.
-    val queryVecs: Map[Long, Seq[Float]] = embeddings
-      .where(col(idCol).isInCollection(queryIds))
-      .select(col(idCol), col(vecCol))
-      .as[(Long, Seq[Float])].collect().toMap
-
-    def dist2(q: Seq[Float], c: Vector): Double =
-      q.zip(c.toArray).map { case (x, y) => (x - y) * (x - y) }.sum
-
-    val probes = queryVecs.toSeq.flatMap { case (qid, qv) =>
-      centers.zipWithIndex.sortBy { case (c, _) => dist2(qv, c) }
-        .take(nProbe).map { case (_, cellId) => (qid, cellId) }
-    }.toDF("query_id", "cell")
+    val cells = sess.read.parquet(s"$indexPath/cells")
+    val centroids = sess.read.parquet(s"$indexPath/centroids")
 
     val queries = embeddings.where(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cell"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))            // |queries| × nCells
+      .withColumn("_d2", dist2(asDouble(col("qvec")), col("centroid")))
+      .withColumn("_rn", row_number().over(wProbe))
+      .where(col("_rn") <= nProbe)
+      .select(col("query_id"), col("cell"))
+
+    val indexed = embeddings.join(cells, idCol)   // (vec_id, embedding, cell)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol))
     indexed
-      .join(broadcast(probes), Seq("cell"))                    // prune to probed cells
+      .join(broadcast(probes), Seq("cell"))       // prune to probed cells
       .where(col(idCol) =!= col("query_id"))
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("sim", Similarity.cosine(col("qvec"), col(vecCol)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** Convenience: build the deterministic seeded index into `indexPath` (or
+    * a fresh scratch dir) and query it — the registered, oracle-checked
+    * shape. Production keeps the build and the query as separate steps.
+    */
+  def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              nCells: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              indexPath: Option[String] = None): DataFrame = {
+    val path = indexPath.getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        java.util.UUID.randomUUID().toString)
+    buildIndexSeeded(embeddings, path, nCells, idCol, vecCol)
+    ivfTopKFromIndex(embeddings, path, queryIds, k, nProbe, idCol, vecCol)
   }
 }

@@ -27,13 +27,20 @@ object Multimodal {
         sha2(col(srcCol).cast("binary"), 256).as("digest")))
 
   /** STUB for media decode: a deterministic `dim`-length feature vector
-    * derived from the payload hash. A real implementation would decode the
-    * payload bytes (image/audio lib) and emit real features; the schema,
-    * partitioning and batch shape are identical.
+    * derived from the payload digest (md5-60 of "sha256hex:i", scaled to
+    * [−1, 1) — engine-agnostic, so the DuckDB oracle replicates the values
+    * bit-for-bit). A real implementation would decode the payload bytes
+    * (image/audio lib) and emit real features; the schema, partitioning and
+    * batch shape are identical.
     */
-  def fakeDecodeFeatures(payload: Column, dim: Int): Column =
-    transform(sequence(lit(0), lit(dim - 1)), i =>
-      (pmod(xxhash64(payload, i), lit(1000)).cast("double") / 500.0) - 1.0)
+  def fakeDecodeFeatures(payload: Column, dim: Int): Column = {
+    val digest = sha2(payload.cast("binary"), 256)
+    transform(sequence(lit(0), lit(dim - 1)), i => {
+      val h = conv(substring(md5(concat(digest, lit(":"), i.cast("string"))), 1, 15),
+        16, 10).cast("long")
+      (h % 1000).cast("double") / 500.0 - 1.0
+    })
+  }
 
   /** Feature-extract stage over the payload table. */
   def withFeatures(df: DataFrame, dim: Int = 16): DataFrame =
@@ -88,12 +95,16 @@ object Multimodal {
       .toDF("doc_id", "resized", "n_bytes_out")
   }
 
-  /** STUB decoder (JVM side): deterministic features from the payload hash. */
+  /** STUB decoder (JVM side): the same md5-60-derived features as
+    * [[fakeDecodeFeatures]], so the batched path is value-identical to the
+    * column-expression path (asserted in MultimodalSpec).
+    */
   private[llm] def stubDecodeJvm(bytes: Array[Byte], dim: Int): Array[Double] = {
-    val base = scala.util.hashing.MurmurHash3.bytesHash(bytes, 42)
+    val sha = java.security.MessageDigest.getInstance("SHA-256").digest(bytes)
+    val hexDigest = sha.map(b => f"$b%02x").mkString
     Array.tabulate(dim) { i =>
-      val h = scala.util.hashing.MurmurHash3.productHash((base, i))
-      (math.floorMod(h, 1000).toDouble / 500.0) - 1.0
+      val h = graft.functions.CrossHash.md5h60(s"$hexDigest:$i".getBytes("UTF-8"))
+      (h % 1000).toDouble / 500.0 - 1.0
     }
   }
 

@@ -4,6 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Scratch
+import graft.functions.CrossHashExprs
+
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Two paths, as a training-data pipeline needs both:
@@ -16,8 +19,11 @@ import org.apache.spark.sql.functions._
   *    scale path: candidate count is corpus/2^bits per table, independent of
   *    corpus², so a 1000-executor cluster shuffles buckets, not all pairs.
   *
-  * Dot products use `zip_with` + `aggregate` in double precision — pure
-  * codegen'd column expressions, no UDFs.
+  * The hyperplanes are a fixed ±1 sign matrix ([[graft.functions.CrossHash
+  * .planeSigns]]) — deterministic, engine-agnostic (the DuckDB oracle inlines
+  * the same matrix), and computed by a native kernel expression rather than
+  * an interpreted higher-order fold. Dot products for the exact rerank use
+  * `zip_with` + `aggregate` in double precision — codegen'd, no UDFs.
   */
 object Similarity {
 
@@ -46,33 +52,27 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * ±1 from the parity of a fixed hash — reproducible across runs/engines.
+  /** The multi-table signature table (tbl, bucket, id, vec) — materialize
+    * once per corpus; at ingest this is a stored column per table.
     */
-  private def planeComponent(plane: Int, dim: Column): Column =
-    when(xxhash64(lit(plane), dim).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)
-
-  /** Random-hyperplane signature: `bits` sign bits packed into a long. */
-  def lshSignature(vec: Column, bits: Int, table: Int): Column =
-    (0 until bits).map { p =>
-      val proj = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, i) => x.cast("double") * planeComponent(table * 1000 + p, i)),
-        lit(0.0), (acc, v) => acc + v)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
+  def lshSignatures(embeddings: DataFrame, bits: Int, tables: Int, dim: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    (0 until tables).map { t =>
+      embeddings.select(col(idCol), col(vecCol),
+        lit(t).as("tbl"),
+        CrossHashExprs.planeSig(col(vecCol), t, bits, dim).as("bucket"))
+    }.reduce(_ unionAll _)
 
   /** Approximate top-k via multi-table hyperplane LSH: union the candidate
     * sets from `tables` signature tables, dedup, exact-rerank candidates.
+    * Signatures are staged to Parquet once (queries and corpus both read the
+    * staged file; nothing stays cached after the query).
     */
   def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              bits: Int = 8, tables: Int = 4,
+              bits: Int = 8, tables: Int = 4, dim: Int = 64,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sigs = (0 until tables).map { t =>
-      embeddings.select(col(idCol), col(vecCol),
-        lit(t).as("tbl"), lshSignature(col(vecCol), bits, t).as("bucket"))
-    }.reduce(_ unionAll _)
-      .persist() // signatures are interpreted HOFs; compute once, not per join side
+    val sigs = Scratch.stage(
+      lshSignatures(embeddings, bits, tables, dim, idCol, vecCol), "lsh_sig")
     val queries = sigs.where(col(idCol).isInCollection(queryIds))
       .select(col("tbl"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val corpus = sigs.select(col("tbl"), col("bucket"),

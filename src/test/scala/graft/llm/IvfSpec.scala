@@ -15,15 +15,33 @@ class IvfSpec extends SparkSpec {
     (a ++ b :+ (99L, a.head._2)).toDF("vec_id", "embedding")
   }
 
-  test("buildIndex assigns every vector to one of nCells cells") {
-    val (indexed, centers) = Ivf.buildIndex(corpus, nCells = 4)
-    assert(centers.length == 4)
-    assert(indexed.where(col("cell").isNull).count() == 0)
-    assert(indexed.select("cell").distinct().count() <= 4)
+  private def tmp(tag: String) =
+    s"${System.getProperty("java.io.tmpdir")}/graft_test_${tag}_" +
+      java.util.UUID.randomUUID().toString
+
+  test("buildIndexKMeans persists cells + centroids; every vector assigned") {
+    val path = tmp("ivf_kmeans")
+    Ivf.buildIndexKMeans(corpus, path, nCells = 4)
+    val cells = spark.read.parquet(s"$path/cells")
+    val cents = spark.read.parquet(s"$path/centroids")
+    assert(cents.count() == 4)
+    assert(cells.count() == corpus.count())
+    assert(cells.where(col("cell").isNull).count() == 0)
+    assert(cells.select("cell").distinct().count() <= 4)
   }
 
-  test("ivfTopK finds the identical clone at rank 1") {
-    val got = Ivf.ivfTopK(corpus, Seq(0L), k = 5, nCells = 4, nProbe = 2)
+  test("ivfTopKFromIndex on a prebuilt KMeans index finds the clone at rank 1") {
+    val path = tmp("ivf_query")
+    Ivf.buildIndexKMeans(corpus, path, nCells = 4)
+    val got = Ivf.ivfTopKFromIndex(corpus, path, Seq(0L), k = 5, nProbe = 2)
+      .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+    assert(got.get(99L).contains(1L))
+  }
+
+  test("seeded ivfTopK finds the identical clone, probes only the near cluster") {
+    // seeds 10 and 39 (seededCellIds(2)) sit one per cluster; nProbe=1 keeps
+    // the query in its own cluster's cell
+    val got = Ivf.ivfTopK(corpus, Seq(0L), k = 5, nCells = 2, nProbe = 1)
       .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
     assert(got.get(99L).contains(1L))
     // all neighbors come from the same (near) cluster, never the far one

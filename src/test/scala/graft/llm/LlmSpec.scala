@@ -77,7 +77,7 @@ class DedupSpec extends SparkSpec {
     val df = Seq(
       ("s1", 1L, "a b c d e"), ("s1", 2L, "a b c d e"), ("s1", 3L, "x y z w v"),
       ("s2", 4L, "a b c d e")).toDF("source", "doc_id", "text")
-    val got = Dedup.blockedJaccard(df, "source", minJaccard = 0.9)
+    val got = Dedup.blockedJaccard(df, "source", minJaccard = 0.9, maxDocFrac = 1.0)
       .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
     assert(got == Set((1L, 2L, 1.0))) // 3↛1 (disjoint), 4 in another block
   }
@@ -128,7 +128,7 @@ class SimilaritySpec extends SparkSpec {
       (i, Array.tabulate(16)(d => math.sin(i * 17 + d).toFloat))
     } :+ (99L, Array.tabulate(16)(d => math.sin(0 * 17 + d).toFloat)) // clone of 0
     val df = vecs.toDF("vec_id", "embedding")
-    val got = Similarity.lshTopK(df, Seq(0L), k = 5, bits = 4, tables = 4)
+    val got = Similarity.lshTopK(df, Seq(0L), k = 5, bits = 4, tables = 4, dim = 16)
       .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
     // the identical clone must share every bucket → always a candidate, rank 1
     assert(got.get(99L).contains(1L))
@@ -185,7 +185,7 @@ class BatchDecodeSpec extends graft.SparkSpec {
     rows.foreach { case (id, f, _) => assert(again(id) == f) }
   }
 
-  test("blockedJaccardCapped drops hot shingles but keeps true near-dups") {
+  test("blockedJaccard df-cap drops hot shingles but keeps true near-dups") {
     // 6 docs share boilerplate; two are real near-dups beyond it
     val boiler = "terms and conditions apply to all entries in this corpus"
     val df = Seq(
@@ -196,7 +196,7 @@ class BatchDecodeSpec extends graft.SparkSpec {
       ("s1", 5L, s"$boiler more filler text that matches nothing else three"),
       ("s1", 6L, s"$boiler final doc with its own unique ending four"),
     ).toDF("source", "doc_id", "text")
-    val capped = Dedup.blockedJaccardCapped(df, "source",
+    val capped = Dedup.blockedJaccard(df, "source",
       minJaccard = 0.3, maxDocFrac = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(capped == Set((1L, 2L))) // boilerplate shingles no longer pair everyone
