@@ -21,6 +21,14 @@ object CrossHashExprs {
   def md5h60Array(c: Column): Column =
     ColumnBridge.column(Md5H60Array(ColumnBridge.expression(c)))
 
+  /** array<string> tokens → array<long>: distinct md5-60 hashes of the
+    * space-joined word n-grams. One kernel instead of the interpreted
+    * transform(slice→concat_ws)+array_distinct+hash pipeline, which was
+    * ~20× the cost of everything else in the near-dup queries.
+    */
+  def shingleHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(tokens), n))
+
   /** array<long> shingle hashes → k-long minhash signature. */
   def minhashSig(c: Column, k: Int): Column =
     ColumnBridge.column(MinhashSigExpr(ColumnBridge.expression(c), k))
@@ -60,6 +68,54 @@ final case class Md5H60Array(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Md5H60Array =
+    copy(child = newChild)
+}
+
+/** Distinct md5-60 hashes of word n-gram shingles, from a token array.
+  * Matches `array_distinct(transform(starts, i => concat_ws(" ",
+  * slice(tokens, i, n))))` hashed element-wise: n-grams start at every
+  * position up to max(numTokens − n + 1, 1) (an under-length tail — or an
+  * empty token list — yields one short/empty shingle), joined with a single
+  * space, deduplicated by first occurrence. Dedup is on the hash value,
+  * which the md5-collision-free assumption makes identical to string dedup.
+  */
+final case class ShingleHashExpr(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, "shingle size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  def kernel(in: ArrayData): ArrayData = {
+    val m = in.numElements()
+    val starts = math.max(m - n + 1, 1)
+    val seen = new java.util.HashSet[java.lang.Long](starts * 2)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](starts)
+    var i = 0
+    while (i < starts) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      val end = math.min(i + n, m)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(in.getUTF8String(j).toString)
+        j += 1
+      }
+      val h = CrossHash.md5h60(sb.toString.getBytes("UTF-8"))
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleself", this, classOf[ShingleHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.kernel($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashExpr =
     copy(child = newChild)
 }
 

@@ -53,11 +53,12 @@ object Dedup {
     array_distinct(transform(starts, i => concat_ws(" ", slice(toks, i, lit(n)))))
   }
 
-  /** Base shingle hashes: each string shingle md5-60-hashed once to a long.
-    * All k minhash permutations re-mix these longs, never the strings.
+  /** Base shingle hashes: each string shingle md5-60-hashed once to a long
+    * (one native kernel — shingle build + hash + dedup). All k minhash
+    * permutations re-mix these longs, never the strings.
     */
   def shingleHashes(text: Column, n: Int): Column =
-    CrossHashExprs.md5h60Array(shingles(text, n))
+    CrossHashExprs.shingleHashes(TextAnalysis.tokens(lower(text)), n)
 
   /** MinHash signature: k universal-hash permutations over the md5-60
     * shingle hashes, as one native kernel ([[CrossHashExprs.minhashSig]]).
@@ -192,19 +193,22 @@ object Dedup {
                      minJaccard: Double = 0.1,
                      maxDocFrac: Double = 0.5): DataFrame = {
     // one scan hashes the shingles; the staged (blk, id, s) index feeds the
-    // doc-frequency count, both self-join sides, and the size recount
+    // doc-frequency window, both self-join sides, and the size recount
     val inverted = Scratch.stage(
       df.select(col(blockCol).as("blk"), col(idCol).as("id"),
           shingleHashes(col(textCol), n).as("h0"))
         .select(col("blk"), col("id"), explode(col("h0")).as("s")),
       "jaccard_inv")
-    val blockSizes = inverted.select(col("blk"), col("id")).distinct()
-      .groupBy(col("blk")).agg(count(lit(1)).as("n_docs"))
-    val docFreq = inverted.groupBy(col("blk"), col("s"))
-      .agg(count(lit(1)).as("df_n"))
+    // block doc counts from a pruned scan of the source (blockCol only)
+    val blockSizes = df.groupBy(col(blockCol).as("blk"))
+      .agg(count(lit(1)).as("n_docs"))
+    // doc frequency as a window over (blk, s): one shuffle that the
+    // (blk, s) self-join below reuses, instead of aggregate + re-join
+    val wDf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("blk"), col("s"))
     val kept = inverted
-      .join(docFreq, Seq("blk", "s"))
       .join(broadcast(blockSizes), Seq("blk"))
+      .withColumn("df_n", count(lit(1)).over(wDf))
       .where(col("df_n") <= col("n_docs") * maxDocFrac)
       .select(col("blk"), col("s"), col("id"))
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
