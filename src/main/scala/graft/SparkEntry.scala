@@ -262,6 +262,52 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // --- V240 raw headers: pack → hex (round-trip store/parse in specs) --
+    "q_raw_headers" -> ((s, d) => {
+      import graft.sources.Sources
+      val fields = Seq("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+      Sources.withRawHeaders(lineitem(s, d).select(fields.map(col): _*), fields)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey"),
+                col("l_partkey"), hex(col("raw_headers")).as("header_hex"))
+    }),
+    // --- O1 lossy path: sidecar stats → ZFP-style tolerance → bound ------
+    "q_quantize" -> ((s, d) => {
+      import graft.operators.{AccessPatterns, Stats}
+      import graft.schema._
+      import graft.storage.MdioDataset
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_quant_" +
+        java.util.UUID.randomUUID().toString
+      val li = lineitem(s, d).select("l_orderkey", "l_linenumber", "l_extendedprice")
+      // decimal-exact summary stats (the q_stats formulas), stored in the
+      // sidecar like ingest does — the metadata-sized driver value
+      val st = Stats.summaryStats(li, "l_extendedprice").first()
+      val stats = SummaryStatistics(st.getAs[Long]("n"), st.getAs[Double]("sum_val"),
+        st.getAs[Double]("sumsq_val"), st.getAs[Double]("min_val"),
+        st.getAs[Double]("max_val"))
+      val schema = MdioSchema(
+        variables = Seq(Variable("l_extendedprice", Seq("l_orderkey", "l_linenumber"),
+          Left(ScalarType.Float64),
+          metadata = Some(VariableMetadata(statsV1 = Some(stats))))),
+        metadata = DatasetMetadata("quantize-demo", "1.0.0", "2026-01-01T00:00:00Z"))
+      MdioDataset.write(li, path, schema)
+      val h = MdioDataset.open(s, path)
+      // tolerance = quality × sidecar-std; fast copy is written quantized
+      val tol = AccessPatterns.optimizeStore(h, Seq("l_orderkey"),
+        "l_extendedprice", quality = 0.5)
+      val fast = s.read.parquet(AccessPatterns.fastTablePath(path, "l_orderkey"))
+      val qx = AccessPatterns.quantize(col("l_extendedprice"), tol)
+      val baseAgg = h.df.agg(
+        count(lit(1)).as("n_rows"),
+        max(abs(col("l_extendedprice") - qx)).as("_max_err"))
+      val fastAgg = fast.agg(
+        min(col("l_extendedprice")).as("min_q"),
+        max(col("l_extendedprice")).as("max_q"),
+        count(lit(1)).as("n_fast"))
+      baseAgg.crossJoin(fastAgg)            // 1×1 scalar combine
+        .select(col("n_rows"), lit(tol).as("tolerance"),
+          (col("_max_err") <= tol).as("within_tol"),
+          col("min_q"), col("max_q"), col("n_fast"))
+    }),
     // --- LLM pipeline: multimodal plumbing ------------------------------
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.attachPayload(documents(s, d))
@@ -466,6 +512,30 @@ object SparkEntry {
     "q_ann_recall" -> OracleSqlGen.annRecallSql(bits = 4, tables = 8,
       nCells = 16, nProbe = 4, dim = 64, nQueries = 10, k = 10),
     "q_multimodal_features" -> OracleSqlGen.multimodalFeaturesSql(),
+    "q_raw_headers" ->
+      """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
+        |  lpad(to_hex(l_orderkey & 4294967295), 8, '0')
+        |  || lpad(to_hex(l_linenumber & 4294967295), 8, '0')
+        |  || lpad(to_hex(l_suppkey & 4294967295), 8, '0')
+        |  || lpad(to_hex(l_partkey & 4294967295), 8, '0')
+        |  || repeat('00', 224) AS header_hex
+        |FROM lineitem""".stripMargin,
+    "q_quantize" ->
+      """WITH m AS (SELECT l_extendedprice AS x FROM lineitem
+        |    WHERE l_extendedprice IS NOT NULL AND l_extendedprice != 0),
+        |s AS (SELECT count(x) AS n,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_val,
+        |    CAST(CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+        |      AS sumsq_val
+        |  FROM m),
+        |t AS (SELECT 0.5 * sqrt(sumsq_val / n - (sum_val / n) * (sum_val / n)) AS tol FROM s),
+        |q AS (SELECT l_extendedprice AS x,
+        |    round(l_extendedprice / (2 * tol)) * (2 * tol) AS xq, tol
+        |  FROM lineitem, t)
+        |SELECT count(*) AS n_rows, any_value(tol) AS tolerance,
+        |  max(abs(x - xq)) <= any_value(tol) AS within_tol,
+        |  min(xq) AS min_q, max(xq) AS max_q, count(*) AS n_fast
+        |FROM q""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks

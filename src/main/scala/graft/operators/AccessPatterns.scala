@@ -41,6 +41,51 @@ object AccessPatterns {
     (round(c / (2 * tolerance)) * (2 * tolerance))
   }
 
+  /** The stats→tolerance link (`optimize/access_pattern.py:91-118`): lossy
+    * fast-copy tolerance for a store variable = `quality × std`, with std
+    * taken from the SIDECAR statistics written at ingest — never a fresh
+    * data scan.
+    */
+  def toleranceFor(handle: graft.storage.MdioDatasetHandle, variable: String,
+                   quality: Double): Double = {
+    val stats = handle.schema.variable(variable)
+      .flatMap(_.metadata).flatMap(_.statsV1)
+      .getOrElse(throw new IllegalArgumentException(
+        s"variable $variable has no sidecar statistics — ingest writes them"))
+    quality * stats.std
+  }
+
+  /** O1 with the lossy path wired in: materialize a `fast_<dim>` clustering
+    * of the store's data per requested dim, quantizing `variable` to
+    * tolerance = quality × sidecar-std, and record the Zfp tolerance in each
+    * fast copy's own sidecar (so a reader knows the copy is lossy and by how
+    * much — the reference stores the same in the ZFP codec config).
+    */
+  def optimizeStore(handle: graft.storage.MdioDatasetHandle, dims: Seq[String],
+                    variable: String, quality: Double,
+                    partitions: Int = 0): Double = {
+    import graft.schema.{Zfp, MdioSchema}
+    val tol = toleranceFor(handle, variable, quality)
+    val quantized = handle.df.withColumn(variable, quantize(col(variable), tol))
+    val spark = handle.df.sparkSession
+    dims.foreach { d =>
+      val n = if (partitions > 0) partitions
+        else spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val fastPath = fastTablePath(handle.path, d)
+      quantized.repartitionByRange(n, col(d))
+        .sortWithinPartitions(col(d))
+        .write.mode("overwrite")
+        .parquet(fastPath)
+      val fastSchema: MdioSchema = handle.schema.copy(
+        variables = handle.schema.variables.map(v =>
+          if (v.name == variable)
+            v.copy(compressor = Some(Zfp("fixed_accuracy", tolerance = Some(tol))))
+          else v))
+      graft.storage.MdioDataset.writeSidecar(spark, fastPath, fastSchema)
+    }
+    tol
+  }
+
   /** Pick the best materialization for a predicate dim: `fast_<dim>` when it
     * exists, else the base table. Catalog-level resolve — the caller's query
     * shape is unchanged either way.

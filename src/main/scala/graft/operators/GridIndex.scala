@@ -39,18 +39,24 @@ object GridIndex {
     dims.foldLeft(df)((acc, d) => acc.join(broadcast(dimIndex(df, d)), Seq(d)))
 
   /** J1: row-major (C-order) flat cell ordinal over the given dims.
-    * Sizes of trailing dims are needed for the stride; they come from the
-    * dim-index tables (metadata-sized `count()`s, not data-sized).
+    * Sizes of trailing dims drive the stride; they ride along as a
+    * broadcast one-row aggregate (ONE extra column-pruned scan for all dims
+    * together), so the whole operator is a single lazy plan — no per-dim
+    * `count()` actions against the base table (round 2 ran 2 scans per dim:
+    * one inside the index join, one for the eager size).
     */
   def withCellOrdinal(df: DataFrame, dims: Seq[String], out: String = "cell"): DataFrame = {
     val indexed = withDimIndices(df, dims)
-    val sizes = dims.map(d => dimIndex(df, d).count())
+    val sizeCols = dims.map(d => countDistinct(col(d)).as(s"__sz_$d"))
+    val sizesRow = df.agg(sizeCols.head, sizeCols.tail: _*)
     // C-order strides: stride(i) = product of sizes of dims after i
-    val strides = sizes.scanRight(1L)(_ * _).tail
-    val cell = dims.zip(strides)
-      .map { case (d, s) => col(s"${d}_idx") * lit(s) }
-      .reduce(_ + _)
-    indexed.withColumn(out, cell.cast("long"))
+    val cell = dims.zipWithIndex.map { case (d, i) =>
+      dims.drop(i + 1).map(d2 => col(s"__sz_$d2"))
+        .foldLeft(col(s"${d}_idx").cast("long"))(_ * _)
+    }.reduce(_ + _)
+    indexed.join(broadcast(sizesRow))   // scalar row — broadcast-nested-loop
+      .withColumn(out, cell.cast("long"))
+      .drop(dims.map(d => s"__sz_$d"): _*)
   }
 
   /** J2: one-row invariant check — grid holds every trace iff dim tuples unique. */

@@ -100,8 +100,21 @@ final case class DatasetMetadata(name: String, apiVersion: String,
                                  createdOn: String, // ISO-8601 with zone
                                  attributes: Map[String, String] = Map.empty)
 
+/** Physical store layout, recorded in the sidecar at first write so later
+  * append/region writes can validate against it (the Zarr-chunk-layout
+  * analog): `partitionCols` are Hive-style directory partitions (region
+  * overwrite replaces these), `sortDims` the range-cluster ordering, and
+  * `sparkSchemaDdl` the full Spark schema — reads re-apply it so
+  * directory-inferred partition-column types can never drift from the
+  * written ones.
+  */
+final case class StoreLayout(sortDims: Seq[String] = Nil,
+                             partitionCols: Seq[String] = Nil,
+                             sparkSchemaDdl: Option[String] = None)
+
 /** The dataset = variables + metadata (`dataset.py:34-41`). */
 final case class MdioSchema(variables: Seq[Variable], metadata: DatasetMetadata,
-                            dimensions: Seq[NamedDimension] = Nil) {
+                            dimensions: Seq[NamedDimension] = Nil,
+                            layout: Option[StoreLayout] = None) {
   def variable(name: String): Option[Variable] = variables.find(_.name == name)
 }

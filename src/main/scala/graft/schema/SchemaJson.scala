@@ -68,8 +68,13 @@ object SchemaJson {
       m.statsV1.map(s => "statsV1" -> jStats(s)).toList ++
       m.unitsV1.map(u => "unitsV1" -> JString(u)).toList)))
 
+  private def jLayout(l: StoreLayout): JValue = JObject(List(
+    "sortDims" -> JArray(l.sortDims.map(JString).toList),
+    "partitionCols" -> JArray(l.partitionCols.map(JString).toList)) ++
+    l.sparkSchemaDdl.map(d => "sparkSchemaDdl" -> JString(d)))
+
   def toJson(s: MdioSchema): String = {
-    val j = JObject(
+    val j = JObject(List(
       "variables" -> JArray(s.variables.map(jVariable).toList),
       "metadata" -> JObject(List(
         "name" -> JString(s.metadata.name),
@@ -80,7 +85,8 @@ object SchemaJson {
             s.metadata.attributes.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }))
         else Nil)),
       "dimensions" -> JArray(s.dimensions.map(d =>
-        JObject("name" -> JString(d.name), "size" -> JInt(d.size))).toList))
+        JObject("name" -> JString(d.name), "size" -> JInt(d.size))).toList)) ++
+      s.layout.map(l => "layout" -> jLayout(l)))
     JsonMethods.pretty(JsonMethods.render(j))
   }
 
@@ -189,6 +195,16 @@ object SchemaJson {
       dimensions = (j \ "dimensions") match {
         case JArray(ds) => ds.map(d => NamedDimension(str(d \ "name"), lng(d \ "size")))
         case _ => Nil
+      },
+      layout = (j \ "layout").toOption.collect { case l: JObject =>
+        StoreLayout(
+          sortDims = (l \ "sortDims") match {
+            case JArray(xs) => xs.map(str); case _ => Nil
+          },
+          partitionCols = (l \ "partitionCols") match {
+            case JArray(xs) => xs.map(str); case _ => Nil
+          },
+          sparkSchemaDdl = (l \ "sparkSchemaDdl").toOption.map(str))
       })
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source-side scans: file info (S1), parallel header scan (S2), IBM32
@@ -37,4 +37,40 @@ object Sources {
   def promoteIbm32(df: DataFrame, ibmFields: Seq[String]): DataFrame =
     ibmFields.filter(df.columns.contains)
       .foldLeft(df)((d, f) => d.withColumn(f, col(f).cast("float")))
+
+  // ------------------------------------------------- V240 raw trace headers
+
+  /** Fixed raw trace-header width (SEG-Y rev — 240 bytes; ScalarType.V240). */
+  val RawHeaderBytes = 240
+
+  /** Raw 240-byte trace-header blob: each field packed as a 4-byte big-endian
+    * two's-complement int in spec order, zero-padded to 240 bytes — the
+    * `raw_headers` ingest path (`ingestion/segy/raw_headers.py:32-64` keeps
+    * the undecoded header block as a V240 variable beside the parsed
+    * fields). Pure column expressions (mask → hex → to_binary), no UDF.
+    */
+  def packRawHeader(fields: Seq[String]): Column = {
+    require(fields.size * 4 <= RawHeaderBytes, "too many fields for 240 bytes")
+    val packed: Seq[Column] = fields.map(f =>
+      call_function("to_binary",
+        lpad(hex(col(f).cast("bigint").bitwiseAND(0xFFFFFFFFL)), 8, "0"),
+        lit("hex")))
+    val pad = lit(Array.fill[Byte](RawHeaderBytes - fields.size * 4)(0))
+    concat((packed :+ pad): _*)
+  }
+
+  /** Attach the raw header column (default name mirrors the reference's
+    * `RAW_HEADERS` variable). */
+  def withRawHeaders(df: DataFrame, fields: Seq[String],
+                     out: String = "raw_headers"): DataFrame =
+    df.withColumn(out, packRawHeader(fields))
+
+  /** Re-parse field `i` (0-based spec position) out of a raw header blob:
+    * 4 bytes big-endian → signed 32-bit value as a long. Inverse of
+    * [[packRawHeader]] — round-trip asserted in RawHeaderSpec.
+    */
+  def parseRawHeaderField(raw: Column, i: Int): Column = {
+    val u = conv(hex(substring(raw, i * 4 + 1, 4)), 16, 10).cast("long")
+    when(u > Int.MaxValue.toLong, u - 0x100000000L).otherwise(u)
+  }
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Selection
-import graft.schema.{MdioSchema, SchemaJson, NamedDimension}
+import graft.schema.{MdioSchema, SchemaJson, NamedDimension, StoreLayout}
 
 /** MDIO store on Parquet + JSON sidecar: the physical layer behind
   * S4 `open_mdio` (`api/io.py:38-66`), S5 `to_mdio` write modes
@@ -33,61 +33,114 @@ object MdioDataset {
   private def sidecarPath(path: String) = s"$path/.mdio.json"
   private def dataPath(path: String) = s"$path/data"
 
+  final class LayoutMismatchError(msg: String) extends IllegalArgumentException(msg)
+
+  private def readSidecar(spark: SparkSession, path: String): Option[MdioSchema] = {
+    val p = new Path(sidecarPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      Some(SchemaJson.fromJson(json))
+    }
+  }
+
   /** S5: write the trace table + sidecar. `sortDims` drives the physical
-    * clustering: repartitionByRange on the leading dims + sortWithinPartitions
-    * gives the same locality a chunked store provides, and lets later point/
-    * range selections prune files via min/max stats.
+    * clustering: the leading dim becomes a Hive-style directory partition
+    * (the region-overwrite unit — keep it coarse: inline, cable, epoch) and
+    * the full dim list range-clusters + sorts within files, so point/range
+    * selections prune directories AND row groups via min/max stats.
+    *
+    * The layout is recorded in the sidecar at first write; `a` and `r+`
+    * validate against it — a store written flat cannot be silently
+    * region-overwritten into an inconsistent partitioned tree (that was a
+    * round-2 bug: `r+` after a flat `w` left stale flat files beside new
+    * partition dirs). Region overwrite uses the per-writer
+    * `partitionOverwriteMode=dynamic` option — session conf untouched.
     */
   def write(df: DataFrame, path: String, schema: MdioSchema,
             mode: WriteMode.Value = WriteMode.W,
             sortDims: Seq[String] = Nil): Unit = {
-    val saveMode = mode match {
-      case WriteMode.W      => SaveMode.Overwrite
-      case WriteMode.WMinus => SaveMode.ErrorIfExists
-      case WriteMode.A | WriteMode.RPlus => SaveMode.Append
+    val existing = readSidecar(df.sparkSession, path).flatMap(_.layout)
+    val layout = mode match {
+      case WriteMode.W | WriteMode.WMinus =>
+        StoreLayout(sortDims, sortDims.take(1), Some(df.schema.toDDL))
+      case WriteMode.A | WriteMode.RPlus =>
+        val stored = existing.getOrElse(throw new LayoutMismatchError(
+          s"$mode write requires an existing store with a recorded layout at $path"))
+        if (sortDims.nonEmpty && sortDims != stored.sortDims)
+          throw new LayoutMismatchError(
+            s"$mode sortDims ${sortDims.mkString(",")} != stored layout " +
+              stored.sortDims.mkString(","))
+        stored
     }
+    if (mode == WriteMode.RPlus && layout.partitionCols.isEmpty)
+      throw new LayoutMismatchError(
+        "r+ region overwrite needs a partitioned store; this one was written " +
+          "flat (no sortDims) — rewrite with w and sortDims first")
+
+    val cluster = layout.sortDims
     val out =
-      if (sortDims.isEmpty) df
-      else df.repartitionByRange(sortDims.map(col): _*)
-             .sortWithinPartitions(sortDims.map(col): _*)
-    val writer = out.write.mode(saveMode)
-    val finalWriter = mode match {
-      case WriteMode.RPlus if sortDims.nonEmpty =>
-        // region write: replace only the partitions present in `df`
-        out.sparkSession.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        out.write.mode(SaveMode.Overwrite).partitionBy(sortDims.head)
-      case _ => writer
+      if (cluster.isEmpty) df
+      else df.repartitionByRange(cluster.map(col): _*)
+             .sortWithinPartitions(cluster.map(col): _*)
+    val base = mode match {
+      case WriteMode.W      => out.write.mode(SaveMode.Overwrite)
+      case WriteMode.WMinus => out.write.mode(SaveMode.ErrorIfExists)
+      case WriteMode.A      => out.write.mode(SaveMode.Append)
+      case WriteMode.RPlus  =>
+        // replace only the directory partitions present in `df`
+        out.write.mode(SaveMode.Overwrite)
+          .option("partitionOverwriteMode", "dynamic")
     }
-    finalWriter.parquet(dataPath(path))
-    writeSidecar(df.sparkSession, path, schema)
+    val writer =
+      if (layout.partitionCols.isEmpty) base
+      else base.partitionBy(layout.partitionCols: _*)
+    writer.parquet(dataPath(path))
+    writeSidecar(df.sparkSession, path, schema.copy(layout = Some(layout)))
   }
 
   /** Write (or rewrite) the sidecar alone — used to patch post-write
     * metadata such as stats collected during the data write (the reference
-    * patches stats into Zarr attrs the same way, `segy/blocked_io.py:137-144`). */
+    * patches stats into Zarr attrs the same way, `segy/blocked_io.py:137-144`).
+    * A recorded layout survives patches that don't carry one.
+    */
   def writeSidecar(spark: SparkSession, path: String, schema: MdioSchema): Unit = {
+    val withLayout =
+      if (schema.layout.nonEmpty) schema
+      else schema.copy(layout = readSidecar(spark, path).flatMap(_.layout))
     val p = new Path(sidecarPath(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val os = fs.create(p, true)
-    try os.write(SchemaJson.toJson(schema).getBytes("UTF-8")) finally os.close()
+    try os.write(SchemaJson.toJson(withLayout).getBytes("UTF-8")) finally os.close()
   }
 
-  /** S4: lazy open — Parquet scan handle + parsed sidecar. */
+  /** S4: lazy open — Parquet scan handle + parsed sidecar. The recorded
+    * Spark schema is re-applied so partition-column types come from the
+    * sidecar, not from directory-name inference.
+    */
   def open(spark: SparkSession, path: String): MdioDatasetHandle = {
-    val p = new Path(sidecarPath(path))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    MdioDatasetHandle(spark.read.parquet(dataPath(path)), SchemaJson.fromJson(json), path)
+    val schema = readSidecar(spark, path).getOrElse(
+      throw new IllegalArgumentException(s"no MDIO sidecar at ${sidecarPath(path)}"))
+    val reader = schema.layout.flatMap(_.sparkSchemaDdl) match {
+      case Some(ddl) => spark.read.schema(ddl)
+      case None      => spark.read
+    }
+    MdioDatasetHandle(reader.parquet(dataPath(path)), schema, path)
   }
 
-  /** S7: MDIO→MDIO copy, with optional column pruning (headers/traces). */
+  /** S7: MDIO→MDIO copy, with optional column pruning (headers/traces);
+    * the source's clustering layout is re-applied when its dims survive. */
   def copy(spark: SparkSession, from: String, to: String,
            excludeColumns: Seq[String] = Nil): Unit = {
     val src = open(spark, from)
     val pruned = excludeColumns.foldLeft(src.df)((d, c) => d.drop(c))
     val keptVars = src.schema.variables.filterNot(v => excludeColumns.contains(v.name))
-    write(pruned, to, src.schema.copy(variables = keptVars))
+    val sortDims = src.schema.layout.map(_.sortDims).getOrElse(Nil)
+      .filter(pruned.columns.contains)
+    write(pruned, to, src.schema.copy(variables = keptVars, layout = None),
+      sortDims = sortDims)
   }
 }
 

@@ -26,7 +26,8 @@ class MdioDatasetSpec extends SparkSpec {
     val path = tmp()
     MdioDataset.write(sampleDf, path, sampleSchema, sortDims = Seq("il", "xl"))
     val ds = MdioDataset.open(spark, path)
-    assert(ds.schema == sampleSchema)
+    assert(ds.schema.copy(layout = None) == sampleSchema)
+    assert(ds.schema.layout.exists(_.sortDims == Seq("il", "xl")))
     assert(ds.df.count() == 4)
     assert(ds.dimSizes == Map("il" -> 2L, "xl" -> 2L))
     val slice = ds.sel("il" -> Selection.Point(1))
@@ -43,6 +44,42 @@ class MdioDatasetSpec extends SparkSpec {
     }
     MdioDataset.write(sampleDf, path, sampleSchema, MdioDataset.WriteMode.A)
     assert(MdioDataset.open(spark, path).df.count() == 8)
+  }
+
+  test("w records layout; r+ replaces only the written region (S5)") {
+    val path = tmp()
+    MdioDataset.write(sampleDf, path, sampleSchema, sortDims = Seq("il", "xl"))
+    val confBefore = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    // region write: replace il=1 with a single new row; il=2 untouched
+    val region = Seq((1, 30, 9.9)).toDF("il", "xl", "amplitude")
+    MdioDataset.write(region, path, sampleSchema, MdioDataset.WriteMode.RPlus)
+    assert(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      == confBefore, "r+ must not mutate the session conf")
+    val ds = MdioDataset.open(spark, path)
+    val rows = ds.df.select("il", "xl", "amplitude")
+      .as[(Int, Int, Double)].collect().toSet
+    assert(rows == Set((1, 30, 9.9), (2, 10, 3.5), (2, 20, 4.5)),
+      s"region overwrite left $rows")
+    // partition-column type comes from the recorded DDL, not dir inference
+    assert(ds.df.schema("il").dataType.typeName == "integer")
+    assert(ds.schema.layout.exists(_.partitionCols == Seq("il")))
+  }
+
+  test("r+ on a flat store and mismatched append layouts are rejected") {
+    val path = tmp()
+    MdioDataset.write(sampleDf, path, sampleSchema) // no sortDims → flat
+    intercept[MdioDataset.LayoutMismatchError] {
+      MdioDataset.write(sampleDf, path, sampleSchema, MdioDataset.WriteMode.RPlus)
+    }
+    val sorted = tmp()
+    MdioDataset.write(sampleDf, sorted, sampleSchema, sortDims = Seq("il"))
+    intercept[MdioDataset.LayoutMismatchError] {
+      MdioDataset.write(sampleDf, sorted, sampleSchema, MdioDataset.WriteMode.A,
+        sortDims = Seq("xl"))
+    }
+    // append with the stored layout (or none) is fine and stays partitioned
+    MdioDataset.write(sampleDf, sorted, sampleSchema, MdioDataset.WriteMode.A)
+    assert(MdioDataset.open(spark, sorted).df.count() == 8)
   }
 
   test("copy prunes excluded variables (S7)") {
@@ -108,6 +145,36 @@ class AccessPatternsSpec extends SparkSpec {
     val df = Seq(0.0, 0.4, 1.1, -0.9).toDF("x")
     val got = df.select(AccessPatterns.quantize(col("x"), 0.5)).as[Double].collect()
     assert(got.toSeq == Seq(0.0, 0.0, 1.0, -1.0))
+  }
+
+  test("optimizeStore quantizes with tolerance = quality × sidecar std") {
+    val path = Files.createTempDirectory("ap-quant").toString
+    val df = (1 to 200).map(i => (i % 10, i, i * 1.5)).toDF("inline", "xl", "amp")
+    // stats the ingest pipeline would have written
+    val n = 200L
+    val xs = (1 to 200).map(_ * 1.5)
+    val stats = SummaryStatistics(n, xs.sum, xs.map(x => x * x).sum, xs.min, xs.max)
+    val schema = MdioSchema(
+      variables = Seq(Variable("amp", Seq("inline", "xl"), Left(ScalarType.Float64),
+        metadata = Some(VariableMetadata(statsV1 = Some(stats))))),
+      metadata = DatasetMetadata("q", "1.0.0", "2026-01-01T00:00:00Z"))
+    MdioDataset.write(df, path, schema)
+    val handle = MdioDataset.open(spark, path)
+    val tol = AccessPatterns.optimizeStore(handle, Seq("inline"), "amp", quality = 0.1)
+    assert(math.abs(tol - 0.1 * stats.std) < 1e-12)
+    val fast = spark.read.parquet(AccessPatterns.fastTablePath(path, "inline"))
+    // every stored value sits on the 2·tol grid and within tol of the source
+    val joinedErr = fast.select((col("amp") / (2 * tol)).as("g")).as[Double]
+      .collect().map(g => math.abs(g - math.round(g)))
+    assert(joinedErr.forall(_ < 1e-9))
+    val maxErr = df.select(max(abs(col("amp") -
+      AccessPatterns.quantize(col("amp"), tol)))).as[Double].collect().head
+    assert(maxErr <= tol)
+    // the fast copy's own sidecar records the lossy codec + tolerance
+    val sidecar = new String(Files.readAllBytes(java.nio.file.Paths.get(
+      AccessPatterns.fastTablePath(path, "inline"), ".mdio.json")), "UTF-8")
+    val comp = SchemaJson.fromJson(sidecar).variable("amp").flatMap(_.compressor)
+    assert(comp == Some(Zfp("fixed_accuracy", tolerance = Some(tol))))
   }
 }
 
