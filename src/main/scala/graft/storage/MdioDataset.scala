@@ -47,10 +47,11 @@ object MdioDataset {
   }
 
   /** S5: write the trace table + sidecar. `sortDims` drives the physical
-    * clustering: the leading dim becomes a Hive-style directory partition
-    * (the region-overwrite unit — keep it coarse: inline, cable, epoch) and
-    * the full dim list range-clusters + sorts within files, so point/range
-    * selections prune directories AND row groups via min/max stats.
+    * clustering (repartitionByRange + sortWithinPartitions → row-group
+    * min/max pruning, the chunked-store locality); `partitionDims`
+    * optionally adds Hive-style directory partitions — the region-overwrite
+    * unit, so keep them coarse (inline block, cable, epoch), never a
+    * high-cardinality key (one directory per value).
     *
     * The layout is recorded in the sidecar at first write; `a` and `r+`
     * validate against it — a store written flat cannot be silently
@@ -61,11 +62,12 @@ object MdioDataset {
     */
   def write(df: DataFrame, path: String, schema: MdioSchema,
             mode: WriteMode.Value = WriteMode.W,
-            sortDims: Seq[String] = Nil): Unit = {
+            sortDims: Seq[String] = Nil,
+            partitionDims: Seq[String] = Nil): Unit = {
     val existing = readSidecar(df.sparkSession, path).flatMap(_.layout)
     val layout = mode match {
       case WriteMode.W | WriteMode.WMinus =>
-        StoreLayout(sortDims, sortDims.take(1), Some(df.schema.toDDL))
+        StoreLayout(sortDims, partitionDims, Some(df.schema.toDDL))
       case WriteMode.A | WriteMode.RPlus =>
         val stored = existing.getOrElse(throw new LayoutMismatchError(
           s"$mode write requires an existing store with a recorded layout at $path"))
@@ -73,12 +75,16 @@ object MdioDataset {
           throw new LayoutMismatchError(
             s"$mode sortDims ${sortDims.mkString(",")} != stored layout " +
               stored.sortDims.mkString(","))
+        if (partitionDims.nonEmpty && partitionDims != stored.partitionCols)
+          throw new LayoutMismatchError(
+            s"$mode partitionDims ${partitionDims.mkString(",")} != stored layout " +
+              stored.partitionCols.mkString(","))
         stored
     }
     if (mode == WriteMode.RPlus && layout.partitionCols.isEmpty)
       throw new LayoutMismatchError(
         "r+ region overwrite needs a partitioned store; this one was written " +
-          "flat (no sortDims) — rewrite with w and sortDims first")
+          "flat — rewrite with w and partitionDims first")
 
     val cluster = layout.sortDims
     val out =
@@ -137,10 +143,10 @@ object MdioDataset {
     val src = open(spark, from)
     val pruned = excludeColumns.foldLeft(src.df)((d, c) => d.drop(c))
     val keptVars = src.schema.variables.filterNot(v => excludeColumns.contains(v.name))
-    val sortDims = src.schema.layout.map(_.sortDims).getOrElse(Nil)
-      .filter(pruned.columns.contains)
+    val srcLayout = src.schema.layout.getOrElse(StoreLayout())
     write(pruned, to, src.schema.copy(variables = keptVars, layout = None),
-      sortDims = sortDims)
+      sortDims = srcLayout.sortDims.filter(pruned.columns.contains),
+      partitionDims = srcLayout.partitionCols.filter(pruned.columns.contains))
   }
 }
 

@@ -82,6 +82,13 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0))) // 3↛1 (disjoint), 4 in another block
   }
 
+  test("dedup operators leave no persisted RDDs behind (scratch staging)") {
+    Dedup.nearDupPairs(corpus, minEstJaccard = 0.4).count()
+    Dedup.blockedJaccard(corpus.withColumn("source", lit("s")), "source").count()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
   test("simhash: identical text → identical hash; similar → small hamming") {
     val withH = Dedup.withSimhash(corpus).select("doc_id", "simhash")
       .as[(Long, Long)].collect().toMap

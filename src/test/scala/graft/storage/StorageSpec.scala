@@ -48,7 +48,8 @@ class MdioDatasetSpec extends SparkSpec {
 
   test("w records layout; r+ replaces only the written region (S5)") {
     val path = tmp()
-    MdioDataset.write(sampleDf, path, sampleSchema, sortDims = Seq("il", "xl"))
+    MdioDataset.write(sampleDf, path, sampleSchema, sortDims = Seq("il", "xl"),
+      partitionDims = Seq("il"))
     val confBefore = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     // region write: replace il=1 with a single new row; il=2 untouched
     val region = Seq((1, 30, 9.9)).toDF("il", "xl", "amplitude")
@@ -72,7 +73,8 @@ class MdioDatasetSpec extends SparkSpec {
       MdioDataset.write(sampleDf, path, sampleSchema, MdioDataset.WriteMode.RPlus)
     }
     val sorted = tmp()
-    MdioDataset.write(sampleDf, sorted, sampleSchema, sortDims = Seq("il"))
+    MdioDataset.write(sampleDf, sorted, sampleSchema, sortDims = Seq("il"),
+      partitionDims = Seq("il"))
     intercept[MdioDataset.LayoutMismatchError] {
       MdioDataset.write(sampleDf, sorted, sampleSchema, MdioDataset.WriteMode.A,
         sortDims = Seq("xl"))
