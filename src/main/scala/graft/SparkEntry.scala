@@ -262,6 +262,14 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // --- corpus prep: every sketch column in one pass, materialized ------
+    "q_corpus_prep" -> ((s, d) => {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_" +
+        java.util.UUID.randomUUID().toString
+      CorpusPrep.prepare(documents(s, d), path)
+        .select("doc_id", "fp", "simhash", "sig_h", "quality", "keep",
+                "n_ws_tokens", "n_bpeish")
+    }),
     // --- V240 raw headers: pack → hex (round-trip store/parse in specs) --
     "q_raw_headers" -> ((s, d) => {
       import graft.sources.Sources
@@ -321,6 +329,48 @@ object SparkEntry {
         .select(col("doc_id"), col("pos").cast("long").as("idx"),
                 col("col").as("value"))),
   )
+
+  // SQL shared between standalone entries and the q_corpus_prep combine
+  private val qualitySqlStr =
+    """WITH t AS (SELECT doc_id, text,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars_c,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_filter(toks, x -> lower(x) IN
+      |      ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stop,
+      |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+      |      AS n_punct,
+      |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok
+      |  FROM t)
+      |SELECT doc_id,
+      |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+      |  + (CASE WHEN CAST(sum_tok AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+      |      THEN 1.0 ELSE 0.0 END) * 0.2
+      |  + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.0 END) * 0.2
+      |  + (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_c < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+      |    AS quality,
+      |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+      |  + (CASE WHEN CAST(sum_tok AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+      |      THEN 1.0 ELSE 0.0 END) * 0.2
+      |  + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.0 END) * 0.2
+      |  + (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_c < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+      |    >= 0.6 AS keep
+      |FROM m""".stripMargin
+
+  private val fingerprintSqlStr =
+    """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      |FROM documents""".stripMargin
+
+  private val tokenCountSqlStr =
+    """SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT)
+      |    AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text,
+      |    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+', 0))
+      |    AS BIGINT) AS n_bpeish
+      |FROM documents""".stripMargin
 
   /** DuckDB-equivalent SQL per query (same column names; see scaladoc above).
     * The sketch/ANN queries hash with md5-60 ([[graft.functions.CrossHash]]),
@@ -575,44 +625,17 @@ object SparkEntry {
         |      AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'fr'
         |    ELSE 'unknown' END AS pred_lang
         |FROM s""".stripMargin,
-    "q_quality" ->
-      """WITH t AS (SELECT doc_id, text,
-        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
-        |  FROM documents),
-        |m AS (SELECT doc_id,
-        |    CAST(length(text) AS BIGINT) AS n_chars_c,
-        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    CAST(len(list_filter(toks, x -> lower(x) IN
-        |      ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stop,
-        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
-        |      AS n_punct,
-        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok
-        |  FROM t)
-        |SELECT doc_id,
-        |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
-        |  + (CASE WHEN CAST(sum_tok AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
-        |      THEN 1.0 ELSE 0.0 END) * 0.2
-        |  + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.0 END) * 0.2
-        |  + (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_c < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
-        |    AS quality,
-        |  (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
-        |  + (CASE WHEN CAST(sum_tok AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
-        |      THEN 1.0 ELSE 0.0 END) * 0.2
-        |  + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.0 END) * 0.2
-        |  + (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_c < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
-        |    >= 0.6 AS keep
-        |FROM m""".stripMargin,
-    "q_fingerprint" ->
-      """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
-        |FROM documents""".stripMargin,
-    "q_token_count" ->
-      """SELECT doc_id,
-        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != '')) AS BIGINT)
-        |    AS n_ws_tokens,
-        |  CAST(len(regexp_extract_all(text,
-        |    '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+', 0))
-        |    AS BIGINT) AS n_bpeish
-        |FROM documents""".stripMargin,
+    "q_quality" -> qualitySqlStr,
+    "q_fingerprint" -> fingerprintSqlStr,
+    "q_token_count" -> tokenCountSqlStr,
+    "q_corpus_prep" ->
+      s"""SELECT q.doc_id, f.fp, sh.simhash, sg.sig_h, q.quality, q.keep,
+         |  tc.n_ws_tokens, tc.n_bpeish
+         |FROM ($qualitySqlStr) q
+         |JOIN ($fingerprintSqlStr) f USING (doc_id)
+         |JOIN (${OracleSqlGen.simhashSql()}) sh USING (doc_id)
+         |JOIN (${OracleSqlGen.minhashDigestSql()}) sg USING (doc_id)
+         |JOIN ($tokenCountSqlStr) tc USING (doc_id)""".stripMargin,
     "q_ann_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
         |    FROM embeddings WHERE vec_id < 10),

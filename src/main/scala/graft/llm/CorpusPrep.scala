@@ -1,0 +1,57 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CrossHashExprs
+
+/** Corpus preparation: compute EVERY sketch/score column the downstream
+  * pipeline needs — exact-dup fingerprint, minhash signature, simhash,
+  * quality score, token budgets — in ONE narrow map over the text, and
+  * materialize them beside the corpus.
+  *
+  * This is the 100-TB-critical shape: the text is scanned once at ingest;
+  * every later dedup/filter/search query reads precomputed columns
+  * (`(id, 32 longs)`-sized, not text-sized) — the LLM-side analog of the
+  * reference's materialize-once access patterns
+  * (`optimize/access_pattern.py:26-118`).
+  */
+object CorpusPrep {
+
+  /** 60-bit digest of a minhash signature (md5-60 of the comma-joined
+    * decimal rendering — the banding encoding, over the full signature).
+    */
+  def sigDigest(sig: Column): Column =
+    conv(substring(md5(concat_ws(",", sig.cast("array<string>"))), 1, 15), 16, 10)
+      .cast("long")
+
+  /** All sketch columns in one pass: fp (exact-dup key), sig + sig_h
+    * (near-dup LSH), simhash, quality/keep, token budgets.
+    */
+  def withSketches(df: DataFrame, textCol: String = "text",
+                   n: Int = 3, k: Int = 32): DataFrame = {
+    val toksLower = TextAnalysis.tokens(lower(col(textCol)))
+    val scored = TextAnalysis.tokenCounts(
+      TextAnalysis.qualityScore(df, textCol), textCol)
+    scored
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("sig",
+        CrossHashExprs.minhashSig(CrossHashExprs.shingleHashes(toksLower, n), k))
+      .withColumn("sig_h", sigDigest(col("sig")))
+      .withColumn("simhash",
+        CrossHashExprs.simhash(CrossHashExprs.md5h60Array(array_distinct(toksLower)), 60))
+  }
+
+  /** Materialize the prepared corpus (text + sketches) to `path` and return
+    * the lineage-free reader — what every downstream query consumes.
+    */
+  def prepare(df: DataFrame, path: String, textCol: String = "text",
+              idCol: String = "doc_id", n: Int = 3, k: Int = 32): DataFrame = {
+    withSketches(df, textCol, n, k)
+      .select(col(idCol), col(textCol), col("fp"), col("sig"), col("sig_h"),
+        col("simhash"), col("quality"), col("keep"),
+        col("n_ws_tokens"), col("n_bpeish"))
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+}

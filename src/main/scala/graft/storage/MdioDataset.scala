@@ -35,7 +35,9 @@ object MdioDataset {
 
   final class LayoutMismatchError(msg: String) extends IllegalArgumentException(msg)
 
-  private def readSidecar(spark: SparkSession, path: String): Option[MdioSchema] = {
+  /** Parsed sidecar, if the path is an MDIO store (public: the DataSourceV2
+    * shim and tools use it). */
+  def readSidecar(spark: SparkSession, path: String): Option[MdioSchema] = {
     val p = new Path(sidecarPath(path))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
