@@ -262,6 +262,14 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // --- SemDeDup + deterministic sampling -------------------------------
+    "q_semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(embeddings(s, d), minCosine = 0.4)),
+    "q_sample_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(documents(s, d), "source",
+        rates = Map("src1" -> 0.8, "src2" -> 0.5, "src3" -> 0.05),
+        defaultRate = 0.25)
+        .select("doc_id", "source")),
     // --- corpus prep: every sketch column in one pass, materialized ------
     "q_corpus_prep" -> ((s, d) => {
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_" +
@@ -628,6 +636,13 @@ object SparkEntry {
     "q_quality" -> qualitySqlStr,
     "q_fingerprint" -> fingerprintSqlStr,
     "q_token_count" -> tokenCountSqlStr,
+    "q_semantic_dedup" -> OracleSqlGen.semanticDedupSql(nCells = 16, dim = 64,
+      minCosine = 0.4),
+    "q_sample_stratified" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 10000
+        |  < CASE source WHEN 'src1' THEN 8000 WHEN 'src2' THEN 5000
+        |    WHEN 'src3' THEN 500 ELSE 2500 END""".stripMargin,
     "q_corpus_prep" ->
       s"""SELECT q.doc_id, f.fp, sh.simhash, sg.sig_h, q.quality, q.keep,
          |  tc.n_ws_tokens, tc.n_bpeish

@@ -259,6 +259,33 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup-style semantic dedup: coarse-quantize the embedding space
+    * (same cells as the IVF index — at scale, read the PERSISTED index
+    * instead of rebuilding), compare only within-cell pairs by exact cosine,
+    * and greedily drop the higher id of every pair above the threshold.
+    * Returns the surviving ids. Cells make the pairing an equi-join — the
+    * all-pairs cross never exists; the greedy (non-transitive) keep rule is
+    * the standard SemDeDup simplification.
+    */
+  def semanticDedup(embeddings: DataFrame, minCosine: Double = 0.9,
+                    nCells: Int = 16,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    indexPath: Option[String] = None): DataFrame = {
+    val path = indexPath.getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_semdedup_" +
+        java.util.UUID.randomUUID().toString)
+    Ivf.buildIndexSeeded(embeddings, path, nCells, idCol, vecCol)
+    val cells = embeddings.sparkSession.read.parquet(s"$path/cells")
+    val celled = embeddings.join(cells, idCol)
+    val a = celled.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = celled.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    val dups = a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= minCosine)
+      .select(col("id_b").as(idCol)).distinct()
+    embeddings.select(col(idCol)).join(dups, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 60-bit SimHash over md5-60 token hashes: bit j of the fingerprint is

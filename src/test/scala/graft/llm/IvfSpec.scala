@@ -49,6 +49,42 @@ class IvfSpec extends SparkSpec {
   }
 }
 
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("semanticDedup drops the clone, keeps distinct vectors") {
+    val a = (0L until 20L).map(i =>
+      (i, Array.tabulate(8)(d => (10.0 + math.sin(i * 13 + d)).toFloat)))
+    val corpus = (a :+ (99L, a.head._2)).toDF("vec_id", "embedding")
+    val survivors = Dedup.semanticDedup(corpus, minCosine = 0.999999, nCells = 2)
+      .as[Long].collect().toSet
+    assert(!survivors.contains(99L), "identical clone must be dropped")
+    assert(survivors.contains(0L), "the lower id of the pair survives")
+    assert((0L until 20L).forall(survivors.contains))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash sampling is deterministic, rate-respecting and stratified") {
+    val docs = (1L to 2000L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val s1 = Sampling.stratifiedSample(docs, "source",
+      rates = Map("src0" -> 0.8, "src1" -> 0.1), defaultRate = 0.5)
+    val s2 = Sampling.stratifiedSample(docs, "source",
+      rates = Map("src0" -> 0.8, "src1" -> 0.1), defaultRate = 0.5)
+    val r1 = s1.as[(Long, String)].collect().toSet
+    assert(r1 == s2.as[(Long, String)].collect().toSet) // reproducible
+    val bySrc = r1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(math.abs(bySrc("src0") - 400) < 60)   // 80% of 500
+    assert(math.abs(bySrc.getOrElse("src1", 0) - 50) < 30) // 10% of 500
+    assert(math.abs(bySrc("src2") + bySrc("src3") - 500) < 80) // default 50%
+    // uniform sampler: rate 0 and 1 are exact
+    assert(Sampling.hashSample(docs, 0.0).count() == 0)
+    assert(Sampling.hashSample(docs, 1.0).count() == 2000)
+  }
+}
+
 class SourcesSpec extends SparkSpec {
   import graft.sources.Sources
 
