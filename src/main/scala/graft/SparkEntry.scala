@@ -183,19 +183,27 @@ object SparkEntry {
         bits = 4, tables = 8)),
     "q_ann_ivf" -> ((s, d) =>
       Ivf.ivfTopK(embeddings(s, d), (0L until 10L), k = 10)),
-    // recall of the approximate paths vs exact top-k (quality report)
+    // recall of the approximate paths vs exact top-k (quality report);
+    // signatures and the IVF index are built ONCE and both reads reuse them
     "q_ann_recall" -> ((s, d) => {
+      import graft.core.Scratch
       val qids = (0L until 10L)
-      val exact = Similarity.bruteForceTopK(embeddings(s, d), qids, k = 10)
+      val emb = embeddings(s, d)
+      val exact = Similarity.bruteForceTopK(emb, qids, k = 10)
         .select(col("query_id"), col("neighbor_id"))
       def recallOf(approx: DataFrame, name: String): DataFrame =
         approx.select(col("query_id"), col("neighbor_id"))
           .join(exact, Seq("query_id", "neighbor_id"))
           .agg((count(lit(1)) / (qids.size * 10.0)).as("recall"))
           .withColumn("method", lit(name))
-      recallOf(Similarity.lshTopK(embeddings(s, d), qids, k = 10,
-          bits = 4, tables = 8), "lsh")
-        .unionAll(recallOf(Ivf.ivfTopK(embeddings(s, d), qids, k = 10), "ivf"))
+      val sigs = Scratch.stage(
+        Similarity.lshSignatures(emb, bits = 4, tables = 8, dim = 64), "recall_sig")
+      val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft_recall_ivf_" +
+        java.util.UUID.randomUUID().toString
+      Ivf.buildIndexSeeded(emb, ivfPath)
+      recallOf(Similarity.lshTopKFromSignatures(sigs, qids, k = 10), "lsh")
+        .unionAll(recallOf(
+          Ivf.ivfTopKFromIndex(emb, ivfPath, qids, k = 10), "ivf"))
     }),
     // --- S1/S2/P7: source scans -----------------------------------------
     "q_file_info" -> ((s, d) => graft.sources.Sources.fileInfo(s, d, "lineitem")),

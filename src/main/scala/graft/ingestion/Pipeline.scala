@@ -41,12 +41,17 @@ object IngestPipeline {
     * @param valueCol amplitude-like column for summary statistics
     * @param sparsityWarn/sparsityError thresholds (`core/config.py:41-50`)
     * @param ignoreChecks like MDIO_IGNORE_CHECKS (`core/config.py:73-77`)
+    * @param rawHeaderFields when non-empty, pack these header fields into a
+    *   240-byte `raw_headers` V240 variable stored beside the parsed columns
+    *   (the reference's raw-headers ingest switch,
+    *   `ingestion/segy/raw_headers.py:32-64`)
     */
   def ingest(spark: SparkSession, traces: DataFrame, template: DatasetTemplate,
              overrides: GridOverrides, path: String,
              ordinal: Seq[String], valueCol: String,
              sparsityWarn: Double = 2.0, sparsityError: Double = 10.0,
-             ignoreChecks: Boolean = false): IngestResult = {
+             ignoreChecks: Boolean = false,
+             rawHeaderFields: Seq[String] = Nil): IngestResult = {
 
     // 1-2: resolve schema; validate required header fields exist
     val effect = IndexStrategyRegistry.schemaEffect(overrides, template)
@@ -61,10 +66,13 @@ object IngestPipeline {
     require(missing.isEmpty,
       s"header fields required by the schema are absent: ${missing.mkString(", ")}")
 
-    // 3: strategy transform
+    // 3: strategy transform (+ optional V240 raw-header packing)
     val strategy = IndexStrategyRegistry.createStrategy(overrides, template)
     val ctx = StrategyContext(template, ordinal)
-    val transformed = strategy.transform(traces, ctx)
+    val withRaw =
+      if (rawHeaderFields.isEmpty) traces
+      else graft.sources.Sources.withRawHeaders(traces, rawHeaderFields)
+    val transformed = strategy.transform(withRaw, ctx)
 
     // 4: every calculated dim must now exist as a column
     SchemaResolver.verifyCalculatedDims(resolved, transformed.columns.toSeq)
@@ -125,7 +133,10 @@ object IngestPipeline {
         coordinates = resolved.coordinates.map(_.name),
         metadata = Some(VariableMetadata(
           chunkGrid = Some(RegularChunkGrid(resolved.chunkShape)),
-          statsV1 = statsOpt)))),
+          statsV1 = statsOpt)))) ++
+        (if (rawHeaderFields.isEmpty) Nil
+         else Seq(Variable("raw_headers", resolved.dimensions.dropRight(1),
+           Left(ScalarType.Bytes240)))),
       metadata = DatasetMetadata(resolved.name, "1.0.0",
         java.time.Instant.now().toString,
         attributes = overrides.toLegacyMap), // grid-override provenance (ingestion/metadata.py:12-19)

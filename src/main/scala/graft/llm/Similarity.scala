@@ -63,16 +63,13 @@ object Similarity {
         CrossHashExprs.planeSig(col(vecCol), t, bits, dim).as("bucket"))
     }.reduce(_ unionAll _)
 
-  /** Approximate top-k via multi-table hyperplane LSH: union the candidate
-    * sets from `tables` signature tables, dedup, exact-rerank candidates.
-    * Signatures are staged to Parquet once (queries and corpus both read the
-    * staged file; nothing stays cached after the query).
+  /** Approximate top-k from a MATERIALIZED signature table (see
+    * [[lshSignatures]]): union the candidate sets from the signature
+    * tables, dedup, exact-rerank candidates.
     */
-  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              bits: Int = 8, tables: Int = 4, dim: Int = 64,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val sigs = Scratch.stage(
-      lshSignatures(embeddings, bits, tables, dim, idCol, vecCol), "lsh_sig")
+  def lshTopKFromSignatures(sigs: DataFrame, queryIds: Seq[Long], k: Int,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
     val queries = sigs.where(col(idCol).isInCollection(queryIds))
       .select(col("tbl"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val corpus = sigs.select(col("tbl"), col("bucket"),
@@ -87,5 +84,17 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Convenience end-to-end: stage the signatures to Parquet once (queries
+    * and corpus both read the staged file; nothing stays cached), then
+    * query them.
+    */
+  def lshTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+              bits: Int = 8, tables: Int = 4, dim: Int = 64,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sigs = Scratch.stage(
+      lshSignatures(embeddings, bits, tables, dim, idCol, vecCol), "lsh_sig")
+    lshTopKFromSignatures(sigs, queryIds, k, idCol, vecCol)
   }
 }

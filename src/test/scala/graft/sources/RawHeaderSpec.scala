@@ -36,6 +36,33 @@ class RawHeaderSpec extends SparkSpec {
     assert(tail.forall(_.forall(_ == '0')))
   }
 
+  test("ingest pipeline stores raw_headers as a V240 variable when asked") {
+    import graft.ingestion.{GridOverrides, IngestPipeline}
+    import graft.schema.TemplateRegistry
+    val rows = for (il <- 1 to 5; xl <- 1 to 4)
+      yield (il, xl, il * 100.0 + xl)
+    val traces = {
+      import spark.implicits._
+      rows.toDF("inline", "crossline", "amplitude")
+    }
+    val path = java.nio.file.Files.createTempDirectory("raw-ingest").toString
+    IngestPipeline.ingest(spark, traces,
+      TemplateRegistry.instance.get("PostStack3DTime"), GridOverrides(), path,
+      ordinal = Seq("inline", "crossline"), valueCol = "amplitude",
+      rawHeaderFields = Seq("inline", "crossline"))
+    val ds = MdioDataset.open(spark, path)
+    assert(ds.schema.variable("raw_headers")
+      .exists(_.dataType == Left(ScalarType.Bytes240)))
+    val parsed = ds.df.select(
+      col("inline"),
+      Sources.parseRawHeaderField(col("raw_headers"), 0).as("il2"),
+      Sources.parseRawHeaderField(col("raw_headers"), 1).as("xl2"),
+      col("crossline"))
+    assert(parsed.where(col("inline") =!= col("il2") ||
+      col("crossline") =!= col("xl2")).count() == 0)
+    assert(parsed.count() == 20)
+  }
+
   test("raw headers round-trip through an MDIO store as a V240 variable") {
     val path = java.nio.file.Files.createTempDirectory("raw-hdr").toString
     val schema = MdioSchema(
