@@ -1,0 +1,54 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.CorpusPrep
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** The sketch kernels (md5-60 / minhash / simhash native expressions) must
+  * produce identical values inside a streaming micro-batch plan — streamed
+  * documents join the same dedup buckets as backfilled ones.
+  */
+class StreamingCorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streamed sketches equal batch sketches value-for-value") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different text about spark partitions and shuffles"),
+      (3L, "the quick brown fox jumps over the lazy dog again and again"))
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val q = StreamingCorpus.withSketchesStream(stream)
+      .select("doc_id", "fp", "sig_h", "simhash", "quality", "n_bpeish")
+      .writeStream.format("memory").queryName("corpus_stream")
+      .outputMode("append").start()
+    input.addData(docs: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("corpus_stream")
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSet
+    val batch = CorpusPrep.withSketches(docs.toDF("doc_id", "text"))
+      .select("doc_id", "fp", "sig_h", "simhash", "quality", "n_bpeish")
+      .as[(Long, String, Long, Long, Double, Long)].collect().toSet
+    assert(streamed == batch)
+    // identical text → identical fingerprint/sketches across arrival modes
+    val byId = streamed.map(r => r._1 -> r).toMap
+    assert(byId(1L)._2 == byId(3L)._2 && byId(1L)._4 == byId(3L)._4)
+  }
+
+  test("appendPrepared lands a queryable prepared corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("stream-corpus").toString
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCorpus.appendPrepared(
+      input.toDF().toDF("doc_id", "text"), s"$path/corpus")
+    input.addData((7L, "some streamed document text here"))
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$path/corpus")
+    assert(out.count() == 1)
+    assert(out.columns.contains("sig") && out.columns.contains("fp"))
+  }
+}
