@@ -20,7 +20,9 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
 
   /** Per-document token/char/quality metrics. Integer counts + IEEE double
-    * ratios of those counts — bit-identical across engines.
+    * ratios of those counts — bit-identical across engines. Ratios are NULL
+    * for token-less documents (ANSI mode would otherwise throw on the
+    * division — real corpora contain empty docs).
     */
   def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
@@ -34,9 +36,11 @@ object TextAnalysis {
       .withColumn("sum_token_len",
         aggregate(toks, lit(0), (acc, w) => acc + length(w)).cast("long"))
       .withColumn("mean_token_len",
-        col("sum_token_len").cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          col("sum_token_len").cast("double") / col("n_tokens")))
       .withColumn("stopword_ratio",
-        col("n_stopwords").cast("double") / col("n_tokens"))
+        when(col("n_tokens") > 0,
+          col("n_stopwords").cast("double") / col("n_tokens")))
   }
 
   /** Composite quality score in [0,1] — length band, token shape, stopword
@@ -49,7 +53,11 @@ object TextAnalysis {
     val lenOk = when(col("n_tokens").between(10, 1000), 1.0).otherwise(0.0)
     val tokOk = when(col("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.0)
     val stopOk = when(col("stopword_ratio") > 0.01, 1.0).otherwise(0.0)
-    val punctOk = when(col("n_punct").cast("double") / col("n_chars_c") < 0.2, 1.0)
+    // nested when: CaseWhen evaluates the division only on the n_chars_c > 0
+    // branch (a conjunction would not short-circuit the ANSI divide)
+    val punctOk = when(col("n_chars_c") > 0,
+        when(col("n_punct").cast("double") / col("n_chars_c") < 0.2, 1.0)
+          .otherwise(0.0))
       .otherwise(0.0)
     stats
       .withColumn("quality",
