@@ -245,9 +245,12 @@ object Dedup {
     val dotSelf = aggregate(
       zip_with(col(vecCol), col(vecCol), (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
+    // zero vectors normalize to zeros (never above any threshold) rather
+    // than tripping the ANSI 0/0 division
     val unit = Scratch.stage(
       embeddings.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        transform(col(vecCol), x => x.cast("double") / sqrt(dotSelf)).as("u")),
+        transform(col(vecCol), x =>
+          when(dotSelf > 0.0, x.cast("double") / sqrt(dotSelf)).otherwise(0.0)).as("u")),
       "unit_vecs")
     val dotAB = aggregate(
       zip_with(col("ua"), col("ub"), (x, y) => x * y),

@@ -27,12 +27,16 @@ import graft.functions.CrossHashExprs
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, accumulated in double. */
+  /** Cosine similarity of two float-array columns, accumulated in double.
+    * NULL for a zero vector (ANSI mode throws on the 0/0 division; a real
+    * corpus contains dead embeddings) — the n>0 branch is unchanged.
+    */
   def cosine(a: Column, b: Column): Column = {
     def dot(x: Column, y: Column): Column =
       aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
         lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
+    when(denom > 0.0, dot(a, b) / denom)
   }
 
   /** Exact top-k neighbors for each query id (queries ⊂ corpus by id). */

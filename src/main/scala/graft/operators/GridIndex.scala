@@ -76,7 +76,8 @@ object GridIndex {
     val gridSize = dims.map(d => col(s"${d}_n")).reduce(_ * _)
     df.agg(aggs.head, aggs.tail: _*)
       .withColumn("grid_size", gridSize.cast("long"))
-      .withColumn("sparsity", col("grid_size").cast("double") / col("n_rows"))
+      .withColumn("sparsity", when(col("n_rows") > 0,
+        col("grid_size").cast("double") / col("n_rows")))
       .withColumn("warn", col("sparsity") > warnRatio)
       .withColumn("error", col("sparsity") > errorRatio)
   }

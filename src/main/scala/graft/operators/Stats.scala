@@ -41,8 +41,11 @@ object Stats {
         sum(xd).cast("string").cast("double").as("sum_val"),
         sum(xd * xd).cast("string").cast("double").as("sumsq_val"),
       )
-      .withColumn("mean_val", col("sum_val") / col("n"))
-      .withColumn("var_val", col("sumsq_val") / col("n") - col("mean_val") * col("mean_val"))
+      // NULL derived stats on an empty/all-masked input — ANSI mode throws
+      // on the division otherwise (the n > 0 branch is unchanged)
+      .withColumn("mean_val", when(col("n") > 0, col("sum_val") / col("n")))
+      .withColumn("var_val", when(col("n") > 0,
+        col("sumsq_val") / col("n") - col("mean_val") * col("mean_val")))
       .withColumn("std_val", sqrt(col("var_val")))
   }
 

@@ -111,12 +111,19 @@ class DedupSpec extends SparkSpec {
 class SimilaritySpec extends SparkSpec {
   import spark.implicits._
 
-  test("cosine of known vectors") {
+  test("cosine of known vectors; NULL (not a crash) for zero vectors") {
     val df = Seq((Array(1f, 0f), Array(0f, 1f)), (Array(1f, 1f), Array(1f, 1f)))
       .toDF("a", "b")
     val sims = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
     assert(math.abs(sims(0)) < 1e-12)
     assert(math.abs(sims(1) - 1.0) < 1e-12)
+    val zero = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+    assert(zero.select(Similarity.cosine(col("a"), col("b")))
+      .as[Option[Double]].collect().head.isEmpty)
+    // empty-input stats derive NULLs, not an ANSI division error
+    val st = graft.operators.Stats.summaryStats(
+      Seq.empty[Double].toDF("x"), "x").collect().head
+    assert(st.getAs[Long]("n") == 0L && st.isNullAt(st.fieldIndex("mean_val")))
   }
 
   test("bruteForceTopK ranks by cosine, excludes self") {
