@@ -270,6 +270,10 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // near-dup clusters: LSH pairs → connected components → survivors
+    "q_dedup_components" -> ((s, d) =>
+      Dedup.dupComponents(Dedup.nearDupPairs(documents(s, d)))
+        .select(col("id").as("doc_id"), col("component"), col("is_survivor"))),
     // --- SemDeDup + deterministic sampling -------------------------------
     "q_semantic_dedup" -> ((s, d) =>
       Dedup.semanticDedup(embeddings(s, d), minCosine = 0.4)),
@@ -570,6 +574,7 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_jaccard_blocked" -> OracleSqlGen.blockedJaccardSql(),
     "q_neardup_lsh" -> OracleSqlGen.nearDupLshSql(),
+    "q_dedup_components" -> OracleSqlGen.dedupComponentsSql(),
     "q_simhash" -> OracleSqlGen.simhashSql(),
     "q_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8, dim = 64,
       nQueries = 10, k = 10),

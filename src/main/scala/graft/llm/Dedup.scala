@@ -262,6 +262,41 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Connected components of the near-dup pair graph — the canonical step
+    * AFTER LSH: near-duplication is transitive in intent (a~b, b~c ⇒ one
+    * cluster), so survivors must be chosen per component, not per pair.
+    * Iterative min-label propagation over the (tiny relative to the corpus)
+    * pair graph: each round every node takes the min label among itself and
+    * its neighbors; converges in ≤ diameter rounds (pointer-doubling is the
+    * upgrade if components ever get deep — near-dup clusters are shallow).
+    * Each round's label table is staged (lineage cut, nothing cached).
+    * Returns (id, component = min id reachable, is_survivor).
+    */
+  def dupComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
+    val edges = Scratch.stage(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      "cc_edges")
+    var labels = Scratch.stage(
+      edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")),
+      "cc_labels")
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = Scratch.stage(
+        labels.unionAll(prop).groupBy("id").agg(min(col("lbl")).as("lbl")),
+        "cc_labels")
+      changed = next.join(labels.withColumnRenamed("lbl", "_old"), "id")
+        .where(col("lbl") =!= col("_old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"),
+      (col("id") === col("lbl")).as("is_survivor"))
+  }
+
   /** SemDeDup-style semantic dedup: coarse-quantize the embedding space
     * (same cells as the IVF index — at scale, read the PERSISTED index
     * instead of rebuilding), compare only within-cell pairs by exact cosine,

@@ -82,6 +82,19 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0))) // 3↛1 (disjoint), 4 in another block
   }
 
+  test("dupComponents merges transitive pairs into min-labeled clusters") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.dupComponents(pairs)
+      .select("id", "component", "is_survivor")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      8L -> ((1L, false)), 9L -> ((1L, false)),
+      5L -> ((5L, true)), 6L -> ((5L, false))))
+  }
+
   test("dedup operators leave no persisted RDDs behind (scratch staging)") {
     Dedup.nearDupPairs(corpus, minEstJaccard = 0.4).count()
     Dedup.blockedJaccard(corpus.withColumn("source", lit("s")), "source").count()
