@@ -314,12 +314,26 @@ object Dedup {
         java.util.UUID.randomUUID().toString)
     Ivf.buildIndexSeeded(embeddings, path, nCells, idCol, vecCol)
     val cells = embeddings.sparkSession.read.parquet(s"$path/cells")
-    val celled = embeddings.join(cells, idCol)
-    val a = celled.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = celled.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    val dups = a.join(b, Seq("cell"))
+    // normalize once behind a staging barrier: every within-cell pair then
+    // costs ONE dot product fold instead of dot + two norms (cosine ≡ dot
+    // of unit vectors up to ~1e-15 reordering — irrelevant to the pair SET
+    // at any sane threshold margin; same design as embeddingNearDups)
+    val dotSelf = aggregate(
+      zip_with(col(vecCol), col(vecCol), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val unit = Scratch.stage(
+      embeddings.join(cells, idCol)
+        .select(col("cell"), col(idCol).as("id"),
+          transform(col(vecCol), x =>
+            when(dotSelf > 0.0, x.cast("double") / sqrt(dotSelf)).otherwise(0.0)).as("u")),
+      "semdedup_unit")
+    val dotAB = aggregate(
+      zip_with(col("ua"), col("ub"), (x, y) => x * y),
+      lit(0.0), (acc, v) => acc + v)
+    val dups = unit.select(col("cell"), col("id").as("id_a"), col("u").as("ua"))
+      .join(unit.select(col("cell"), col("id").as("id_b"), col("u").as("ub")), Seq("cell"))
       .where(col("id_a") < col("id_b"))
-      .where(Similarity.cosine(col("va"), col("vb")) >= minCosine)
+      .where(dotAB >= minCosine)
       .select(col("id_b").as(idCol)).distinct()
     embeddings.select(col(idCol)).join(dups, Seq(idCol), "left_anti")
   }
