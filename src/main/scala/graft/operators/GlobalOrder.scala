@@ -24,7 +24,7 @@ object GlobalOrder {
   def withGlobalSeq(df: DataFrame, keys: Seq[String], out: String = "seq"): DataFrame = {
     val sorted = df.orderBy(keys.map(col): _*)
     val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
-    val rdd = sorted.rdd.zipWithIndex.map { case (row, idx) =>
+    val rdd = sorted.rdd.zipWithIndex().map { case (row, idx) =>
       Row.fromSeq(row.toSeq :+ idx)
     }
     df.sparkSession.createDataFrame(rdd, schema)

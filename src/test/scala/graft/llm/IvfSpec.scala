@@ -9,9 +9,9 @@ class IvfSpec extends SparkSpec {
   private def corpus = {
     // two well-separated clusters + a clone of vec 0
     val a = (0L until 20L).map(i =>
-      (i, Array.tabulate(8)(d => (10.0 + math.sin(i * 13 + d)).toFloat)))
+      (i, Array.tabulate(8)(d => (10.0 + math.sin(i * 13.0 + d)).toFloat)))
     val b = (20L until 40L).map(i =>
-      (i, Array.tabulate(8)(d => (-10.0 + math.cos(i * 7 + d)).toFloat)))
+      (i, Array.tabulate(8)(d => (-10.0 + math.cos(i * 7.0 + d)).toFloat)))
     (a ++ b :+ (99L, a.head._2)).toDF("vec_id", "embedding")
   }
 
@@ -54,7 +54,7 @@ class SemanticDedupSpec extends SparkSpec {
 
   test("semanticDedup drops the clone, keeps distinct vectors") {
     val a = (0L until 20L).map(i =>
-      (i, Array.tabulate(8)(d => (10.0 + math.sin(i * 13 + d)).toFloat)))
+      (i, Array.tabulate(8)(d => (10.0 + math.sin(i * 13.0 + d)).toFloat)))
     val corpus = (a :+ (99L, a.head._2)).toDF("vec_id", "embedding")
     val survivors = Dedup.semanticDedup(corpus, minCosine = 0.999999, nCells = 2)
       .as[Long].collect().toSet

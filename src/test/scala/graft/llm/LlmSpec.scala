@@ -152,7 +152,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("lshTopK finds the identical vector (recall on exact match)") {
     val vecs = (0L until 50L).map { i =>
-      (i, Array.tabulate(16)(d => math.sin(i * 17 + d).toFloat))
+      (i, Array.tabulate(16)(d => math.sin(i * 17.0 + d).toFloat))
     } :+ (99L, Array.tabulate(16)(d => math.sin(0 * 17 + d).toFloat)) // clone of 0
     val df = vecs.toDF("vec_id", "embedding")
     val got = Similarity.lshTopK(df, Seq(0L), k = 5, bits = 4, tables = 4, dim = 16)
