@@ -256,6 +256,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
     }),
+    // --- S4 via DataSourceV2: format("mdio") under the oracle gate -------
+    "q_store_v2" -> ((s, d) => {
+      import graft.schema._
+      import graft.storage.MdioDataset
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_storev2_" +
+        java.util.UUID.randomUUID().toString
+      val li = lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+      val schema = MdioSchema(
+        variables = Seq(Variable("l_quantity", Seq("l_orderkey", "l_linenumber"),
+          Left(ScalarType.Float64), compressor = Some(Blosc()))),
+        metadata = DatasetMetadata("lineitem-v2", "1.0.0", "2026-01-01T00:00:00Z"))
+      MdioDataset.write(li, path, schema, sortDims = Seq("l_suppkey"))
+      s.read.format("mdio").load(path)        // the DSv2 surface
+        .where(col("l_suppkey") === 7L)
+        .groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+    }),
     // --- O1: access-pattern materialization + catalog resolve ------------
     "q_access_fast" -> ((s, d) => {
       import graft.operators.AccessPatterns
@@ -705,6 +724,10 @@ object SparkEntry {
         |    WHERE l_extendedprice IS NOT NULL AND l_extendedprice != 0) AS VARCHAR) AS DOUBLE)
         |    AS sum_val""".stripMargin,
     "q_store_roundtrip" ->
+      """SELECT l_linenumber, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_suppkey = 7 GROUP BY 1""".stripMargin,
+    "q_store_v2" ->
       """SELECT l_linenumber, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_suppkey = 7 GROUP BY 1""".stripMargin,
