@@ -198,8 +198,7 @@ object SparkEntry {
           .withColumn("method", lit(name))
       val sigs = Scratch.stage(
         Similarity.lshSignatures(emb, bits = 4, tables = 8, dim = 64), "recall_sig")
-      val ivfPath = s"${System.getProperty("java.io.tmpdir")}/graft_recall_ivf_" +
-        java.util.UUID.randomUUID().toString
+      val ivfPath = graft.core.TempDirs.scratch("recall_ivf")
       Ivf.buildIndexSeeded(emb, ivfPath)
       recallOf(Similarity.lshTopKFromSignatures(sigs, qids, k = 10), "lsh")
         .unionAll(recallOf(
@@ -223,8 +222,7 @@ object SparkEntry {
       import graft.storage.MdioDataset
       val tmpl = DatasetTemplate("LineitemGrid", "time",
         Seq("l_suppkey", "l_partkey", "time"), Seq(8, 8, 512))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_" +
-        java.util.UUID.randomUUID().toString
+      val path = graft.core.TempDirs.scratch("ingest")
       val traces = lineitem(s, d).select("l_suppkey", "l_partkey",
         "l_orderkey", "l_linenumber", "l_extendedprice")
       val r = IngestPipeline.ingest(s, traces, tmpl,
@@ -241,8 +239,7 @@ object SparkEntry {
     "q_store_roundtrip" -> ((s, d) => {
       import graft.schema._
       import graft.storage.MdioDataset
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_store_" +
-        java.util.UUID.randomUUID().toString
+      val path = graft.core.TempDirs.scratch("store")
       val li = lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
       val schema = MdioSchema(
@@ -260,8 +257,7 @@ object SparkEntry {
     "q_store_v2" -> ((s, d) => {
       import graft.schema._
       import graft.storage.MdioDataset
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_storev2_" +
-        java.util.UUID.randomUUID().toString
+      val path = graft.core.TempDirs.scratch("storev2")
       val li = lineitem(s, d)
         .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
       val schema = MdioSchema(
@@ -278,8 +274,7 @@ object SparkEntry {
     // --- O1: access-pattern materialization + catalog resolve ------------
     "q_access_fast" -> ((s, d) => {
       import graft.operators.AccessPatterns
-      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ap_" +
-        java.util.UUID.randomUUID().toString
+      val base = graft.core.TempDirs.scratch("ap")
       val li = lineitem(s, d).select("l_partkey", "l_orderkey", "l_extendedprice")
       li.write.parquet(s"$base/base")
       AccessPatterns.optimize(li, base, Seq("l_partkey"))
@@ -303,8 +298,7 @@ object SparkEntry {
         .select("doc_id", "source")),
     // --- corpus prep: every sketch column in one pass, materialized ------
     "q_corpus_prep" -> ((s, d) => {
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_corpus_" +
-        java.util.UUID.randomUUID().toString
+      val path = graft.core.TempDirs.scratch("corpus")
       CorpusPrep.prepare(documents(s, d), path)
         .select("doc_id", "fp", "simhash", "sig_h", "quality", "keep",
                 "n_ws_tokens", "n_bpeish")
@@ -322,8 +316,7 @@ object SparkEntry {
       import graft.operators.{AccessPatterns, Stats}
       import graft.schema._
       import graft.storage.MdioDataset
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_quant_" +
-        java.util.UUID.randomUUID().toString
+      val path = graft.core.TempDirs.scratch("quant")
       val li = lineitem(s, d).select("l_orderkey", "l_linenumber", "l_extendedprice")
       // decimal-exact summary stats (the q_stats formulas), stored in the
       // sidecar like ingest does — the metadata-sized driver value

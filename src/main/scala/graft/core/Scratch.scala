@@ -21,9 +21,7 @@ object Scratch {
     * return the re-opened, lineage-free frame.
     */
   def stage(df: DataFrame, tag: String, path: Option[String] = None): DataFrame = {
-    val p = path.getOrElse(
-      s"${System.getProperty("java.io.tmpdir")}/graft_scratch_${tag}_" +
-        java.util.UUID.randomUUID().toString)
+    val p = path.getOrElse(TempDirs.scratch(s"scratch_$tag"))
     df.write.mode("overwrite").parquet(p)
     df.sparkSession.read.parquet(p)
   }

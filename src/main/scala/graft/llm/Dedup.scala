@@ -310,8 +310,7 @@ object Dedup {
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     indexPath: Option[String] = None): DataFrame = {
     val path = indexPath.getOrElse(
-      s"${System.getProperty("java.io.tmpdir")}/graft_semdedup_" +
-        java.util.UUID.randomUUID().toString)
+      graft.core.TempDirs.scratch("semdedup"))
     Ivf.buildIndexSeeded(embeddings, path, nCells, idCol, vecCol)
     val cells = embeddings.sparkSession.read.parquet(s"$path/cells")
     // normalize once behind a staging barrier: every within-cell pair then

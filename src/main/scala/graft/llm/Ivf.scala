@@ -126,8 +126,7 @@ object Ivf {
               idCol: String = "vec_id", vecCol: String = "embedding",
               indexPath: Option[String] = None): DataFrame = {
     val path = indexPath.getOrElse(
-      s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
-        java.util.UUID.randomUUID().toString)
+      graft.core.TempDirs.scratch("ivf"))
     buildIndexSeeded(embeddings, path, nCells, idCol, vecCol)
     ivfTopKFromIndex(embeddings, path, queryIds, k, nProbe, idCol, vecCol)
   }
