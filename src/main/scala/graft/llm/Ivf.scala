@@ -42,8 +42,10 @@ object Ivf {
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
   /** Build + persist the seeded-medoid index: each vector is assigned to its
-    * nearest seed embedding (ties → lowest cell, via a deterministic
-    * row_number over (dist, cell)).
+    * nearest seed embedding (ties → lowest cell). The argmin is a `min_by`
+    * over a (dist², cell) struct — a partial-aggregatable hash aggregate
+    * with map-side combine, not a per-key window sort: at corpus scale the
+    * assignment is one shuffle of pre-combined (id, best-cell) pairs.
     */
   def buildIndexSeeded(embeddings: DataFrame, indexPath: String, nCells: Int = 16,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
@@ -55,13 +57,11 @@ object Ivf {
       .select(col("cell"), asDouble(col(vecCol)).as("centroid"))
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
     val cent = sess.read.parquet(s"$indexPath/centroids")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_d2"), col("cell"))
     val cells = embeddings.select(col(idCol), asDouble(col(vecCol)).as("_v"))
       .crossJoin(broadcast(cent))                 // |corpus| × nCells, broadcast side tiny
       .withColumn("_d2", dist2(col("_v"), col("centroid")))
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1)
-      .select(col(idCol), col("cell"))
+      .groupBy(col(idCol))
+      .agg(min_by(col("cell"), struct(col("_d2"), col("cell"))).as("cell"))
     cells.write.mode("overwrite").parquet(s"$indexPath/cells")
   }
 
