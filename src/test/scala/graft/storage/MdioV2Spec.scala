@@ -49,6 +49,19 @@ class MdioV2Spec extends SparkSpec {
     assert(got.count() == viaHandle)
   }
 
+  test("SQL surface: CREATE TABLE ... USING mdio resolves through the catalog") {
+    val path = Files.createTempDirectory("mdio-sql").toString
+    MdioDataset.write(df, path, schema, sortDims = Seq("il", "xl"))
+    spark.sql(s"CREATE TABLE mdio_sql_t USING mdio OPTIONS (path '$path')")
+    try {
+      val got = spark.sql(
+        "SELECT il, count(*) AS n, sum(xl) AS sxl FROM mdio_sql_t GROUP BY il")
+      assert(got.count() == 4)
+      assert(spark.sql("SELECT count(*) FROM mdio_sql_t WHERE xl > 35")
+        .head().getLong(0) == 5L)
+    } finally spark.sql("DROP TABLE mdio_sql_t")
+  }
+
   test("format(mdio) rejects non-store paths") {
     val path = Files.createTempDirectory("not-a-store").toString
     intercept[IllegalArgumentException] {
