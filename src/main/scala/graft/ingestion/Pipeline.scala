@@ -155,13 +155,15 @@ object IngestPipeline {
     // patch stats into the sidecar, like the reference's post-write attr patch
     MdioDataset.writeSidecar(spark, path, schemaWith(Some(stats)))
 
-    // C2: persist the sorted-distinct dimension tables alongside the data
+    // C2/C1: dimension + coordinate tables derive from the STORE just
+    // written (column-pruned parquet reads), not from `transformed` — which
+    // would re-run the whole strategy window pipeline once per table
+    val stored = MdioDataset.open(spark, path).df
     gridDims.foreach { d =>
-      Dimensions.computeDimension(transformed, d)
+      Dimensions.computeDimension(stored, d)
         .write.mode("overwrite").parquet(s"$path/dims/$d")
     }
-    // C1: persist declared coordinate tables that the headers actually carry
-    populateCoordinates(transformed, resolved, orderKey = ordinal.head)
+    populateCoordinates(stored, resolved, orderKey = ordinal.head)
       .foreach { case (name, coordDf) =>
         coordDf.write.mode("overwrite").parquet(s"$path/coords/$name")
       }
