@@ -284,6 +284,8 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    "q_boilerplate" -> ((s, d) =>
+      Dedup.boilerplateShingles(documents(s, d))),
     // near-dup clusters: LSH pairs → connected components → survivors
     "q_dedup_components" -> ((s, d) =>
       Dedup.dupComponents(Dedup.nearDupPairs(documents(s, d)))
@@ -587,6 +589,7 @@ object SparkEntry {
     "q_jaccard_blocked" -> OracleSqlGen.blockedJaccardSql(),
     "q_neardup_lsh" -> OracleSqlGen.nearDupLshSql(),
     "q_dedup_components" -> OracleSqlGen.dedupComponentsSql(),
+    "q_boilerplate" -> OracleSqlGen.boilerplateSql(),
     "q_simhash" -> OracleSqlGen.simhashSql(),
     "q_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8, dim = 64,
       nQueries = 10, k = 10),

@@ -262,6 +262,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Boilerplate report: the `topK` shingles by document frequency — the
+    * corpus-level n-gram scan that CALIBRATES [[blockedJaccard]]'s
+    * doc-frequency cap (and exposes templated text to strip before
+    * training). Global top-k via orderBy+limit — Spark plans
+    * TakeOrderedAndProject (per-partition heaps + merge), never a
+    * single-partition window over all distinct shingles.
+    */
+  def boilerplateShingles(df: DataFrame, textCol: String = "text",
+                          n: Int = 3, topK: Int = 20): DataFrame = {
+    val top = df.select(explode(shingleHashes(col(textCol), n)).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df_n"))
+      .orderBy(col("df_n").desc, col("s"))
+      .limit(topK)
+    // rank over the topK-row result only (metadata-sized window)
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("df_n").desc, col("s"))).cast("long"))
+  }
+
   /** Connected components of the near-dup pair graph — the canonical step
     * AFTER LSH: near-duplication is transitive in intent (a~b, b~c ⇒ one
     * cluster), so survivors must be chosen per component, not per pair.
