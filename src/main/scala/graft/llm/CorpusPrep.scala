@@ -42,15 +42,18 @@ object CorpusPrep {
         CrossHashExprs.simhash(CrossHashExprs.md5h60Array(array_distinct(toksLower)), 60))
   }
 
-  /** Materialize the prepared corpus (text + sketches) to `path` and return
-    * the lineage-free reader — what every downstream query consumes.
+  /** The sketch columns [[withSketches]] adds (score intermediates dropped). */
+  val sketchColumns: Seq[String] = Seq("fp", "sig", "sig_h", "simhash",
+    "quality", "keep", "n_ws_tokens", "n_bpeish")
+
+  /** Materialize the prepared corpus — every source column (id, text,
+    * strata/metadata) plus the sketches — to `path` and return the
+    * lineage-free reader: what every downstream query consumes.
     */
   def prepare(df: DataFrame, path: String, textCol: String = "text",
-              idCol: String = "doc_id", n: Int = 3, k: Int = 32): DataFrame = {
+              n: Int = 3, k: Int = 32): DataFrame = {
     withSketches(df, textCol, n, k)
-      .select(col(idCol), col(textCol), col("fp"), col("sig"), col("sig_h"),
-        col("simhash"), col("quality"), col("keep"),
-        col("n_ws_tokens"), col("n_bpeish"))
+      .select((df.columns.toSeq ++ sketchColumns).map(col): _*)
       .write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
