@@ -3,7 +3,7 @@ package graft.ingestion
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Coordinates, Dimensions, GridIndex, Stats}
+import graft.operators.{Coordinates, Dimensions}
 import graft.schema._
 import graft.storage.MdioDataset
 

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.core.Scratch
-import graft.functions.{CrossHash, CrossHashExprs}
+import graft.functions.CrossHashExprs
 
 /** Deduplication for training-data pipelines: exact (hash-groupBy), MinHash+
   * LSH near-dup, SimHash, and n-gram Jaccard verification.
