@@ -593,10 +593,10 @@ object SparkEntry {
     "q_simhash" -> OracleSqlGen.simhashSql(),
     "q_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8, dim = 64,
       nQueries = 10, k = 10),
-    "q_ann_ivf" -> OracleSqlGen.annIvfSql(nCells = 16, nProbe = 4, dim = 64,
+    "q_ann_ivf" -> OracleSqlGen.annIvfSql(nProbe = 4, dim = 64,
       nQueries = 10, k = 10),
     "q_ann_recall" -> OracleSqlGen.annRecallSql(bits = 4, tables = 8,
-      nCells = 16, nProbe = 4, dim = 64, nQueries = 10, k = 10),
+      nProbe = 4, dim = 64, nQueries = 10, k = 10),
     "q_multimodal_features" -> OracleSqlGen.multimodalFeaturesSql(),
     "q_raw_headers" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,
@@ -664,7 +664,7 @@ object SparkEntry {
     "q_quality" -> qualitySqlStr,
     "q_fingerprint" -> fingerprintSqlStr,
     "q_token_count" -> tokenCountSqlStr,
-    "q_semantic_dedup" -> OracleSqlGen.semanticDedupSql(nCells = 16, dim = 64,
+    "q_semantic_dedup" -> OracleSqlGen.semanticDedupSql(dim = 64,
       minCosine = 0.4),
     "q_sample_stratified" ->
       """SELECT doc_id, source FROM documents

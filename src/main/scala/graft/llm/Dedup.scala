@@ -325,7 +325,7 @@ object Dedup {
     * the standard SemDeDup simplification.
     */
   def semanticDedup(embeddings: DataFrame, minCosine: Double = 0.9,
-                    nCells: Int = 16,
+                    nCells: Int = 0,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     indexPath: Option[String] = None): DataFrame = {
     val path = indexPath.getOrElse(

@@ -21,17 +21,44 @@ import org.apache.spark.sql.functions._
   *
   * Two quantizers:
   *  - [[buildIndexKMeans]] — Spark ML KMeans, the quality path;
-  *  - [[buildIndexSeeded]] — centroids are the embeddings of a fixed seed-id
-  *    set (a one-step k-medoid). Deterministic and SQL-expressible, so the
-  *    DuckDB oracle replicates the whole IVF search bit-for-bit; also a
-  *    legitimate cheap coarse quantizer at scale (sampled medoids).
+  *  - [[buildIndexSeeded]] — centroids are the embeddings of a
+  *    **corpus-derived** seed-id set (a one-step k-medoid): the nCells ids
+  *    with the smallest md5-60("seed:" || id). Deterministic, works on ANY
+  *    id space (no fixture coupling), and SQL-expressible, so the DuckDB
+  *    oracle replicates the whole IVF search bit-for-bit; also a legitimate
+  *    cheap coarse quantizer at scale (hash-sampled medoids).
   */
 object Ivf {
 
-  /** Fixed seed ids for the deterministic quantizer: spaced so they exist at
-    * every fixture scale (max id 445 < 500) and avoid the 0..9 query ids.
+  /** Cell-count default: nCells ≈ corpusSize / targetCellSize, floored at
+    * minCells. Within-cell pairing (SemDeDup) and probe rerank are
+    * O(|cell|²) / O(|cell|) — holding the TARGET CELL SIZE constant (not the
+    * cell count) is what keeps those costs linear in the corpus: at 10⁹
+    * vectors this yields ~10⁷ cells, the SemDeDup-at-scale regime.
     */
-  def seededCellIds(nCells: Int): Seq[Long] = (0 until nCells).map(i => 10L + 29L * i)
+  def derivedNCells(corpusSize: Long, targetCellSize: Int = 64,
+                    minCells: Int = 16): Int =
+    math.max(minCells, math.ceil(corpusSize.toDouble / targetCellSize).toInt)
+
+  /** Corpus-derived deterministic seed table (idCol, cell): the nCells ids
+    * with the smallest md5-60("seed:" || id), cell-numbered in (hash, id)
+    * order. Bottom-k by a salted hash is a uniform pseudo-random sample that
+    * any engine reproduces (oracle: row_number over the same hash) and that
+    * exists by construction in every id space. Plans as
+    * TakeOrderedAndProject (per-partition heaps, no global sort); the
+    * follow-up rank window touches only the nCells surviving rows.
+    */
+  def seedTable(embeddings: DataFrame, nCells: Int,
+                idCol: String = "vec_id"): DataFrame = {
+    val h = conv(substring(md5(concat(lit("seed:"), col(idCol).cast("string"))),
+      1, 15), 16, 10).cast("long")
+    embeddings.select(col(idCol), h.as("_h"))
+      .orderBy(col("_h"), col(idCol))
+      .limit(nCells)
+      .withColumn("cell", (row_number().over(
+        Window.orderBy(col("_h"), col(idCol))) - 1).cast("long"))
+      .drop("_h")
+  }
 
   /** Squared L2 distance of two double-array columns (left-fold, matching
     * the oracle's `list_reduce`). */
@@ -46,13 +73,15 @@ object Ivf {
     * over a (dist², cell) struct — a partial-aggregatable hash aggregate
     * with map-side combine, not a per-key window sort: at corpus scale the
     * assignment is one shuffle of pre-combined (id, best-cell) pairs.
+    *
+    * `nCells <= 0` (the default) derives the cell count from the corpus size
+    * ([[derivedNCells]]); seeds come from the corpus itself ([[seedTable]]).
     */
-  def buildIndexSeeded(embeddings: DataFrame, indexPath: String, nCells: Int = 16,
+  def buildIndexSeeded(embeddings: DataFrame, indexPath: String, nCells: Int = 0,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val sess = embeddings.sparkSession
-    import sess.implicits._
-    val seeds = seededCellIds(nCells).zipWithIndex
-      .map { case (id, cell) => (id, cell.toLong) }.toDF(idCol, "cell")
+    val k = if (nCells > 0) nCells else derivedNCells(embeddings.count())
+    val seeds = seedTable(embeddings, k, idCol)
     val centroids = embeddings.join(broadcast(seeds), idCol)
       .select(col("cell"), asDouble(col(vecCol)).as("centroid"))
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
@@ -122,7 +151,7 @@ object Ivf {
     * shape. Production keeps the build and the query as separate steps.
     */
   def ivfTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-              nCells: Int = 16, nProbe: Int = 4,
+              nCells: Int = 0, nProbe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding",
               indexPath: Option[String] = None): DataFrame = {
     val path = indexPath.getOrElse(

@@ -38,14 +38,29 @@ class IvfSpec extends SparkSpec {
     assert(got.get(99L).contains(1L))
   }
 
-  test("seeded ivfTopK finds the identical clone, probes only the near cluster") {
-    // seeds 10 and 39 (seededCellIds(2)) sit one per cluster; nProbe=1 keeps
-    // the query in its own cluster's cell
-    val got = Ivf.ivfTopK(corpus, Seq(0L), k = 5, nCells = 2, nProbe = 1)
+  test("seeded ivfTopK finds the identical clone on an arbitrary id space") {
+    // ids shifted far beyond any fixture range: seeds are corpus-derived, so
+    // the quantizer must work with no assumptions about which ids exist.
+    // The clone's vector equals the query's, so it lands in the query's cell
+    // under ANY seed placement and nProbe=1 still reaches it.
+    val shifted = corpus.withColumn("vec_id", col("vec_id") + 5000000L)
+    val got = Ivf.ivfTopK(shifted, Seq(5000000L), k = 5, nCells = 2, nProbe = 1)
       .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
-    assert(got.get(99L).contains(1L))
-    // all neighbors come from the same (near) cluster, never the far one
-    assert(got.keys.forall(id => id < 20L || id == 99L))
+    assert(got.get(5000099L).contains(1L))
+  }
+
+  test("seedTable picks nCells corpus ids, cells numbered 0..n-1") {
+    val shifted = corpus.withColumn("vec_id", col("vec_id") + 5000000L)
+    val seeds = Ivf.seedTable(shifted, 4).collect()
+    assert(seeds.length == 4)
+    assert(seeds.map(_.getAs[Long]("cell")).sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(seeds.map(_.getAs[Long]("vec_id")).forall(_ >= 5000000L))
+  }
+
+  test("derivedNCells holds cell SIZE (not count) constant as the corpus grows") {
+    assert(Ivf.derivedNCells(500) == 16)    // floor
+    assert(Ivf.derivedNCells(5000) == 79)   // ceil(5000/64)
+    assert(Ivf.derivedNCells(1000000) == 15625)
   }
 }
 
