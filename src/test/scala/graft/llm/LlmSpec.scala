@@ -95,6 +95,17 @@ class DedupSpec extends SparkSpec {
       5L -> ((5L, true)), 6L -> ((5L, false))))
   }
 
+  test("dupComponents closes a 1000-node chain in O(log n) rounds") {
+    // path graph 0-1-2-…-999: diameter 999. Min-label propagation alone
+    // needs ~999 rounds; pointer doubling must close it in ≤10.
+    val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (comp, iters) = Dedup.dupComponentsIterated(pairs)
+    val rows = comp.select("id", "component").as[(Long, Long)].collect()
+    assert(rows.length == 1000)
+    assert(rows.forall(_._2 == 0L), "every node reaches the min id 0")
+    assert(iters <= 10, s"pointer doubling should converge in ≤10 rounds, took $iters")
+  }
+
   test("dedup operators leave no persisted RDDs behind (scratch staging)") {
     Dedup.nearDupPairs(corpus, minEstJaccard = 0.4).count()
     Dedup.blockedJaccard(corpus.withColumn("source", lit("s")), "source").count()
