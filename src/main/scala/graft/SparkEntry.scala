@@ -253,7 +253,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
     }),
-    // --- S4 via DataSourceV2: format("mdio") under the oracle gate -------
+    // --- S4/S5 via DataSourceV2: format("mdio") read AND write under the
+    // oracle gate: half the rows land through the Scala API, the other half
+    // through df.write.format("mdio").mode("append") — the aggregate only
+    // matches DuckDB's full-lineitem answer if the DSv2 append really lands
     "q_store_v2" -> ((s, d) => {
       import graft.schema._
       import graft.storage.MdioDataset
@@ -264,7 +267,10 @@ object SparkEntry {
         variables = Seq(Variable("l_quantity", Seq("l_orderkey", "l_linenumber"),
           Left(ScalarType.Float64), compressor = Some(Blosc()))),
         metadata = DatasetMetadata("lineitem-v2", "1.0.0", "2026-01-01T00:00:00Z"))
-      MdioDataset.write(li, path, schema, sortDims = Seq("l_suppkey"))
+      MdioDataset.write(li.where(col("l_orderkey") % 2 === 0), path, schema,
+        sortDims = Seq("l_suppkey"))
+      li.where(col("l_orderkey") % 2 =!= 0)
+        .write.format("mdio").mode("append").save(path)
       s.read.format("mdio").load(path)        // the DSv2 surface
         .where(col("l_suppkey") === 7L)
         .groupBy(col("l_linenumber"))

@@ -81,6 +81,19 @@ object MdioDataset {
           throw new LayoutMismatchError(
             s"$mode partitionDims ${partitionDims.mkString(",")} != stored layout " +
               stored.partitionCols.mkString(","))
+        // schema-drift gate: an append with a changed column type would write
+        // mixed-type parquet that only fails (or silently coerces) at read
+        // time when the recorded DDL is re-applied. Order and nullability
+        // are free; names + types must match the recorded schema exactly.
+        stored.sparkSchemaDdl.foreach { ddl =>
+          val want = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+            .map(f => f.name -> f.dataType).toMap
+          val got = df.schema.map(f => f.name -> f.dataType).toMap
+          if (got != want)
+            throw new LayoutMismatchError(
+              s"$mode schema drift: incoming [${df.schema.toDDL}] does not " +
+                s"match the store's recorded schema [$ddl]")
+        }
         stored
     }
     if (mode == WriteMode.RPlus && layout.partitionCols.isEmpty)

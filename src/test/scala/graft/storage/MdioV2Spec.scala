@@ -68,4 +68,73 @@ class MdioV2Spec extends SparkSpec {
       spark.read.format("mdio").load(path).count()
     }
   }
+
+  // ------------------------------------------------------- DSv2 write path
+
+  test("write.format(mdio) append lands rows through MdioDataset semantics") {
+    val path = Files.createTempDirectory("mdio-w-append").toString
+    MdioDataset.write(df.where(col("xl") <= 20), path, schema,
+      sortDims = Seq("il", "xl"))
+    df.where(col("xl") > 20).write.format("mdio").mode("append").save(path)
+    val got = spark.read.format("mdio").load(path)
+    assert(got.count() == 40)
+    // the append kept the recorded layout + sidecar intact
+    val sidecar = MdioDataset.readSidecar(spark, path).get
+    assert(sidecar.layout.get.sortDims == Seq("il", "xl"))
+    assert(sidecar.metadata.name == "v2")
+  }
+
+  test("write.format(mdio) overwrite maps to w; dynamic option maps to r+") {
+    val path = Files.createTempDirectory("mdio-w-ovr").toString
+    MdioDataset.write(df, path, schema, sortDims = Seq("xl"),
+      partitionDims = Seq("il"))
+    // full overwrite: only the new rows remain
+    df.where(col("il") === 1).write.format("mdio").mode("overwrite").save(path)
+    assert(spark.read.format("mdio").load(path).count() == 10)
+    // region overwrite: il=2 partition replaced, il=1 untouched
+    MdioDataset.write(df, path, schema, MdioDataset.WriteMode.W,
+      sortDims = Seq("xl"), partitionDims = Seq("il"))
+    df.where(col("il") === 2).withColumn("amp", lit(0.0))
+      .write.format("mdio").mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic").save(path)
+    val got = spark.read.format("mdio").load(path)
+    assert(got.count() == 40)
+    assert(got.where(col("il") === 2 && col("amp") =!= 0.0).count() == 0)
+    assert(got.where(col("il") === 1 && col("amp") === 0.0).count() == 0)
+  }
+
+  test("write.format(mdio) to a fresh path creates the store (Zarr 'a')") {
+    // Spark rejects ErrorIfExists/Ignore for TableProvider sources; append
+    // is the create-if-absent mode, exactly like Zarr's 'a'
+    val path = Files.createTempDirectory("mdio-w-fresh").toString + "/store"
+    df.write.format("mdio").mode("append").option("sortDims", "il,xl").save(path)
+    val sidecar = MdioDataset.readSidecar(spark, path).get
+    assert(sidecar.layout.get.sortDims == Seq("il", "xl"))
+    assert(spark.read.format("mdio").load(path).count() == 40)
+  }
+
+  test("append with a drifted column type fails loudly, not at read time") {
+    val path = Files.createTempDirectory("mdio-w-drift").toString
+    MdioDataset.write(df, path, schema, sortDims = Seq("il", "xl"))
+    val drifted = df.withColumn("amp", col("amp").cast("float"))
+    val e = intercept[Exception] {
+      drifted.write.format("mdio").mode("append").save(path)
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(_.isInstanceOf[MdioDataset.LayoutMismatchError]),
+      s"expected LayoutMismatchError in cause chain, got $e")
+  }
+
+  test("SQL INSERT INTO an mdio table appends through the store write path") {
+    val path = Files.createTempDirectory("mdio-sql-ins").toString
+    MdioDataset.write(df, path, schema, sortDims = Seq("il", "xl"))
+    spark.sql(s"CREATE TABLE mdio_ins_t USING mdio OPTIONS (path '$path')")
+    try {
+      spark.sql("INSERT INTO mdio_ins_t VALUES (9, 99, 9.5)")
+      assert(spark.sql("SELECT count(*) FROM mdio_ins_t").head().getLong(0) == 41L)
+      assert(spark.sql("SELECT amp FROM mdio_ins_t WHERE xl = 99")
+        .head().getDouble(0) == 9.5)
+    } finally spark.sql("DROP TABLE mdio_ins_t")
+  }
 }
