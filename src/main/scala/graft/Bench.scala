@@ -7,6 +7,11 @@ import org.apache.spark.sql.SparkSession
   * elapsed time — failures can NOT masquerade as fast successes (each query
   * value is an object {"sec":…,"ok":…,"rows":…}; "value" totals only the OK
   * queries' seconds).
+  *
+  * The same JSON line is also written to SPARK_GRAFT_BENCH_OUT (default
+  * `bench_out.json` in the working directory) so the record never depends
+  * on log-tail capture. Optional args = query names to run (a focused
+  * re-bench); the recorded file is only written for full runs.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -29,7 +34,10 @@ object Bench {
     }
 
     case class R(sec: Double, ok: Boolean, rows: Long)
-    val results: Seq[(String, R)] = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.contains).toMap
+    val results: Seq[(String, R)] = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val r =
@@ -45,7 +53,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, r) if r.ok => r.sec }.sum
     val nFail = results.count(!_._2.ok)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"sf":"$sfDir"}"""
+    println(line)
+    if (args.isEmpty) {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -230,8 +230,10 @@ object SparkEntry {
         ordinal = Seq("l_orderkey", "l_linenumber"),
         valueCol = "l_extendedprice", sparsityError = 1e9)
       val ds = MdioDataset.open(s, path)
-      val storeRows = ds.df.count()
-      val traceMax = ds.df.agg(max(col("trace"))).first().getLong(0)
+      // one pruned scan answers both post-ingest checks
+      val chk = ds.df.agg(count(lit(1)).as("n"), max(col("trace")).as("m")).first()
+      val storeRows = chk.getLong(0)
+      val traceMax = chk.getLong(1)
       Seq((r.nTraces, r.nCells, traceMax, storeRows, r.stats.sum))
         .toDF("n_rows", "n_cells", "trace_max", "store_rows", "sum_val")
     }),

@@ -56,6 +56,15 @@ sealed trait IndexStrategy {
   def name: String
   def transform(df: DataFrame, ctx: StrategyContext): DataFrame
   def schemaEffect: Option[SchemaEffect] = None
+
+  /** When the strategy appends a uniqueness counter (G3/G4): the cell dims
+    * the counter partitions by. `(cellDims, counter)` is then unique BY
+    * CONSTRUCTION, so grid invariants are computable from the RAW header
+    * columns without running the counter window — the ingest pipeline uses
+    * this to keep its QC pass a pruned aggregate scan. Composite chains
+    * return None (an earlier stage may rewrite dim values).
+    */
+  def counterCellDims(ctx: StrategyContext, available: Seq[String]): Option[Seq[String]] = None
 }
 
 /** G2: identity (`index_strategies.py:108-113`). */
@@ -126,6 +135,10 @@ final case class NonBinnedStrategy(chunksize: Int, nonBinnedDims: Seq[String],
   }
   override def schemaEffect: Option[SchemaEffect] =
     Some(CollapseToTraceEffect(nonBinnedDims, chunksize))
+  override def counterCellDims(ctx: StrategyContext, available: Seq[String]): Option[Seq[String]] =
+    Some(ctx.template.spatialDimNames
+      .filterNot(nonBinnedDims.contains).filterNot(coordFields.contains)
+      .filter(available.contains))
 }
 
 /** G3: 1-based duplicate counter over all dim fields
@@ -138,6 +151,9 @@ final case class DuplicateHandlingStrategy(coordFields: Seq[String]) extends Ind
     Counters.duplicateCounter(df, dims, ctx.ordinal)
   }
   override def schemaEffect: Option[SchemaEffect] = Some(InsertTraceDimEffect())
+  override def counterCellDims(ctx: StrategyContext, available: Seq[String]): Option[Seq[String]] =
+    Some(ctx.template.spatialDimNames
+      .filterNot(coordFields.contains).filter(available.contains))
 }
 
 /** G8: ordered composition; at most one schema effect

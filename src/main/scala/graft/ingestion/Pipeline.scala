@@ -66,13 +66,23 @@ object IngestPipeline {
     require(missing.isEmpty,
       s"header fields required by the schema are absent: ${missing.mkString(", ")}")
 
-    // 3: strategy transform (+ optional V240 raw-header packing)
+    // 3: strategy transform (+ optional V240 raw-header packing).
+    // Pre-cluster on the PRE-EXISTING grid dims first: RangePartitioning
+    // over those dims satisfies the strategy windows' ClusteredDistribution,
+    // so the window shuffle IS the store-layout shuffle (one exchange, not
+    // two), and repartitionByRange's sampling pass reads the pruned source
+    // instead of re-running the window pipeline.
     val strategy = IndexStrategyRegistry.createStrategy(overrides, template)
     val ctx = StrategyContext(template, ordinal)
     val withRaw =
       if (rawHeaderFields.isEmpty) traces
       else graft.sources.Sources.withRawHeaders(traces, rawHeaderFields)
-    val transformed = strategy.transform(withRaw, ctx)
+    val preDims = resolved.dimensions.dropRight(1)
+      .filter(withRaw.columns.contains)                 // calculated dims don't exist yet
+    val preClustered =
+      if (preDims.isEmpty) withRaw
+      else withRaw.repartitionByRange(preDims.map(col): _*)
+    val transformed = strategy.transform(preClustered, ctx)
 
     // 4: every calculated dim must now exist as a column
     SchemaResolver.verifyCalculatedDims(resolved, transformed.columns.toSeq)
@@ -80,20 +90,50 @@ object IngestPipeline {
     // 5: grid invariants (J2 + J3) and dim cardinalities in ONE aggregate
     // pass — all are count/countDistinct, so a single scan answers the
     // trace-count check, the sparsity QC and the sidecar dim sizes.
+    // When the strategy appends a uniqueness counter (G3/G4), the whole pass
+    // runs on the RAW header columns instead: (cellDims, counter) is unique
+    // by construction, the counter's cardinality equals the max per-cell
+    // count, and per-dim distincts are unchanged — a two-level aggregate on
+    // a pruned source scan, so the QC never re-runs the counter window
+    // (that window still runs exactly once, inside the write pass).
     val gridDims = resolved.dimensions.dropRight(1).filter(transformed.columns.contains)
-    val dcols = gridDims.map(col)
-    val checkAggs =
-      Seq(count(lit(1)).as("n_rows"),
-          countDistinct(dcols.head, dcols.drop(1): _*).as("n_cells")) ++
-        gridDims.map(d => countDistinct(col(d)).as(s"__n_$d"))
-    val check = transformed.agg(checkAggs.head, checkAggs.drop(1): _*).collect().head
-    val nTraces = check.getAs[Long]("n_rows")
-    val nCells = check.getAs[Long]("n_cells")
+    val counterDims = gridDims.filterNot(withRaw.columns.contains)
+    val fastCells = strategy.counterCellDims(ctx, withRaw.columns.toSeq)
+      .filter(cells => counterDims.sizeIs == 1 &&
+        gridDims.toSet == cells.toSet + counterDims.head)
+    // On the fast path the per-dim VALUE SETS ride the same aggregate
+    // (collect_set instead of countDistinct — a dim vector is metadata-
+    // sized), and the counter's label vector is 1..max by construction, so
+    // the post-write dim tables need NO store scan at all.
+    val (nTraces, nCells, cardinalities, dimValues) = fastCells match {
+      case Some(cells) =>
+        val perCell = withRaw.groupBy(cells.map(col): _*).agg(count(lit(1)).as("_cnt"))
+        val aggs = Seq(sum(col("_cnt")).as("n_rows"),
+            max(col("_cnt")).as("__max_cnt")) ++
+          cells.map(d => collect_set(col(d)).as(s"__v_$d"))
+        val row = perCell.agg(aggs.head, aggs.drop(1): _*).collect().head
+        def g(name: String): Long =
+          if (row.isNullAt(row.fieldIndex(name))) 0L else row.getAs[Long](name)
+        val vals: Map[String, Seq[Any]] =
+          cells.map(d => d -> row.getSeq[Any](row.fieldIndex(s"__v_$d"))).toMap +
+            (counterDims.head -> (1L to g("__max_cnt")).map(v => v: Any))
+        val cards = gridDims.map(d => d -> vals(d).size.toLong).toMap
+        (g("n_rows"), g("n_rows"), cards, Some(vals))
+      case None =>
+        val dcols = gridDims.map(col)
+        val checkAggs =
+          Seq(count(lit(1)).as("n_rows"),
+              countDistinct(dcols.head, dcols.drop(1): _*).as("n_cells")) ++
+            gridDims.map(d => countDistinct(col(d)).as(s"__n_$d"))
+        val check = transformed.agg(checkAggs.head, checkAggs.drop(1): _*).collect().head
+        (check.getAs[Long]("n_rows"), check.getAs[Long]("n_cells"),
+          gridDims.map(d => d -> check.getAs[Long](s"__n_$d")).toMap,
+          None)
+    }
     if (nCells != nTraces && !ignoreChecks)
       throw new GridTraceCountError(
         s"grid holds $nCells cells for $nTraces traces — duplicate index tuples " +
         "(use HasDuplicates/NonBinned overrides)")
-    val cardinalities = gridDims.map(d => d -> check.getAs[Long](s"__n_$d")).toMap
     val sparsity = cardinalities.values.map(_.toDouble).product / nTraces
     if (sparsity > sparsityError && !ignoreChecks)
       throw new GridSparsityError(f"grid sparsity $sparsity%.2f exceeds $sparsityError")
@@ -110,9 +150,14 @@ object IngestPipeline {
     val obs = Observation()
     // Range-partition + sort FIRST, observe ABOVE it: repartitionByRange
     // runs a sampling job over its child, and an observation below the
-    // exchange would be double-counted by that sampling pass.
+    // exchange would be double-counted by that sampling pass. When the grid
+    // dims start with the pre-clustered dims (calculated dims like `trace`
+    // append), the pre-cluster exchange already provides the layout
+    // partitioning — only the local sort remains.
     val clustered =
       if (gridDims.isEmpty) transformed
+      else if (preDims.nonEmpty && gridDims.startsWith(preDims))
+        transformed.sortWithinPartitions(gridDims.map(col): _*)
       else transformed.repartitionByRange(gridDims.map(col): _*)
         .sortWithinPartitions(gridDims.map(col): _*)
     val observed = clustered.observe(obs,
@@ -157,18 +202,73 @@ object IngestPipeline {
 
     // C2/C1: dimension + coordinate tables derive from the STORE just
     // written (column-pruned parquet reads), not from `transformed` — which
-    // would re-run the whole strategy window pipeline once per table
+    // would re-run the whole strategy window pipeline once per table. All
+    // dim vectors come from ONE aggregate scan, and coordinates sharing a
+    // cell-dim set share ONE groupBy scan.
     val stored = MdioDataset.open(spark, path).df
-    gridDims.foreach { d =>
-      Dimensions.computeDimension(stored, d)
-        .write.mode("overwrite").parquet(s"$path/dims/$d")
+    dimValues match {
+      case Some(vals) => gridDims.foreach(d =>
+        writeDimVector(spark, stored.schema(d).dataType, vals(d), path, d))
+      case None => writeDimTables(spark, stored, gridDims, path)
     }
-    populateCoordinates(stored, resolved, orderKey = ordinal.head)
-      .foreach { case (name, coordDf) =>
-        coordDf.write.mode("overwrite").parquet(s"$path/coords/$name")
-      }
+    writeCoordinateTables(stored, resolved, orderKey = ordinal.head, path)
 
     IngestResult(path, resolved, nTraces, nCells, sparsity, stats)
+  }
+
+  /** G1/C2 ingest tail: every dim vector from ONE column-pruned aggregate
+    * scan (collect_set per dim, map-side combined, shuffle O(cardinality)).
+    * A dim vector is metadata-sized by definition — grid axis labels, held
+    * as in-memory arrays by the reference too — so the driver round-trip is
+    * the cheap path: each table then sorts and writes its handful of rows
+    * locally instead of re-scanning the store once per dim.
+    */
+  private[ingestion] def writeDimTables(spark: SparkSession, stored: DataFrame,
+                                        gridDims: Seq[String], path: String): Unit = {
+    if (gridDims.isEmpty) return
+    val aggs = gridDims.map(d => collect_set(col(d)).as(d))
+    val row = stored.agg(aggs.head, aggs.drop(1): _*).collect().head
+    gridDims.foreach { d =>
+      writeDimVector(spark, stored.schema(d).dataType,
+        row.getSeq[Any](row.fieldIndex(d)), path, d)
+    }
+  }
+
+  /** Write one dim table (`dims/<d>`: sorted `dim_value`) from an in-driver
+    * value vector. */
+  private def writeDimVector(spark: SparkSession,
+                             dt: org.apache.spark.sql.types.DataType,
+                             values: Seq[Any], path: String, d: String): Unit =
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(values.map(org.apache.spark.sql.Row(_)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("dim_value", dt))))
+      .orderBy(col("dim_value"))
+      .write.mode("overwrite").parquet(s"$path/dims/$d")
+
+  /** C1/C2 ingest tail: coordinates sharing a cell-dim set are reduced in
+    * ONE groupBy pass (multiple min_by aggregates); each coordinate table is
+    * a pruned selection of that pass (staged once when shared).
+    */
+  private[ingestion] def writeCoordinateTables(stored: DataFrame,
+                                               resolved: ResolvedSchema,
+                                               orderKey: String, path: String,
+                                               scalar: Int = 1): Unit = {
+    val present = resolved.coordinates.filter(c => stored.columns.contains(c.name))
+    present.groupBy(_.dimensions.filter(stored.columns.contains)).foreach {
+      case (cellDims, cs) =>
+        val aggs = cs.map(c => Coordinates
+          .applyScalar(min_by(col(c.name), col(orderKey)), scalar).as(c.name))
+        val grouped = stored.groupBy(cellDims.map(col): _*)
+          .agg(aggs.head, aggs.drop(1): _*)
+        val staged =
+          if (cs.sizeIs == 1) grouped
+          else graft.core.Scratch.stage(grouped, "coords")
+        cs.foreach { c =>
+          staged.select((cellDims :+ c.name).map(col): _*)
+            .write.mode("overwrite").parquet(s"$path/coords/${c.name}")
+        }
+    }
   }
 
   /** C4: vertical dimension construction (`ingestion/segy/reader.py:84-89`):
