@@ -23,13 +23,33 @@ object AccessPatternCatalog {
   /** base data path → (dim name → fast table path) */
   private val entries = new ConcurrentHashMap[String, Map[String, String]]()
 
-  def register(basePath: String, dim: String, fastPath: String): Unit =
-    entries.merge(norm(basePath), Map(dim -> fastPath), (a, b) => a ++ b)
+  /** fast table path → analyzed relation. Analyzing a relation lists its
+    * files (driver I/O); caching it means the optimizer pays that listing
+    * once per registered fast table, not once per rule application across a
+    * many-query session. Invalidated when the fast table is re-registered
+    * (re-materialization writes new files).
+    */
+  private val relCache = new ConcurrentHashMap[String, LogicalRelation]()
+  private[plans] val relBuilds = new java.util.concurrent.atomic.AtomicLong()
 
-  def clear(): Unit = entries.clear()
+  def register(basePath: String, dim: String, fastPath: String): Unit = {
+    relCache.remove(fastPath)
+    entries.merge(norm(basePath), Map(dim -> fastPath), (a, b) => a ++ b)
+  }
+
+  def clear(): Unit = { entries.clear(); relCache.clear() }
 
   def lookup(basePath: String): Map[String, String] =
     entries.getOrDefault(norm(basePath), Map.empty)
+
+  private[plans] def relationFor(path: String,
+                                 build: String => Option[LogicalRelation]): Option[LogicalRelation] =
+    Option(relCache.get(path)).orElse {
+      relBuilds.incrementAndGet()
+      val built = build(path)
+      built.foreach(relCache.put(path, _))
+      built
+    }
 
   /** Scheme-insensitive compare: `file:/tmp/x`, `/tmp/x/` and `/tmp/x` are
     * the same location. */
@@ -43,8 +63,17 @@ object AccessPatternCatalog {
   * Scan(fast_dim))` when the catalog has a clustering for `dim` and the fast
   * table exposes the same columns. Attribute identity is rewired by name so
   * the rest of the plan is untouched.
+  *
+  * When several filtered dims have fast tables, the swap dim is chosen by
+  * PREDICATE CLASS — equality > IN > range > other — because an equality
+  * predicate on the clustering key prunes to a single key range (one or two
+  * row groups) while a range predicate keeps a span; the class outranks
+  * alphabetical accident. Analyzed fast relations come from the catalog's
+  * cache, so file listing happens once per fast table, not per query.
   */
 final case class AccessPatternRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  import org.apache.spark.sql.catalyst.expressions._
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, rel: LogicalRelation) =>
@@ -56,9 +85,12 @@ final case class AccessPatternRule(spark: SparkSession) extends Rule[LogicalPlan
         root <- fsRel.location.rootPaths.headOption.map(_.toString)
         fastByDim = AccessPatternCatalog.lookup(root)
         if fastByDim.nonEmpty
-        dim <- cond.references.map(_.name).toSeq.sorted.find(fastByDim.contains)
+        candidates = cond.references.map(_.name).toSeq.distinct.sorted
+          .filter(fastByDim.contains)
+        if candidates.nonEmpty
+        dim = candidates.maxBy(d => predicateScore(cond, d)) // sorted → ties pick first name
         fastPath = fastByDim(dim)
-        newRel <- analyzedRelation(fastPath)
+        newRel <- AccessPatternCatalog.relationFor(fastPath, analyzedRelation)
         // same columns in the same order — the clustering is a row-identical
         // rewrite of the base table
         if newRel.output.map(a => (a.name, a.dataType)) ==
@@ -72,6 +104,32 @@ final case class AccessPatternRule(spark: SparkSession) extends Rule[LogicalPlan
         Filter(cond, newRel.copy(output = rel.output))
       }
       swap.getOrElse(f)
+  }
+
+  /** Selectivity class of the strongest predicate on `dim` inside `cond`:
+    * 3 = equality, 2 = IN, 1 = range comparison, 0 = any other reference. */
+  private def predicateScore(cond: Expression, dim: String): Int = {
+    def isDim(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == dim
+      case c: Cast => isDim(c.child)
+      case _ => false
+    }
+    var score = 0
+    cond.foreach {
+      case EqualTo(l, r) if (isDim(l) && r.foldable) || (isDim(r) && l.foldable) =>
+        score = score.max(3)
+      case EqualNullSafe(l, r) if (isDim(l) && r.foldable) || (isDim(r) && l.foldable) =>
+        score = score.max(3)
+      case In(v, list) if isDim(v) && list.forall(_.foldable) =>
+        score = score.max(2)
+      case InSet(v, _) if isDim(v) =>
+        score = score.max(2)
+      case b: BinaryComparison
+        if (isDim(b.left) && b.right.foldable) || (isDim(b.right) && b.left.foldable) =>
+        score = score.max(1)
+      case _ => ()
+    }
+    score
   }
 
   private def analyzedRelation(path: String): Option[LogicalRelation] =

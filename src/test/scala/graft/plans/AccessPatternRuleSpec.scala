@@ -40,4 +40,67 @@ class AccessPatternRuleSpec extends SparkSpec {
     assert(!scanPaths(q2).exists(_.contains("fast_")))
     AccessPatternCatalog.clear()
   }
+
+  private def scanPaths(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+          .location.rootPaths.map(_.toString)
+    }.flatten
+
+  test("swap dim picked by predicate class: equality beats range, IN beats range") {
+    GraftSparkExtensions.install(spark)
+    AccessPatternCatalog.clear()
+    val base = Files.createTempDirectory("apr2").toString
+    val df = (1 to 1000).map(i => (i % 50, i % 77, i * 1.0)).toDF("aa", "zz", "amp")
+    df.write.parquet(s"$base/base")
+    AccessPatterns.optimize(df, base, Seq("aa", "zz"), partitions = 4)
+    AccessPatternCatalog.register(s"$base/base", "aa", AccessPatterns.fastTablePath(base, "aa"))
+    AccessPatternCatalog.register(s"$base/base", "zz", AccessPatterns.fastTablePath(base, "zz"))
+
+    // range on aa (alphabetically first), equality on zz → zz must win
+    val q = spark.read.parquet(s"$base/base")
+      .where(col("aa") > 10 && col("zz") === 3)
+    assert(scanPaths(q).exists(_.contains("fast_zz")),
+      s"equality predicate should pick fast_zz, got ${scanPaths(q)}")
+    assert(q.count() == df.where(col("aa") > 10 && col("zz") === 3).count())
+
+    // IN on zz vs range on aa → zz still wins
+    val qIn = spark.read.parquet(s"$base/base")
+      .where(col("aa") > 10 && col("zz").isin(3, 4))
+    assert(scanPaths(qIn).exists(_.contains("fast_zz")))
+
+    // equality on both → alphabetical tie-break (aa)
+    val qTie = spark.read.parquet(s"$base/base")
+      .where(col("aa") === 5 && col("zz") === 3)
+    assert(scanPaths(qTie).exists(_.contains("fast_aa")))
+    AccessPatternCatalog.clear()
+  }
+
+  test("analyzed fast relations are cached — one listing per fast table") {
+    GraftSparkExtensions.install(spark)
+    AccessPatternCatalog.clear()
+    val base = Files.createTempDirectory("apr3").toString
+    val df = (1 to 500).map(i => (i % 20, i * 1.0)).toDF("inline", "amp")
+    df.write.parquet(s"$base/base")
+    AccessPatterns.optimize(df, base, Seq("inline"), partitions = 2)
+    AccessPatternCatalog.register(s"$base/base", "inline",
+      AccessPatterns.fastTablePath(base, "inline"))
+
+    val before = AccessPatternCatalog.relBuilds.get()
+    spark.read.parquet(s"$base/base").where(col("inline") === 1).count()
+    val afterFirst = AccessPatternCatalog.relBuilds.get()
+    assert(afterFirst > before, "first query must analyze the fast relation")
+    spark.read.parquet(s"$base/base").where(col("inline") === 2).count()
+    spark.read.parquet(s"$base/base").where(col("inline") === 3).count()
+    assert(AccessPatternCatalog.relBuilds.get() == afterFirst,
+      "subsequent queries must reuse the cached relation (no re-listing)")
+
+    // re-registering (re-materialization) invalidates the cache
+    AccessPatternCatalog.register(s"$base/base", "inline",
+      AccessPatterns.fastTablePath(base, "inline"))
+    spark.read.parquet(s"$base/base").where(col("inline") === 4).count()
+    assert(AccessPatternCatalog.relBuilds.get() > afterFirst)
+    AccessPatternCatalog.clear()
+  }
 }
