@@ -43,12 +43,47 @@ class StreamingCorpusSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val path = java.nio.file.Files.createTempDirectory("stream-corpus").toString
     val input = MemoryStream[(Long, String)]
+    // data must be in the stream BEFORE the AvailableNow query starts —
+    // AvailableNow latches the available offsets at start, so data added
+    // after start() may or may not make the run (a real race, not a test
+    // nicety)
+    input.addData((7L, "some streamed document text here"))
     val q = StreamingCorpus.appendPrepared(
       input.toDF().toDF("doc_id", "text"), s"$path/corpus")
-    input.addData((7L, "some streamed document text here"))
     q.awaitTermination()
     val out = spark.read.parquet(s"$path/corpus")
     assert(out.count() == 1)
     assert(out.columns.contains("sig") && out.columns.contains("fp"))
+  }
+
+  test("in-stream exact dedup: duplicates across micro-batches leave one survivor") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingCorpus.dedupedStream(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    input.addData((1L, "the same duplicated text"), (2L, "a distinct text"))
+    q.processAllAvailable()
+    input.addData((3L, "the same duplicated text")) // later batch, same content
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_stream").as[(Long, String)].collect().map(_._1).toSet
+    assert(ids == Set(1L, 2L), s"first arrival survives, later duplicate dropped: $ids")
+  }
+
+  test("appendPreparedDeduped drops duplicates even across query restarts") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("stream-dedup").toString
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    input.addData((1L, "the same duplicated text"), (2L, "a distinct text"))
+    StreamingCorpus.appendPreparedDeduped(stream, s"$path/corpus").awaitTermination()
+    // a second AvailableNow run from the same checkpoint: the seen-
+    // fingerprint state was checkpointed, so the re-arrival is dropped
+    input.addData((3L, "the same duplicated text"))
+    StreamingCorpus.appendPreparedDeduped(stream, s"$path/corpus").awaitTermination()
+    val out = spark.read.parquet(s"$path/corpus")
+    assert(out.count() == 2)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
 }
