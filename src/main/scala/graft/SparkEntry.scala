@@ -90,6 +90,18 @@ object SparkEntry {
     "q_stats" -> ((s, d) => Stats.summaryStats(lineitem(s, d), "l_extendedprice")),
     "q_histogram" -> ((s, d) =>
       Stats.histogram(lineitem(s, d), "l_quantity", nBins = 10, lo = 0.0, hi = 50.0)),
+    // stats + histogram in ONE buffer (the §2.10 TypedImperativeAggregate):
+    // one scan, one small merged state — vs the two-query composition above
+    "q_stats_hist" -> ((s, d) => {
+      import graft.functions.StatsHistAgg
+      lineitem(s, d)
+        .agg(StatsHistAgg.statsHist(col("l_quantity"), nBins = 10,
+          lo = 0.0, hi = 50.0).as("s"))
+        .select((Seq(col("s.n").as("n"), col("s.min_val").as("min_val"),
+          col("s.max_val").as("max_val"), col("s.sum_val").as("sum_val"),
+          col("s.sumsq_val").as("sumsq_val")) ++
+          (0 until 10).map(i => col("s.hist")(i).as(s"hist_$i"))): _*)
+    }),
     "q_salted_agg" -> ((s, d) =>
       Salting.saltedAgg(lineitem(s, d), "l_returnflag",
         sum(col("l_quantity").cast(DecimalType(18, 2))),
@@ -512,6 +524,19 @@ object SparkEntry {
         |  0.0 + CAST(least(greatest(floor((l_quantity - 0.0) / 50.0 * 10), 0), 9) AS BIGINT)
         |    * 5.0 AS bin_lo
         |FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1""".stripMargin,
+    "q_stats_hist" -> {
+      val bins = (0 until 10).map(i =>
+        s"  count(*) FILTER (WHERE bin = $i) AS hist_$i").mkString(",\n")
+      s"""WITH b AS (SELECT l_quantity AS x,
+         |    CAST(least(greatest(floor((l_quantity - 0.0) / (50.0 - 0.0) * 10), 0), 9) AS BIGINT) AS bin
+         |  FROM lineitem WHERE l_quantity IS NOT NULL)
+         |SELECT count(*) AS n, min(x) AS min_val, max(x) AS max_val,
+         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_val,
+         |  CAST(CAST(sum(CAST(x AS DECIMAL(18,2)) * CAST(x AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+         |    AS sumsq_val,
+         |$bins
+         |FROM b""".stripMargin
+    },
     "q_salted_agg" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
