@@ -1,10 +1,14 @@
 package graft.core
 
-/** Process-scoped scratch directories: created under java.io.tmpdir and
-  * deleted by a JVM shutdown hook, so repeated Verify/Bench runs don't
-  * accumulate staged sketch/store files on local disk. (On a cluster the
-  * staging location is a real storage path chosen by the caller — explicit
-  * paths are never registered for deletion.)
+/** Process-scoped scratch directories, deleted by a JVM shutdown hook so
+  * repeated Verify/Bench runs don't accumulate staged sketch/store files.
+  *
+  * The scratch ROOT resolves from the Spark conf `graft.scratch.dir` when an
+  * active session defines it, falling back to `java.io.tmpdir`. On a real
+  * multi-node cluster the conf MUST point at a shared filesystem (object
+  * store / HDFS) — executors have to read what the driver stages; the
+  * tmpdir default is only correct for local mode. Explicit caller-chosen
+  * staging paths are never registered for deletion.
   */
 object TempDirs {
 
@@ -12,17 +16,36 @@ object TempDirs {
 
   private lazy val hookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      registered.forEach(p => deleteRecursively(new java.io.File(p)))
+      registered.forEach(deletePath)
     }))
+
+  /** Scratch root: `graft.scratch.dir` (shared path on clusters) or tmpdir. */
+  private def root: String =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .flatMap(s =>
+        try s.conf.getOption("graft.scratch.dir")
+        catch { case _: Exception => None })
+      .getOrElse(System.getProperty("java.io.tmpdir"))
 
   /** A fresh scratch path (not yet created), removed at JVM exit. */
   def scratch(tag: String): String = {
     hookInstalled
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${tag}_" +
-      java.util.UUID.randomUUID().toString
+    val p = s"$root/graft_${tag}_" + java.util.UUID.randomUUID().toString
     registered.add(p)
     p
   }
+
+  /** Best-effort recursive delete that understands non-local schemes (the
+    * shared-filesystem scratch root case). */
+  private def deletePath(p: String): Unit =
+    try {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      fs.delete(hp, true)
+      ()
+    } catch {
+      case _: Throwable => deleteRecursively(new java.io.File(p))
+    }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

@@ -120,13 +120,19 @@ object CrossHash {
     * left fold the oracle's `list_reduce` performs.
     */
   def planeSig(v: Array[Float], planes: Array[Array[Double]]): Long = {
+    // a mis-specified dim would silently truncate the dot product, putting
+    // vectors in different buckets than the oracle and degrading recall —
+    // fail loudly instead
+    require(planes.isEmpty || planes(0).length == v.length,
+      s"hyperplane dim ${planes(0).length} != embedding dim ${v.length} — " +
+        "pass the embedding dimension explicitly (lshTopK/lshSignatures dim)")
     var sig = 0L
     var p = 0
     while (p < planes.length) {
       val pl = planes(p)
       var acc = 0.0
       var i = 0
-      while (i < pl.length && i < v.length) { acc += v(i).toDouble * pl(i); i += 1 }
+      while (i < pl.length) { acc += v(i).toDouble * pl(i); i += 1 }
       if (acc > 0) sig |= (1L << p)
       p += 1
     }

@@ -58,6 +58,27 @@ class CrossHashSpec extends SparkSpec {
     assert(q.as[Seq[Long]].head().length == 8)
   }
 
+  test("planeSig rejects a dim mismatch instead of silently truncating") {
+    val planes = CrossHash.planeSigns(tables = 1, bits = 4, dim = 8)(0)
+    val e = intercept[IllegalArgumentException] {
+      CrossHash.planeSig(Array(1f, 2f, 3f), planes) // 3-dim vector, 8-dim planes
+    }
+    assert(e.getMessage.contains("dim"))
+    // matching dim works
+    CrossHash.planeSig(Array.fill(8)(1f), planes): Unit
+  }
+
+  test("scratch root honors the graft.scratch.dir conf") {
+    val custom = java.nio.file.Files.createTempDirectory("scratch-root").toString
+    spark.conf.set("graft.scratch.dir", custom)
+    try {
+      val p = graft.core.TempDirs.scratch("conf_test")
+      assert(p.startsWith(custom), s"$p should live under $custom")
+    } finally spark.conf.unset("graft.scratch.dir")
+    assert(graft.core.TempDirs.scratch("default_test")
+      .startsWith(System.getProperty("java.io.tmpdir")))
+  }
+
   test("edge inputs: empty and unicode text shingle deterministically") {
     val df = Seq((1L, ""), (2L, "   "), (3L, "héllo wörld naïve café über")).toDF("doc_id", "text")
     val out = graft.llm.CorpusPrep.withSketches(df)
