@@ -316,13 +316,13 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      // (1) min over self + neighbors' labels; staged so the doubling step
-      // reads it twice from Parquet instead of recomputing the aggregate
+      // (1) min over self + neighbors' labels. Used twice below — as itself
+      // and as the pointer table — but NOT staged: the two sides are the
+      // identical aggregate subplan, so Spark's exchange reuse computes it
+      // once (one staged write per round total, not two).
       val prop = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
-      val merged = Scratch.stage(
-        labels.unionAll(prop).groupBy("id").agg(min(col("lbl")).as("lbl")),
-        "cc_merged")
+      val merged = labels.unionAll(prop).groupBy("id").agg(min(col("lbl")).as("lbl"))
       // (2) pointer doubling: lbl := min(lbl, lbl(lbl)). Every label IS a
       // node id (mins of ids), so the hop join is total.
       val hop = merged.select(col("id").as("_pid"), col("lbl").as("_plbl"))
