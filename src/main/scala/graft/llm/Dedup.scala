@@ -242,19 +242,15 @@ object Dedup {
     // single dot product instead of dot + two norms — cosine(a,b) ≡ dot(â,b̂)
     // up to ~1e-15 float reordering, negligible against any sane threshold
     // margin (callers output the pair SET, not the similarity value).
-    val dotSelf = aggregate(
-      zip_with(col(vecCol), col(vecCol), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    // zero vectors normalize to zeros (never above any threshold) rather
-    // than tripping the ANSI 0/0 division
+    // Zero vectors normalize to zeros (never above any threshold) rather
+    // than tripping the ANSI 0/0 division. Native kernels
+    // ([[graft.functions.VecExprs]]) — no interpreted HOF folds in the
+    // pair join's hot path.
     val unit = Scratch.stage(
       embeddings.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        transform(col(vecCol), x =>
-          when(dotSelf > 0.0, x.cast("double") / sqrt(dotSelf)).otherwise(0.0)).as("u")),
+        graft.functions.VecExprs.unitVec(col(vecCol)).as("u")),
       "unit_vecs")
-    val dotAB = aggregate(
-      zip_with(col("ua"), col("ub"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    val dotAB = graft.functions.VecExprs.dot(col("ua"), col("ub"))
     unit.select(col("blk"), col("id").as("id_a"), col("u").as("ua"))
       .join(unit.select(col("blk"), col("id").as("id_b"), col("u").as("ub")), Seq("blk"))
       .where(col("id_a") < col("id_b"))
@@ -365,21 +361,16 @@ object Dedup {
     Ivf.buildIndexSeeded(embeddings, path, nCells, idCol, vecCol)
     val cells = embeddings.sparkSession.read.parquet(s"$path/cells")
     // normalize once behind a staging barrier: every within-cell pair then
-    // costs ONE dot product fold instead of dot + two norms (cosine ≡ dot
-    // of unit vectors up to ~1e-15 reordering — irrelevant to the pair SET
-    // at any sane threshold margin; same design as embeddingNearDups)
-    val dotSelf = aggregate(
-      zip_with(col(vecCol), col(vecCol), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    // costs ONE dot product instead of dot + two norms (cosine ≡ dot of
+    // unit vectors up to ~1e-15 reordering — irrelevant to the pair SET at
+    // any sane threshold margin; same design as embeddingNearDups). Native
+    // kernels keep the pair join's hot path out of interpreted HOF folds.
     val unit = Scratch.stage(
       embeddings.join(cells, idCol)
         .select(col("cell"), col(idCol).as("id"),
-          transform(col(vecCol), x =>
-            when(dotSelf > 0.0, x.cast("double") / sqrt(dotSelf)).otherwise(0.0)).as("u")),
+          graft.functions.VecExprs.unitVec(col(vecCol)).as("u")),
       "semdedup_unit")
-    val dotAB = aggregate(
-      zip_with(col("ua"), col("ub"), (x, y) => x * y),
-      lit(0.0), (acc, v) => acc + v)
+    val dotAB = graft.functions.VecExprs.dot(col("ua"), col("ub"))
     val dups = unit.select(col("cell"), col("id").as("id_a"), col("u").as("ua"))
       .join(unit.select(col("cell"), col("id").as("id_b"), col("u").as("ub")), Seq("cell"))
       .where(col("id_a") < col("id_b"))

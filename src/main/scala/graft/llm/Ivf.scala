@@ -60,13 +60,25 @@ object Ivf {
       .drop("_h")
   }
 
-  /** Squared L2 distance of two double-array columns (left-fold, matching
-    * the oracle's `list_reduce`). */
-  private def dist2(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
-
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** The centroid matrix, collected from a persisted index. nCells × dim
+    * doubles — metadata-sized by design (the whole point of a COARSE
+    * quantizer), so the driver round-trip is the expression-level analog of
+    * broadcasting the centroid table; the assignment/probe kernels then run
+    * one tight loop per row inside codegen instead of a |corpus| × nCells
+    * interpreted-fold crossJoin.
+    */
+  private[llm] def readCentroids(spark: org.apache.spark.sql.SparkSession,
+                                 indexPath: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$indexPath/centroids").orderBy("cell").collect()
+    require(rows.nonEmpty, s"empty centroid table at $indexPath")
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getAs[Long]("cell") == i.toLong,
+        s"centroid table has non-contiguous cells at $indexPath")
+    }
+    rows.map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+  }
 
   /** Build + persist the seeded-medoid index: each vector is assigned to its
     * nearest seed embedding (ties → lowest cell). The argmin is a `min_by`
@@ -85,12 +97,11 @@ object Ivf {
     val centroids = embeddings.join(broadcast(seeds), idCol)
       .select(col("cell"), asDouble(col(vecCol)).as("centroid"))
     centroids.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    val cent = sess.read.parquet(s"$indexPath/centroids")
-    val cells = embeddings.select(col(idCol), asDouble(col(vecCol)).as("_v"))
-      .crossJoin(broadcast(cent))                 // |corpus| × nCells, broadcast side tiny
-      .withColumn("_d2", dist2(col("_v"), col("centroid")))
-      .groupBy(col(idCol))
-      .agg(min_by(col("cell"), struct(col("_d2"), col("cell"))).as("cell"))
+    // assignment: one argmin kernel per row (ties → lowest cell), a narrow
+    // codegen'd map over the corpus — no crossJoin, no per-pair fold
+    val centArr = readCentroids(sess, indexPath)
+    val cells = embeddings.select(col(idCol),
+      graft.functions.VecExprs.ivfCell(col(vecCol), centArr).as("cell"))
     cells.write.mode("overwrite").parquet(s"$indexPath/cells")
   }
 
@@ -121,17 +132,15 @@ object Ivf {
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sess = embeddings.sparkSession
     val cells = sess.read.parquet(s"$indexPath/cells")
-    val centroids = sess.read.parquet(s"$indexPath/centroids")
 
     val queries = embeddings.where(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val wProbe = Window.partitionBy(col("query_id")).orderBy(col("_d2"), col("cell"))
-    val probes = queries
-      .crossJoin(broadcast(centroids))            // |queries| × nCells
-      .withColumn("_d2", dist2(asDouble(col("qvec")), col("centroid")))
-      .withColumn("_rn", row_number().over(wProbe))
-      .where(col("_rn") <= nProbe)
-      .select(col("query_id"), col("cell"))
+    // nProbe nearest cells per query from one kernel call (ordered by
+    // (d², cell) like the oracle's probe window), exploded to join keys
+    val centArr = readCentroids(sess, indexPath)
+    val probes = queries.select(col("query_id"),
+      explode(graft.functions.VecExprs.ivfProbes(col("qvec"), centArr, nProbe))
+        .as("cell"))
 
     val indexed = embeddings.join(cells, idCol)   // (vec_id, embedding, cell)
     val w = Window.partitionBy(col("query_id"))

@@ -27,17 +27,15 @@ import graft.functions.CrossHashExprs
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, accumulated in double.
-    * NULL for a zero vector (ANSI mode throws on the 0/0 division; a real
-    * corpus contains dead embeddings) — the n>0 branch is unchanged.
+  /** Cosine similarity of two float/double-array columns, accumulated in
+    * double with the oracle's left-to-right association. NULL for a zero
+    * vector (ANSI mode throws on the 0/0 division; a real corpus contains
+    * dead embeddings). A native codegen kernel
+    * ([[graft.functions.VecExprs.cosineSim]]) — one fused loop per pair
+    * instead of three interpreted `zip_with`+`aggregate` folds.
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    val denom = sqrt(dot(a, a)) * sqrt(dot(b, b))
-    when(denom > 0.0, dot(a, b) / denom)
-  }
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VecExprs.cosineSim(a, b)
 
   /** Exact top-k neighbors for each query id (queries ⊂ corpus by id). */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
