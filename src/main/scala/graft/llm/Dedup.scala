@@ -299,13 +299,30 @@ object Dedup {
   def dupComponents(pairs: DataFrame, maxIters: Int = 50): DataFrame =
     dupComponentsIterated(pairs, maxIters)._1
 
-  /** [[dupComponents]] plus the number of rounds it took (for tests/QC). */
+  /** Edge-count gate below which components are solved on the DRIVER with
+    * union-find instead of iterative Spark rounds. The near-dup pair graph
+    * is orders of magnitude smaller than the corpus (only near-duplicate
+    * pairs survive LSH + the estimate threshold); when it fits comfortably
+    * in driver memory — 5M edges ≈ 80 MB of longs — a linear union-find
+    * beats several join/aggregate rounds of fixed scheduling overhead. The
+    * same size-vs-strategy trade as a broadcast join; bigger graphs take
+    * the O(log diameter) pointer-doubling path below. Tunable via the
+    * `graft.cc.driverMaxEdges` Spark conf (0 forces the distributed path).
+    */
+  private def driverCcMaxEdges(sess: org.apache.spark.sql.SparkSession): Long =
+    sess.conf.getOption("graft.cc.driverMaxEdges").map(_.toLong).getOrElse(5000000L)
+
+  /** [[dupComponents]] plus the number of distributed rounds it took (0 =
+    * driver union-find path; for tests/QC). */
   private[graft] def dupComponentsIterated(pairs: DataFrame,
                                            maxIters: Int = 50): (DataFrame, Int) = {
     val edges = Scratch.stage(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
       "cc_edges")
+    val nEdges = edges.count() // Parquet metadata count on the staged file
+    if (nEdges <= driverCcMaxEdges(pairs.sparkSession))
+      return (dupComponentsDriver(edges), 0)
     var labels = Scratch.stage(
       edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")),
       "cc_labels")
@@ -342,6 +359,36 @@ object Dedup {
           "labels would be wrong; raise maxIters")
     (labels.select(col("id"), col("lbl").as("component"),
       (col("id") === col("lbl")).as("is_survivor")), iter)
+  }
+
+  /** Exact union-find over a collected (src, dst) edge list; component =
+    * min member id (roots union toward the smaller id, so the final find
+    * IS the min — identical labels to the distributed path and the
+    * oracle's recursive reachability).
+    */
+  private def dupComponentsDriver(edges: DataFrame): DataFrame = {
+    val sess = edges.sparkSession
+    import sess.implicits._
+    val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+      var c = x // path compression
+      while (parent.getOrDefault(c, c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val rows = parent.keySet().toArray(Array.empty[java.lang.Long])
+      .map(id => (id.toLong, find(id)))
+    rows.toSeq.toDF("id", "component")
+      .withColumn("is_survivor", col("id") === col("component"))
   }
 
   /** SemDeDup-style semantic dedup: coarse-quantize the embedding space

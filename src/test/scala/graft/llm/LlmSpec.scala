@@ -97,13 +97,24 @@ class DedupSpec extends SparkSpec {
 
   test("dupComponents closes a 1000-node chain in O(log n) rounds") {
     // path graph 0-1-2-…-999: diameter 999. Min-label propagation alone
-    // needs ~999 rounds; pointer doubling must close it in ≤10.
+    // needs ~999 rounds; pointer doubling must close it in ≤10. Force the
+    // DISTRIBUTED path (the small graph would otherwise take the driver
+    // union-find shortcut).
     val pairs = (0L until 999L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (comp, iters) = Dedup.dupComponentsIterated(pairs)
-    val rows = comp.select("id", "component").as[(Long, Long)].collect()
-    assert(rows.length == 1000)
-    assert(rows.forall(_._2 == 0L), "every node reaches the min id 0")
-    assert(iters <= 10, s"pointer doubling should converge in ≤10 rounds, took $iters")
+    spark.conf.set("graft.cc.driverMaxEdges", "0")
+    try {
+      val (comp, iters) = Dedup.dupComponentsIterated(pairs)
+      val rows = comp.select("id", "component").as[(Long, Long)].collect()
+      assert(rows.length == 1000)
+      assert(rows.forall(_._2 == 0L), "every node reaches the min id 0")
+      assert(iters >= 1 && iters <= 10,
+        s"pointer doubling should converge distributed in ≤10 rounds, took $iters")
+    } finally spark.conf.unset("graft.cc.driverMaxEdges")
+    // the driver union-find path must produce the identical labels
+    val (drv, drvIters) = Dedup.dupComponentsIterated(pairs)
+    assert(drvIters == 0, "small graph takes the driver path")
+    assert(drv.select("id", "component").as[(Long, Long)].collect()
+      .forall(_._2 == 0L))
   }
 
   test("dedup operators leave no persisted RDDs behind (scratch staging)") {
