@@ -30,6 +30,37 @@ class SaltingSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(salted == plain)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the join-side skew story)") {
+    // salting covers aggregation skew; joins rely on AQE's skew handling —
+    // prove our session settings actually trigger it on a pathological key
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // key 0 carries ~99% of the fact side
+      val fact = (1 to 200000).map(i => (if (i % 100 == 0) (i % 50).toLong else 0L,
+        s"payload_$i")).toDF("k", "payload")
+      val dim = (0L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+      val joined = fact.join(dim, "k")
+      // collect() finalizes THIS dataset's adaptive plan (count() would plan
+      // a separate query execution and leave this one unfinalized)
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skew=true"),
+        s"expected a skew-split join in:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
 
 class MetadataHelpersSpec extends SparkSpec {
