@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Job-level profiler for any registered query: runs it cold + warm with a
+  * listener printing per-job wall times — the tool behind the "where do the
+  * seconds go" analysis when tuning multi-job operators (ingest tail, CC
+  * rounds, index builds).
+  *
+  * `runMain graft.tools.ProfileQuery [queryName ...]` (default q_ingest_e2e);
+  * SPARK_GRAFT_SF_DIR picks the scale factor.
+  */
+object ProfileQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val names = if (args.isEmpty) Seq("q_ingest_e2e") else args.toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.scheduler._
+    val jobTimes = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+    val starts = scala.collection.mutable.Map[Int, Long]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        starts(js.jobId) = System.nanoTime()
+      override def onJobEnd(je: SparkListenerJobEnd): Unit =
+        starts.get(je.jobId).foreach(t0 => jobTimes += ((je.jobId, System.nanoTime() - t0)))
+    })
+    // warm the footer/file caches
+    spark.read.parquet(s"$sfDir/lineitem.parquet").foreach(_ => ())
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query $name"))
+      def run(tag: String): Unit = {
+        val t0 = System.nanoTime()
+        jobTimes.clear()
+        fn(spark, sfDir).count()
+        println(f"[$name/$tag] total ${(System.nanoTime() - t0) / 1e9}%.2f s, ${jobTimes.size} jobs")
+        jobTimes.foreach { case (id, ns) => println(f"  job $id%4d ${ns / 1e9}%6.2f s") }
+      }
+      run("cold"); run("warm")
+    }
+    spark.stop()
+  }
+}
