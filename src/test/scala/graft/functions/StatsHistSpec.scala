@@ -38,6 +38,24 @@ class StatsHistSpec extends SparkSpec {
     assert(bins(0) == 2L && bins(4) == 1L) // -5 and 1 clamp/fall low, 99 clamps high
   }
 
+  test("random 2-decimal inputs match the composed two-pass operators exactly") {
+    val rnd = new scala.util.Random(777L)
+    val vals = (1 to 2000).map(_ => math.round(rnd.nextDouble() * 1200 - 100) / 100.0)
+    val df = vals.toDF("x").repartition(16)
+    val r = flat(df).head()
+    // driver-side exact accumulation is the ground truth: parallel partial
+    // buffers + merges must be order-independent and exact
+    assert(r.getLong(0) == vals.length.toLong)
+    assert(r.getDouble(1) == vals.min && r.getDouble(2) == vals.max)
+    val exactSum = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .foldLeft(BigDecimal(0))(_ + _)
+    assert(r.getDouble(3) == exactSum.toDouble)
+    val hist = graft.operators.Stats.histogram(df, "x", nBins = 5, lo = 0.0, hi = 10.0)
+      .select("bucket", "n").as[(Long, Long)].collect().toMap
+    val bins = r.getSeq[Long](5)
+    (0 until 5).foreach(b => assert(bins(b) == hist.getOrElse(b.toLong, 0L)))
+  }
+
   test("empty input yields n=0 with null stats and zero bins") {
     val r = flat(Seq.empty[Double].toDF("x")).head()
     assert(r.getLong(0) == 0L)

@@ -117,6 +117,25 @@ class DedupSpec extends SparkSpec {
       .forall(_._2 == 0L))
   }
 
+  test("driver union-find and distributed doubling agree on random graphs") {
+    val rnd = new scala.util.Random(4242L)
+    (1 to 3).foreach { _ =>
+      val n = 60
+      val pairs = (1 to 80).map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+        .distinct.toDF("id_a", "id_b")
+      val driver = Dedup.dupComponents(pairs)
+        .select("id", "component").as[(Long, Long)].collect().toSet
+      spark.conf.set("graft.cc.driverMaxEdges", "0")
+      val dist =
+        try Dedup.dupComponents(pairs)
+          .select("id", "component").as[(Long, Long)].collect().toSet
+        finally spark.conf.unset("graft.cc.driverMaxEdges")
+      assert(driver == dist)
+    }
+  }
+
   test("dedup operators leave no persisted RDDs behind (scratch staging)") {
     Dedup.nearDupPairs(corpus, minEstJaccard = 0.4).count()
     Dedup.blockedJaccard(corpus.withColumn("source", lit("s")), "source").count()
