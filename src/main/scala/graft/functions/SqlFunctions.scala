@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType}
+
+/** SQL registrations for the native kernel expressions, so the pure-SQL
+  * surface (`spark.sql`, JDBC/Thrift users, `CREATE TABLE … USING mdio`
+  * sessions) can run the same sketch/vector pipelines as the Scala API:
+  *
+  * {{{
+  * SELECT doc_id, minhash_sig(shingle_hashes(tokens(lower(text)), 3), 32) …
+  * SELECT stats_hist(l_quantity, 10, 0.0, 50.0) FROM lineitem
+  * }}}
+  *
+  * Shape parameters (n, k, bits, bins…) must be integer/double literals —
+  * they fix kernel constants (hash permutations, plane matrices, buffer
+  * sizes) at resolution time.
+  */
+object SqlFunctions {
+
+  private def intArg(e: Expression, fn: String, name: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be an integer literal, got $other")
+  }
+
+  private def doubleArg(e: Expression, fn: String, name: String): Double = e match {
+    case Literal(v: Double, DoubleType) => v
+    case Literal(v: Float, FloatType) => v.toDouble
+    case Literal(v: Int, IntegerType) => v.toDouble
+    case Literal(v: Long, LongType) => v.toDouble
+    case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $name must be a numeric literal, got $other")
+  }
+
+  type Registration =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  private def reg(name: String, clazz: Class[_])(
+      builder: Seq[Expression] => Expression): Registration =
+    (new FunctionIdentifier(name), new ExpressionInfo(clazz.getName, name), builder)
+
+  /** Every graft kernel as a SQL function (plus `ibm_float32`, registered
+    * separately by [[IbmFloatDecode.functionDescription]]). */
+  val all: Seq[Registration] = Seq(
+    reg("md5h60_array", classOf[Md5H60Array]) { args =>
+      require(args.length == 1, "md5h60_array(arr)")
+      Md5H60Array(args.head)
+    },
+    reg("shingle_hashes", classOf[ShingleHashExpr]) { args =>
+      require(args.length == 2, "shingle_hashes(tokens, n)")
+      ShingleHashExpr(args.head, intArg(args(1), "shingle_hashes", "n"))
+    },
+    reg("minhash_sig", classOf[MinhashSigExpr]) { args =>
+      require(args.length == 2, "minhash_sig(hashes, k)")
+      MinhashSigExpr(args.head, intArg(args(1), "minhash_sig", "k"))
+    },
+    reg("simhash60", classOf[SimhashExpr]) { args =>
+      require(args.length == 1 || args.length == 2, "simhash60(hashes[, bits])")
+      SimhashExpr(args.head,
+        if (args.length == 2) intArg(args(1), "simhash60", "bits") else 60)
+    },
+    reg("hyperplane_sig", classOf[PlaneSigExpr]) { args =>
+      require(args.length == 4, "hyperplane_sig(vec, table, bits, dim)")
+      PlaneSigExpr(args.head, intArg(args(1), "hyperplane_sig", "table"),
+        intArg(args(2), "hyperplane_sig", "bits"),
+        intArg(args(3), "hyperplane_sig", "dim"))
+    },
+    reg("cosine_sim", classOf[CosineSimExpr]) { args =>
+      require(args.length == 2, "cosine_sim(a, b)")
+      CosineSimExpr(args.head, args(1))
+    },
+    reg("vec_dot", classOf[DotExpr]) { args =>
+      require(args.length == 2, "vec_dot(a, b)")
+      DotExpr(args.head, args(1))
+    },
+    reg("unit_vec", classOf[UnitVecExpr]) { args =>
+      require(args.length == 1, "unit_vec(v)")
+      UnitVecExpr(args.head)
+    },
+    reg("stats_hist", classOf[StatsHistAgg]) { args =>
+      require(args.length == 4, "stats_hist(x, nBins, lo, hi)")
+      StatsHistAgg(args.head, intArg(args(1), "stats_hist", "nBins"),
+        doubleArg(args(2), "stats_hist", "lo"),
+        doubleArg(args(3), "stats_hist", "hi"))
+    },
+  )
+}

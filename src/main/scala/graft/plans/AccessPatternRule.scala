@@ -145,16 +145,22 @@ final class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(AccessPatternRule.apply)
     ext.injectFunction(graft.functions.IbmFloatDecode.functionDescription)
+    graft.functions.SqlFunctions.all.foreach(ext.injectFunction)
   }
 }
 
 object GraftSparkExtensions {
   /** Install on an already-created session (extensions can only be declared
     * at session construction; `extraOptimizations` is the supported hook for
-    * live sessions).
+    * rules on live sessions, the function registry for functions).
     */
-  def install(spark: SparkSession): Unit =
+  def install(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations.exists(_.isInstanceOf[AccessPatternRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AccessPatternRule(spark)
+    (graft.functions.IbmFloatDecode.functionDescription +:
+      graft.functions.SqlFunctions.all).foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.FunctionInstaller.register(spark, id, info, builder)
+    }
+  }
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.plans.GraftSparkExtensions
+import org.apache.spark.sql.functions._
+
+/** The SQL surface of the native kernels: pure-SQL sessions must compute
+  * the same sketches/vector math as the Scala Column API.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SQL minhash pipeline equals the Column API value-for-value") {
+    GraftSparkExtensions.install(spark)
+    Seq((1L, "the quick brown fox jumps over it"), (2L, "completely different words"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlfn_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, minhash_sig(shingle_hashes(
+        |  filter(split(lower(text), '\\s+'), t -> t != ''), 3), 8) AS sig,
+        |  simhash60(md5h60_array(array_distinct(
+        |    filter(split(lower(text), '\\s+'), t -> t != '')))) AS sh
+        |FROM sqlfn_docs""".stripMargin)
+      .as[(Long, Seq[Long], Long)].collect().map { case (k, s, h) => k -> ((s, h)) }.toMap
+    val toks = filter(split(lower(col("text")), "\\s+"), t => t =!= "")
+    val viaApi = Seq((1L, "the quick brown fox jumps over it"), (2L, "completely different words"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        CrossHashExprs.minhashSig(CrossHashExprs.shingleHashes(toks, 3), 8).as("sig"),
+        CrossHashExprs.simhash(CrossHashExprs.md5h60Array(array_distinct(toks))).as("sh"))
+      .as[(Long, Seq[Long], Long)].collect().map { case (k, s, h) => k -> ((s, h)) }.toMap
+    assert(viaSql == viaApi)
+  }
+
+  test("SQL stats_hist aggregate equals the Column API") {
+    GraftSparkExtensions.install(spark)
+    (1 to 100).map(i => (i % 11).toDouble).toDF("x").createOrReplaceTempView("sqlfn_x")
+    val viaSql = spark.sql(
+      "SELECT stats_hist(x, 5, 0.0, 10.0) AS s FROM sqlfn_x")
+      .select("s.n", "s.sum_val", "s.hist").as[(Long, Double, Seq[Long])].head()
+    val viaApi = (1 to 100).map(i => (i % 11).toDouble).toDF("x")
+      .agg(StatsHistAgg.statsHist(col("x"), 5, 0.0, 10.0).as("s"))
+      .select("s.n", "s.sum_val", "s.hist").as[(Long, Double, Seq[Long])].head()
+    assert(viaSql == viaApi)
+  }
+
+  test("SQL vector functions: cosine_sim / vec_dot / unit_vec") {
+    GraftSparkExtensions.install(spark)
+    Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b").createOrReplaceTempView("sqlfn_v")
+    val rows = spark.sql(
+      """SELECT cosine_sim(a, b) AS c, vec_dot(unit_vec(a), unit_vec(b)) AS d
+        |FROM sqlfn_v""".stripMargin)
+      .as[(Double, Double)].collect()
+    assert(math.abs(rows(0)._1 - 1.0) < 1e-12 && math.abs(rows(0)._2 - 1.0) < 1e-12)
+    assert(rows(1)._1 == 0.0 && rows(1)._2 == 0.0)
+  }
+
+  test("shape parameters must be literals (clear error, not silent misuse)") {
+    GraftSparkExtensions.install(spark)
+    Seq((1L, "abc")).toDF("doc_id", "text").createOrReplaceTempView("sqlfn_e")
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(split(text, ' '), doc_id) FROM sqlfn_e").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+}
