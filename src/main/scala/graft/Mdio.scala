@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.ingestion.{GridOverrides, IngestPipeline}
+import graft.schema.{DatasetTemplate, MdioSchema}
+import graft.storage.{MdioDataset, MdioDatasetHandle}
+
+/** The library's front door, mirroring the reference's public `mdio` module
+  * surface name-for-name (reference `src/mdio/__init__.py:7-31`): a user of
+  * the reference finds every top-level entry point here under its Scala
+  * name, delegating to the operator modules that implement it.
+  *
+  *  - `open_mdio`   → [[openMdio]]   (lazy handle + sidecar, `api/io.py:38-66`)
+  *  - `to_mdio`     → [[toMdio]]     (w/w-/a/r+ modes, `api/io.py:69-107`);
+  *                    the DataFrame surface is `df.write.format("mdio")`
+  *  - `segy_to_mdio`→ [[segyToMdio]] (ingest pipeline, `converters/segy.py:44-80`)
+  *  - `mdio_to_segy`→ [[mdioToSegy]] (masked export, `segy/mdio_to_segy.py`)
+  *  - `optimize_access_patterns` → [[optimizeAccessPatterns]]
+  *                    (`optimize/access_pattern.py:26-118`)
+  *  - `GridOverrides` / `ResolvedSchema` → the same names in
+  *    [[graft.ingestion]] / [[graft.schema]]
+  *  - plus the CLI verbs `copy` ([[copyMdio]]) and `info` ([[info]]).
+  */
+object Mdio {
+
+  /** S4: open a store lazily — DataFrame handle + parsed sidecar schema. */
+  def openMdio(spark: SparkSession, path: String): MdioDatasetHandle =
+    MdioDataset.open(spark, path)
+
+  /** S5: write a trace table + schema sidecar with the reference's mode
+    * alphabet (`w` overwrite, `w-` error-if-exists, `a` append, `r+` region
+    * overwrite of the partitions present in `df`). */
+  def toMdio(df: DataFrame, path: String, schema: MdioSchema,
+             mode: MdioDataset.WriteMode.Value = MdioDataset.WriteMode.W,
+             sortDims: Seq[String] = Nil,
+             partitionDims: Seq[String] = Nil): Unit =
+    MdioDataset.write(df, path, schema, mode, sortDims, partitionDims)
+
+  /** S3 + G2–G11 + J2/J3 + A1–A3 + C1–C4: the full ingest pipeline — schema
+    * resolve, index strategies, grid QC, write-pass statistics, dim and
+    * coordinate tables. */
+  def segyToMdio(spark: SparkSession, traces: DataFrame,
+                 template: DatasetTemplate, overrides: GridOverrides,
+                 path: String, ordinal: Seq[String], valueCol: String,
+                 rawHeaderFields: Seq[String] = Nil): IngestPipeline.IngestResult =
+    IngestPipeline.ingest(spark, traces, template, overrides, path,
+      ordinal, valueCol, rawHeaderFields = rawHeaderFields)
+
+  /** E1–E5: masked, globally ordered SEG-Y export of an open store. The
+    * samples column must survive the header projection, so it rides the
+    * `headerFields` of the masked select and is then serialized as the
+    * trace payload.
+    */
+  def mdioToSegy(handle: MdioDatasetHandle, outFile: String, mask: Column,
+                 dims: Seq[String], headerFields: Seq[String],
+                 orderKeys: Seq[String], samplesCol: String,
+                 textHeader: Seq[String], binaryHeader: Array[Byte]): Unit = {
+    val ordered = graft.export.SegyExport.maskedExport(
+      handle.df, mask, dims, (headerFields :+ samplesCol).distinct, orderKeys)
+    val records = graft.export.SegyExport.serializeTraces(
+      ordered, headerFields, samplesCol)
+    graft.export.SegyExport.writeSegy(records, outFile, textHeader, binaryHeader)
+  }
+
+  /** O1: materialize `fast_<dim>` clustered (optionally quantized) copies
+    * and register them so [[graft.plans.AccessPatternRule]] swaps scans. */
+  def optimizeAccessPatterns(handle: MdioDatasetHandle, dims: Seq[String],
+                             variable: String, quality: Double = 0.0): Double = {
+    val tol =
+      if (quality > 0.0)
+        graft.operators.AccessPatterns.optimizeStore(handle, dims, variable, quality)
+      else {
+        graft.operators.AccessPatterns.optimize(handle.df, handle.path, dims)
+        0.0
+      }
+    dims.foreach { d =>
+      graft.plans.AccessPatternCatalog.register(s"${handle.path}/data", d,
+        graft.operators.AccessPatterns.fastTablePath(handle.path, d))
+    }
+    tol
+  }
+
+  /** S7: store→store copy with optional column pruning. */
+  def copyMdio(spark: SparkSession, from: String, to: String,
+               excludeColumns: Seq[String] = Nil): Unit =
+    MdioDataset.copy(spark, from, to, excludeColumns)
+
+  /** S8: per-dim min/max/cardinality + sidecar metadata. */
+  def info(spark: SparkSession, path: String): DataFrame =
+    openMdio(spark, path).info()
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.ingestion.GridOverrides
+import graft.schema.TemplateRegistry
+import org.apache.spark.sql.functions._
+
+/** The reference-shaped front door: a user following the reference's
+  * `mdio` module surface drives the whole lifecycle through [[Mdio]] alone.
+  */
+class MdioFacadeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("segyToMdio -> openMdio -> info -> optimize -> mdioToSegy -> copyMdio") {
+    val rows = for (il <- 10 until 20; xl <- 100 until 110)
+      yield (il, xl, il * 1000.0 + xl)
+    val df = rows.toDF("inline", "crossline", "amplitude")
+    val store = Files.createTempDirectory("facade").toString
+
+    // ingest
+    val r = Mdio.segyToMdio(spark, df,
+      TemplateRegistry.instance.get("PostStack3DTime"), GridOverrides(),
+      store, ordinal = Seq("inline", "crossline"), valueCol = "amplitude")
+    assert(r.nTraces == 100)
+
+    // open + info
+    val handle = Mdio.openMdio(spark, store)
+    val info = Mdio.info(spark, store).collect().head
+    assert(info.getAs[Long]("inline_n") == 10L)
+
+    // access-pattern materialization registers with the optimizer catalog
+    Mdio.optimizeAccessPatterns(handle, Seq("inline"), "amplitude")
+    assert(graft.plans.AccessPatternCatalog.registered.nonEmpty)
+
+    // masked export through the facade
+    val out = Files.createTempDirectory("facade-out").toString + "/f.sgy"
+    val withPayload = handle.df.withColumn("samples", call_function("to_binary",
+      lpad(hex(col("amplitude").cast("int")), 8, "0"), lit("hex")))
+    Mdio.mdioToSegy(
+      handle.copy(df = withPayload), out,
+      mask = col("inline") < 15,
+      dims = Seq("inline", "crossline"),
+      headerFields = Seq("inline", "crossline"),
+      orderKeys = Seq("inline", "crossline"),
+      samplesCol = "samples",
+      textHeader = graft.`export`.SegyHeaders.sanitizeTextHeader(Seq("C 1 FACADE")),
+      binaryHeader = new Array[Byte](400))
+    val bytes = Files.readAllBytes(Paths.get(out))
+    assert(bytes.length == 3600 + 50 * (4 + 4 + 4))
+
+    // copy preserves row count and sidecar
+    val copied = Files.createTempDirectory("facade-copy").toString + "/c"
+    Mdio.copyMdio(spark, store, copied)
+    assert(Mdio.openMdio(spark, copied).df.count() == 100L)
+    graft.plans.AccessPatternCatalog.clear()
+  }
+}
