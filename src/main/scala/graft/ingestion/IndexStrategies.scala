@@ -174,6 +174,24 @@ final case class CompositeStrategy(strategies: Seq[IndexStrategy]) extends Index
   */
 object IndexStrategyRegistry {
 
+  /** Reject override/template pairings the reference forbids
+    * (`segy/geometry.py:125-168`): `auto_shot_wrap` is streamer-field-
+    * records-only and `calculate_shot_index` is OBN-receiver-gathers-only —
+    * with the wrong template both silently produce wrong shot indices, and
+    * the pairing is the one constraint the GridOverrides model can't check
+    * by itself. Called by the ingest pipeline before any header parsing.
+    */
+  def validateOverridesForTemplate(overrides: GridOverrides,
+                                   template: DatasetTemplate): Unit = {
+    if (overrides.autoShotWrap && template.name != "StreamerFieldRecords3D")
+      throw new IllegalArgumentException(
+        s"auto_shot_wrap only supports StreamerFieldRecords3D, got " +
+          s"${template.name}. For OBN templates, use calculate_shot_index.")
+    if (overrides.calculateShotIndex && template.name != "ObnReceiverGathers3D")
+      throw new IllegalArgumentException(
+        s"calculate_shot_index only supports ObnReceiverGathers3D, got ${template.name}.")
+  }
+
   def createStrategy(overrides: GridOverrides,
                      template: DatasetTemplate): IndexStrategy = {
     val coordFields = template.coordinateNames

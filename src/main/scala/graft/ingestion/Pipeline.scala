@@ -53,7 +53,9 @@ object IngestPipeline {
              ignoreChecks: Boolean = false,
              rawHeaderFields: Seq[String] = Nil): IngestResult = {
 
-    // 1-2: resolve schema; validate required header fields exist
+    // 1-2: resolve schema; validate override/template pairing and required
+    // header fields
+    IndexStrategyRegistry.validateOverridesForTemplate(overrides, template)
     val effect = IndexStrategyRegistry.schemaEffect(overrides, template)
     val resolved = SchemaResolver.resolve(template, effect)
     // P1 semantics: required = schema fields ∩ available spec fields — absent

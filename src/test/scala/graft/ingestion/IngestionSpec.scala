@@ -42,6 +42,27 @@ class IndexStrategyRegistrySpec extends SparkSpec {
     assert(chain.map(_.name) == Seq("ChannelWrapping", "DuplicateHandling"))
   }
 
+  test("override/template pairing guard rejects the reference-forbidden combos") {
+    val obn = TemplateRegistry.instance.get("ObnReceiverGathers3D")
+    val streamer = TemplateRegistry.instance.get("StreamerFieldRecords3D")
+    // valid pairings pass
+    IndexStrategyRegistry.validateOverridesForTemplate(
+      GridOverrides(calculateShotIndex = true), obn)
+    IndexStrategyRegistry.validateOverridesForTemplate(
+      GridOverrides(autoShotWrap = true), streamer)
+    // forbidden pairings fail loudly (silent wrong shot indices otherwise)
+    val e1 = intercept[IllegalArgumentException] {
+      IndexStrategyRegistry.validateOverridesForTemplate(
+        GridOverrides(autoShotWrap = true), obn)
+    }
+    assert(e1.getMessage.contains("auto_shot_wrap"))
+    val e2 = intercept[IllegalArgumentException] {
+      IndexStrategyRegistry.validateOverridesForTemplate(
+        GridOverrides(calculateShotIndex = true), streamer)
+    }
+    assert(e2.getMessage.contains("calculate_shot_index"))
+  }
+
   test("ObnReceiverGathers3D template injects component synthesis first") {
     val obn = TemplateRegistry.instance.get("ObnReceiverGathers3D")
     val s = IndexStrategyRegistry.createStrategy(
