@@ -183,6 +183,9 @@ object SparkEntry {
     "q_token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(documents(s, d))
         .select("doc_id", "n_ws_tokens", "n_bpeish")),
+    // Gopher-style repetition quality signals (templated-text detector)
+    "q_repetition" -> ((s, d) =>
+      TextAnalysis.repetitionSignals(documents(s, d))),
     // --- LLM pipeline: similarity search --------------------------------
     "q_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), (0L until 10L), k = 10)),
@@ -697,6 +700,36 @@ object SparkEntry {
     "q_quality" -> qualitySqlStr,
     "q_fingerprint" -> fingerprintSqlStr,
     "q_token_count" -> tokenCountSqlStr,
+    "q_repetition" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(toks) > 0
+        |      THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE)
+        |      ELSE 0.0 END AS dup_word_frac,
+        |    toks FROM tok),
+        |grams AS (
+        |  SELECT doc_id, 2 AS n, unnest(CASE WHEN len(toks) >= 2
+        |      THEN list_transform(range(1, len(toks)),
+        |        i -> array_to_string(list_slice(toks, i, i + 1), ' '))
+        |      ELSE [] END) AS g
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, unnest(CASE WHEN len(toks) >= 3
+        |      THEN list_transform(range(1, len(toks) - 1),
+        |        i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+        |      ELSE [] END) AS g
+        |  FROM base),
+        |cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+        |agg AS (SELECT doc_id,
+        |    CAST(max(CASE WHEN n = 2 THEN c END) AS DOUBLE)
+        |      / sum(CASE WHEN n = 2 THEN c ELSE 0 END) AS top_2gram_frac,
+        |    CAST(max(CASE WHEN n = 3 THEN c END) AS DOUBLE)
+        |      / sum(CASE WHEN n = 3 THEN c ELSE 0 END) AS top_3gram_frac
+        |  FROM cnt GROUP BY 1)
+        |SELECT b.doc_id, b.n_tokens, b.dup_word_frac, a.top_2gram_frac, a.top_3gram_frac
+        |FROM base b LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_semantic_dedup" -> OracleSqlGen.semanticDedupSql(dim = 64,
       minCosine = 0.4),
     "q_sample_stratified" ->

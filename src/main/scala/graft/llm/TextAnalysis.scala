@@ -116,4 +116,50 @@ object TextAnalysis {
   def tokenCounts(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("n_ws_tokens", size(tokens(col(textCol))).cast("long"))
       .withColumn("n_bpeish", size(bpeishTokens(col(textCol))).cast("long"))
+
+  /** Gopher-style repetition signals — the standard "remove templated /
+    * looping text before training" quality family, token-level (the fixture
+    * corpus is single-line, so line-based variants degenerate):
+    * `dup_word_frac` = fraction of repeated token occurrences,
+    * `top_2gram_frac` / `top_3gram_frac` = share of all n-gram occurrences
+    * taken by the single most frequent n-gram (NULL when the doc is shorter
+    * than n tokens).
+    *
+    * Scale shape: the per-row signals are a narrow map; the top-n-gram
+    * fractions explode n-grams to rows and run two hash aggregates keyed by
+    * (doc, n, gram) then (doc) — shuffle carries (id, n, gram-hash-sized
+    * strings), with map-side combine collapsing each partition's repeats.
+    * The tokenized frame is staged once; both the explode and the final
+    * join read the staged file.
+    */
+  def repetitionSignals(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id"): DataFrame = {
+    def grams(n: Int): Column =
+      when(size(col("_toks")) >= n,
+        transform(sequence(lit(1), size(col("_toks")) - (n - 1)),
+          i => concat_ws(" ", slice(col("_toks"), i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val base = graft.core.Scratch.stage(
+      df.select(col(idCol), tokens(lower(col(textCol))).as("_toks"))
+        .withColumn("n_tokens", size(col("_toks")).cast("long"))
+        .withColumn("dup_word_frac",
+          when(col("n_tokens") > 0,
+            lit(1.0) - size(array_distinct(col("_toks"))).cast("double") /
+              col("n_tokens").cast("double")).otherwise(0.0)),
+      "repetition_base")
+    val exploded = base.select(col(idCol),
+        explode(concat(
+          transform(grams(2), g => struct(lit(2).as("n"), g.as("g"))),
+          transform(grams(3), g => struct(lit(3).as("n"), g.as("g"))))).as("t"))
+      .select(col(idCol), col("t.n").as("n"), col("t.g").as("g"))
+    val perGram = exploded.groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val perDoc = perGram.groupBy(col(idCol)).agg(
+      (max(when(col("n") === 2, col("c"))).cast("double") /
+        sum(when(col("n") === 2, col("c")).otherwise(0L))).as("top_2gram_frac"),
+      (max(when(col("n") === 3, col("c"))).cast("double") /
+        sum(when(col("n") === 3, col("c")).otherwise(0L))).as("top_3gram_frac"))
+    base.select(col(idCol), col("n_tokens"), col("dup_word_frac"))
+      .join(perDoc, Seq(idCol), "left")
+  }
 }

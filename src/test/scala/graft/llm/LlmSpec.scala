@@ -34,6 +34,25 @@ class TextAnalysisSpec extends SparkSpec {
     val fps = df.select(TextAnalysis.fingerprint(col("text"))).as[String].collect()
     assert(fps(0) == fps(1))
   }
+
+  test("repetitionSignals: dup-word and top-n-gram fractions, short-doc nulls") {
+    val df = Seq(
+      (1L, "a b a b a b"),        // 6 tokens, 2 distinct; "a b" bigram 3 of 5
+      (2L, "w x y z"),            // all distinct
+      (3L, "solo"),               // 1 token: no bigrams/trigrams
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionSignals(df).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_tokens") == 6L)
+    assert(got(1L).getAs[Double]("dup_word_frac") == 1.0 - 2.0 / 6.0)
+    assert(got(1L).getAs[Double]("top_2gram_frac") == 3.0 / 5.0)
+    assert(got(1L).getAs[Double]("top_3gram_frac") == 2.0 / 4.0) // "a b a" ×2
+    assert(got(2L).getAs[Double]("dup_word_frac") == 0.0)
+    assert(got(2L).getAs[Double]("top_2gram_frac") == 1.0 / 3.0)
+    assert(got(3L).isNullAt(got(3L).fieldIndex("top_2gram_frac")))
+    assert(got(4L).getAs[Long]("n_tokens") == 0L)
+    assert(got(4L).getAs[Double]("dup_word_frac") == 0.0)
+  }
 }
 
 class DedupSpec extends SparkSpec {
