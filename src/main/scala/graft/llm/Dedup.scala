@@ -303,14 +303,15 @@ object Dedup {
     * union-find instead of iterative Spark rounds. The near-dup pair graph
     * is orders of magnitude smaller than the corpus (only near-duplicate
     * pairs survive LSH + the estimate threshold); when it fits comfortably
-    * in driver memory — 5M edges ≈ 80 MB of longs — a linear union-find
-    * beats several join/aggregate rounds of fixed scheduling overhead. The
-    * same size-vs-strategy trade as a broadcast join; bigger graphs take
-    * the O(log diameter) pointer-doubling path below. Tunable via the
+    * in driver memory — 1M edges is on the order of 100 MB once boxed into
+    * tuples and the parent map — a linear union-find beats several
+    * join/aggregate rounds of fixed scheduling overhead. The same
+    * size-vs-strategy trade as a broadcast join; bigger graphs take the
+    * O(log diameter) pointer-doubling path below. Tunable via the
     * `graft.cc.driverMaxEdges` Spark conf (0 forces the distributed path).
     */
   private def driverCcMaxEdges(sess: org.apache.spark.sql.SparkSession): Long =
-    sess.conf.getOption("graft.cc.driverMaxEdges").map(_.toLong).getOrElse(5000000L)
+    sess.conf.getOption("graft.cc.driverMaxEdges").map(_.toLong).getOrElse(1000000L)
 
   /** [[dupComponents]] plus the number of distributed rounds it took (0 =
     * driver union-find path; for tests/QC). */
