@@ -126,6 +126,18 @@ class MdioV2Spec extends SparkSpec {
       s"expected LayoutMismatchError in cause chain, got $e")
   }
 
+  test("CREATE TABLE on a fresh path + INSERT creates the store from SQL alone") {
+    val path = Files.createTempDirectory("mdio-sql-create").toString + "/store"
+    spark.sql(
+      s"CREATE TABLE mdio_fresh_t (il INT, xl INT, amp DOUBLE) USING mdio OPTIONS (path '$path')")
+    try {
+      spark.sql("INSERT INTO mdio_fresh_t VALUES (1, 10, 0.5), (2, 20, 1.5)")
+      assert(MdioDataset.readSidecar(spark, path).isDefined, "sidecar created")
+      assert(spark.sql("SELECT count(*) FROM mdio_fresh_t").head().getLong(0) == 2L)
+      assert(spark.read.format("mdio").load(path).count() == 2L)
+    } finally spark.sql("DROP TABLE mdio_fresh_t")
+  }
+
   test("SQL INSERT INTO an mdio table appends through the store write path") {
     val path = Files.createTempDirectory("mdio-sql-ins").toString
     MdioDataset.write(df, path, schema, sortDims = Seq("il", "xl"))
