@@ -123,6 +123,18 @@ class GridIndexSpec extends SparkSpec {
     assert(got == Set((10, 100, 0L), (10, 200, 1L), (20, 100, 2L), (20, 200, 3L)))
   }
 
+  test("withCellOrdinal's dim joins plan as broadcasts on a real source") {
+    // parquet-backed so the join strategy is the production one, not a
+    // LocalRelation fold; dim tables are metadata-sized → must broadcast
+    val path = java.nio.file.Files.createTempDirectory("gridbc").toString + "/t"
+    (1 to 5000).map(i => (i % 40, i % 25)).toDF("il", "xl").write.parquet(path)
+    val q = GridIndex.withCellOrdinal(spark.read.parquet(path), Seq("il", "xl"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "dim joins must never shuffle the fact side")
+  }
+
   test("liveTraceCheck detects duplicate dim tuples") {
     val unique = Seq((1, 1), (1, 2)).toDF("a", "b")
     val dup = Seq((1, 1), (1, 1)).toDF("a", "b")
