@@ -309,6 +309,12 @@ object SparkEntry {
     }),
     "q_boilerplate" -> ((s, d) =>
       Dedup.boilerplateShingles(documents(s, d))),
+    // decontamination: test split (src1) vs the rest of the corpus
+    "q_contamination" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.contamination(docs.where(col("source") =!= "src1"),
+        docs.where(col("source") === "src1"))
+    }),
     // near-dup clusters: LSH pairs → connected components → survivors
     "q_dedup_components" -> ((s, d) =>
       Dedup.dupComponents(Dedup.nearDupPairs(documents(s, d)))
@@ -626,6 +632,7 @@ object SparkEntry {
     "q_neardup_lsh" -> OracleSqlGen.nearDupLshSql(),
     "q_dedup_components" -> OracleSqlGen.dedupComponentsSql(),
     "q_boilerplate" -> OracleSqlGen.boilerplateSql(),
+    "q_contamination" -> OracleSqlGen.contaminationSql(),
     "q_simhash" -> OracleSqlGen.simhashSql(),
     "q_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8, dim = 64,
       nQueries = 10, k = 10),

@@ -427,6 +427,41 @@ object Dedup {
     embeddings.select(col(idCol)).join(dups, Seq(idCol), "left_anti")
   }
 
+  /** Train/test decontamination: for every evaluation document, the
+    * fraction of its distinct word n-grams that also occur ANYWHERE in the
+    * training corpus — the standard benchmark-contamination check run
+    * before training. Returns (idCol, n_grams, n_overlap, overlap_frac)
+    * for every test doc (zero-overlap docs included; docs shorter than n
+    * tokens have one truncated shingle, like the rest of the shingle
+    * family).
+    *
+    * Scale shape: the training side collapses to its DISTINCT md5-60 n-gram
+    * set — a hash aggregate with map-side combine whose output is the
+    * vocabulary size, not the corpus size — and the check is an equi-join
+    * on the hash: shuffle carries (hash) and (id, hash), never text. At
+    * 100 TB the train-gram set is computed ONCE and persisted beside the
+    * corpus (stage it via [[graft.core.Scratch.stage]] and reuse across
+    * eval sets).
+    */
+  def contamination(train: DataFrame, test: DataFrame,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 5): DataFrame = {
+    val trainGrams = train
+      .select(explode(shingleHashes(col(textCol), n)).as("s")).distinct()
+    val testGrams = test.select(col(idCol),
+      explode(shingleHashes(col(textCol), n)).as("s"))
+    val sizes = test.select(col(idCol),
+      size(shingleHashes(col(textCol), n)).cast("long").as("n_grams"))
+    val overlaps = testGrams.join(trainGrams, "s")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_overlap"))
+    sizes.join(overlaps, Seq(idCol), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("overlap_frac",
+        when(col("n_grams") > 0,
+          col("n_overlap").cast("double") / col("n_grams").cast("double"))
+          .otherwise(0.0))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 60-bit SimHash over md5-60 token hashes: bit j of the fingerprint is

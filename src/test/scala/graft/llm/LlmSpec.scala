@@ -136,6 +136,21 @@ class DedupSpec extends SparkSpec {
       .forall(_._2 == 0L))
   }
 
+  test("contamination: overlap fraction of test n-grams found in train") {
+    val train = Seq((10L, "a b c d e f")).toDF("doc_id", "text")
+    val test = Seq(
+      (1L, "a b c d e f"),     // identical: every 3-gram contaminated
+      (2L, "a b c x y z"),     // shares exactly "a b c" of its 4 3-grams
+      (3L, "q r s t u v")).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, test, n = 3)
+      .select("doc_id", "n_grams", "n_overlap", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 4L, 1.0)))
+    assert(got(2L) == ((2L, 4L, 1L, 0.25)))
+    assert(got(3L) == ((3L, 4L, 0L, 0.0)))
+  }
+
   test("driver union-find and distributed doubling agree on random graphs") {
     val rnd = new scala.util.Random(4242L)
     (1 to 3).foreach { _ =>
