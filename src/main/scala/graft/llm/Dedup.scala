@@ -317,13 +317,16 @@ object Dedup {
     * driver union-find path; for tests/QC). */
   private[graft] def dupComponentsIterated(pairs: DataFrame,
                                            maxIters: Int = 50): (DataFrame, Int) = {
-    val edges = Scratch.stage(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
-      "cc_edges")
-    val nEdges = edges.count() // Parquet metadata count on the staged file
+    // stage the (possibly expensive) pair plan ONCE; the doubled edge list
+    // the distributed path needs is a lazy union over the staged file, and
+    // the driver path reads undirected pairs directly
+    val staged = Scratch.stage(pairs.select(col("id_a"), col("id_b")), "cc_pairs")
+    val nEdges = 2 * staged.count() // Parquet metadata count on the staged file
     if (nEdges <= driverCcMaxEdges(pairs.sparkSession))
-      return (dupComponentsDriver(edges), 0)
+      return (dupComponentsDriver(staged.select(
+        col("id_a").as("src"), col("id_b").as("dst"))), 0)
+    val edges = staged.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(staged.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = Scratch.stage(
       edges.select(col("src").as("id")).distinct().withColumn("lbl", col("id")),
       "cc_labels")
