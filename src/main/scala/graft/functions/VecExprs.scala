@@ -34,6 +34,9 @@ object VecExprs {
   def unitVec(v: Column): Column =
     ColumnBridge.column(UnitVecExpr(ColumnBridge.expression(v)))
 
+  def l2Sq(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SqExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   def ivfCell(v: Column, centroids: Array[Array[Double]]): Column =
     ColumnBridge.column(IvfCellExpr(ColumnBridge.expression(v), centroids))
 
@@ -48,6 +51,19 @@ object VecExprs {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
     case t => throw new IllegalArgumentException(s"expected array<float|double>, got $t")
+  }
+
+  /** Fail-loud dimension check shared by the pairwise kernels. The HOF folds
+    * these kernels replaced returned NULL on mismatched lengths and
+    * [[CrossHash.planeSig]] throws — silently truncating to the shorter side
+    * would produce plausible-but-wrong similarities, so the kernels throw
+    * with the same policy as planeSig.
+    */
+  private[functions] def sameDim(op: String, a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"$op: vector dimensions differ (${a.numElements()} vs ${b.numElements()})")
+    n
   }
 }
 
@@ -65,7 +81,7 @@ final case class CosineSimExpr(left: Expression, right: Expression)
   @transient private lazy val fr = VecExprs.isFloatArray(right)
 
   def kernel(a: ArrayData, b: ArrayData): java.lang.Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VecExprs.sameDim(prettyName, a, b)
     var dab = 0.0; var daa = 0.0; var dbb = 0.0
     var i = 0
     while (i < n) {
@@ -104,7 +120,7 @@ final case class DotExpr(left: Expression, right: Expression)
   @transient private lazy val fr = VecExprs.isFloatArray(right)
 
   def kernel(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = VecExprs.sameDim(prettyName, a, b)
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -163,9 +179,50 @@ final case class UnitVecExpr(child: Expression)
     copy(child = c)
 }
 
+/** Squared L2 distance with left-to-right double accumulation — the SAME
+  * loop as [[IvfCellExpr]]'s per-centroid distance, so the join-based
+  * two-level IVF assignment ([[graft.llm.Ivf]]) is bit-identical to the
+  * driver-matrix kernel path wherever both search the same candidate set.
+  */
+final case class L2SqExpr(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "vec_l2sq"
+
+  @transient private lazy val fl = VecExprs.isFloatArray(left)
+  @transient private lazy val fr = VecExprs.isFloatArray(right)
+
+  def kernel(a: ArrayData, b: ArrayData): Double = {
+    val n = VecExprs.sameDim(prettyName, a, b)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = VecExprs.elem(a, i, fl) - VecExprs.elem(b, i, fr)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("l2sqself", this, classOf[L2SqExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqExpr =
+    copy(left = l, right = r)
+}
+
 /** Nearest-centroid assignment: argmin over squared L2 distance, ties to the
   * lowest cell (the oracle's `row_number() OVER (ORDER BY d2, cell)` = 1).
   * Distances accumulate left-to-right like the oracle's `list_reduce`.
+  * The centroid matrix rides the expression as a driver-held JVM object —
+  * this path is therefore gated to `nCells <= graft.ivf.kernelMaxCells`
+  * ([[graft.llm.Ivf]]); larger quantizers take the join-based two-level
+  * assignment instead.
   */
 final case class IvfCellExpr(child: Expression, centroids: Array[Array[Double]])
     extends UnaryExpression with Serializable {
@@ -176,7 +233,9 @@ final case class IvfCellExpr(child: Expression, centroids: Array[Array[Double]])
   @transient private lazy val fin = VecExprs.isFloatArray(child)
 
   private def dist2(a: ArrayData, c: Array[Double]): Double = {
-    val n = math.min(a.numElements(), c.length)
+    val n = a.numElements()
+    require(n == c.length,
+      s"$prettyName: vector dim $n != centroid dim ${c.length}")
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -230,7 +289,9 @@ final case class IvfProbeExpr(child: Expression, centroids: Array[Array[Double]]
     var c = 0
     while (c < centroids.length) {
       val cent = centroids(c)
-      val n = math.min(a.numElements(), cent.length)
+      val n = a.numElements()
+      require(n == cent.length,
+        s"$prettyName: vector dim $n != centroid dim ${cent.length}")
       var acc = 0.0
       var i = 0
       while (i < n) {

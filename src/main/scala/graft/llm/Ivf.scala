@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   * corpus into `nCells` cells; the index on disk is two Parquet tables —
   * `cells` (vec_id, cell: one narrow column per corpus row) and `centroids`
   * (cell, centroid). Search reads the index, probes each query's `nProbe`
-  * nearest centroids (a broadcast join against the centroid table —
-  * nCells × dim doubles, metadata-sized) and exact-reranks only the vectors
-  * in those cells. At 100 TB the corpus shuffles once at index build; a
-  * search touches ~nProbe/nCells of the data, pruned by the cell column
-  * before any distance math.
+  * nearest centroids and exact-reranks only the vectors in those cells. At
+  * 100 TB the corpus shuffles once at index build; a search touches
+  * ~nProbe/nCells of the data, pruned by the cell column before any
+  * distance math.
+  *
+  * The centroid table is kernel-sized only up to `graft.ivf.kernelMaxCells`
+  * (default 4096): at or below the gate it is collected once and rides the
+  * assignment/probe expressions; above it (the derived-nCells regime —
+  * ~10⁷ cells at 10⁹ vectors) centroids stay distributed and assignment
+  * runs as the two-level join ([[assignCellsTwoLevel]]) — the full set is
+  * never materialized on the driver.
   *
   * Two quantizers:
   *  - [[buildIndexKMeans]] — Spark ML KMeans, the quality path;
@@ -34,44 +40,86 @@ object Ivf {
     * minCells. Within-cell pairing (SemDeDup) and probe rerank are
     * O(|cell|²) / O(|cell|) — holding the TARGET CELL SIZE constant (not the
     * cell count) is what keeps those costs linear in the corpus: at 10⁹
-    * vectors this yields ~10⁷ cells, the SemDeDup-at-scale regime.
+    * vectors this yields ~10⁷ cells, the SemDeDup-at-scale regime. Above
+    * [[kernelMaxCells]] cells the assignment/probe automatically switch from
+    * the driver-held-matrix kernel to the join-based two-level scheme
+    * ([[assignCellsTwoLevel]]), so the derived count composes with the
+    * driver-memory budget at any corpus size.
     */
   def derivedNCells(corpusSize: Long, targetCellSize: Int = 64,
                     minCells: Int = 16): Int =
     math.max(minCells, math.ceil(corpusSize.toDouble / targetCellSize).toInt)
 
+  /** Cell-count gate for the driver-matrix kernel path: at or below this
+    * many centroids, the matrix is collected once and rides the
+    * assignment/probe expressions (`addReferenceObj` — the expression-level
+    * broadcast join, O(nCells) distance evals per row); ABOVE it, the
+    * centroids never leave the cluster and assignment runs as the two-level
+    * join ([[assignCellsTwoLevel]], O(√nCells · coarseProbes) per row).
+    * Same size-vs-strategy trade as `graft.cc.driverMaxEdges`. The 4096
+    * default keeps the matrix ≤ a few MB at typical dims.
+    */
+  private[llm] def kernelMaxCells(sess: org.apache.spark.sql.SparkSession): Int =
+    sess.conf.getOption("graft.ivf.kernelMaxCells").map(_.toInt).getOrElse(4096)
+
+  /** How many coarse cells a row probes before fine assignment on the
+    * two-level path. The fine search space is the union of the probed coarse
+    * groups (~coarseProbes·√nCells centroids instead of nCells); more probes
+    * close the gap to the flat argmin at linear extra cost.
+    */
+  private[llm] def coarseProbes(sess: org.apache.spark.sql.SparkSession): Int =
+    sess.conf.getOption("graft.ivf.coarseProbes").map(_.toInt).getOrElse(8)
+
   /** Corpus-derived deterministic seed table (idCol, cell): the nCells ids
     * with the smallest md5-60("seed:" || id), cell-numbered in (hash, id)
     * order. Bottom-k by a salted hash is a uniform pseudo-random sample that
     * any engine reproduces (oracle: row_number over the same hash) and that
-    * exists by construction in every id space. Plans as
-    * TakeOrderedAndProject (per-partition heaps, no global sort); the
-    * follow-up rank window touches only the nCells surviving rows.
+    * exists by construction in every id space.
+    *
+    * Small nCells (≤ [[kernelMaxCells]]) plans as TakeOrderedAndProject
+    * (per-partition heaps) + a rank window over only the surviving rows.
+    * Large nCells would funnel those rows through a single-partition limit
+    * and window, so the numbering switches to a range-partitioned sort +
+    * the two-pass zipWithIndex ([[graft.operators.GlobalOrder]]) — same
+    * (hash, id) ordering, no single-task stage.
     */
   def seedTable(embeddings: DataFrame, nCells: Int,
                 idCol: String = "vec_id"): DataFrame = {
     val h = conv(substring(md5(concat(lit("seed:"), col(idCol).cast("string"))),
       1, 15), 16, 10).cast("long")
-    embeddings.select(col(idCol), h.as("_h"))
-      .orderBy(col("_h"), col(idCol))
-      .limit(nCells)
-      .withColumn("cell", (row_number().over(
-        Window.orderBy(col("_h"), col(idCol))) - 1).cast("long"))
-      .drop("_h")
+    val hashed = embeddings.select(col(idCol), h.as("_h"))
+    if (nCells <= kernelMaxCells(embeddings.sparkSession)) {
+      hashed.orderBy(col("_h"), col(idCol))
+        .limit(nCells)
+        .withColumn("cell", (row_number().over(
+          Window.orderBy(col("_h"), col(idCol))) - 1).cast("long"))
+        .drop("_h")
+    } else {
+      graft.operators.GlobalOrder.withGlobalSeq(hashed, Seq("_h", idCol), "cell")
+        .where(col("cell") < nCells)
+        .select(col(idCol), col("cell"))
+    }
   }
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
-  /** The centroid matrix, collected from a persisted index. nCells × dim
-    * doubles — metadata-sized by design (the whole point of a COARSE
-    * quantizer), so the driver round-trip is the expression-level analog of
-    * broadcasting the centroid table; the assignment/probe kernels then run
-    * one tight loop per row inside codegen instead of a |corpus| × nCells
-    * interpreted-fold crossJoin.
+  /** The centroid matrix, collected from a persisted index — the KERNEL-path
+    * companion, hard-gated to ≤ [[kernelMaxCells]] rows: at that size the
+    * driver round-trip is the expression-level analog of broadcasting the
+    * centroid table, and the assignment/probe kernels run one tight loop per
+    * row inside codegen instead of a |corpus| × nCells interpreted-fold
+    * crossJoin. A larger quantizer must never land here (a derived 10⁷-cell
+    * index would be a multi-GB driver array) — those take the join paths.
     */
   private[llm] def readCentroids(spark: org.apache.spark.sql.SparkSession,
                                  indexPath: String): Array[Array[Double]] = {
-    val rows = spark.read.parquet(s"$indexPath/centroids").orderBy("cell").collect()
+    val table = spark.read.parquet(s"$indexPath/centroids")
+    val n = table.count()
+    require(n <= kernelMaxCells(spark),
+      s"centroid table at $indexPath has $n cells > " +
+        s"graft.ivf.kernelMaxCells=${kernelMaxCells(spark)}; the driver-matrix " +
+        "kernel path is gated off at this size — use the join-based paths")
+    val rows = table.orderBy("cell").collect()
     require(rows.nonEmpty, s"empty centroid table at $indexPath")
     rows.zipWithIndex.foreach { case (r, i) =>
       require(r.getAs[Long]("cell") == i.toLong,
@@ -80,28 +128,95 @@ object Ivf {
     rows.map(r => r.getSeq[Double](r.fieldIndex("centroid")).toArray)
   }
 
+  /** Flat kernel assignment (idCol, cell): one argmin kernel per row (ties →
+    * lowest cell), a narrow codegen'd map over the corpus. Requires the
+    * centroid matrix on the driver — callers gate on [[kernelMaxCells]].
+    */
+  private[llm] def assignCellsKernel(embeddings: DataFrame,
+                                     centArr: Array[Array[Double]],
+                                     idCol: String, vecCol: String): DataFrame =
+    embeddings.select(col(idCol),
+      graft.functions.VecExprs.ivfCell(col(vecCol), centArr).as("cell"))
+
+  /** Two-level assignment (idCol, cell) for quantizers too large for a
+    * driver-held matrix. √nCells coarse seeds are drawn deterministically
+    * from the FINE centroid table (bottom-k by md5-60("coarse:" || cell) —
+    * the same corpus-derived sampling trick one level up); fine centroids
+    * group under their nearest coarse seed; each corpus row probes its
+    * [[coarseProbes]] nearest coarse seeds with the existing kernel (the
+    * coarse matrix is √nCells rows — ALWAYS kernel-sized: one level reaches
+    * nCells ~ kernelMaxCells² ≈ 1.6×10⁷, the 10⁹-vector regime) and
+    * fine-assigns via a distributed equi-join on the coarse key + a
+    * `min(struct(d2, cell))` hash aggregate (map-side combinable — the
+    * shuffle carries one pre-combined (id, best) pair per row, never the
+    * candidate fan-out). Per-row cost drops from O(nCells) to
+    * O(coarseProbes · √nCells) distance evals, and no full centroid set is
+    * ever materialized on the driver.
+    *
+    * The fine distance ([[graft.functions.L2SqExpr]]) accumulates exactly
+    * like the flat kernel's loop and the (d2, cell) struct-min matches its
+    * tie rule, so wherever the true nearest centroid's coarse group is
+    * probed the assignment is IDENTICAL to the flat path; coarseProbes is
+    * the (configurable) approximation knob, the standard IVF-quantizer
+    * trade at this scale.
+    */
+  private[llm] def assignCellsTwoLevel(embeddings: DataFrame, centroids: DataFrame,
+                                       idCol: String, vecCol: String): DataFrame = {
+    val sess = embeddings.sparkSession
+    val nProbeCoarse = coarseProbes(sess)
+    val ch = conv(substring(md5(concat(lit("coarse:"), col("cell").cast("string"))),
+      1, 15), 16, 10).cast("long")
+    val nFine = centroids.count()
+    val coarseK = math.max(16, math.ceil(math.sqrt(nFine.toDouble)).toInt)
+    require(coarseK <= kernelMaxCells(sess),
+      s"two-level IVF: √$nFine = $coarseK coarse cells exceed " +
+        s"kernelMaxCells=${kernelMaxCells(sess)} — raise the gate or add a level")
+    val coarseArr = centroids.select(col("cell"), col("centroid"), ch.as("_h"))
+      .orderBy(col("_h"), col("cell")).limit(coarseK)
+      .select(col("centroid")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    // fine centroids grouped under their nearest coarse seed (narrow kernel map)
+    val fine = centroids.select(
+      graft.functions.VecExprs.ivfCell(col("centroid"), coarseArr).as("coarse"),
+      col("cell"), col("centroid"))
+    val probed = embeddings.select(col(idCol), col(vecCol),
+        explode(graft.functions.VecExprs.ivfProbes(col(vecCol), coarseArr,
+          nProbeCoarse)).as("coarse"))
+    probed.join(fine, Seq("coarse"))
+      .select(col(idCol),
+        struct(graft.functions.VecExprs.l2Sq(col(vecCol), col("centroid")).as("d2"),
+          col("cell").as("cell")).as("_dc"))
+      .groupBy(col(idCol)).agg(min(col("_dc")).as("_best"))
+      .select(col(idCol), col("_best.cell").as("cell"))
+  }
+
   /** Build + persist the seeded-medoid index: each vector is assigned to its
-    * nearest seed embedding (ties → lowest cell). The argmin is a `min_by`
-    * over a (dist², cell) struct — a partial-aggregatable hash aggregate
-    * with map-side combine, not a per-key window sort: at corpus scale the
-    * assignment is one shuffle of pre-combined (id, best-cell) pairs.
+    * nearest seed embedding (ties → lowest cell).
     *
     * `nCells <= 0` (the default) derives the cell count from the corpus size
     * ([[derivedNCells]]); seeds come from the corpus itself ([[seedTable]]).
+    * Assignment is the flat kernel up to [[kernelMaxCells]] centroids and
+    * the join-based two-level scheme above it — the derived count therefore
+    * composes with driver memory at ANY corpus size.
     */
   def buildIndexSeeded(embeddings: DataFrame, indexPath: String, nCells: Int = 0,
                        idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val sess = embeddings.sparkSession
     val k = if (nCells > 0) nCells else derivedNCells(embeddings.count())
+    val small = k <= kernelMaxCells(sess)
     val seeds = seedTable(embeddings, k, idCol)
-    val centroids = embeddings.join(broadcast(seeds), idCol)
+    val centroids = embeddings
+      .join(if (small) broadcast(seeds) else seeds, idCol)
       .select(col("cell"), asDouble(col(vecCol)).as("centroid"))
-    centroids.coalesce(1).write.mode("overwrite").parquet(s"$indexPath/centroids")
-    // assignment: one argmin kernel per row (ties → lowest cell), a narrow
-    // codegen'd map over the corpus — no crossJoin, no per-pair fold
-    val centArr = readCentroids(sess, indexPath)
-    val cells = embeddings.select(col(idCol),
-      graft.functions.VecExprs.ivfCell(col(vecCol), centArr).as("cell"))
+    // one small file (and the contiguity check) for a kernel-sized table;
+    // sharded by cell range above the gate — nothing downstream needs one file
+    val centOut = if (small) centroids.coalesce(1)
+                  else centroids.repartitionByRange(col("cell"))
+    centOut.write.mode("overwrite").parquet(s"$indexPath/centroids")
+    val centTable = sess.read.parquet(s"$indexPath/centroids")
+    val cells =
+      if (small) assignCellsKernel(embeddings, readCentroids(sess, indexPath), idCol, vecCol)
+      else assignCellsTwoLevel(embeddings, centTable, idCol, vecCol)
     cells.write.mode("overwrite").parquet(s"$indexPath/cells")
   }
 
@@ -124,8 +239,12 @@ object Ivf {
   }
 
   /** Approximate top-k against a prebuilt index: probe the `nProbe` nearest
-    * cells per query (broadcast centroid join + per-query window), rerank
-    * candidates in the probed cells by exact cosine.
+    * cells per query, rerank candidates in the probed cells by exact cosine.
+    * Probe selection is gated like the build: a kernel-sized centroid table
+    * rides the probe expression; above [[kernelMaxCells]] the queries
+    * (broadcast-tiny) scan the distributed centroid table instead — a
+    * per-query top-nProbe window over |queries| × nCells distance rows, all
+    * executor-side.
     */
   def ivfTopKFromIndex(embeddings: DataFrame, indexPath: String,
                        queryIds: Seq[Long], k: Int, nProbe: Int = 4,
@@ -135,12 +254,25 @@ object Ivf {
 
     val queries = embeddings.where(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    // nProbe nearest cells per query from one kernel call (ordered by
-    // (d², cell) like the oracle's probe window), exploded to join keys
-    val centArr = readCentroids(sess, indexPath)
-    val probes = queries.select(col("query_id"),
-      explode(graft.functions.VecExprs.ivfProbes(col("qvec"), centArr, nProbe))
-        .as("cell"))
+    val centTable = sess.read.parquet(s"$indexPath/centroids")
+    val probes =
+      if (centTable.count() <= kernelMaxCells(sess)) {
+        // nProbe nearest cells per query from one kernel call (ordered by
+        // (d², cell) like the oracle's probe window), exploded to join keys
+        val centArr = readCentroids(sess, indexPath)
+        queries.select(col("query_id"),
+          explode(graft.functions.VecExprs.ivfProbes(col("qvec"), centArr, nProbe))
+            .as("cell"))
+      } else {
+        val wp = Window.partitionBy(col("query_id"))
+          .orderBy(col("_d2"), col("cell"))
+        centTable.crossJoin(broadcast(queries))
+          .withColumn("_d2",
+            graft.functions.VecExprs.l2Sq(col("qvec"), col("centroid")))
+          .withColumn("_r", row_number().over(wp))
+          .where(col("_r") <= nProbe)
+          .select(col("query_id"), col("cell"))
+      }
 
     val indexed = embeddings.join(cells, idCol)   // (vec_id, embedding, cell)
     val w = Window.partitionBy(col("query_id"))

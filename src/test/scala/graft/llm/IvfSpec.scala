@@ -62,6 +62,74 @@ class IvfSpec extends SparkSpec {
     assert(Ivf.derivedNCells(5000) == 79)   // ceil(5000/64)
     assert(Ivf.derivedNCells(1000000) == 15625)
   }
+
+  /** Clustered corpus for the scale-gate tests: `nClusters` well-separated
+    * tight clusters (inter-center distance O(100), intra-cluster jitter
+    * ≤0.1) — the regime where the two-level quantizer's probed coarse groups
+    * contain the true nearest centroid, so both assignment paths agree
+    * exactly. Deterministic (pure trig), so agreement is a stable assertion.
+    */
+  private def clustered(nClusters: Int, perCluster: Int, dim: Int) = {
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val id = (c * perCluster + i).toLong
+      (id, Array.tabulate(dim)(d =>
+        (100.0 * math.sin(c * 31.0 + d * 7.0) + 0.1 * math.sin(id * 13.0 + d)).toFloat))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("nCells above the gate: two-level build matches the flat kernel, " +
+       "no driver centroid materialization") {
+    val path = tmp("ivf_twolevel")
+    val corpus = clustered(nClusters = 84, perCluster = 100, dim = 8)
+    // 4200 > graft.ivf.kernelMaxCells default 4096 -> two-level path
+    Ivf.buildIndexSeeded(corpus, path, nCells = 4200)
+    // the kernel-path companion is hard-gated off at this size: the build
+    // could not have collected the centroid table to the driver
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.readCentroids(spark, path)
+    }
+    assert(ex.getMessage.contains("kernelMaxCells"))
+    // flat reference assignment, computed test-side from the persisted table
+    val centArr = spark.read.parquet(s"$path/centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    assert(centArr.length == 4200)
+    val flat = Ivf.assignCellsKernel(corpus, centArr, "vec_id", "embedding")
+      .as[(Long, Long)].collect().toMap
+    val twoLevel = spark.read.parquet(s"$path/cells")
+      .as[(Long, Long)].collect().toMap
+    assert(twoLevel.size == corpus.count())
+    assert(twoLevel == flat, "two-level assignment must equal the flat argmin " +
+      "on a clustered corpus")
+  }
+
+  test("seedTable numbering is identical on the window and zipWithIndex paths") {
+    val shifted = corpus.withColumn("vec_id", col("vec_id") + 5000000L)
+    val viaWindow = Ivf.seedTable(shifted, 8).as[(Long, Long)].collect().toSet
+    spark.conf.set("graft.ivf.kernelMaxCells", "4")
+    try {
+      val viaZip = Ivf.seedTable(shifted, 8).as[(Long, Long)].collect().toSet
+      assert(viaZip == viaWindow)
+    } finally spark.conf.unset("graft.ivf.kernelMaxCells")
+  }
+
+  test("lowered gate forces two-level end-to-end: search still finds the clone") {
+    // 16 is the smallest valid gate (coarseK floors at 16)
+    spark.conf.set("graft.ivf.kernelMaxCells", "16")
+    try {
+      val corpus9 = clustered(nClusters = 12, perCluster = 30, dim = 8)
+        .unionAll(Seq((9999L,
+          Array.tabulate(8)(d => (100.0 * math.sin(0 * 31.0 + d * 7.0)
+            + 0.1 * math.sin(0 * 13.0 + d)).toFloat))).toDF("vec_id", "embedding"))
+      val got = Ivf.ivfTopK(corpus9, Seq(0L), k = 3, nCells = 24, nProbe = 2)
+        .select("neighbor_id", "rank").as[(Long, Long)].collect().toMap
+      assert(got.get(9999L).contains(1L), "identical clone must rank 1 through " +
+        "the two-level build + distributed probe path")
+    } finally spark.conf.unset("graft.ivf.kernelMaxCells")
+  }
 }
 
 class SemanticDedupSpec extends SparkSpec {
