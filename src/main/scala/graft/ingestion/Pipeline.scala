@@ -106,21 +106,45 @@ object IngestPipeline {
     // On the fast path the per-dim VALUE SETS ride the same aggregate
     // (collect_set instead of countDistinct — a dim vector is metadata-
     // sized), and the counter's label vector is 1..max by construction, so
-    // the post-write dim tables need NO store scan at all.
-    val (nTraces, nCells, cardinalities, dimValues) = fastCells match {
+    // the post-write dim tables need NO store scan at all. Coordinates whose
+    // cell dims sit inside the counter cells ALSO ride this aggregate: the
+    // per-cell level carries min_by(coord, orderKey) + min(orderKey), the
+    // staged per-cell table then reduces to each coordinate's own dim subset
+    // (winner-of-winners by the carried min key = the global min_by), so the
+    // coordinate tables need no post-write store scan either — at 100 TB
+    // that scan is a full second read of the store.
+    val orderKeyCol = ordinal.headOption.filter(withRaw.columns.contains)
+    val (nTraces, nCells, cardinalities, dimValues, foldedCoords) = fastCells match {
       case Some(cells) =>
-        val perCell = withRaw.groupBy(cells.map(col): _*).agg(count(lit(1)).as("_cnt"))
+        val foldable = resolved.coordinates.filter { c =>
+          val cd = c.dimensions.filter(withRaw.columns.contains)
+          orderKeyCol.nonEmpty && withRaw.columns.contains(c.name) &&
+            cd.nonEmpty && cd.toSet.subsetOf(cells.toSet)
+        }
+        val coordAggs =
+          if (foldable.isEmpty) Nil
+          else foldable.map(c => min_by(col(c.name), col(orderKeyCol.get)).as(c.name)) :+
+            min(col(orderKeyCol.get)).as("__ok")
+        val perCell = withRaw.groupBy(cells.map(col): _*)
+          .agg(count(lit(1)).as("_cnt"), coordAggs: _*)
+        // staged only when coordinates ride along (the level-1 table then
+        // feeds both the QC reduction and the coordinate tables)
+        val perCellSrc =
+          if (foldable.isEmpty) perCell
+          else graft.core.Scratch.stage(perCell, "ingest_qc")
         val aggs = Seq(sum(col("_cnt")).as("n_rows"),
             max(col("_cnt")).as("__max_cnt")) ++
           cells.map(d => collect_set(col(d)).as(s"__v_$d"))
-        val row = perCell.agg(aggs.head, aggs.drop(1): _*).collect().head
+        val row = perCellSrc.agg(aggs.head, aggs.drop(1): _*).collect().head
         def g(name: String): Long =
           if (row.isNullAt(row.fieldIndex(name))) 0L else row.getAs[Long](name)
         val vals: Map[String, Seq[Any]] =
           cells.map(d => d -> row.getSeq[Any](row.fieldIndex(s"__v_$d"))).toMap +
             (counterDims.head -> (1L to g("__max_cnt")).map(v => v: Any))
         val cards = gridDims.map(d => d -> vals(d).size.toLong).toMap
-        (g("n_rows"), g("n_rows"), cards, Some(vals))
+        (g("n_rows"), g("n_rows"), cards, Some(vals),
+          if (foldable.isEmpty) None
+          else Some((perCellSrc, foldable.map(_.name).toSet)))
       case None =>
         val dcols = gridDims.map(col)
         val checkAggs =
@@ -130,7 +154,7 @@ object IngestPipeline {
         val check = transformed.agg(checkAggs.head, checkAggs.drop(1): _*).collect().head
         (check.getAs[Long]("n_rows"), check.getAs[Long]("n_cells"),
           gridDims.map(d => d -> check.getAs[Long](s"__n_$d")).toMap,
-          None)
+          None, None)
     }
     if (nCells != nTraces && !ignoreChecks)
       throw new GridTraceCountError(
@@ -205,17 +229,38 @@ object IngestPipeline {
     // C2/C1: dimension + coordinate tables derive from the STORE just
     // written (column-pruned parquet reads), not from `transformed` — which
     // would re-run the whole strategy window pipeline once per table. All
-    // dim vectors come from ONE aggregate scan, and coordinates sharing a
-    // cell-dim set share ONE groupBy scan.
+    // dim vectors come from ONE aggregate scan; coordinates come from the
+    // staged QC per-cell table when they rode the fast-path aggregate
+    // (zero store scans) and otherwise share ONE groupBy scan per cell-dim
+    // set. The handful of tiny table writes are submitted concurrently —
+    // each is an independent one-task job, and serial submission turns
+    // per-job scheduling latency into wall time.
     val stored = MdioDataset.open(spark, path).df
-    dimValues match {
-      case Some(vals) => gridDims.foreach(d =>
+    val tailWrites: Seq[() => Unit] = (dimValues match {
+      case Some(vals) => gridDims.map(d => () =>
         writeDimVector(spark, stored.schema(d).dataType, vals(d), path, d))
-      case None => writeDimTables(spark, stored, gridDims, path)
-    }
-    writeCoordinateTables(stored, resolved, orderKey = ordinal.head, path)
+      case None => Seq(() => writeDimTables(spark, stored, gridDims, path))
+    }) ++ (foldedCoords match {
+      case Some((perCellSrc, names)) => Seq(
+        () => writeCoordinateTables(perCellSrc, resolved, orderKey = "__ok", path,
+          only = names),
+        () => writeCoordinateTables(stored, resolved, orderKey = ordinal.head, path,
+          exclude = names))
+      case None => Seq(() =>
+        writeCoordinateTables(stored, resolved, orderKey = ordinal.head, path))
+    })
+    awaitAll(tailWrites)
 
     IngestResult(path, resolved, nTraces, nCells, sparsity, stats)
+  }
+
+  /** Run independent driver-side write closures concurrently (each submits
+    * its own small Spark job) and propagate the first failure. */
+  private def awaitAll(work: Seq[() => Unit]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
   }
 
   /** G1/C2 ingest tail: every dim vector from ONE column-pruned aggregate
@@ -250,13 +295,19 @@ object IngestPipeline {
 
   /** C1/C2 ingest tail: coordinates sharing a cell-dim set are reduced in
     * ONE groupBy pass (multiple min_by aggregates); each coordinate table is
-    * a pruned selection of that pass (staged once when shared).
+    * a pruned selection of that pass (staged once when shared). `only` /
+    * `exclude` split the work between the fast-path per-cell source (already
+    * reduced once, carrying its own `__ok` min-key column) and the store.
     */
   private[ingestion] def writeCoordinateTables(stored: DataFrame,
                                                resolved: ResolvedSchema,
                                                orderKey: String, path: String,
-                                               scalar: Int = 1): Unit = {
-    val present = resolved.coordinates.filter(c => stored.columns.contains(c.name))
+                                               scalar: Int = 1,
+                                               only: Set[String] = Set.empty,
+                                               exclude: Set[String] = Set.empty): Unit = {
+    val present = resolved.coordinates.filter(c =>
+      stored.columns.contains(c.name) &&
+        (only.isEmpty || only.contains(c.name)) && !exclude.contains(c.name))
     present.groupBy(_.dimensions.filter(stored.columns.contains)).foreach {
       case (cellDims, cs) =>
         val aggs = cs.map(c => Coordinates

@@ -151,6 +151,42 @@ class IngestPipelineSpec extends SparkSpec {
     assert(r.sparsity == 12.0)
   }
 
+  test("counter fast path folds coordinate tables into the QC aggregate " +
+       "and matches the store-scan path") {
+    import graft.schema.DatasetTemplate
+    // coords: cdp_x spans a PROPER subset of the counter cells, cdp_y the
+    // full cell set — both must ride the fast-path aggregate (no store scan)
+    val tmpl = DatasetTemplate("CoordGrid", "time",
+      Seq("inline", "crossline", "time"), Seq(8, 8, 64),
+      physicalCoords = Seq("cdp_x", "cdp_y"),
+      coordDimOverrides = Map(
+        "cdp_x" -> Seq("inline"), "cdp_y" -> Seq("inline", "crossline")))
+    val rows = for (il <- 1 to 3; xl <- 1 to 3; k <- 1 to 2) yield
+      (il, xl, il * 100 + xl * 10 + k, il * 1000.0, il * 1000.0 + xl, il + xl * 1.0)
+    val traces = rows.toDF("inline", "crossline", "ord", "cdp_x", "cdp_y", "amplitude")
+    val path = Files.createTempDirectory("ingest_coord").toString
+    val r = IngestPipeline.ingest(spark, traces, tmpl,
+      GridOverrides(hasDuplicates = true), path,
+      ordinal = Seq("ord"), valueCol = "amplitude", sparsityError = 1e9)
+    assert(r.nTraces == 18)
+    val cx = spark.read.parquet(s"$path/coords/cdp_x")
+      .as[(Int, Double)].collect().toSet
+    assert(cx == Set((1, 1000.0), (2, 2000.0), (3, 3000.0)))
+    val cy = spark.read.parquet(s"$path/coords/cdp_y")
+      .as[(Int, Int, Double)].collect().toSet
+    assert(cy == (for (il <- 1 to 3; xl <- 1 to 3)
+      yield (il, xl, il * 1000.0 + xl)).toSet)
+    // byte-for-byte agreement with the store-scan (non-folded) path
+    val stored = MdioDataset.open(spark, path).df
+    val alt = Files.createTempDirectory("ingest_coord_alt").toString
+    IngestPipeline.writeCoordinateTables(stored, r.schema, orderKey = "ord", alt)
+    for (c <- Seq("cdp_x", "cdp_y")) {
+      val a = spark.read.parquet(s"$path/coords/$c").collect().map(_.toSeq).toSet
+      val b = spark.read.parquet(s"$alt/coords/$c").collect().map(_.toSeq).toSet
+      assert(a == b, s"folded vs store-scan mismatch for $c")
+    }
+  }
+
   test("missing required header fields are rejected up front") {
     val noXl = Seq((1, 1.0)).toDF("inline", "amplitude")
     intercept[IllegalArgumentException] {
