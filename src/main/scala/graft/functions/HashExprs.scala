@@ -40,6 +40,10 @@ object CrossHashExprs {
   /** array<float> vector → hyperplane LSH bucket for (table, bits, dim). */
   def planeSig(c: Column, table: Int, bits: Int, dim: Int): Column =
     ColumnBridge.column(PlaneSigExpr(ColumnBridge.expression(c), table, bits, dim))
+
+  /** Count of agreeing positions between two minhash signatures. */
+  def sigAgree(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreeExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }
 
 final case class Md5H60Array(child: Expression)
@@ -162,6 +166,44 @@ final case class SimhashExpr(child: Expression, bits: Int)
 
   override protected def withNewChildInternal(newChild: Expression): SimhashExpr =
     copy(child = newChild)
+}
+
+/** Agreeing-position count between two equal-length long signatures — the
+  * minhash Jaccard estimate's numerator. Replaces the last interpreted
+  * `aggregate(zip_with(...))` fold in the near-dup pair stage (linear over
+  * k, but interpreted per candidate pair); same left-to-right visit order,
+  * integer result, so the estimate is bit-identical. Mismatched lengths
+  * throw (two signatures from different k never estimate anything).
+  */
+final case class SigAgreeExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with Serializable {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agree"
+
+  def kernel(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"$prettyName: signature lengths differ (${a.numElements()} vs ${b.numElements()})")
+    var agree = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) agree += 1
+      i += 1
+    }
+    agree
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sigagreeself", this, classOf[SigAgreeExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreeExpr =
+    copy(left = l, right = r)
 }
 
 /** Hyperplane bucket for one LSH table; the ±1 planes are derived from

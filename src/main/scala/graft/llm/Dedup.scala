@@ -123,9 +123,10 @@ object Dedup {
       col("band"), col("band_hash"))
     val b = buckets.select(col(idCol).as("id_b"), col("sig").as("sig_b"),
       col("band"), col("band_hash"))
-    val est = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / k
+    // native agree-count kernel — the pair stage's whole estimate stays
+    // inside whole-stage codegen (no interpreted HOF fold per candidate)
+    val est = CrossHashExprs.sigAgree(col("sig_a"), col("sig_b"))
+      .cast("double") / k
     a.join(b, Seq("band", "band_hash"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
@@ -322,7 +323,15 @@ object Dedup {
     // the driver path reads undirected pairs directly
     val staged = Scratch.stage(pairs.select(col("id_a"), col("id_b")), "cc_pairs")
     val nEdges = 2 * staged.count() // Parquet metadata count on the staged file
-    if (nEdges <= driverCcMaxEdges(pairs.sparkSession))
+    // the driver union-find is long-keyed; non-integral id columns (string
+    // doc ids…) always take the distributed path — otherwise behavior would
+    // diverge BY DATA SIZE (big graphs fine, small ones crashing on the cast)
+    val integralIds = staged.schema.fields.forall(_.dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
+      case _ => false
+    })
+    if (integralIds && nEdges <= driverCcMaxEdges(pairs.sparkSession))
       return (dupComponentsDriver(staged.select(
         col("id_a").as("src"), col("id_b").as("dst"))), 0)
     val edges = staged.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -368,11 +377,14 @@ object Dedup {
   /** Exact union-find over a collected (src, dst) edge list; component =
     * min member id (roots union toward the smaller id, so the final find
     * IS the min — identical labels to the distributed path and the
-    * oracle's recursive reachability).
+    * oracle's recursive reachability). Callers gate on integral id types;
+    * the output is cast back to the input id type so both paths return
+    * the same schema.
     */
   private def dupComponentsDriver(edges: DataFrame): DataFrame = {
     val sess = edges.sparkSession
     import sess.implicits._
+    val idType = edges.schema.head.dataType
     val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
     val parent = new java.util.HashMap[Long, Long]()
     def find(x: Long): Long = {
@@ -392,6 +404,8 @@ object Dedup {
     val rows = parent.keySet().toArray(Array.empty[java.lang.Long])
       .map(id => (id.toLong, find(id)))
     rows.toSeq.toDF("id", "component")
+      .select(col("id").cast(idType).as("id"),
+        col("component").cast(idType).as("component"))
       .withColumn("is_survivor", col("id") === col("component"))
   }
 
@@ -431,12 +445,15 @@ object Dedup {
   }
 
   /** Train/test decontamination: for every evaluation document, the
-    * fraction of its distinct word n-grams that also occur ANYWHERE in the
+    * fraction of its DISTINCT word n-grams that also occur ANYWHERE in the
     * training corpus — the standard benchmark-contamination check run
-    * before training. Returns (idCol, n_grams, n_overlap, overlap_frac)
-    * for every test doc (zero-overlap docs included; docs shorter than n
-    * tokens have one truncated shingle, like the rest of the shingle
-    * family).
+    * before training. Distinctness needs no extra `array_distinct` here:
+    * [[shingleHashes]] (ShingleHashExpr) deduplicates within the document
+    * by construction, so `n_grams` is the distinct-shingle count and
+    * `n_overlap` counts each contaminated gram once however often it
+    * repeats. Returns (idCol, n_grams, n_overlap, overlap_frac) for every
+    * test doc (zero-overlap docs included; docs shorter than n tokens have
+    * one truncated shingle, like the rest of the shingle family).
     *
     * Scale shape: the training side collapses to its DISTINCT md5-60 n-gram
     * set — a hash aggregate with map-side combine whose output is the

@@ -92,6 +92,27 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("sig_agree kernel matches the HOF fold and keeps the pair stage fold-free") {
+    import graft.functions.CrossHashExprs
+    val sigs = Seq(
+      (Array(1L, 2L, 3L, 4L), Array(1L, 9L, 3L, 7L)),
+      (Array(5L, 5L, 5L, 5L), Array(5L, 5L, 5L, 5L))).toDF("sig_a", "sig_b")
+    val hof = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
+    val both = sigs.select(
+      CrossHashExprs.sigAgree(col("sig_a"), col("sig_b")).as("k"), hof.as("h"))
+      .as[(Int, Int)].collect()
+    assert(both.forall { case (k, h) => k == h })
+    assert(both.map(_._1).toSeq == Seq(2, 4))
+    // the registered pair plan carries no interpreted HOF fold anywhere
+    val pairs = Dedup.nearDupPairs(corpus, minEstJaccard = 0.4)
+    pairs.collect()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("aggregate(") && !plan.contains("zip_with"),
+      "pair stage must not contain an interpreted HOF fold")
+  }
+
   test("blockedJaccard computes exact shingle jaccard within blocks") {
     val df = Seq(
       ("s1", 1L, "a b c d e"), ("s1", 2L, "a b c d e"), ("s1", 3L, "x y z w v"),
@@ -149,6 +170,30 @@ class DedupSpec extends SparkSpec {
     assert(got(1L) == ((1L, 4L, 4L, 1.0)))
     assert(got(2L) == ((2L, 4L, 1L, 0.25)))
     assert(got(3L) == ((3L, 4L, 0L, 0.0)))
+  }
+
+  test("contamination counts DISTINCT test grams — repeats weigh once") {
+    // "x y x y x y" has five 2-gram occurrences but only two distinct
+    // 2-grams {"x y", "y x"}; train contains "x y" only. Multiplicity
+    // counting would report 5 grams / 3 overlaps.
+    val train = Seq((10L, "p x y q")).toDF("doc_id", "text")
+    val test = Seq((1L, "x y x y x y")).toDF("doc_id", "text")
+    val got = Dedup.contamination(train, test, n = 2)
+      .select("doc_id", "n_grams", "n_overlap", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((1L, 2L, 1L, 0.5)))
+  }
+
+  test("dupComponents with string ids: small graphs fall through to the " +
+       "distributed path instead of crashing in the driver cast") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("id_a", "id_b")
+    // well under driverMaxEdges — the integral-type gate must reroute
+    val (comp, iters) = Dedup.dupComponentsIterated(pairs)
+    assert(iters >= 1, "string ids must take the distributed path")
+    val rows = comp.select("id", "component").as[(String, String)].collect().toMap
+    assert(rows("a") == "a" && rows("b") == "a" && rows("c") == "a")
+    assert(rows("x") == "x" && rows("y") == "x")
   }
 
   test("driver union-find and distributed doubling agree on random graphs") {
