@@ -19,7 +19,12 @@ object AccessPatterns {
 
   def fastTablePath(basePath: String, dim: String): String = s"$basePath/fast_$dim"
 
-  /** Materialize one clustering per requested dim. */
+  /** Materialize one clustering per requested dim. Callers that want the
+    * optimizer swap must re-register each fast table afterwards
+    * ([[graft.Mdio.optimizeAccessPatterns]] does) — registration is also
+    * what invalidates the rule's cached analyzed relation, so a rewrite
+    * without it would keep serving the previous file listing.
+    */
   def optimize(df: DataFrame, basePath: String, dims: Seq[String],
                partitions: Int = 0): Unit =
     dims.foreach { d =>

@@ -23,17 +23,22 @@ object AccessPatternCatalog {
   /** base data path → (dim name → fast table path) */
   private val entries = new ConcurrentHashMap[String, Map[String, String]]()
 
-  /** fast table path → analyzed relation. Analyzing a relation lists its
-    * files (driver I/O); caching it means the optimizer pays that listing
-    * once per registered fast table, not once per rule application across a
-    * many-query session. Invalidated when the fast table is re-registered
-    * (re-materialization writes new files).
+  /** (session UUID, fast table path) → analyzed relation. Analyzing a
+    * relation lists its files (driver I/O); caching it means the optimizer
+    * pays that listing once per registered fast table, not once per rule
+    * application across a many-query session. Keyed BY SESSION because a
+    * HadoopFsRelation captures its SparkSession and a file-listing
+    * snapshot — a relation built in one session must never serve another.
+    * Invalidated across all sessions when the fast table is re-registered
+    * (re-materialization writes new files); any rewrite that bypasses
+    * `register()` serves a stale listing, which is why
+    * `AccessPatterns.optimize` always re-registers after writing.
     */
-  private val relCache = new ConcurrentHashMap[String, LogicalRelation]()
+  private val relCache = new ConcurrentHashMap[(SparkSession, String), LogicalRelation]()
   private[plans] val relBuilds = new java.util.concurrent.atomic.AtomicLong()
 
   def register(basePath: String, dim: String, fastPath: String): Unit = {
-    relCache.remove(fastPath)
+    relCache.keySet.removeIf(_._2 == fastPath)
     entries.merge(norm(basePath), Map(dim -> fastPath), (a, b) => a ++ b)
   }
 
@@ -42,14 +47,16 @@ object AccessPatternCatalog {
   def lookup(basePath: String): Map[String, String] =
     entries.getOrDefault(norm(basePath), Map.empty)
 
-  private[plans] def relationFor(path: String,
-                                 build: String => Option[LogicalRelation]): Option[LogicalRelation] =
-    Option(relCache.get(path)).orElse {
+  private[plans] def relationFor(session: SparkSession, path: String,
+                                 build: String => Option[LogicalRelation]): Option[LogicalRelation] = {
+    val key = (session, path)   // reference equality — per-session by identity
+    Option(relCache.get(key)).orElse {
       relBuilds.incrementAndGet()
       val built = build(path)
-      built.foreach(relCache.put(path, _))
+      built.foreach(relCache.put(key, _))
       built
     }
+  }
 
   /** Scheme-insensitive compare: `file:/tmp/x`, `/tmp/x/` and `/tmp/x` are
     * the same location. */
@@ -90,7 +97,7 @@ final case class AccessPatternRule(spark: SparkSession) extends Rule[LogicalPlan
         if candidates.nonEmpty
         dim = candidates.maxBy(d => predicateScore(cond, d)) // sorted → ties pick first name
         fastPath = fastByDim(dim)
-        newRel <- AccessPatternCatalog.relationFor(fastPath, analyzedRelation)
+        newRel <- AccessPatternCatalog.relationFor(spark, fastPath, analyzedRelation)
         // same columns in the same order — the clustering is a row-identical
         // rewrite of the base table
         if newRel.output.map(a => (a.name, a.dataType)) ==
