@@ -116,6 +116,39 @@ class IvfSpec extends SparkSpec {
     } finally spark.conf.unset("graft.ivf.kernelMaxCells")
   }
 
+  test("KMeans quality path: same persisted layout, contiguous centroids, " +
+       "recall on a clustered corpus >= the seeded quantizer's") {
+    // KMeans isn't oracle-expressible (iterative, RNG-initialized), so this
+    // spec is its quality gate: on a corpus whose structure matches the cell
+    // count, learned centroids must probe at least as well as hash-medoids.
+    val corpusK = clustered(nClusters = 12, perCluster = 30, dim = 8)
+    val queries = Seq(0L, 35L, 95L, 170L, 290L)
+    val k = 5
+    val truth = Similarity.bruteForceTopK(corpusK, queries, k)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(indexPath: String): Double = {
+      val got = Ivf.ivfTopKFromIndex(corpusK, indexPath, queries, k, nProbe = 2)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      queries.map(q => truth(q).intersect(got.getOrElse(q, Set.empty)).size.toDouble
+        / truth(q).size).sum / queries.size
+    }
+    val kmPath = tmp("ivf_km_quality"); val seedPath = tmp("ivf_seed_quality")
+    Ivf.buildIndexKMeans(corpusK, kmPath, nCells = 12)
+    Ivf.buildIndexSeeded(corpusK, seedPath, nCells = 12)
+    // identical two-table layout, and the kernel path's contiguity guard
+    // accepts the KMeans centroid table
+    val kmCents = Ivf.readCentroids(spark, kmPath)
+    assert(kmCents.length == 12 && kmCents.forall(_.length == 8))
+    assert(spark.read.parquet(s"$kmPath/cells").columns.toSeq ==
+      spark.read.parquet(s"$seedPath/cells").columns.toSeq)
+    val (rKm, rSeed) = (recall(kmPath), recall(seedPath))
+    assert(rKm >= rSeed,
+      s"KMeans recall $rKm must be >= seeded-medoid recall $rSeed")
+    assert(rKm > 0.9, s"clustered corpus with cluster-aligned cells: $rKm")
+  }
+
   test("lowered gate forces two-level end-to-end: search still finds the clone") {
     // 16 is the smallest valid gate (coarseK floors at 16)
     spark.conf.set("graft.ivf.kernelMaxCells", "16")
