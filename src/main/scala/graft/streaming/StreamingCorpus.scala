@@ -1,10 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
-import graft.llm.CorpusPrep
+import graft.llm.{CorpusPrep, Dedup}
 
 /** Continuous corpus preparation: the one-pass sketch computation of
   * [[graft.llm.CorpusPrep]] applied to a document STREAM — every sketch
@@ -65,4 +65,73 @@ object StreamingCorpus {
                             checkpoint: Option[String] = None,
                             watermark: Option[(String, String)] = None): StreamingQuery =
     appendPrepared(dedupedStream(stream, textCol, watermark), path, checkpoint)
+
+  /** One near-dup flag emitted by [[nearDupFlaggedStream]]: `id_a < id_b`,
+    * estimated Jaccard = agreeing minhash components / k. */
+  final case class NearDupFlag(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** Per-bucket LSH state: the (id, signature) sketches seen so far. */
+  final case class BucketState(docs: List[(Long, Seq[Long])])
+
+  /** The second streaming dedup tier — NEAR-duplicate flagging within the
+    * stream, beyond [[dedupedStream]]'s exact tier.
+    *
+    * The minhash/band kernels are deterministic narrow maps (already
+    * streaming-safe), so candidate blocking is the batch design verbatim:
+    * each arriving document explodes to its `bands` LSH buckets, and
+    * `flatMapGroupsWithState` keyed by (band, band_hash) holds each
+    * bucket's seen signatures. A new arrival is compared against ONLY its
+    * bucket's state — the same "no all-pairs" shape as the batch path,
+    * now across micro-batches — and emits a [[NearDupFlag]] per stored
+    * signature whose estimate clears `minEstJaccard`. State rides the
+    * checkpoint, so a paraphrase arriving days later is still flagged.
+    *
+    * Bounds, the part that matters stream-forever: a bucket's state stops
+    * growing at `maxBucketState` signatures (the streaming analog of the
+    * batch hot-bucket cap — a boilerplate flood would otherwise accumulate
+    * state without limit; overflow arrivals still flag against the stored
+    * prefix and still pair through their other bands). A pair sharing
+    * several bands emits one flag per shared bucket — dedup at rest, where
+    * the batch `nearDupPairsFromSignatures.distinct()` already lives.
+    */
+  def nearDupFlaggedStream(stream: DataFrame, textCol: String = "text",
+                           idCol: String = "doc_id",
+                           n: Int = 3, k: Int = 32, bands: Int = 8,
+                           minEstJaccard: Double = 0.5,
+                           maxBucketState: Int = 1000): Dataset[NearDupFlag] = {
+    val sess = stream.sparkSession
+    import sess.implicits._
+    val sigs = stream.select(col(idCol),
+      Dedup.minhashSignature(col(textCol), n, k).as("sig"))
+    val buckets = Dedup.lshBucketsFromSignatures(sigs, idCol, k, bands)
+      .select(col(idCol).cast("long").as("id"), col("sig"),
+        col("band"), col("band_hash"))
+      .as[(Long, Seq[Long], Int, Long)]
+    buckets
+      .groupByKey { case (_, _, band, bandHash) => (band, bandHash) }
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: (Int, Long), rows: Iterator[(Long, Seq[Long], Int, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[BucketState]) =>
+          var docs = state.getOption.map(_.docs).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer[NearDupFlag]()
+          rows.foreach { case (id, sig, _, _) =>
+            docs.iterator
+              .filter(_._1 != id)
+              .foreach { case (seenId, seenSig) =>
+                var agree = 0
+                var i = 0
+                while (i < k) {
+                  if (sig(i) == seenSig(i)) agree += 1
+                  i += 1
+                }
+                val est = agree.toDouble / k
+                if (est >= minEstJaccard)
+                  out += NearDupFlag(math.min(id, seenId), math.max(id, seenId), est)
+              }
+            if (docs.sizeIs < maxBucketState) docs = (id, sig) :: docs
+          }
+          state.update(BucketState(docs))
+          out.iterator
+      }
+  }
 }

@@ -86,4 +86,32 @@ class StreamingCorpusSpec extends SparkSpec {
     assert(out.count() == 2)
     assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
   }
+
+  test("near-dup tier flags a paraphrase arriving in a LATER micro-batch; " +
+       "distinct docs pass") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "every single day of the week without fail"
+    val input = MemoryStream[(Long, String)]
+    val flags = StreamingCorpus.nearDupFlaggedStream(
+      input.toDF().toDF("doc_id", "text"), minEstJaccard = 0.4)
+    val q = flags.writeStream.format("memory").queryName("neardup_flags")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, base),
+        (4L, "completely different content about spark engines and parquet " +
+          "row groups and shuffle partitions"))
+      q.processAllAvailable()
+      // batch 2: a light paraphrase of doc 1 — the bucket state from batch 1
+      // must flag it
+      input.addData((2L, base + " honestly"))
+      q.processAllAvailable()
+      val out = spark.table("neardup_flags")
+        .as[StreamingCorpus.NearDupFlag].collect().toSeq
+      assert(out.exists(f => f.id_a == 1L && f.id_b == 2L && f.est_jaccard >= 0.4),
+        s"cross-batch paraphrase not flagged: $out")
+      assert(!out.exists(f => f.id_a == 4L || f.id_b == 4L),
+        s"distinct doc must not be flagged: $out")
+    } finally q.stop()
+  }
 }
