@@ -132,16 +132,28 @@ object IngestPipeline {
         val perCellSrc =
           if (foldable.isEmpty) perCell
           else graft.core.Scratch.stage(perCell, "ingest_qc")
+        // Cardinality guard: the value sets are SLICED to maxVals+1 inside
+        // the aggregate (sorted, so the truncation is deterministic) and the
+        // exact cardinality rides beside them as countDistinct — the driver
+        // row stays bounded no matter how pathological a dim is, and a
+        // truncated dim's table falls back to the distributed write below.
+        val maxVals = math.min(driverMaxDimValues(spark), Int.MaxValue - 2L).toInt
         val aggs = Seq(sum(col("_cnt")).as("n_rows"),
             max(col("_cnt")).as("__max_cnt")) ++
-          cells.map(d => collect_set(col(d)).as(s"__v_$d"))
+          cells.map(d => slice(sort_array(collect_set(col(d))), 1, maxVals + 1)
+            .as(s"__v_$d")) ++
+          cells.map(d => countDistinct(col(d)).as(s"__n_$d"))
         val row = perCellSrc.agg(aggs.head, aggs.drop(1): _*).collect().head
         def g(name: String): Long =
           if (row.isNullAt(row.fieldIndex(name))) 0L else row.getAs[Long](name)
         val vals: Map[String, Seq[Any]] =
-          cells.map(d => d -> row.getSeq[Any](row.fieldIndex(s"__v_$d"))).toMap +
-            (counterDims.head -> (1L to g("__max_cnt")).map(v => v: Any))
-        val cards = gridDims.map(d => d -> vals(d).size.toLong).toMap
+          cells.map(d => d -> row.getSeq[Any](row.fieldIndex(s"__v_$d")))
+            .filter { case (_, v) => v.sizeIs <= maxVals }.toMap ++
+            (if (g("__max_cnt") <= maxVals)
+               Map(counterDims.head -> (1L to g("__max_cnt")).map(v => v: Any))
+             else Map.empty)
+        val cards = cells.map(d => d -> g(s"__n_$d")).toMap +
+          (counterDims.head -> g("__max_cnt"))
         (g("n_rows"), g("n_rows"), cards, Some(vals),
           if (foldable.isEmpty) None
           else Some((perCellSrc, foldable.map(_.name).toSet)))
@@ -236,10 +248,19 @@ object IngestPipeline {
     // each is an independent one-task job, and serial submission turns
     // per-job scheduling latency into wall time.
     val stored = MdioDataset.open(spark, path).df
+    val maxDimVals = driverMaxDimValues(spark)
     val tailWrites: Seq[() => Unit] = (dimValues match {
       case Some(vals) => gridDims.map(d => () =>
-        writeDimVector(spark, stored.schema(d).dataType, vals(d), path, d))
-      case None => Seq(() => writeDimTables(spark, stored, gridDims, path))
+        if (vals.contains(d))
+          writeDimVector(spark, stored.schema(d).dataType, vals(d), path, d)
+        else if (counterDims.contains(d))
+          // counter labels are 1..max by construction — generate distributed
+          spark.range(1, cardinalities(d) + 1)
+            .select(col("id").cast(stored.schema(d).dataType).as("dim_value"))
+            .write.mode("overwrite").parquet(s"$path/dims/$d")
+        else writeDimDistributed(stored, d, path))
+      case None => Seq(() =>
+        writeDimTables(spark, stored, gridDims, path, cardinalities, maxDimVals))
     }) ++ (foldedCoords match {
       case Some((perCellSrc, names)) => Seq(
         () => writeCoordinateTables(perCellSrc, resolved, orderKey = "__ok", path,
@@ -263,23 +284,49 @@ object IngestPipeline {
     Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
   }
 
-  /** G1/C2 ingest tail: every dim vector from ONE column-pruned aggregate
-    * scan (collect_set per dim, map-side combined, shuffle O(cardinality)).
-    * A dim vector is metadata-sized by definition — grid axis labels, held
-    * as in-memory arrays by the reference too — so the driver round-trip is
-    * the cheap path: each table then sorts and writes its handful of rows
-    * locally instead of re-scanning the store once per dim.
+  /** Dim-vector cardinality gate (`graft.dims.driverMaxValues`, default
+    * 10⁶): a dim vector is normally metadata-sized — grid axis labels, held
+    * as in-memory arrays by the reference too — but nothing FORCES that, and
+    * a pathological 10⁸-distinct dim would OOM the driver on the collect_set
+    * round-trip. Above the gate the vector never visits the driver: the
+    * table writes as a distributed `distinct().orderBy().write`. Same
+    * size-vs-strategy trade as `graft.cc.driverMaxEdges`.
+    */
+  private[ingestion] def driverMaxDimValues(spark: SparkSession): Long =
+    spark.conf.getOption("graft.dims.driverMaxValues").map(_.toLong)
+      .getOrElse(1000000L)
+
+  /** G1/C2 ingest tail: every DRIVER-SAFE dim vector from ONE column-pruned
+    * aggregate scan (collect_set per dim, map-side combined, shuffle
+    * O(cardinality)) — each table then sorts and writes its handful of rows
+    * locally instead of re-scanning the store once per dim. Dims whose
+    * cardinality (known from the invariant pass) exceeds the gate skip the
+    * driver entirely via [[writeDimDistributed]].
     */
   private[ingestion] def writeDimTables(spark: SparkSession, stored: DataFrame,
-                                        gridDims: Seq[String], path: String): Unit = {
+                                        gridDims: Seq[String], path: String,
+                                        cardinalities: Map[String, Long] = Map.empty,
+                                        maxVals: Long = Long.MaxValue): Unit = {
     if (gridDims.isEmpty) return
-    val aggs = gridDims.map(d => collect_set(col(d)).as(d))
+    val (big, small) = gridDims.partition(d =>
+      cardinalities.getOrElse(d, 0L) > maxVals)
+    big.foreach(d => writeDimDistributed(stored, d, path))
+    if (small.isEmpty) return
+    val aggs = small.map(d => collect_set(col(d)).as(d))
     val row = stored.agg(aggs.head, aggs.drop(1): _*).collect().head
-    gridDims.foreach { d =>
+    small.foreach { d =>
       writeDimVector(spark, stored.schema(d).dataType,
         row.getSeq[Any](row.fieldIndex(d)), path, d)
     }
   }
+
+  /** The over-the-gate dim table: distributed distinct + range-sorted write
+    * — the vector never materializes in one place. */
+  private[ingestion] def writeDimDistributed(stored: DataFrame, d: String,
+                                             path: String): Unit =
+    stored.select(col(d).as("dim_value")).distinct()
+      .orderBy(col("dim_value"))
+      .write.mode("overwrite").parquet(s"$path/dims/$d")
 
   /** Write one dim table (`dims/<d>`: sorted `dim_value`) from an in-driver
     * value vector. */

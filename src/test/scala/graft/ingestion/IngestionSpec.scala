@@ -187,6 +187,41 @@ class IngestPipelineSpec extends SparkSpec {
     }
   }
 
+  test("dim-vector cardinality guard: a lowered gate writes the same tables " +
+       "through the distributed path") {
+    def ingestTo(dirTag: String): String = {
+      val p = Files.createTempDirectory(dirTag).toString
+      IngestPipeline.ingest(spark, grid(dup = true), template,
+        GridOverrides(hasDuplicates = true), p,
+        Seq("inline", "crossline", "amplitude"), "amplitude")
+      p
+    }
+    def ingestRegular(dirTag: String): String = {
+      val p = Files.createTempDirectory(dirTag).toString
+      IngestPipeline.ingest(spark, grid(dup = false), template,
+        GridOverrides(), p, Seq("inline", "crossline"), "amplitude")
+      p
+    }
+    val (viaDriver, viaDriverReg) = (ingestTo("dimguard_a"), ingestRegular("dimguard_c"))
+    // gate 2 < the 4-value inline/crossline dims -> distributed fallback on
+    // both the counter fast path and the regular path; counter max (2) stays
+    // driver-side
+    spark.conf.set("graft.dims.driverMaxValues", "2")
+    val (viaDist, viaDistReg) =
+      try (ingestTo("dimguard_b"), ingestRegular("dimguard_d"))
+      finally spark.conf.unset("graft.dims.driverMaxValues")
+    for ((a, b) <- Seq((viaDriver, viaDist), (viaDriverReg, viaDistReg));
+         d <- Seq("inline", "crossline") ++
+           (if (a == viaDriver) Seq("trace") else Nil)) {
+      val x = spark.read.parquet(s"$a/dims/$d")
+        .select(col("dim_value").cast("long")).as[Long].collect().toSeq
+      val y = spark.read.parquet(s"$b/dims/$d")
+        .select(col("dim_value").cast("long")).as[Long].collect().toSeq
+      assert(x == y, s"dim $d differs between driver and distributed paths")
+      assert(x == x.sorted && x.nonEmpty)
+    }
+  }
+
   test("missing required header fields are rejected up front") {
     val noXl = Seq((1, 1.0)).toDF("inline", "amplitude")
     intercept[IllegalArgumentException] {
