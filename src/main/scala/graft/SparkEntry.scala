@@ -166,6 +166,10 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))),
     "q_simhash" -> ((s, d) =>
       Dedup.withSimhash(documents(s, d)).select("doc_id", "simhash")),
+    // simhash tier: bit-band blocked pairs, hamming-verified — the cheap
+    // near-IDENTICAL text pass below MinHash LSH
+    "q_neardup_simhash" -> ((s, d) =>
+      Dedup.simhashNearDupPairs(documents(s, d))),
     // --- LLM pipeline: text analysis ------------------------------------
     "q_text_stats" -> ((s, d) =>
       TextAnalysis.textStats(documents(s, d))
@@ -198,6 +202,26 @@ object SparkEntry {
         bits = 4, tables = 8)),
     "q_ann_ivf" -> ((s, d) =>
       Ivf.ivfTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    // the SCALE path of the same search, oracle-gated: the kernel gate drops
+    // below nCells so index build runs the join-based two-level assignment
+    // and the search runs the two-level probe; coarseProbes = coarseK (16 at
+    // nCells=64 — exhaustive) makes both levels exact, so the flat-argmin
+    // oracle applies bit-for-bit
+    "q_ann_ivf_2l" -> ((s, d) => {
+      val prevGate = s.conf.getOption("graft.ivf.kernelMaxCells")
+      val prevProbes = s.conf.getOption("graft.ivf.coarseProbes")
+      s.conf.set("graft.ivf.kernelMaxCells", "16")
+      s.conf.set("graft.ivf.coarseProbes", "16")
+      // conf is read only while the plan is CONSTRUCTED (the build is eager),
+      // so restoring in finally never races the later execution
+      try Ivf.ivfTopK(embeddings(s, d), (0L until 10L), k = 10, nCells = 64)
+      finally {
+        prevGate.fold(s.conf.unset("graft.ivf.kernelMaxCells"))(v =>
+          s.conf.set("graft.ivf.kernelMaxCells", v))
+        prevProbes.fold(s.conf.unset("graft.ivf.coarseProbes"))(v =>
+          s.conf.set("graft.ivf.coarseProbes", v))
+      }
+    }),
     // recall of the approximate paths vs exact top-k (quality report);
     // signatures and the IVF index are built ONCE and both reads reuse them
     "q_ann_recall" -> ((s, d) => {
@@ -251,6 +275,32 @@ object SparkEntry {
       val traceMax = chk.getLong(1)
       Seq((r.nTraces, r.nCells, traceMax, storeRows, r.stats.sum))
         .toDF("n_rows", "n_cells", "trace_max", "store_rows", "sum_val")
+    }),
+    // the ingest-tail dim tables through the OVER-THE-GATE branch: the
+    // cardinality gate drops to 1 so every dim skips the driver collect_set
+    // and writes via the distributed distinct (writeDimDistributed) or the
+    // distributed counter range — the scale path gets its own oracle row
+    "q_dims_distributed" -> ((s, d) => {
+      import graft.ingestion._
+      import graft.schema.DatasetTemplate
+      val tmpl = DatasetTemplate("LineitemGrid", "time",
+        Seq("l_suppkey", "l_partkey", "time"), Seq(8, 8, 512))
+      val path = graft.core.TempDirs.scratch("ingest_dims")
+      val traces = lineitem(s, d).select("l_suppkey", "l_partkey",
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+      val prev = s.conf.getOption("graft.dims.driverMaxValues")
+      s.conf.set("graft.dims.driverMaxValues", "1")
+      try IngestPipeline.ingest(s, traces, tmpl,
+        GridOverrides(hasDuplicates = true), path,
+        ordinal = Seq("l_orderkey", "l_linenumber"),
+        valueCol = "l_extendedprice", sparsityError = 1e9)
+      finally prev.fold(s.conf.unset("graft.dims.driverMaxValues"))(v =>
+        s.conf.set("graft.dims.driverMaxValues", v))
+      Seq("l_suppkey", "l_partkey", "trace").map(dim =>
+          s.read.parquet(s"$path/dims/$dim")
+            .select(lit(dim).as("dim_name"),
+              col("dim_value").cast("long").as("dim_value")))
+        .reduce(_ unionAll _)
     }),
     // --- S4/S5: MDIO store write→open→sel round-trip --------------------
     "q_store_roundtrip" -> ((s, d) => {
@@ -634,10 +684,13 @@ object SparkEntry {
     "q_boilerplate" -> OracleSqlGen.boilerplateSql(),
     "q_contamination" -> OracleSqlGen.contaminationSql(),
     "q_simhash" -> OracleSqlGen.simhashSql(),
+    "q_neardup_simhash" -> OracleSqlGen.simhashNearDupSql(),
     "q_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8, dim = 64,
       nQueries = 10, k = 10),
     "q_ann_ivf" -> OracleSqlGen.annIvfSql(nProbe = 4, dim = 64,
       nQueries = 10, k = 10),
+    "q_ann_ivf_2l" -> OracleSqlGen.annIvfSql(nProbe = 4, dim = 64,
+      nQueries = 10, k = 10, fixedNCells = Some(64)),
     "q_ann_recall" -> OracleSqlGen.annRecallSql(bits = 4, tables = 8,
       nProbe = 4, dim = 64, nQueries = 10, k = 10),
     "q_multimodal_features" -> OracleSqlGen.multimodalFeaturesSql(),
@@ -792,6 +845,15 @@ object SparkEntry {
         |  CAST(CAST((SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem
         |    WHERE l_extendedprice IS NOT NULL AND l_extendedprice != 0) AS VARCHAR) AS DOUBLE)
         |    AS sum_val""".stripMargin,
+    "q_dims_distributed" ->
+      """SELECT 'l_suppkey' AS dim_name, CAST(l_suppkey AS BIGINT) AS dim_value
+        |FROM lineitem GROUP BY 2
+        |UNION ALL
+        |SELECT 'l_partkey', CAST(l_partkey AS BIGINT) FROM lineitem GROUP BY 2
+        |UNION ALL
+        |SELECT 'trace', CAST(unnest(generate_series(1,
+        |  (SELECT max(n) FROM (SELECT count(*) AS n FROM lineitem
+        |     GROUP BY l_suppkey, l_partkey)))) AS BIGINT)""".stripMargin,
     "q_store_roundtrip" ->
       """SELECT l_linenumber, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty

@@ -499,4 +499,60 @@ object Dedup {
   /** Hamming distance between two simhash fingerprints (popcount of XOR). */
   def hammingDistance(a: Column, b: Column): Column =
     call_function("bit_count", a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs — the cheap tier below MinHash+LSH for
+    * near-IDENTICAL text: one 60-bit fingerprint per doc (not k=32 minhash
+    * components), bit-band blocking instead of shingle-set banding.
+    *
+    * The 60-bit fingerprint splits into `bands` disjoint bit slices
+    * (default 4 × 15 bits); candidates are pairs agreeing EXACTLY on at
+    * least one slice (equi-join on (band, band_bits) — never all-pairs), and
+    * survivors verify with the full Hamming distance ≤ `maxHamming`. By
+    * pigeonhole the blocking is LOSSLESS for maxHamming < bands: ≤ 3
+    * differing bits cannot touch all 4 bands, so every qualifying pair
+    * shares at least one exact band. Same 100-TB shape as
+    * [[nearDupPairsFromSignatures]]: fingerprints staged once, the shuffle
+    * carries (band, band_bits, id, fingerprint) — 3 longs and a short — and
+    * the hot-bucket cap bounds the quadratic blowup of a fingerprint flood
+    * (capped members still pair through their other bands).
+    *
+    * Emits (id_a, id_b, hamming), id_a < id_b, deduplicated across bands.
+    */
+  def simhashNearDupPairs(df: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id",
+                          bands: Int = 4, maxHamming: Int = 3,
+                          maxBucketSize: Int = 10000,
+                          scratchPath: Option[String] = None): DataFrame = {
+    val bits = 60
+    require(bands > 0 && bits % bands == 0, s"bands=$bands must divide $bits")
+    require(maxHamming < bands,
+      s"maxHamming=$maxHamming needs > $maxHamming bands for lossless " +
+        s"blocking (got $bands) — raise bands or use MinHash LSH")
+    val width = bits / bands
+    val fp = Scratch.stage(
+      withSimhash(df, textCol).select(col(idCol), col("simhash")),
+      "simhash_fp", scratchPath)
+    val banded = fp.select(col(idCol), col("simhash"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("band_bits",
+        call_function("shiftrightunsigned", col("simhash"), col("band") * width)
+          .bitwiseAND(lit((1L << width) - 1)))
+    val hot = banded.groupBy(col("band"), col("band_bits"))
+      .agg(count(lit(1)).as("_bucket_n"))
+      .where(col("_bucket_n") > maxBucketSize)
+      .select(col("band"), col("band_bits"))
+    val cool = banded.join(broadcast(hot), Seq("band", "band_bits"), "left_anti")
+    val a = cool.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band"), col("band_bits"))
+    val b = cool.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band"), col("band_bits"))
+    a.join(b, Seq("band", "band_bits"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("hamming",
+        hammingDistance(col("sh_a"), col("sh_b")).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

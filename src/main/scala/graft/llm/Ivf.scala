@@ -95,11 +95,27 @@ object Ivf {
           Window.orderBy(col("_h"), col(idCol))) - 1).cast("long"))
         .drop("_h")
     } else {
-      graft.operators.GlobalOrder.withGlobalSeq(hashed, Seq("_h", idCol), "cell")
+      // Bottom-k prefilter: the global sort only needs the nCells smallest
+      // hashes, so sorting the WHOLE corpus (the round-6 shape) wastes
+      // ~corpus/nCells of the sort input. md5-60 is uniform on [0, 2^60), so
+      // rows with _h below ~nCells/n · 2^60 · margin are a count-verified
+      // superset of the true bottom-nCells (margin 4 makes an undershoot a
+      // vanishing-tail event); on undershoot we fall back to the full sort.
+      // The numbering is unchanged either way: any superset of the bottom
+      // nCells rows sorts them to the same (hash, id) positions.
+      val n = embeddings.count()
+      val cap = math.min(h60Max.toDouble,
+        math.ceil(nCells.toDouble / math.max(n, 1L) * h60Max.toDouble * 4.0))
+      val pre = hashed.where(col("_h") < lit(cap.toLong))
+      val src = if (n > nCells && pre.count() >= nCells) pre else hashed
+      graft.operators.GlobalOrder.withGlobalSeq(src, Seq("_h", idCol), "cell")
         .where(col("cell") < nCells)
         .select(col(idCol), col("cell"))
     }
   }
+
+  /** Exclusive upper bound of the md5-60 hash family (15 hex chars). */
+  private val h60Max: Long = 1L << 60
 
   private def asDouble(c: Column): Column = transform(c, _.cast("double"))
 
@@ -164,6 +180,29 @@ object Ivf {
                                        idCol: String, vecCol: String): DataFrame = {
     val sess = embeddings.sparkSession
     val nProbeCoarse = coarseProbes(sess)
+    val (coarseArr, fine) = coarseGrouping(centroids)
+    val probed = embeddings.select(col(idCol), col(vecCol),
+        explode(graft.functions.VecExprs.ivfProbes(col(vecCol), coarseArr,
+          nProbeCoarse)).as("coarse"))
+    probed.join(fine, Seq("coarse"))
+      .select(col(idCol),
+        struct(graft.functions.VecExprs.l2Sq(col(vecCol), col("centroid")).as("d2"),
+          col("cell").as("cell")).as("_dc"))
+      .groupBy(col(idCol)).agg(min(col("_dc")).as("_best"))
+      .select(col(idCol), col("_best.cell").as("cell"))
+  }
+
+  /** Coarse machinery shared by the two-level assignment AND probe paths:
+    * √nFine coarse seeds drawn deterministically from the fine centroid
+    * table (bottom-k by md5-60("coarse:" || cell) — the corpus-derived
+    * sampling trick one level up) plus the fine table grouped under each
+    * centroid's nearest coarse seed (a narrow kernel map). The coarse matrix
+    * is ALWAYS kernel-sized: one level reaches nCells ~ kernelMaxCells² ≈
+    * 1.6×10⁷, the 10⁹-vector regime.
+    */
+  private[llm] def coarseGrouping(centroids: DataFrame)
+      : (Array[Array[Double]], DataFrame) = {
+    val sess = centroids.sparkSession
     val ch = conv(substring(md5(concat(lit("coarse:"), col("cell").cast("string"))),
       1, 15), 16, 10).cast("long")
     val nFine = centroids.count()
@@ -175,19 +214,10 @@ object Ivf {
       .orderBy(col("_h"), col("cell")).limit(coarseK)
       .select(col("centroid")).collect()
       .map(_.getSeq[Double](0).toArray)
-    // fine centroids grouped under their nearest coarse seed (narrow kernel map)
     val fine = centroids.select(
       graft.functions.VecExprs.ivfCell(col("centroid"), coarseArr).as("coarse"),
       col("cell"), col("centroid"))
-    val probed = embeddings.select(col(idCol), col(vecCol),
-        explode(graft.functions.VecExprs.ivfProbes(col(vecCol), coarseArr,
-          nProbeCoarse)).as("coarse"))
-    probed.join(fine, Seq("coarse"))
-      .select(col(idCol),
-        struct(graft.functions.VecExprs.l2Sq(col(vecCol), col("centroid")).as("d2"),
-          col("cell").as("cell")).as("_dc"))
-      .groupBy(col(idCol)).agg(min(col("_dc")).as("_best"))
-      .select(col(idCol), col("_best.cell").as("cell"))
+    (coarseArr, fine)
   }
 
   /** Build + persist the seeded-medoid index: each vector is assigned to its
@@ -241,10 +271,10 @@ object Ivf {
   /** Approximate top-k against a prebuilt index: probe the `nProbe` nearest
     * cells per query, rerank candidates in the probed cells by exact cosine.
     * Probe selection is gated like the build: a kernel-sized centroid table
-    * rides the probe expression; above [[kernelMaxCells]] the queries
-    * (broadcast-tiny) scan the distributed centroid table instead — a
-    * per-query top-nProbe window over |queries| × nCells distance rows, all
-    * executor-side.
+    * rides the probe expression; above [[kernelMaxCells]] probing goes
+    * two-level ([[coarseGrouping]]) — coarse-probe first, fine-rank only
+    * within the probed coarse groups, O(coarseProbes·√nCells) distance rows
+    * per query, all executor-side.
     */
   def ivfTopKFromIndex(embeddings: DataFrame, indexPath: String,
                        queryIds: Seq[Long], k: Int, nProbe: Int = 4,
@@ -264,9 +294,21 @@ object Ivf {
           explode(graft.functions.VecExprs.ivfProbes(col("qvec"), centArr, nProbe))
             .as("cell"))
       } else {
+        // Two-level probe selection, mirroring [[assignCellsTwoLevel]]: each
+        // query probes its coarseProbes nearest coarse seeds with the kernel
+        // and fine-ranks ONLY the centroids in those coarse groups —
+        // O(coarseProbes·√nCells) distance rows per query instead of the
+        // flat O(nCells) centroid scan this branch ran before round 7. The
+        // same (d², cell) ordering picks the probes, so wherever the probed
+        // coarse groups contain the true nProbe-nearest cells the selection
+        // is identical to the flat scan (exhaustive coarseProbes ⇒ exact).
+        val (coarseArr, fine) = coarseGrouping(centTable)
         val wp = Window.partitionBy(col("query_id"))
           .orderBy(col("_d2"), col("cell"))
-        centTable.crossJoin(broadcast(queries))
+        val qprobed = queries.select(col("query_id"), col("qvec"),
+          explode(graft.functions.VecExprs.ivfProbes(col("qvec"), coarseArr,
+            coarseProbes(sess))).as("coarse"))
+        fine.join(broadcast(qprobed), Seq("coarse"))
           .withColumn("_d2",
             graft.functions.VecExprs.l2Sq(col("qvec"), col("centroid")))
           .withColumn("_r", row_number().over(wp))

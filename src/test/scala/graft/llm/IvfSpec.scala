@@ -107,12 +107,72 @@ class IvfSpec extends SparkSpec {
   }
 
   test("seedTable numbering is identical on the window and zipWithIndex paths") {
+    // above-gate nCells=8 on a 41-row corpus prefilters to ~78% of the rows
+    // (margin 4) before the sort — the count-verified bottom-k path
     val shifted = corpus.withColumn("vec_id", col("vec_id") + 5000000L)
     val viaWindow = Ivf.seedTable(shifted, 8).as[(Long, Long)].collect().toSet
     spark.conf.set("graft.ivf.kernelMaxCells", "4")
     try {
       val viaZip = Ivf.seedTable(shifted, 8).as[(Long, Long)].collect().toSet
       assert(viaZip == viaWindow)
+      // full-sort fallback (nCells >= corpus: the prefilter can't help):
+      // every id gets a cell, numbering still matches the window ordering
+      val all = Ivf.seedTable(shifted, 41).as[(Long, Long)].collect()
+      assert(all.length == 41)
+      assert(all.map(_._2).sorted.toSeq == (0L until 41L))
+      assert(all.toSet.intersect(viaWindow).size == viaWindow.size ||
+        viaWindow.subsetOf(all.toSet))
+    } finally spark.conf.unset("graft.ivf.kernelMaxCells")
+  }
+
+  test("plan guard: kernel assignment shuffle-free; two-level assignment and " +
+       "probe never hold the fine table on the driver") {
+    // parquet-backed corpus: a purely local relation would constant-fold the
+    // whole assignment into a LocalTableScan and hide the plan under test
+    val src = tmp("ivf_planguard_src")
+    corpus.write.parquet(src)
+    val corpusP = spark.read.parquet(src)
+    // kernel path: a narrow codegen'd map — any Exchange in this plan is a
+    // regression against the r5 gate design
+    val cents = Array.tabulate(4)(c => Array.tabulate(8)(d => c * 10.0 + d))
+    val kern = Ivf.assignCellsKernel(corpusP, cents, "vec_id", "embedding")
+    kern.collect()
+    val kplan = kern.queryExecution.executedPlan.toString
+    assert(!kplan.contains("Exchange"),
+      s"kernel assignment must stay a shuffle-free narrow map:\n$kplan")
+    assert(kplan.contains("ivf_cell"), kplan)
+
+    // two-level path: fine centroids stay distributed — the plan must join
+    // them (vec_l2sq inside the join) and pre-combine the per-row min as a
+    // hash aggregate; the only kernel objects riding the plan are the
+    // coarse-sized ones (gated ≤ kernelMaxCells inside coarseGrouping)
+    val centSrc = tmp("ivf_planguard_cent")
+    (0L until 20L).map(c => (c, Array.tabulate(8)(d => c * 10.0 + d)))
+      .toDF("cell", "centroid").write.parquet(centSrc)
+    val centDf = spark.read.parquet(centSrc)
+    val two = Ivf.assignCellsTwoLevel(corpusP, centDf, "vec_id", "embedding")
+    two.collect()
+    val tplan = two.queryExecution.executedPlan.toString
+    assert(tplan.contains("vec_l2sq"), tplan)
+    // map-side pre-combine: the shuffle carries one (id, best) pair per row,
+    // never the candidate fan-out (struct-min plans as SortAggregate)
+    assert(tplan.contains("partial_min"), tplan)
+    assert(tplan.contains("Join"), tplan)
+
+    // above-gate probe selection: coarse-pruned equi-join, never the flat
+    // per-query centroid scan (no cartesian/nested-loop shapes)
+    spark.conf.set("graft.ivf.kernelMaxCells", "16")
+    try {
+      val path = tmp("ivf_planguard")
+      val corpusK = clustered(nClusters = 12, perCluster = 30, dim = 8)
+      Ivf.buildIndexSeeded(corpusK, path, nCells = 24)
+      val got = Ivf.ivfTopKFromIndex(corpusK, path, Seq(0L), k = 3, nProbe = 2)
+      got.collect()
+      val qplan = got.queryExecution.executedPlan.toString
+      assert(!qplan.contains("CartesianProduct") &&
+             !qplan.contains("BroadcastNestedLoopJoin"),
+        s"above-gate probe must be the coarse-pruned equi-join:\n$qplan")
+      assert(qplan.contains("ivf_probes"), qplan)
     } finally spark.conf.unset("graft.ivf.kernelMaxCells")
   }
 

@@ -69,6 +69,40 @@ class StreamingMdioSpec extends SparkSpec {
     assert(MdioDataset.open(spark, path).df.count() == 1)
   }
 
+  test("compact folds micro-batch file accumulation back into the layout") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("mdio-stream-compact").toString
+    val seed = (1 to 10).map(i => (i % 2, i, i * 0.5)).toDF("il", "xl", "amp")
+    MdioDataset.write(seed, path, schema, sortDims = Seq("il", "xl"))
+
+    val input = MemoryStream[(Int, Int, Double)]
+    val q = StreamingMdio.appendToStore(input.toDS().toDF("il", "xl", "amp"),
+      path, trigger = Trigger.ProcessingTime(0))
+    try {
+      (1 to 4).foreach { b =>
+        input.addData((b, 100 + b, b * 1.0), (b, 200 + b, b * 2.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+
+    val rowsBefore = MdioDataset.open(spark, path).df
+      .orderBy("il", "xl").collect().toSeq
+    val ddlBefore = MdioDataset.readSidecar(spark, path)
+      .flatMap(_.layout).flatMap(_.sparkSchemaDdl)
+    val (nBefore, nAfter) = MdioDataset.compact(spark, path)
+    assert(nBefore >= 5, s"4 micro-batches + seed should accumulate files: $nBefore")
+    assert(nAfter < nBefore, s"compact must shrink the file count: $nBefore -> $nAfter")
+    assert(nAfter == 1, s"18 tiny rows fit one layout-sized file: $nAfter")
+    // row-identical, recorded layout + DDL unchanged, store still appendable
+    val reopened = MdioDataset.open(spark, path)
+    assert(reopened.df.orderBy("il", "xl").collect().toSeq == rowsBefore)
+    assert(reopened.schema.layout.map(_.sortDims).contains(Seq("il", "xl")))
+    assert(reopened.schema.layout.flatMap(_.sparkSchemaDdl) == ddlBefore)
+    MdioDataset.write(Seq((9, 999, 9.0)).toDF("il", "xl", "amp"), path,
+      reopened.schema, mode = MdioDataset.WriteMode.A)
+    assert(MdioDataset.open(spark, path).df.count() == rowsBefore.size + 1)
+  }
+
   test("dedupKey state absorbs replayed rows across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("mdio-stream-dedup").toString
