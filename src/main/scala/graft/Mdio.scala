@@ -81,6 +81,13 @@ object Mdio {
     tol
   }
 
+  /** Maintenance: fold append-accumulated micro-batch files back into the
+    * sidecar-recorded layout (row-identical; safe between stream triggers).
+    * The reference's rechunking analog is `optimize/access_pattern.py:26-118`.
+    * Returns the parquet file counts (before, after). */
+  def compactMdio(spark: SparkSession, path: String): (Int, Int) =
+    MdioDataset.compact(spark, path)
+
   /** S7: store→store copy with optional column pruning. */
   def copyMdio(spark: SparkSession, from: String, to: String,
                excludeColumns: Seq[String] = Nil): Unit =

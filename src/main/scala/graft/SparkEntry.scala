@@ -190,6 +190,10 @@ object SparkEntry {
     // Gopher-style repetition quality signals (templated-text detector)
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(documents(s, d))),
+    // concat-and-chunk sequence packing: each doc's context-window span in
+    // the deterministic training stream (two-pass global prefix sum)
+    "q_pack_sequences" -> ((s, d) =>
+      Packing.packSequences(documents(s, d), ctxTokens = 512)),
     // --- LLM pipeline: similarity search --------------------------------
     "q_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), (0L until 10L), k = 10)),
@@ -340,6 +344,32 @@ object SparkEntry {
         .write.format("mdio").mode("append").save(path)
       s.read.format("mdio").load(path)        // the DSv2 surface
         .where(col("l_suppkey") === 7L)
+        .groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+    }),
+    // compaction correctness: three append-accumulated file sets fold back
+    // into the recorded layout; the oracle checks the compacted store is
+    // row-identical to the source table
+    "q_store_compact" -> ((s, d) => {
+      import graft.schema._
+      import graft.storage.MdioDataset
+      val path = graft.core.TempDirs.scratch("store_compact")
+      val li = lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+      val schema = MdioSchema(
+        variables = Seq(Variable("l_quantity", Seq("l_orderkey", "l_linenumber"),
+          Left(ScalarType.Float64), compressor = Some(Blosc()))),
+        metadata = DatasetMetadata("lineitem-compact", "1.0.0",
+          "2026-01-01T00:00:00Z"))
+      MdioDataset.write(li.where(col("l_suppkey") % 3 === 0), path, schema,
+        sortDims = Seq("l_suppkey"))
+      (1 to 2).foreach(m =>
+        li.where(col("l_suppkey") % 3 === m)
+          .write.format("mdio").mode("append").save(path))
+      val (nb, na) = MdioDataset.compact(s, path)
+      require(na < nb, s"compact must shrink the file count: $nb -> $na")
+      s.read.format("mdio").load(path)
         .groupBy(col("l_linenumber"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
@@ -862,6 +892,27 @@ object SparkEntry {
       """SELECT l_linenumber, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_suppkey = 7 GROUP BY 1""".stripMargin,
+    "q_store_compact" ->
+      """SELECT l_linenumber, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH tok AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_offset
+        |  FROM tok)
+        |SELECT doc_id, n_tokens, start_offset,
+        |  start_offset // 512 AS window_first,
+        |  CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
+        |    ELSE start_offset // 512 END AS window_last,
+        |  CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
+        |    ELSE start_offset // 512 END - start_offset // 512 + 1 AS n_windows
+        |FROM c""".stripMargin,
     "q_access_fast" ->
       """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

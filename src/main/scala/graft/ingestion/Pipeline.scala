@@ -155,9 +155,19 @@ object IngestPipeline {
             (if (g("__max_cnt") <= maxVals)
                Map(counterDims.head -> (1L to g("__max_cnt")).map(v => v: Any))
              else Map.empty)
+        // over-the-gate dims (value set arrived truncated) still need exact
+        // cardinalities for the sidecar + sparsity — ONE countDistinct
+        // aggregate for all of them, not a distinct-count job per dim
+        val overGate = cells.filterNot(vals.contains)
+        val exactCards: Map[String, Long] =
+          if (overGate.isEmpty) Map.empty
+          else {
+            val cdAggs = overGate.map(d => countDistinct(col(d)).as(s"__nd_$d"))
+            val r = perCellSrc.agg(cdAggs.head, cdAggs.drop(1): _*).collect().head
+            overGate.map(d => d -> r.getAs[Long](s"__nd_$d")).toMap
+          }
         val cards = cells.map(d => d ->
-            (if (vals.contains(d)) vals(d).size.toLong
-             else perCellSrc.select(col(d)).distinct().count())).toMap +
+            (if (vals.contains(d)) vals(d).size.toLong else exactCards(d))).toMap +
           (counterDims.head -> g("__max_cnt"))
         (g("n_rows"), g("n_rows"), cards, Some(vals),
           if (foldable.isEmpty) None

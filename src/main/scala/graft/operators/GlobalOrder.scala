@@ -29,4 +29,32 @@ object GlobalOrder {
     }
     df.sparkSession.createDataFrame(rdd, schema)
   }
+
+  /** Globally sort by `keys` and append the EXCLUSIVE global running total
+    * of `valueCol` (the prefix sum of all earlier rows; first row gets 0).
+    * Same two-pass shape as [[withGlobalSeq]] — a `sum() OVER (ORDER BY …)`
+    * window would funnel everything through one task; instead pass 1 sums
+    * each partition (one tiny row per partition) and pass 2 adds the
+    * per-partition offsets. `valueCol` must be LongType.
+    */
+  def withRunningTotal(df: DataFrame, keys: Seq[String], valueCol: String,
+                       out: String = "running"): DataFrame = {
+    val sorted = df.orderBy(keys.map(col): _*)
+    val vIdx = sorted.schema.fieldIndex(valueCol)
+    require(sorted.schema(vIdx).dataType == LongType,
+      s"withRunningTotal needs a LongType $valueCol")
+    val schema = sorted.schema.add(StructField(out, LongType, nullable = false))
+    val rdd0 = sorted.rdd
+    val partSums = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(vIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val rdd = rdd0.mapPartitionsWithIndex { (i, it) =>
+      var acc = offsets(i)
+      it.map { r => val o = acc; acc += r.getLong(vIdx); Row.fromSeq(r.toSeq :+ o) }
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

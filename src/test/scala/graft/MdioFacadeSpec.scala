@@ -53,6 +53,15 @@ class MdioFacadeSpec extends SparkSpec {
     val copied = Files.createTempDirectory("facade-copy").toString + "/c"
     Mdio.copyMdio(spark, store, copied)
     assert(Mdio.openMdio(spark, copied).df.count() == 100L)
+
+    // append twice, then compact through the facade: files shrink, rows don't
+    val h = Mdio.openMdio(spark, copied)
+    Seq((99, 999, 1.0), (99, 998, 2.0)).toDF("inline", "crossline", "amplitude")
+      .write.format("mdio").mode("append").save(copied)
+    val (nb, na) = Mdio.compactMdio(spark, copied)
+    assert(na < nb && na >= 1)
+    assert(Mdio.openMdio(spark, copied).df.count() == 102L)
+    assert(Mdio.openMdio(spark, copied).schema.layout == h.schema.layout)
     graft.plans.AccessPatternCatalog.clear()
   }
 }

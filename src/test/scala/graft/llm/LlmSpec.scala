@@ -373,3 +373,43 @@ class TokenResizeSpec extends graft.SparkSpec {
     assert(out(2L)._2 == 2) // shorter payloads pass through
   }
 }
+
+class PackingSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("packSequences: contiguous offsets, window spans, empty-doc handling") {
+    val docs = Seq(
+      (1L, "a b c d e"),        // 5 tokens  -> [0, 5)
+      (2L, ""),                 // 0 tokens  -> boundary window, n_windows=1
+      (3L, "f g h i j k l m"),  // 8 tokens  -> [5, 13)
+      (4L, "n o p")             // 3 tokens  -> [13, 16)
+    ).toDF("doc_id", "text")
+    val r = Packing.packSequences(docs, ctxTokens = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_offset", "window_first",
+        "window_last", "n_windows")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r(0) == ((1L, 5L, 0L, 0L, 1L, 2L)))   // spans windows 0-1
+    assert(r(1) == ((2L, 0L, 5L, 1L, 1L, 1L)))   // empty doc at offset 5
+    assert(r(2) == ((3L, 8L, 5L, 1L, 3L, 3L)))   // [5,13) spans 1-3
+    assert(r(3) == ((4L, 3L, 13L, 3L, 3L, 1L)))  // fits window 3
+    // stream invariant: offsets are the exclusive prefix sum in id order
+    val total = r.map(_._2).sum
+    assert(r.last._3 + r.last._2 == total)
+  }
+
+  test("withRunningTotal matches a driver-side prefix sum on a shuffled input") {
+    val rows = (1L to 500L).map(i => (i, i % 7))
+    val df = rows.reverse.toDF("id", "v").repartition(8)
+    val got = graft.operators.GlobalOrder
+      .withRunningTotal(df, Seq("id"), "v", "acc")
+      .orderBy("id").as[(Long, Long, Long)].collect()
+    var run = 0L
+    rows.foreach { case (id, v) =>
+      val g = got((id - 1).toInt)
+      assert(g == ((id, v, run)), s"at id=$id")
+      run += v
+    }
+  }
+}
