@@ -157,6 +157,10 @@ object SparkEntry {
     // --- LLM pipeline: dedup --------------------------------------------
     "q_dedup_exact" -> ((s, d) => Dedup.exactDupGroups(documents(s, d))),
     "q_dedup_survivors" -> ((s, d) => Dedup.dedupExact(documents(s, d))),
+    // quality-ranked survivor selection (keep the best-scored duplicate)
+    "q_dedup_best" -> ((s, d) =>
+      Dedup.dedupExactBest(
+        TextAnalysis.qualityScore(documents(s, d)), "quality")),
     "q_neardup_lsh" -> ((s, d) => Dedup.nearDupPairs(documents(s, d))),
     // doc-frequency cap ON (maxDocFrac=0.5 default) — the scale-safe variant
     "q_jaccard_blocked" -> ((s, d) =>
@@ -701,6 +705,30 @@ object SparkEntry {
         |FROM documents GROUP BY 1""".stripMargin,
     "q_dedup_survivors" ->
       "SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)",
+    "q_dedup_best" ->
+      """WITH t AS (SELECT doc_id, md5(text) AS h, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id, h,
+        |    CAST(length(text) AS BIGINT) AS n_chars_c,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(toks, x -> lower(x) IN
+        |      ('the','a','an','and','or','of','to','in','is','it'))) AS BIGINT) AS n_stop,
+        |    CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT)
+        |      AS n_punct,
+        |    CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_tok
+        |  FROM t),
+        |q AS (SELECT doc_id, h,
+        |    (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END) * 0.4
+        |    + (CASE WHEN CAST(sum_tok AS DOUBLE) / n_tokens BETWEEN 2.0 AND 12.0
+        |        THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + (CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.01 THEN 1.0 ELSE 0.0 END) * 0.2
+        |    + (CASE WHEN CAST(n_punct AS DOUBLE) / n_chars_c < 0.2 THEN 1.0 ELSE 0.0 END) * 0.2
+        |      AS quality
+        |  FROM m)
+        |SELECT doc_id FROM (SELECT doc_id,
+        |    row_number() OVER (PARTITION BY h ORDER BY quality DESC, doc_id) AS rn
+        |  FROM q) WHERE rn = 1""".stripMargin,
     "q_embed_neardup" ->
       """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
         |    FROM embeddings)

@@ -44,6 +44,22 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
 
+  /** Exact dedup with QUALITY-based survivor selection: keep the
+    * highest-`scoreCol` member of each identical-text group, ties → lowest
+    * id. Production pipelines keep the best-scored duplicate (metadata and
+    * provenance differ even when text doesn't), not the smallest id.
+    * One map-side-combinable `max_by(id, struct(score, -id))` hash
+    * aggregate — the shuffle carries (hash, id, score) per group, never a
+    * corpus-wide window.
+    */
+  def dedupExactBest(df: DataFrame, scoreCol: String,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("h"))
+      .agg(max_by(col(idCol),
+        struct(col(scoreCol), (-col(idCol)).as("_nid"))).as(idCol))
+      .select(col(idCol))
+
   // -------------------------------------------------------------- minhash
 
   /** Word-level shingles (n-grams of tokens) of the normalized text. */

@@ -29,17 +29,31 @@ object StreamingMdio {
 
   /** Append a stream into the MDIO store at `path` (created on the first
     * batch if absent — Zarr `a` semantics, like the batch DSv2 append).
+    *
+    * `compactEveryBatches = Some(n)` runs [[graft.storage.MdioDataset
+    * .compact]] after every n-th committed batch, INSIDE the foreachBatch
+    * boundary — i.e. between triggers, the one safe window — so a
+    * long-running stream never accumulates unbounded micro-batch file sets
+    * (the small-files problem). Compaction is row-identical, so a replayed
+    * batch after a mid-compact failure behaves exactly like any foreachBatch
+    * replay (and `dedupKey` absorbs it).
     */
   def appendToStore(stream: DataFrame, path: String,
                     checkpoint: Option[String] = None,
                     dedupKey: Option[String] = None,
-                    trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                    trigger: Trigger = Trigger.AvailableNow(),
+                    compactEveryBatches: Option[Int] = None): StreamingQuery = {
+    compactEveryBatches.foreach(n =>
+      require(n > 0, s"compactEveryBatches must be positive, got $n"))
     val deduped = dedupKey.fold(stream)(k => stream.dropDuplicates(k))
     deduped.writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpoint.getOrElse(s"$path/_stream_checkpoint"))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         batch.write.format("mdio").mode(SaveMode.Append).save(path)
+        compactEveryBatches
+          .filter(n => (batchId + 1) % n == 0)
+          .foreach(_ => graft.storage.MdioDataset.compact(batch.sparkSession, path))
       }
       .start()
   }

@@ -75,6 +75,29 @@ class DedupSpec extends SparkSpec {
     assert(groups.length == 1 && groups.head.getAs[Long]("keep_id") == 1L)
   }
 
+  test("simhashNearDupPairs: identical text at hamming 0, unrelated never pairs") {
+    val pairs = Dedup.simhashNearDupPairs(corpus)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.exists { case (a, b, h) => a == 1L && b == 2L && h == 0L })
+    assert(!pairs.exists { case (a, b, _) => a == 4L || b == 4L })
+    // lossless blocking precondition is enforced
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDupPairs(corpus, maxHamming = 4, bands = 4)
+    }
+    assert(ex.getMessage.contains("bands"))
+  }
+
+  test("dedupExactBest keeps the highest-scored duplicate, ties to lowest id") {
+    val scored = Seq(
+      (1L, base, 0.2), (2L, base, 0.8), (5L, base, 0.8),  // dup group: 2 wins (0.8, tie beats 5)
+      (3L, base.replace("dog", "cat"), 0.1),
+      (4L, "completely different words about spark shuffles", 0.9),
+    ).toDF("doc_id", "text", "score")
+    val survivors = Dedup.dedupExactBest(scored, "score")
+      .as[Long].collect().toSet
+    assert(survivors == Set(2L, 3L, 4L))
+  }
+
   test("minhash signatures are equal for identical text, length k") {
     val sigs = corpus.select(col("doc_id"),
       Dedup.minhashSignature(col("text"), n = 3, k = 16).as("sig"))

@@ -103,6 +103,30 @@ class StreamingMdioSpec extends SparkSpec {
     assert(MdioDataset.open(spark, path).df.count() == rowsBefore.size + 1)
   }
 
+  test("compactEveryBatches bounds the file count of a long-running stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = Files.createTempDirectory("mdio-stream-autocompact").toString
+    val seed = Seq((0, 0, 0.0)).toDF("il", "xl", "amp")
+    MdioDataset.write(seed, path, schema, sortDims = Seq("il", "xl"))
+
+    val input = MemoryStream[(Int, Int, Double)]
+    val q = StreamingMdio.appendToStore(input.toDS().toDF("il", "xl", "amp"),
+      path, trigger = Trigger.ProcessingTime(0),
+      compactEveryBatches = Some(2))
+    try {
+      (1 to 6).foreach { b =>
+        input.addData((b, 10 * b, b * 1.0))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // 6 batches with compact-every-2: the tail holds at most one compacted
+    // set + one post-compact batch, never the 7 accumulated sets
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(s"$path/data"))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    assert(files <= 3, s"auto-compaction must bound the file count, got $files")
+    assert(MdioDataset.open(spark, path).df.count() == 7)
+  }
+
   test("dedupKey state absorbs replayed rows across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val path = Files.createTempDirectory("mdio-stream-dedup").toString
