@@ -69,6 +69,14 @@ object SqlFunctions {
         intArg(args(2), "hyperplane_sig", "bits"),
         intArg(args(3), "hyperplane_sig", "dim"))
     },
+    reg("sig_agree", classOf[SigAgreeExpr]) { args =>
+      require(args.length == 2, "sig_agree(sig_a, sig_b)")
+      SigAgreeExpr(args.head, args(1))
+    },
+    reg("vec_l2sq", classOf[L2SqExpr]) { args =>
+      require(args.length == 2, "vec_l2sq(a, b)")
+      L2SqExpr(args.head, args(1))
+    },
     reg("cosine_sim", classOf[CosineSimExpr]) { args =>
       require(args.length == 2, "cosine_sim(a, b)")
       CosineSimExpr(args.head, args(1))

@@ -55,6 +55,18 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(rows(1)._1 == 0.0 && rows(1)._2 == 0.0)
   }
 
+  test("SQL sig_agree / vec_l2sq equal the Column API") {
+    GraftSparkExtensions.install(spark)
+    Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 7L)))
+      .toDF("sa", "sb").createOrReplaceTempView("sqlfn_sig")
+    val (agree, d2) = spark.sql(
+      "SELECT sig_agree(sa, sb) AS a, vec_l2sq(CAST(sa AS ARRAY<DOUBLE>), " +
+        "CAST(sb AS ARRAY<DOUBLE>)) AS d FROM sqlfn_sig")
+      .as[(Int, Double)].head()
+    assert(agree == 2)           // components 1 and 3 agree
+    assert(d2 == 49.0 + 9.0)     // (2-9)^2 + (4-7)^2
+  }
+
   test("shape parameters must be literals (clear error, not silent misuse)") {
     GraftSparkExtensions.install(spark)
     Seq((1L, "abc")).toDF("doc_id", "text").createOrReplaceTempView("sqlfn_e")
