@@ -198,6 +198,13 @@ object SparkEntry {
     // the deterministic training stream (two-pass global prefix sum)
     "q_pack_sequences" -> ((s, d) =>
       Packing.packSequences(documents(s, d), ctxTokens = 512)),
+    // long-doc → overlapping training samples (the dual of packing): 64-token
+    // windows every 48 tokens; a pure narrow map + explode, zero shuffle
+    "q_chunk_docs" -> ((s, d) =>
+      Chunking.chunkDocs(documents(s, d), chunkTokens = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx").cast("long"),
+          col("chunk_start").cast("long"),
+          col("n_chunk_tokens").cast("long"), col("chunk_text"))),
     // --- LLM pipeline: similarity search --------------------------------
     "q_ann_topk" -> ((s, d) =>
       Similarity.bruteForceTopK(embeddings(s, d), (0L until 10L), k = 10)),
@@ -941,6 +948,23 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
         |    ELSE start_offset // 512 END - start_offset // 512 + 1 AS n_windows
         |FROM c""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, toks, CAST(len(toks) AS BIGINT) AS n,
+        |    CASE WHEN len(toks) <= 64 THEN 0
+        |      ELSE (len(toks) - 64 + 48 - 1) // 48 END AS last_idx
+        |  FROM tok),
+        |u AS (SELECT doc_id, toks, n,
+        |    unnest(range(0, last_idx + 1)) AS chunk_idx
+        |  FROM c)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 48 AS BIGINT) AS chunk_start,
+        |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_tokens,
+        |  array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')
+        |    AS chunk_text
+        |FROM u""".stripMargin,
     "q_access_fast" ->
       """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
