@@ -162,6 +162,20 @@ object SparkEntry {
       Dedup.dedupExactBest(
         TextAnalysis.qualityScore(documents(s, d)), "quality")),
     "q_neardup_lsh" -> ((s, d) => Dedup.nearDupPairs(documents(s, d))),
+    // paragraph-granular exact dedup (boilerplate removal). The fixture has
+    // no newlines, so the query first re-paragraphs each doc into 3-token
+    // groups (deterministic narrow map, mirrored in the oracle) — at that
+    // width the corpus has ~1.7k genuine repeats for the operator to drop
+    "q_para_dedup" -> ((s, d) => {
+      val docsT = documents(s, d)
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+      val n = size(col("_toks"))
+      val last = greatest(floor((n - 1).cast("double") / 3.0).cast("int"), lit(0))
+      val paras = transform(sequence(lit(0), last),
+        i => array_join(slice(col("_toks"), i * lit(3) + 1, lit(3)), " "))
+      Dedup.dedupParagraphs(
+        docsT.withColumn("text", array_join(paras, "\n")).drop("_toks"))
+    }),
     // doc-frequency cap ON (maxDocFrac=0.5 default) — the scale-safe variant
     "q_jaccard_blocked" -> ((s, d) =>
       Dedup.blockedJaccard(documents(s, d), "source", minJaccard = 0.05)),
@@ -745,6 +759,39 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_jaccard_blocked" -> OracleSqlGen.blockedJaccardSql(),
     "q_neardup_lsh" -> OracleSqlGen.nearDupLshSql(),
+    "q_para_dedup" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |prep AS (SELECT doc_id, list_transform(
+        |    range(0, greatest((len(toks) - 1) // 3, 0) + 1),
+        |    i -> array_to_string(list_slice(toks, i * 3 + 1, i * 3 + 3), ' '))
+        |    AS paras
+        |  FROM tok),
+        |p0 AS (SELECT doc_id, unnest(paras) AS para,
+        |    unnest(range(0, len(paras))) AS ord
+        |  FROM prep),
+        |p AS (SELECT doc_id, ord, para,
+        |    ('0x' || substr(md5(para), 1, 15))::BIGINT AS phash
+        |  FROM p0 WHERE trim(para) != ''),
+        |w1 AS (SELECT phash, min(doc_id) AS wdoc FROM p GROUP BY 1),
+        |w2 AS (SELECT p.phash, w1.wdoc, min(p.ord) AS word
+        |  FROM p JOIN w1 ON p.phash = w1.phash AND p.doc_id = w1.wdoc
+        |  GROUP BY 1, 2),
+        |kept AS (SELECT p.doc_id, p.ord, p.para
+        |  FROM p JOIN w2 ON p.phash = w2.phash AND p.doc_id = w2.wdoc
+        |    AND p.ord = w2.word),
+        |agg AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY ord)
+        |    AS clean_text, count(*) AS n_kept
+        |  FROM kept GROUP BY 1),
+        |np AS (SELECT doc_id,
+        |    CAST(len(list_filter(paras, x -> trim(x) != '')) AS BIGINT)
+        |      AS n_paras
+        |  FROM prep)
+        |SELECT np.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+        |  np.n_paras, CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |  np.n_paras - CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
+        |FROM np LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_dedup_components" -> OracleSqlGen.dedupComponentsSql(),
     "q_boilerplate" -> OracleSqlGen.boilerplateSql(),
     "q_contamination" -> OracleSqlGen.contaminationSql(),

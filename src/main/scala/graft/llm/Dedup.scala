@@ -571,4 +571,48 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Paragraph-level exact dedup: drop every paragraph whose text already
+    * occurs elsewhere in the corpus, keeping only its FIRST occurrence
+    * (lexicographic min (doc, ordinal)) — the paragraph-granular cleaning
+    * pass web-corpus pipelines run before doc-level dedup (boilerplate
+    * headers/footers repeat across docs while the docs themselves differ).
+    * Blank paragraphs are dropped unconditionally.
+    *
+    * Scale shape: paragraphs are hashed (md5-60) the moment they are split,
+    * so the winner groupBy and the winner join shuffle (id, ord, hash)
+    * triples — never paragraph text. The cleaned text is rebuilt by joining
+    * the per-doc kept-ordinal ARRAY (one small row per doc) back to the
+    * original docs and re-splitting in a narrow map: document text crosses
+    * exactly one doc_id-keyed join, once.
+    *
+    * Emits one row per input doc: (idCol, clean_text, n_paras, n_kept,
+    * n_dropped); a doc whose every paragraph is a repeat survives with
+    * clean_text = ''.
+    */
+  def dedupParagraphs(docs: DataFrame, sep: String = "\n",
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val parts = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    val paras = docs
+      .select(col(idCol).as("_pid"), posexplode(parts).as(Seq("ord", "_para")))
+      .where(trim(col("_para")) =!= "")
+      .select(col("_pid"), col("ord"),
+        conv(substring(md5(col("_para")), 1, 15), 16, 10).cast("long")
+          .as("_phash"))
+    val winners = paras.groupBy("_phash")
+      .agg(min(struct(col("_pid"), col("ord"))).as("_w"))
+    val keptOrds = paras.join(winners, "_phash")
+      .where(col("_pid") === col("_w._pid") && col("ord") === col("_w.ord"))
+      .groupBy(col("_pid"))
+      .agg(sort_array(collect_list(col("ord"))).as("_kept"))
+    val kept = coalesce(col("_kept"), array().cast("array<int>"))
+    docs.join(keptOrds, docs(idCol) === keptOrds("_pid"), "left")
+      .select(col(idCol),
+        array_join(filter(parts, (_, i) => array_contains(kept, i)), sep)
+          .as("clean_text"),
+        size(filter(parts, p => trim(p) =!= "")).cast("long").as("n_paras"),
+        size(kept).cast("long").as("n_kept"))
+      .withColumn("n_dropped", col("n_paras") - col("n_kept"))
+  }
 }
