@@ -205,6 +205,13 @@ object SparkEntry {
     "q_token_count" -> ((s, d) =>
       TextAnalysis.tokenCounts(documents(s, d))
         .select("doc_id", "n_ws_tokens", "n_bpeish")),
+    // corpus token-frequency table (tokenizer-training prep): top 50 by
+    // collection frequency; (cf DESC, token) totally orders rows
+    "q_vocab" -> ((s, d) =>
+      TextAnalysis.vocabulary(documents(s, d))
+        .orderBy(col("cf").desc, col("token")).limit(50)),
+    // per-doc distinctive keywords by the tf/df rational score
+    "q_keywords" -> ((s, d) => TextAnalysis.keywords(documents(s, d))),
     // Gopher-style repetition quality signals (templated-text detector)
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(documents(s, d))),
@@ -872,6 +879,30 @@ object SparkEntry {
     "q_quality" -> qualitySqlStr,
     "q_fingerprint" -> fingerprintSqlStr,
     "q_token_count" -> tokenCountSqlStr,
+    "q_vocab" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+        |      AS token
+        |  FROM documents),
+        |g AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf,
+        |    CAST(count(*) AS BIGINT) AS df
+        |  FROM g GROUP BY 1)
+        |SELECT token, cf, df FROM v ORDER BY cf DESC, token LIMIT 50""".stripMargin,
+    "q_keywords" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+        |      AS token
+        |  FROM documents),
+        |g AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY 1),
+        |k AS (SELECT g.doc_id, g.token, g.tf, v.df,
+        |    CAST(g.tf AS DOUBLE) / v.df AS score
+        |  FROM g JOIN v USING (token)),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, token) AS BIGINT) AS rk FROM k)
+        |SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= 3""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks

@@ -162,4 +162,50 @@ object TextAnalysis {
     base.select(col(idCol), col("n_tokens"), col("dup_word_frac"))
       .join(perDoc, Seq(idCol), "left")
   }
+
+  /** Per-(doc, token) term frequencies — the staging table [[vocabulary]]
+    * and [[keywords]] both reduce; materialize it once per corpus when
+    * running several token-level analyses. Map-side combine collapses each
+    * doc's repeats before the (token, doc) shuffle, so the exchange carries
+    * one row per distinct (doc, token), never one per occurrence.
+    */
+  def termFrequencies(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+
+  /** Corpus vocabulary: one row per distinct token with collection
+    * frequency (total occurrences) and document frequency — the frequency
+    * table tokenizer training starts from. Second-stage aggregate over
+    * [[termFrequencies]]: input is already one row per (doc, token), so
+    * the token-keyed shuffle is vocabulary-sized, not corpus-sized.
+    */
+  def vocabulary(df: DataFrame, textCol: String = "text",
+                 idCol: String = "doc_id"): DataFrame =
+    termFrequencies(df, textCol, idCol)
+      .groupBy("token")
+      .agg(sum("tf").cast("long").as("cf"), count(lit(1)).cast("long").as("df"))
+
+  /** Per-doc distinctive keywords: top-`k` tokens by tf/df — the rational
+    * tf-idf surrogate (monotone in tf and in 1/df). The score is a single
+    * IEEE division, so ranking is bit-identical on any engine (a log-based
+    * idf would rank identically but hash-differ in the last ulp across
+    * libm implementations). Ties break on token; (score, token) totally
+    * orders each doc's rows, so top-k is deterministic.
+    */
+  def keywords(df: DataFrame, k: Int = 3, textCol: String = "text",
+               idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = termFrequencies(df, textCol, idCol)
+    val voc = tf.groupBy("token").agg(count(lit(1)).cast("long").as("df"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token"))
+    tf.join(voc, "token")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .where(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("score"),
+        col("rk"))
+  }
 }
