@@ -212,6 +212,15 @@ object SparkEntry {
         .orderBy(col("cf").desc, col("token")).limit(50)),
     // per-doc distinctive keywords by the tf/df rational score
     "q_keywords" -> ((s, d) => TextAnalysis.keywords(documents(s, d))),
+    // PII scrub: the fixture is PII-free, so the query plants one email,
+    // one IP and one digit run per doc (deterministic from doc_id, mirrored
+    // in the oracle) and redacts them back out
+    "q_pii_redact" -> ((s, d) =>
+      Pii.redactPii(documents(s, d).withColumn("text",
+          concat(col("text"), lit(" contact user"),
+            col("doc_id").cast("string"), lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"), lit(".7 ref 99887766"))))
+        .select("doc_id", "redacted", "n_emails", "n_ips", "n_nums")),
     // Gopher-style repetition quality signals (templated-text detector)
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(documents(s, d))),
@@ -903,6 +912,30 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, token) AS BIGINT) AS rk FROM k)
         |SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= 3""".stripMargin,
+    "q_pii_redact" ->
+      """WITH s AS (SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com from 10.0.'
+        |      || (doc_id % 256) || '.7 ref 99887766' AS t0
+        |  FROM documents),
+        |e AS (SELECT doc_id, t0,
+        |    CAST(len(regexp_extract_all(t0,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |      AS n_emails,
+        |    regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM s),
+        |i AS (SELECT doc_id, n_emails,
+        |    CAST(len(regexp_extract_all(t1,
+        |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |    regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+        |      AS t2
+        |  FROM e),
+        |n AS (SELECT doc_id, n_emails, n_ips,
+        |    CAST(len(regexp_extract_all(t2, '\b[0-9]{7,15}\b')) AS BIGINT)
+        |      AS n_nums,
+        |    regexp_replace(t2, '\b[0-9]{7,15}\b', '<NUM>', 'g') AS t3
+        |  FROM i)
+        |SELECT doc_id, t3 AS redacted, n_emails, n_ips, n_nums FROM n""".stripMargin,
     "q_repetition" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), t -> t != '') AS toks
