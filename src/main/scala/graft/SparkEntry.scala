@@ -267,6 +267,16 @@ object SparkEntry {
           s.conf.set("graft.ivf.coarseProbes", v))
       }
     }),
+    // product quantization, the vector-COMPRESSION scale path: the code
+    // table (deterministic seeded codebooks, narrow codegen'd encode) ...
+    "q_pq_codes" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      Pq.encode(emb, Pq.codebooks(emb, m = 8, ksub = 16))
+    }),
+    // ... and the full ADC ranking over it (m LUT lookups per corpus row,
+    // broadcast query LUTs, no float vector touched) — both oracle-exact
+    "q_pq_adc" -> ((s, d) =>
+      Pq.adcTopK(embeddings(s, d), (0L until 10L), k = 10)),
     // recall of the approximate paths vs exact top-k (quality report);
     // signatures and the IVF index are built ONCE and both reads reuse them
     "q_ann_recall" -> ((s, d) => {
@@ -821,6 +831,9 @@ object SparkEntry {
       nQueries = 10, k = 10, fixedNCells = Some(64)),
     "q_ann_recall" -> OracleSqlGen.annRecallSql(bits = 4, tables = 8,
       nProbe = 4, dim = 64, nQueries = 10, k = 10),
+    "q_pq_codes" -> OracleSqlGen.pqCodesSql(m = 8, ksub = 16, dim = 64),
+    "q_pq_adc" -> OracleSqlGen.pqAdcSql(m = 8, ksub = 16, dim = 64,
+      nQueries = 10, k = 10),
     "q_multimodal_features" -> OracleSqlGen.multimodalFeaturesSql(),
     "q_raw_headers" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,

@@ -43,6 +43,13 @@ object VecExprs {
   def ivfProbes(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     ColumnBridge.column(IvfProbeExpr(ColumnBridge.expression(v), centroids, nProbe))
 
+  def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v), books))
+
+  def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
+    ColumnBridge.column(PqAdcExpr(ColumnBridge.expression(codes),
+      ColumnBridge.expression(lut), ksub))
+
   /** Element accessor that tolerates float or double arrays. */
   private[functions] def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
@@ -323,4 +330,108 @@ final case class IvfProbeExpr(child: Expression, centroids: Array[Array[Double]]
 
   override protected def withNewChildInternal(c: Expression): IvfProbeExpr =
     copy(child = c)
+}
+
+/** Product-quantization encode: the m-element code array, code j = argmin
+  * over `books(j)` of squared L2 between the j-th dim-slice of the vector
+  * and the sub-centroid (ties → lowest code, matching [[IvfCellExpr]]).
+  * One pass over the vector per codebook row, no slice allocation; per-slice
+  * distances accumulate left-to-right like the oracle's `list_reduce`.
+  * The codebooks ride the expression as a driver-held object — they are
+  * m × ksub × (dim/m) doubles = dim × ksub, parameter-sized by construction
+  * (NOT corpus-derived), so no size gate is needed.
+  */
+final case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Double]]])
+    extends UnaryExpression with Serializable {
+  require(books.nonEmpty && books.forall(_.nonEmpty),
+    "PQ encode needs at least one codebook with at least one centroid")
+  private val m = books.length
+  private val dsub = books(0)(0).length
+  require(books.forall(_.forall(_.length == dsub)),
+    "PQ codebooks must share one sub-dimension")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  @transient private lazy val fin = VecExprs.isFloatArray(child)
+
+  def kernel(a: ArrayData): ArrayData = {
+    require(a.numElements() == m * dsub,
+      s"$prettyName: vector dim ${a.numElements()} != m*dsub = ${m * dsub}")
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val cb = books(j)
+      val base = j * dsub
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var acc = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = VecExprs.elem(a, base + i, fin) - cent(i)
+          acc += d * d
+          i += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c } // strict: ties keep lower code
+        c += 1
+      }
+      out(j) = best.toLong
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqencself", this, classOf[PqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
+/** Asymmetric-distance computation for PQ search: Σ_j lut[j·ksub + codes[j]]
+  * summed in subspace order (bit-identical to the oracle's ordered
+  * `list_reduce`). `codes` is a corpus row's code array; `lut` is one
+  * query's flattened [m × ksub] table of exact sub-distances — the ADC scan
+  * reads m doubles per corpus row instead of dim floats, which is the whole
+  * point of PQ at 100 TB.
+  */
+final case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with Serializable {
+  require(ksub > 0, "PQ ADC needs ksub > 0")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  def kernel(codes: ArrayData, lut: ArrayData): Double = {
+    val m = codes.numElements()
+    require(lut.numElements() == m * ksub,
+      s"$prettyName: lut size ${lut.numElements()} != m*ksub = ${m * ksub}")
+    var acc = 0.0
+    var j = 0
+    while (j < m) {
+      val c = codes.getLong(j).toInt
+      require(c >= 0 && c < ksub, s"$prettyName: code $c out of [0, $ksub)")
+      acc += lut.getDouble(j * ksub + c)
+      j += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqadcself", this, classOf[PqAdcExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(left = l, right = r)
 }

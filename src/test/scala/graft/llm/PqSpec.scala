@@ -1,0 +1,86 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic corpus: dim 16, 40 vectors; vec 39 clones vec 0
+  private val dim = 16
+  // 131 is invertible mod the prime 251 > |corpus|, so no two ids below 251
+  // share a vector — the only exact duplicate is the planted clone
+  private def vec(i: Int): Seq[Float] =
+    (0 until dim).map(d => (((i * 131 + d * 57) % 251) / 251.0f))
+  private lazy val emb: DataFrame =
+    ((0 until 39).map(i => (i.toLong, vec(i))) :+ (39L, vec(0)))
+      .toDF("vec_id", "embedding")
+
+  test("codebooks are [m][ksub][dsub] slices of the hash-chosen seeds") {
+    val books = Pq.codebooks(emb, m = 4, ksub = 4)
+    assert(books.length == 4)
+    assert(books.forall(_.length == 4))
+    assert(books.forall(_.forall(_.length == dim / 4)))
+  }
+
+  test("encode emits one m-long code row per vector, codes within [0, ksub)") {
+    val books = Pq.codebooks(emb, m = 4, ksub = 4)
+    val codes = Pq.encode(emb, books).collect()
+    assert(codes.length == 40)
+    codes.foreach { r =>
+      val cs = r.getSeq[Long](r.fieldIndex("codes"))
+      assert(cs.length == 4)
+      assert(cs.forall(c => c >= 0 && c < 4))
+    }
+  }
+
+  test("identical vectors get identical codes") {
+    val books = Pq.codebooks(emb, m = 4, ksub = 4)
+    val byId = Pq.encode(emb, books).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(byId(39L) == byId(0L))
+  }
+
+  test("persisted books round-trip exactly") {
+    val path = graft.core.TempDirs.scratch("pq_spec")
+    Pq.buildIndex(emb, path, m = 4, ksub = 4)
+    val built = Pq.codebooks(emb, m = 4, ksub = 4)
+    val read = Pq.readBooks(spark, path)
+    assert(read.length == built.length)
+    (read zip built).foreach { case (rj, bj) =>
+      (rj zip bj).foreach { case (rc, bc) => assert(rc.sameElements(bc)) }
+    }
+  }
+
+  test("ADC ranks the query's code-sharers first, in id order") {
+    // every vector sharing the query's codes has the globally minimal ADC
+    // distance sum(min_c lut[j,c]); ties break on id. The planted clone is
+    // one of them by construction — at m=4/ksub=4 other vectors may
+    // legitimately quantize to the same codes, and ADC cannot tell them
+    // apart (that is the compression trade; the rerank test below resolves
+    // it with true cosine).
+    val books = Pq.codebooks(emb, m = 4, ksub = 4)
+    val codes = Pq.encode(emb, books).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    val sharers = codes.collect {
+      case (id, cs) if id != 0L && cs == codes(0L) => id
+    }.toSeq.sorted
+    assert(sharers.contains(39L), "the clone must share the query's codes")
+    val top = Pq.adcTopK(emb, Seq(0L), k = sharers.length, m = 4, ksub = 4)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(top == sharers)
+  }
+
+  test("exact rerank pins the clone at rank 1 via true cosine") {
+    val got = Pq.adcTopK(emb, Seq(0L), k = 2, m = 4, ksub = 4, nRerank = 8)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(got(1L) == 39L)
+  }
+
+  test("encode is a narrow plan: no exchange") {
+    val books = Pq.codebooks(emb, m = 4, ksub = 4)
+    val plan = Pq.encode(emb, books).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"PQ encode must not shuffle:\n$plan")
+  }
+}
