@@ -224,6 +224,14 @@ object SparkEntry {
     // Gopher-style repetition quality signals (templated-text detector)
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(documents(s, d))),
+    // char-trigram LM familiarity: rationally-exact perplexity surrogate
+    // (mean corpus gram frequency + OOV rate) — the CCNet-style LM quality
+    // gate with log-probs replaced by integer-exact ratios
+    "q_gram_lm" -> ((s, d) =>
+      TextAnalysis.gramFamiliarity(documents(s, d))),
+    // domain-level filtering: per-source quality keep-rate + blocklist flag
+    "q_source_prior" -> ((s, d) =>
+      TextAnalysis.sourcePriors(documents(s, d))),
     // concat-and-chunk sequence packing: each doc's context-window span in
     // the deterministic training stream (two-pass global prefix sum)
     "q_pack_sequences" -> ((s, d) =>
@@ -899,6 +907,34 @@ object SparkEntry {
         |    ELSE 'unknown' END AS pred_lang
         |FROM s""".stripMargin,
     "q_quality" -> qualitySqlStr,
+    "q_gram_lm" ->
+      """WITH nm AS (SELECT doc_id,
+        |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(length(t) - 2, 0) + 1),
+        |    i -> substr(t, i, 3))) AS gram FROM nm),
+        |tf AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS tf
+        |  FROM g GROUP BY 1, 2),
+        |mdl AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+        |a AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_grams,
+        |    CAST(sum(tf * cf) AS BIGINT) AS sum_cf,
+        |    CAST(sum(CASE WHEN cf < 5 THEN tf ELSE 0 END) AS BIGINT) AS n_rare
+        |  FROM tf JOIN mdl USING (gram) GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+        |  CASE WHEN a.n_grams > 0
+        |    THEN CAST(a.sum_cf AS DOUBLE) / a.n_grams END AS mean_gram_cf,
+        |  CASE WHEN a.n_grams > 0
+        |    THEN CAST(a.n_rare AS DOUBLE) / a.n_grams END AS rare_frac
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+    "q_source_prior" ->
+      s"""WITH q AS ($qualitySqlStr),
+         |s AS (SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(CASE WHEN q.keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+         |  FROM documents d JOIN q USING (doc_id) GROUP BY 1)
+         |SELECT source, n_docs, n_keep,
+         |  CAST(n_keep AS DOUBLE) / n_docs AS keep_frac,
+         |  CAST(n_keep AS DOUBLE) / n_docs < 0.5 AS blocked
+         |FROM s""".stripMargin,
     "q_fingerprint" -> fingerprintSqlStr,
     "q_token_count" -> tokenCountSqlStr,
     "q_vocab" ->

@@ -94,6 +94,28 @@ object TextAnalysis {
       .withColumn("pred_lang", when(cjk > 0, lit("zh")).otherwise(pick))
   }
 
+  /** Per-source quality prior — the URL/domain-level filtering stage of a
+    * crawl pipeline: aggregate [[qualityScore]]'s per-doc `keep` verdict by
+    * source and block sources whose keep-rate falls below `minKeepFrac`
+    * (a domain that is mostly spam poisons even its passing pages). The
+    * keep-rate is an integer count ratio (one IEEE division), so the table
+    * is bit-identical on any engine.
+    *
+    * Scale shape: a single hash aggregate keyed by source with map-side
+    * combine — the shuffle carries one row per (partition, source), and the
+    * result is domain-table-sized. Joining `blocked` back onto the corpus is
+    * a broadcast join for any real domain count.
+    */
+  def sourcePriors(df: DataFrame, minKeepFrac: Double = 0.5,
+                   textCol: String = "text",
+                   srcCol: String = "source"): DataFrame =
+    qualityScore(df, textCol)
+      .groupBy(col(srcCol))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).cast("long").as("n_keep"))
+      .withColumn("keep_frac", col("n_keep").cast("double") / col("n_docs"))
+      .withColumn("blocked", col("keep_frac") < minKeepFrac)
+
   /** Document fingerprint: digest of the whitespace-normalized, lowercased
     * text — the cheap exact-dup key (reference-style content addressing).
     */
@@ -161,6 +183,58 @@ object TextAnalysis {
         sum(when(col("n") === 3, col("c")).otherwise(0L))).as("top_3gram_frac"))
     base.select(col(idCol), col("n_tokens"), col("dup_word_frac"))
       .join(perDoc, Seq(idCol), "left")
+  }
+
+  /** Char-n-gram language-model familiarity — the CCNet-style "does this
+    * text look like the corpus" quality signal, with the perplexity replaced
+    * by two rationally-exact surrogates so the score is bit-identical on any
+    * engine (a log-prob would differ in the last ulp across libm builds):
+    *
+    *   - `mean_gram_cf`: average corpus collection-frequency of the doc's
+    *     char n-gram occurrences (high = ordinary text, low = gibberish /
+    *     out-of-domain);
+    *   - `rare_frac`: fraction of the doc's gram occurrences whose gram
+    *     appears fewer than `minCf` times corpus-wide (the OOV rate).
+    *
+    * Both stay in `long` integer sums until one final IEEE division. Docs
+    * shorter than `n` normalized chars have no grams → `n_grams = 0` and
+    * NULL ratios (the [[textStats]] convention).
+    *
+    * Scale shape: gram occurrences collapse to one row per (doc, gram) with
+    * map-side combine before any shuffle; the model aggregate over that
+    * staged table is vocabulary-sized (≤ charset^n, not corpus-sized); the
+    * model side of the join is small → AQE broadcasts it; the final per-doc
+    * aggregate shuffles (doc, gram)-distinct rows only. The staged tf table
+    * is written once and read by both the model build and the join, so text
+    * is scanned exactly once.
+    */
+  def gramFamiliarity(df: DataFrame, n: Int = 3, minCf: Long = 5,
+                      textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
+    val grams = when(length(norm) >= n,
+        transform(sequence(lit(1), length(norm) - (n - 1)),
+          i => norm.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+    val tf = graft.core.Scratch.stage(
+      df.select(col(idCol), explode(grams).as("gram"))
+        .groupBy(col(idCol), col("gram"))
+        .agg(count(lit(1)).cast("long").as("tf")),
+      "gram_tf")
+    val model = tf.groupBy("gram").agg(sum("tf").cast("long").as("cf"))
+    val agg = tf.join(model, "gram")
+      .groupBy(col(idCol))
+      .agg(sum("tf").cast("long").as("n_grams"),
+        sum(col("tf") * col("cf")).cast("long").as("sum_cf"),
+        sum(when(col("cf") < minCf, col("tf")).otherwise(0L))
+          .cast("long").as("n_rare"))
+    df.select(col(idCol)).join(agg, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        when(col("n_grams") > 0,
+          col("sum_cf").cast("double") / col("n_grams")).as("mean_gram_cf"),
+        when(col("n_grams") > 0,
+          col("n_rare").cast("double") / col("n_grams")).as("rare_frac"))
   }
 
   /** Per-(doc, token) term frequencies — the staging table [[vocabulary]]
