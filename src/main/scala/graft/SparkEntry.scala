@@ -212,6 +212,11 @@ object SparkEntry {
         .orderBy(col("cf").desc, col("token")).limit(50)),
     // per-doc distinctive keywords by the tf/df rational score
     "q_keywords" -> ((s, d) => TextAnalysis.keywords(documents(s, d))),
+    // BPE trainer counting step: occurrence-weighted adjacent-char pairs
+    // over the vocabulary; top 50 — (pair_count, lhs, rhs) totally orders
+    "q_bpe_pairs" -> ((s, d) =>
+      TextAnalysis.bpePairCounts(documents(s, d))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(50)),
     // PII scrub: the fixture is PII-free, so the query plants one email,
     // one IP and one digit run per doc (deterministic from doc_id, mirrored
     // in the oracle) and redacts them back out
@@ -236,6 +241,10 @@ object SparkEntry {
     // the deterministic training stream (two-pass global prefix sum)
     "q_pack_sequences" -> ((s, d) =>
       Packing.packSequences(documents(s, d), ctxTokens = 512)),
+    // deterministic training-stream shuffle: keyed-hash permutation, global
+    // sequence, round-robin shard deal — retry-safe, engine-reproducible
+    "q_shuffle_shards" -> ((s, d) =>
+      Packing.shuffleShards(documents(s, d), nShards = 8)),
     // long-doc → overlapping training samples (the dual of packing): 64-token
     // windows every 48 tokens; a pure narrow map + explode, zero shuffle
     "q_chunk_docs" -> ((s, d) =>
@@ -452,6 +461,13 @@ object SparkEntry {
     "q_contamination" -> ((s, d) => {
       val docs = documents(s, d)
       Dedup.contamination(docs.where(col("source") =!= "src1"),
+        docs.where(col("source") === "src1"))
+    }),
+    // bloom-prefiltered decontamination: identical answer (the exact join
+    // removes bloom false positives), shuffle carries only might-match grams
+    "q_contamination_bloom" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.contaminationBloom(docs.where(col("source") =!= "src1"),
         docs.where(col("source") === "src1"))
     }),
     // near-dup clusters: LSH pairs → connected components → survivors
@@ -829,6 +845,8 @@ object SparkEntry {
     "q_dedup_components" -> OracleSqlGen.dedupComponentsSql(),
     "q_boilerplate" -> OracleSqlGen.boilerplateSql(),
     "q_contamination" -> OracleSqlGen.contaminationSql(),
+    // bloom prefilter is answer-invariant → same oracle as q_contamination
+    "q_contamination_bloom" -> OracleSqlGen.contaminationSql(),
     "q_simhash" -> OracleSqlGen.simhashSql(),
     "q_neardup_simhash" -> OracleSqlGen.simhashNearDupSql(),
     "q_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8, dim = 64,
@@ -961,6 +979,20 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, token) AS BIGINT) AS rk FROM k)
         |SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= 3""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+        |      AS token
+        |  FROM documents),
+        |g AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM g GROUP BY 1),
+        |p AS (SELECT substr(token, CAST(i AS INT), 1) AS lhs,
+        |    substr(token, CAST(i AS INT) + 1, 1) AS rhs, cf
+        |  FROM (SELECT token, cf, unnest(range(1, length(token))) AS i FROM v)),
+        |a AS (SELECT lhs, rhs, CAST(sum(cf) AS BIGINT) AS pair_count
+        |  FROM p GROUP BY 1, 2)
+        |SELECT lhs, rhs, pair_count FROM a
+        |ORDER BY pair_count DESC, lhs, rhs LIMIT 50""".stripMargin,
     "q_pii_redact" ->
       """WITH s AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com from 10.0.'
@@ -1108,6 +1140,16 @@ object SparkEntry {
         |  CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
         |    ELSE start_offset // 512 END - start_offset // 512 + 1 AS n_windows
         |FROM c""".stripMargin,
+    "q_shuffle_shards" ->
+      s"""SELECT doc_id,
+         |  ${OracleSqlGen.h60("'shuf:' || doc_id")} AS shuffle_key,
+         |  CAST(row_number() OVER (ORDER BY
+         |    ${OracleSqlGen.h60("'shuf:' || doc_id")}, doc_id) - 1 AS BIGINT)
+         |    AS seq,
+         |  CAST((row_number() OVER (ORDER BY
+         |    ${OracleSqlGen.h60("'shuf:' || doc_id")}, doc_id) - 1) % 8 AS BIGINT)
+         |    AS shard
+         |FROM documents""".stripMargin,
     "q_chunk_docs" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks

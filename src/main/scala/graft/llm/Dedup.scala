@@ -486,6 +486,16 @@ object Dedup {
       .select(explode(shingleHashes(col(textCol), n)).as("s")).distinct()
     val testGrams = test.select(col(idCol),
       explode(shingleHashes(col(textCol), n)).as("s"))
+    contaminationVerify(trainGrams, testGrams, test, textCol, idCol, n)
+  }
+
+  /** Exact-verify tail shared by [[contamination]] and
+    * [[contaminationBloom]]: equi-join test grams against the train gram
+    * set, count overlaps per doc, left-join back for zero-overlap docs.
+    */
+  private def contaminationVerify(trainGrams: DataFrame, testGrams: DataFrame,
+                                  test: DataFrame, textCol: String,
+                                  idCol: String, n: Int): DataFrame = {
     val sizes = test.select(col(idCol),
       size(shingleHashes(col(textCol), n)).cast("long").as("n_grams"))
     val overlaps = testGrams.join(trainGrams, "s")
@@ -496,6 +506,41 @@ object Dedup {
         when(col("n_grams") > 0,
           col("n_overlap").cast("double") / col("n_grams").cast("double"))
           .otherwise(0.0))
+  }
+
+  /** [[contamination]] with a Bloom prefilter on the corpus side —
+    * IDENTICAL output, cheaper shuffle. The benchmark (`train`) side is
+    * small by nature; its distinct gram hashes build a Bloom filter that
+    * rides the corpus (`test`) scan as a codegen'd predicate
+    * ([[graft.functions.BloomExprs]]), so the exact-verify equi-join only
+    * shuffles grams that MIGHT overlap — for a mostly-clean corpus the
+    * shuffle shrinks ~1/fpp ×. Bloom false positives are removed by the
+    * exact join, so bloom bits never affect the answer (the oracle is
+    * contamination's own).
+    *
+    * The filter is built with `stat.bloomFilter` — a driver-side aggregate,
+    * gated at `graft.bloom.maxItems` (default 5×10⁷ ≈ 60 MB of bits at 1%
+    * fpp). A benchmark suite above the gate should use plain
+    * [[contamination]], whose train side never visits the driver.
+    */
+  def contaminationBloom(train: DataFrame, test: DataFrame,
+                         textCol: String = "text", idCol: String = "doc_id",
+                         n: Int = 5, fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val trainGrams = graft.core.Scratch.stage(
+      train.select(explode(shingleHashes(col(textCol), n)).as("s")).distinct(),
+      "contam_grams")
+    val nGrams = math.max(trainGrams.count(), 1L)
+    val maxItems = spark.conf.get("graft.bloom.maxItems", "50000000").toLong
+    require(nGrams <= maxItems,
+      s"contaminationBloom: train side has $nGrams distinct grams > " +
+        s"graft.bloom.maxItems=$maxItems; use contamination() instead")
+    val bloomBytes = graft.functions.BloomExprs.serialize(
+      trainGrams.stat.bloomFilter("s", nGrams, fpp))
+    val testGrams = test.select(col(idCol),
+        explode(shingleHashes(col(textCol), n)).as("s"))
+      .where(graft.functions.BloomExprs.mightContain(col("s"), bloomBytes))
+    contaminationVerify(trainGrams, testGrams, test, textCol, idCol, n)
   }
 
   // -------------------------------------------------------------- simhash

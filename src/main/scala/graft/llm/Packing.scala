@@ -40,4 +40,29 @@ object Packing {
           .otherwise(col("window_first")))
       .withColumn("n_windows", col("window_last") - col("window_first") + 1)
   }
+
+  /** Deterministic global shuffle + shard assignment for the training
+    * stream: order by a keyed md5-60 of the id (`"shuf:" || id` — a
+    * reproducible pseudo-random permutation), number the permuted stream
+    * with the two-pass global sequence, and deal rows round-robin into
+    * `nShards` shards (shard sizes differ by at most one row).
+    *
+    * Pretraining needs corpus order decorrelated from ingest order, and the
+    * permutation must survive task retries and engine changes — `rand()`
+    * does neither; the keyed hash does both. Output: (idCol, shuffle_key,
+    * seq, shard); a data loader reads its shard's rows in seq order.
+    *
+    * Scale shape: one range-partitioned sort of (id, hash) rows — the same
+    * two-pass zipWithIndex as [[packSequences]]; nothing carries text.
+    */
+  def shuffleShards(docs: DataFrame, nShards: Int,
+                    idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val keyed = docs.select(col(idCol),
+      conv(substring(md5(concat(lit("shuf:"), col(idCol).cast("string"))),
+        1, 15), 16, 10).cast("long").as("shuffle_key"))
+    graft.operators.GlobalOrder
+      .withGlobalSeq(keyed, Seq("shuffle_key", idCol), "seq")
+      .withColumn("shard", col("seq") % nShards)
+  }
 }

@@ -211,13 +211,21 @@ object TextAnalysis {
   def gramFamiliarity(df: DataFrame, n: Int = 3, minCf: Long = 5,
                       textCol: String = "text",
                       idCol: String = "doc_id"): DataFrame = {
-    val norm = regexp_replace(lower(col(textCol)), "\\s+", " ")
-    val grams = when(length(norm) >= n,
-        transform(sequence(lit(1), length(norm) - (n - 1)),
-          i => norm.substr(i, lit(n))))
+    // normalize in a SEPARATE projection: the transform lambda below
+    // references `_norm` as an attribute, so the regexp runs once per doc.
+    // Inlined, the regexp subtree would sit inside the lambda body and
+    // re-run per element — O(len²) per doc (the bench showed 7× on this
+    // query alone). CollapseProject keeps the split because the alias is
+    // expensive and multiply-referenced.
+    val normed = df.select(col(idCol),
+      regexp_replace(lower(col(textCol)), "\\s+", " ").as("_norm"))
+    val nm = col("_norm")
+    val grams = when(length(nm) >= n,
+        transform(sequence(lit(1), length(nm) - (n - 1)),
+          i => nm.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
     val tf = graft.core.Scratch.stage(
-      df.select(col(idCol), explode(grams).as("gram"))
+      normed.select(col(idCol), explode(grams).as("gram"))
         .groupBy(col(idCol), col("gram"))
         .agg(count(lit(1)).cast("long").as("tf")),
       "gram_tf")
@@ -260,6 +268,27 @@ object TextAnalysis {
     termFrequencies(df, textCol, idCol)
       .groupBy("token")
       .agg(sum("tf").cast("long").as("cf"), count(lit(1)).cast("long").as("df"))
+
+  /** Occurrence-weighted adjacent-character pair counts over the corpus
+    * [[vocabulary]] — the counting step a BPE tokenizer trainer iterates
+    * (count pairs → merge the most frequent → recount). The iterated
+    * trainer is a driver loop over this table; the table itself is
+    * vocabulary-sized, so each recount is a narrow map + small aggregate,
+    * never a corpus scan. Single-char tokens contribute no pairs.
+    */
+  def bpePairCounts(df: DataFrame, textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val tok = col("token")
+    val pairs = when(length(tok) >= 2,
+        transform(sequence(lit(1), length(tok) - 1),
+          i => struct(tok.substr(i, lit(1)).as("lhs"),
+            tok.substr(i + 1, lit(1)).as("rhs"))))
+      .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+    vocabulary(df, textCol, idCol)
+      .select(col("cf"), explode(pairs).as("p"))
+      .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+      .agg(sum("cf").cast("long").as("pair_count"))
+  }
 
   /** Per-doc distinctive keywords: top-`k` tokens by tf/df — the rational
     * tf-idf surrogate (monotone in tf and in 1/df). The score is a single

@@ -195,6 +195,38 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 4L, 0L, 0.0)))
   }
 
+  test("contaminationBloom matches contamination exactly (answer-invariant " +
+       "prefilter) and rejects over-gate train sides") {
+    val train = (1L to 40L).map(i => (i, s"tok$i alpha beta gamma tok$i end"))
+      .toDF("doc_id", "text")
+    val test = Seq(
+      (100L, "tok7 alpha beta gamma tok7 end"),  // contaminated
+      (101L, "zz yy xx ww vv uu")).toDF("doc_id", "text")
+    val exact = Dedup.contamination(train, test, n = 3)
+      .select("doc_id", "n_grams", "n_overlap", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val bloomed = Dedup.contaminationBloom(train, test, n = 3)
+      .select("doc_id", "n_grams", "n_overlap", "overlap_frac")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(bloomed == exact)
+    assert(exact.exists(r => r._1 == 100L && r._3 > 0L))
+    // the driver gate refuses unbounded train sides
+    spark.conf.set("graft.bloom.maxItems", "10")
+    try intercept[IllegalArgumentException] {
+      Dedup.contaminationBloom(train, test, n = 3)
+    } finally spark.conf.unset("graft.bloom.maxItems")
+  }
+
+  test("bloom kernel: no false negatives, serialized roundtrip") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val bf = BloomFilter.create(1000, 0.01)
+    (0L until 500L).foreach(i => bf.putLong(i * 7919L))
+    val bytes = graft.functions.BloomExprs.serialize(bf)
+    val df = (0L until 500L).map(_ * 7919L).toDF("x")
+    val kept = df.where(graft.functions.BloomExprs.mightContain(col("x"), bytes))
+    assert(kept.count() == 500L) // membership can never be missed
+  }
+
   test("contamination counts DISTINCT test grams — repeats weigh once") {
     // "x y x y x y" has five 2-gram occurrences but only two distinct
     // 2-grams {"x y", "y x"}; train contains "x y" only. Multiplicity
@@ -420,6 +452,28 @@ class PackingSpec extends graft.SparkSpec {
     // stream invariant: offsets are the exclusive prefix sum in id order
     val total = r.map(_._2).sum
     assert(r.last._3 + r.last._2 == total)
+  }
+
+  test("shuffleShards: keyed-hash permutation, contiguous seq, balanced shards") {
+    val docs = (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val r = Packing.shuffleShards(docs, nShards = 8)
+      .select("doc_id", "shuffle_key", "seq", "shard")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.length == 100)
+    // seq is a contiguous 0-based numbering of the (shuffle_key, id) order
+    assert(r.map(_._3).sorted.toSeq == (0L until 100L))
+    val bySeq = r.sortBy(_._3)
+    assert(bySeq.map(x => (x._2, x._1)).toSeq == bySeq.map(x => (x._2, x._1)).sortBy(identity).toSeq)
+    // round-robin deal: shard = seq % 8, sizes differ by at most one
+    assert(r.forall(x => x._4 == x._3 % 8))
+    val sizes = r.groupBy(_._4).values.map(_.length)
+    assert(sizes.max - sizes.min <= 1)
+    // the permutation actually decorrelates: ids in seq order != id order
+    assert(bySeq.map(_._1).toSeq != (1L to 100L).toSeq)
+    // deterministic across runs
+    val again = Packing.shuffleShards(docs, nShards = 8)
+      .select("doc_id", "seq").as[(Long, Long)].collect().toSet
+    assert(again == r.map(x => (x._1, x._3)).toSet)
   }
 
   test("withRunningTotal matches a driver-side prefix sum on a shuffled input") {

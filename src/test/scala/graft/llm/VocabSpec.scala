@@ -34,6 +34,21 @@ class VocabSpec extends SparkSpec {
     assert(got((3L, 2L))._1 == "cherry")
   }
 
+  test("bpePairCounts weights adjacent char pairs by collection frequency") {
+    // vocab: apple cf=3, banana cf=4, cherry cf=2
+    val got = TextAnalysis.bpePairCounts(docs).collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")) ->
+        r.getAs[Long]("pair_count")).toMap
+    // "an" appears twice inside banana → 2 * cf(banana) = 8
+    assert(got(("a", "n")) == 8L)
+    // "pp" once in apple → cf(apple) = 3
+    assert(got(("p", "p")) == 3L)
+    // "ch" once in cherry → cf(cherry) = 2
+    assert(got(("c", "h")) == 2L)
+    // single-char tokens contribute nothing; all pairs positive
+    assert(got.values.forall(_ > 0))
+  }
+
   test("keywords emits at most k rows per doc, rk dense from 1") {
     val rows = TextAnalysis.keywords(docs, k = 1).collect()
     assert(rows.length == 3)
