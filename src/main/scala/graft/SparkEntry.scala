@@ -294,6 +294,10 @@ object SparkEntry {
     // broadcast query LUTs, no float vector touched) — both oracle-exact
     "q_pq_adc" -> ((s, d) =>
       Pq.adcTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    // IVF+PQ composed (IVFADC): probes prune the code table, ADC ranks only
+    // the probed cells' candidates — the billion-scale two-tier layout
+    "q_ann_ivfpq" -> ((s, d) =>
+      Pq.ivfPqTopK(embeddings(s, d), (0L until 10L), k = 10)),
     // recall of the approximate paths vs exact top-k (quality report);
     // signatures and the IVF index are built ONCE and both reads reuse them
     "q_ann_recall" -> ((s, d) => {
@@ -860,6 +864,8 @@ object SparkEntry {
     "q_pq_codes" -> OracleSqlGen.pqCodesSql(m = 8, ksub = 16, dim = 64),
     "q_pq_adc" -> OracleSqlGen.pqAdcSql(m = 8, ksub = 16, dim = 64,
       nQueries = 10, k = 10),
+    "q_ann_ivfpq" -> OracleSqlGen.ivfPqAdcSql(nProbe = 4, m = 8, ksub = 16,
+      dim = 64, nQueries = 10, k = 10),
     "q_multimodal_features" -> OracleSqlGen.multimodalFeaturesSql(),
     "q_raw_headers" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,

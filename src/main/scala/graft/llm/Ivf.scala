@@ -284,37 +284,7 @@ object Ivf {
 
     val queries = embeddings.where(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val centTable = sess.read.parquet(s"$indexPath/centroids")
-    val probes =
-      if (centTable.count() <= kernelMaxCells(sess)) {
-        // nProbe nearest cells per query from one kernel call (ordered by
-        // (d², cell) like the oracle's probe window), exploded to join keys
-        val centArr = readCentroids(sess, indexPath)
-        queries.select(col("query_id"),
-          explode(graft.functions.VecExprs.ivfProbes(col("qvec"), centArr, nProbe))
-            .as("cell"))
-      } else {
-        // Two-level probe selection, mirroring [[assignCellsTwoLevel]]: each
-        // query probes its coarseProbes nearest coarse seeds with the kernel
-        // and fine-ranks ONLY the centroids in those coarse groups —
-        // O(coarseProbes·√nCells) distance rows per query instead of the
-        // flat O(nCells) centroid scan this branch ran before round 7. The
-        // same (d², cell) ordering picks the probes, so wherever the probed
-        // coarse groups contain the true nProbe-nearest cells the selection
-        // is identical to the flat scan (exhaustive coarseProbes ⇒ exact).
-        val (coarseArr, fine) = coarseGrouping(centTable)
-        val wp = Window.partitionBy(col("query_id"))
-          .orderBy(col("_d2"), col("cell"))
-        val qprobed = queries.select(col("query_id"), col("qvec"),
-          explode(graft.functions.VecExprs.ivfProbes(col("qvec"), coarseArr,
-            coarseProbes(sess))).as("coarse"))
-        fine.join(broadcast(qprobed), Seq("coarse"))
-          .withColumn("_d2",
-            graft.functions.VecExprs.l2Sq(col("qvec"), col("centroid")))
-          .withColumn("_r", row_number().over(wp))
-          .where(col("_r") <= nProbe)
-          .select(col("query_id"), col("cell"))
-      }
+    val probes = probeTable(queries, indexPath, nProbe)
 
     val indexed = embeddings.join(cells, idCol)   // (vec_id, embedding, cell)
     val w = Window.partitionBy(col("query_id"))
@@ -327,6 +297,47 @@ object Ivf {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** The (query_id, cell) probe list for a query frame of (query_id, qvec)
+    * rows — the cell-pruning half of [[ivfTopKFromIndex]], reusable by any
+    * search that ranks candidates differently (e.g. [[Pq.ivfPqTopKFromIndexes]]'
+    * ADC). Gated like the build: kernel probes at or below
+    * [[kernelMaxCells]], two-level coarse-then-fine above.
+    */
+  private[llm] def probeTable(queries: DataFrame, indexPath: String,
+                              nProbe: Int): DataFrame = {
+    val sess = queries.sparkSession
+    val centTable = sess.read.parquet(s"$indexPath/centroids")
+    if (centTable.count() <= kernelMaxCells(sess)) {
+      // nProbe nearest cells per query from one kernel call (ordered by
+      // (d², cell) like the oracle's probe window), exploded to join keys
+      val centArr = readCentroids(sess, indexPath)
+      queries.select(col("query_id"),
+        explode(graft.functions.VecExprs.ivfProbes(col("qvec"), centArr, nProbe))
+          .as("cell"))
+    } else {
+      // Two-level probe selection, mirroring [[assignCellsTwoLevel]]: each
+      // query probes its coarseProbes nearest coarse seeds with the kernel
+      // and fine-ranks ONLY the centroids in those coarse groups —
+      // O(coarseProbes·√nCells) distance rows per query instead of the
+      // flat O(nCells) centroid scan this branch ran before round 7. The
+      // same (d², cell) ordering picks the probes, so wherever the probed
+      // coarse groups contain the true nProbe-nearest cells the selection
+      // is identical to the flat scan (exhaustive coarseProbes ⇒ exact).
+      val (coarseArr, fine) = coarseGrouping(centTable)
+      val wp = Window.partitionBy(col("query_id"))
+        .orderBy(col("_d2"), col("cell"))
+      val qprobed = queries.select(col("query_id"), col("qvec"),
+        explode(graft.functions.VecExprs.ivfProbes(col("qvec"), coarseArr,
+          coarseProbes(sess))).as("coarse"))
+      fine.join(broadcast(qprobed), Seq("coarse"))
+        .withColumn("_d2",
+          graft.functions.VecExprs.l2Sq(col("qvec"), col("centroid")))
+        .withColumn("_r", row_number().over(wp))
+        .where(col("_r") <= nProbe)
+        .select(col("query_id"), col("cell"))
+    }
   }
 
   /** Convenience: build the deterministic seeded index into `indexPath` (or

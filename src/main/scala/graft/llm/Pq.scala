@@ -198,4 +198,89 @@ object Pq {
     buildIndex(embeddings, path, m, ksub, idCol, vecCol)
     adcTopKFromIndex(embeddings, path, queryIds, k, nRerank, idCol, vecCol)
   }
+
+  /** IVF + PQ composed — the standard billion-scale ANN layout (an IVFADC
+    * index): the IVF coarse quantizer prunes the corpus to the probed
+    * cells' candidates, and PQ codes rank ONLY those candidates with m LUT
+    * lookups each. Re-expressed as joins: candidates = probes ⋈ cells ⋈
+    * codes; no float vector is touched unless `nRerank > 0` refines the
+    * short list by exact cosine.
+    *
+    * Why both tiers: at 10⁹ vectors IVF alone still exact-scores
+    * ~corpus·nProbe/nCells float vectors per query (memory-bandwidth
+    * bound), and PQ alone still scans every code row. Composed, a query
+    * touches nProbe/nCells of the CODE table — cells prune I/O, codes cut
+    * bytes-per-candidate ~(4·dim/m)×.
+    *
+    * Ranking is (ADC distance, id) with the same subspace-ordered fold as
+    * [[adcTopKFromIndex]], so with exhaustive probes (nProbe ≥ nCells) the
+    * result EQUALS plain ADC — the spec pins that, and the oracle replays
+    * the probed ranking bit-for-bit (q_ann_ivfpq).
+    */
+  def ivfPqTopKFromIndexes(embeddings: DataFrame, ivfPath: String,
+                           pqPath: String, queryIds: Seq[Long], k: Int,
+                           nProbe: Int = 4, nRerank: Int = 0,
+                           idCol: String = "vec_id",
+                           vecCol: String = "embedding"): DataFrame = {
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    require(queryIds.nonEmpty && queryIds.size <= 65536,
+      s"ADC broadcasts one LUT per query — got ${queryIds.size} queries")
+    val books = readBooks(sess, pqPath)
+    val ksub = books(0).length
+    val codes = sess.read.parquet(s"$pqPath/codes")
+    val cells = sess.read.parquet(s"$ivfPath/cells")
+    val queryFrame = embeddings.where(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val probes = Ivf.probeTable(queryFrame, ivfPath, nProbe)
+    val queries = queryFrame
+      .select(col("query_id"), transform(col("qvec"), _.cast("double")).as("_qv"))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getSeq[Double](1).toArray))
+    val luts = queries
+      .map { case (qid, qv) => (qid, lutFor(qv, books).toSeq) }.toSeq
+      .toDF("query_id", "_lut")
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col(idCol))
+    val adc = cand.join(codes, idCol)
+      .join(broadcast(luts), "query_id")
+      .withColumn("dist", VecExprs.pqAdc(col("codes"), col("_lut"), ksub))
+      .withColumn("rank", row_number().over(w).cast("long"))
+    if (nRerank <= 0) {
+      adc.where(col("rank") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+    } else {
+      val qvecs = queries.map { case (qid, qv) => (qid, qv.toSeq) }.toSeq
+        .toDF("query_id", "_qvec")
+      val wr = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col(idCol))
+      adc.where(col("rank") <= math.max(k, nRerank))
+        .select(col("query_id"), col(idCol))
+        .join(embeddings.select(col(idCol), col(vecCol)), idCol)
+        .join(broadcast(qvecs), "query_id")
+        .withColumn("sim", Similarity.cosine(col("_qvec"), col(vecCol)))
+        .withColumn("rank", row_number().over(wr).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+    }
+  }
+
+  /** Convenience: build both deterministic indexes and run the composed
+    * search — the registered, oracle-checked shape. Production builds each
+    * index once and calls [[ivfPqTopKFromIndexes]] per query batch.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                nCells: Int = 0, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 16, nRerank: Int = 0,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val ivfPath = graft.core.TempDirs.scratch("ivfpq_ivf")
+    val pqPath = graft.core.TempDirs.scratch("ivfpq_pq")
+    Ivf.buildIndexSeeded(embeddings, ivfPath, nCells, idCol, vecCol)
+    buildIndex(embeddings, pqPath, m, ksub, idCol, vecCol)
+    ivfPqTopKFromIndexes(embeddings, ivfPath, pqPath, queryIds, k, nProbe,
+      nRerank, idCol, vecCol)
+  }
 }

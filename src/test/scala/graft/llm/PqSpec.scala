@@ -78,6 +78,39 @@ class PqSpec extends SparkSpec {
     assert(got(1L) == 39L)
   }
 
+  test("IVF+PQ with exhaustive probes equals plain ADC ranking") {
+    // nProbe >= nCells makes the IVF tier a no-op prune; the composed
+    // ranking must then be EXACTLY the full ADC ranking
+    val ivfPath = graft.core.TempDirs.scratch("ivfpq_spec_ivf")
+    val pqPath = graft.core.TempDirs.scratch("ivfpq_spec_pq")
+    Ivf.buildIndexSeeded(emb, ivfPath, nCells = 4)
+    Pq.buildIndex(emb, pqPath, m = 4, ksub = 4)
+    val composed = Pq.ivfPqTopKFromIndexes(emb, ivfPath, pqPath,
+        queryIds = Seq(0L, 5L), k = 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Pq.adcTopKFromIndex(emb, pqPath, Seq(0L, 5L), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(composed == plain)
+  }
+
+  test("IVF+PQ prunes to probed cells and still finds the planted clone") {
+    val ivfPath = graft.core.TempDirs.scratch("ivfpq_spec_ivf2")
+    val pqPath = graft.core.TempDirs.scratch("ivfpq_spec_pq2")
+    Ivf.buildIndexSeeded(emb, ivfPath, nCells = 8)
+    Pq.buildIndex(emb, pqPath, m = 4, ksub = 4)
+    // clone shares vec 0's cell (same vector → same nearest centroid), so
+    // even nProbe = 1 must surface it among the code-sharing front-runners
+    val got = Pq.ivfPqTopKFromIndexes(emb, ivfPath, pqPath,
+        queryIds = Seq(0L), k = 40, nProbe = 1, nRerank = 8)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(got(1L) == 39L) // rerank pins the clone first
+    // pruning is real: candidates are a strict subset of the corpus
+    val nCand = Pq.ivfPqTopKFromIndexes(emb, ivfPath, pqPath,
+      queryIds = Seq(0L), k = 40, nProbe = 1).count()
+    assert(nCand < 39, s"nProbe=1 must prune candidates, got $nCand rows")
+  }
+
   test("encode is a narrow plan: no exchange") {
     val books = Pq.codebooks(emb, m = 4, ksub = 4)
     val plan = Pq.encode(emb, books).queryExecution.executedPlan.toString
