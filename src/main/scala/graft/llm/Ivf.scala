@@ -243,12 +243,38 @@ object Ivf {
     val centOut = if (small) centroids.coalesce(1)
                   else centroids.repartitionByRange(col("cell"))
     centOut.write.mode("overwrite").parquet(s"$indexPath/centroids")
-    val centTable = sess.read.parquet(s"$indexPath/centroids")
-    val cells =
-      if (small) assignCellsKernel(embeddings, readCentroids(sess, indexPath), idCol, vecCol)
-      else assignCellsTwoLevel(embeddings, centTable, idCol, vecCol)
-    cells.write.mode("overwrite").parquet(s"$indexPath/cells")
+    assignWithIndex(embeddings, indexPath, idCol, vecCol)
+      .write.mode("overwrite").parquet(s"$indexPath/cells")
   }
+
+  /** Assign a vector frame against the PERSISTED quantizer — the assignment
+    * half of [[buildIndexSeeded]], gated the same way (kernel at or below
+    * [[kernelMaxCells]], two-level join above), reusable for incremental
+    * appends.
+    */
+  private[llm] def assignWithIndex(vectors: DataFrame, indexPath: String,
+                                   idCol: String, vecCol: String): DataFrame = {
+    val sess = vectors.sparkSession
+    val centTable = sess.read.parquet(s"$indexPath/centroids")
+    if (centTable.count() <= kernelMaxCells(sess))
+      assignCellsKernel(vectors, readCentroids(sess, indexPath), idCol, vecCol)
+    else assignCellsTwoLevel(vectors, centTable, idCol, vecCol)
+  }
+
+  /** Incremental index maintenance: assign `newVectors` against the
+    * persisted quantizer and append their (id, cell) rows — searches see the
+    * new vectors immediately, no rebuild. CENTROIDS STAY FIXED: the standard
+    * maintenance trade (FAISS's add-after-train) — the quantizer slowly
+    * drifts from the data distribution, so rebuild when probe recall decays.
+    * Caller owns id uniqueness: an id appended twice is two candidate rows
+    * (the streaming tier, [[graft.streaming.StreamingAnn]], dedups by id
+    * ahead of the sink and absorbs foreachBatch replays).
+    */
+  def appendToIndex(newVectors: DataFrame, indexPath: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    assignWithIndex(newVectors, indexPath, idCol, vecCol)
+      .write.mode("append").parquet(s"$indexPath/cells")
 
   /** Build + persist a KMeans index (same on-disk layout as the seeded one). */
   def buildIndexKMeans(embeddings: DataFrame, indexPath: String, nCells: Int = 16,

@@ -103,6 +103,19 @@ object Pq {
     }.toArray
   }
 
+  /** Incremental index maintenance: encode `newVectors` with the PERSISTED
+    * codebooks and append their code rows — the mirror of
+    * [[Ivf.appendToIndex]], same trade (codebooks stay fixed; rebuild when
+    * quantization error drifts) and same id-uniqueness contract (the
+    * streaming tier dedups ahead of the sink).
+    */
+  def appendToIndex(newVectors: DataFrame, indexPath: String,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): Unit =
+    encode(newVectors, readBooks(newVectors.sparkSession, indexPath),
+      idCol, vecCol)
+      .write.mode("append").parquet(s"$indexPath/codes")
+
   /** One query's flattened [m × ksub] LUT: lut(j·ksub + c) = ‖q_slice_j −
     * books(j)(c)‖², each accumulated left-to-right like [[encode]]'s kernel.
     */

@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.llm.{Ivf, Pq}
+
+/** Streaming ANN index maintenance: an arriving embedding stream appends to
+  * the persisted IVF and/or PQ indexes between triggers, so searches see
+  * new vectors within one trigger interval without any rebuild.
+  *
+  * Each micro-batch runs the same batch append operators
+  * ([[Ivf.appendToIndex]] / [[Pq.appendToIndex]]) inside the foreachBatch
+  * boundary — quantizer and codebooks stay fixed (the add-after-train
+  * trade; rebuild out-of-band when recall decays). The foreachBatch
+  * boundary is at-least-once on retry and an append retry would duplicate
+  * candidate rows, so `dedupKey` (default: the id column) keeps
+  * drop-duplicates state on the row key ahead of the sink — the
+  * [[StreamingMdio]] pattern — which also absorbs source replays. The
+  * checkpoint (offsets + dedup state) survives restarts.
+  */
+object StreamingAnn {
+
+  /** Append an embedding stream to the index(es); at least one of
+    * `ivfPath` / `pqPath` must point at an existing built index.
+    */
+  def appendToIndexes(stream: DataFrame,
+                      ivfPath: Option[String] = None,
+                      pqPath: Option[String] = None,
+                      checkpoint: Option[String] = None,
+                      dedupKey: Option[String] = Some("vec_id"),
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding",
+                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(ivfPath.isDefined || pqPath.isDefined,
+      "StreamingAnn.appendToIndexes needs at least one index path")
+    val deduped = dedupKey.fold(stream)(k => stream.dropDuplicates(k))
+    val ckpt = checkpoint.getOrElse(
+      s"${ivfPath.orElse(pqPath).get}/_stream_checkpoint")
+    deduped.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        ivfPath.foreach(p => Ivf.appendToIndex(batch, p, idCol, vecCol))
+        pqPath.foreach(p => Pq.appendToIndex(batch, p, idCol, vecCol))
+      }
+      .start()
+  }
+}
