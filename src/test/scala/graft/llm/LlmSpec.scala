@@ -217,6 +217,18 @@ class DedupSpec extends SparkSpec {
     } finally spark.conf.unset("graft.bloom.maxItems")
   }
 
+  test("contaminationBloom plan: the bloom predicate rides the corpus gram " +
+       "scan; no cartesian product anywhere") {
+    val train = (1L to 20L).map(i => (i, s"alpha beta gamma tok$i"))
+      .toDF("doc_id", "text")
+    val test = Seq((100L, "alpha beta gamma zz")).toDF("doc_id", "text")
+    val plan = Dedup.contaminationBloom(train, test, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("bloom_might_contain"),
+      s"bloom predicate must appear in the executed plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+  }
+
   test("bloom kernel: no false negatives, serialized roundtrip") {
     import org.apache.spark.util.sketch.BloomFilter
     val bf = BloomFilter.create(1000, 0.01)

@@ -111,6 +111,20 @@ class PqSpec extends SparkSpec {
     assert(nCand < 39, s"nProbe=1 must prune candidates, got $nCand rows")
   }
 
+  test("IVF+PQ plan: probes and LUTs broadcast, candidate pruning is a " +
+       "hash join — never cartesian") {
+    val ivfPath = graft.core.TempDirs.scratch("ivfpq_spec_plan_ivf")
+    val pqPath = graft.core.TempDirs.scratch("ivfpq_spec_plan_pq")
+    Ivf.buildIndexSeeded(emb, ivfPath, nCells = 8)
+    Pq.buildIndex(emb, pqPath, m = 4, ksub = 4)
+    val plan = Pq.ivfPqTopKFromIndexes(emb, ivfPath, pqPath, Seq(0L),
+        k = 5, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"probe/LUT sides must broadcast:\n$plan")
+  }
+
   test("encode is a narrow plan: no exchange") {
     val books = Pq.codebooks(emb, m = 4, ksub = 4)
     val plan = Pq.encode(emb, books).queryExecution.executedPlan.toString
