@@ -478,6 +478,14 @@ object SparkEntry {
     "q_dedup_components" -> ((s, d) =>
       Dedup.dupComponents(Dedup.nearDupPairs(documents(s, d)))
         .select(col("id").as("doc_id"), col("component"), col("is_survivor"))),
+    // quality-ranked cluster survivors: keep each near-dup component's
+    // best-quality member (ties → lowest id), not the min id
+    "q_dedup_components_best" -> ((s, d) => {
+      val docs = documents(s, d)
+      Dedup.componentSurvivorsBest(
+        Dedup.dupComponents(Dedup.nearDupPairs(docs)),
+        TextAnalysis.qualityScore(docs).select(col("doc_id"), col("quality")))
+    }),
     // --- SemDeDup + deterministic sampling -------------------------------
     "q_semantic_dedup" -> ((s, d) =>
       Dedup.semanticDedup(embeddings(s, d), minCosine = 0.4)),
@@ -847,6 +855,16 @@ object SparkEntry {
         |  np.n_paras - CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM np LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_dedup_components" -> OracleSqlGen.dedupComponentsSql(),
+    "q_dedup_components_best" ->
+      s"""WITH c AS (${OracleSqlGen.dedupComponentsSql()}),
+         |q AS ($qualitySqlStr),
+         |j AS (SELECT c.component, c.doc_id, q.quality
+         |  FROM c JOIN q USING (doc_id))
+         |SELECT component, doc_id AS best_id FROM (
+         |  SELECT component, doc_id,
+         |    row_number() OVER (PARTITION BY component
+         |      ORDER BY quality DESC, doc_id) AS rn
+         |  FROM j) WHERE rn = 1""".stripMargin,
     "q_boilerplate" -> OracleSqlGen.boilerplateSql(),
     "q_contamination" -> OracleSqlGen.contaminationSql(),
     // bloom prefilter is answer-invariant → same oracle as q_contamination

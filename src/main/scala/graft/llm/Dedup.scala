@@ -60,6 +60,22 @@ object Dedup {
         struct(col(scoreCol), (-col(idCol)).as("_nid"))).as(idCol))
       .select(col(idCol))
 
+  /** The near-dup analog of [[dedupExactBest]]: given [[dupComponents]]'
+    * (id, component) table and a scored doc frame, keep the HIGHEST-scored
+    * member of each near-dup cluster (ties → lowest id) instead of the
+    * min-id survivor. Same map-side-combinable `max_by` shape — one hash
+    * aggregate keyed by component, never a corpus-wide window; the join is
+    * component-table-sized (only docs that appear in some near-dup pair).
+    */
+  def componentSurvivorsBest(components: DataFrame, scored: DataFrame,
+                             scoreCol: String = "quality",
+                             idCol: String = "doc_id"): DataFrame =
+    components.select(col("id"), col("component"))
+      .join(scored.select(col(idCol).as("id"), col(scoreCol).as("_score")), "id")
+      .groupBy(col("component"))
+      .agg(max_by(col("id"),
+        struct(col("_score"), (-col("id")).as("_nid"))).as("best_id"))
+
   // -------------------------------------------------------------- minhash
 
   /** Word-level shingles (n-grams of tokens) of the normalized text. */

@@ -195,6 +195,21 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 4L, 0L, 0.0)))
   }
 
+  test("componentSurvivorsBest keeps the best-quality member per cluster, " +
+       "ties to the lowest id") {
+    val components = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L),  // cluster 1
+      (7L, 7L), (9L, 7L)             // cluster 7
+    ).toDF("id", "component")
+    val scored = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9),  // 2 and 3 tie → keep 2
+      (7L, 0.5), (9L, 0.8)              // 9 wins
+    ).toDF("doc_id", "quality")
+    val got = Dedup.componentSurvivorsBest(components, scored).collect()
+      .map(r => r.getAs[Long]("component") -> r.getAs[Long]("best_id")).toMap
+    assert(got == Map(1L -> 2L, 7L -> 9L))
+  }
+
   test("contaminationBloom matches contamination exactly (answer-invariant " +
        "prefilter) and rejects over-gate train sides") {
     val train = (1L to 40L).map(i => (i, s"tok$i alpha beta gamma tok$i end"))
