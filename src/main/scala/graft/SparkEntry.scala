@@ -229,6 +229,15 @@ object SparkEntry {
     // Gopher-style repetition quality signals (templated-text detector)
     "q_repetition" -> ((s, d) =>
       TextAnalysis.repetitionSignals(documents(s, d))),
+    // blocklist term gate: whole-token occurrence counts vs a literal list
+    "q_blocklist" -> ((s, d) =>
+      TextAnalysis.blocklistFilter(documents(s, d),
+          Seq("slow", "stale", "legacy"), maxHits = 2)
+        .select("doc_id", "n_blocked", "blocked")),
+    // LSH-tier recall QC: banded candidates vs exact corpus-wide Jaccard
+    // truth at the same threshold (run on a sample at scale)
+    "q_neardup_recall" -> ((s, d) =>
+      Dedup.nearDupRecall(documents(s, d))),
     // char-trigram LM familiarity: rationally-exact perplexity surrogate
     // (mean corpus gram frequency + OOV rate) — the CCNet-style LM quality
     // gate with log-probs replaced by integer-exact ratios
@@ -949,6 +958,18 @@ object SparkEntry {
         |    ELSE 'unknown' END AS pred_lang
         |FROM s""".stripMargin,
     "q_quality" -> qualitySqlStr,
+    "q_blocklist" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '')
+        |      AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> t IN ('slow', 'stale', 'legacy')))
+        |    AS BIGINT) AS n_blocked,
+        |  len(list_filter(toks, t -> t IN ('slow', 'stale', 'legacy'))) > 2
+        |    AS blocked
+        |FROM t""".stripMargin,
+    "q_neardup_recall" -> OracleSqlGen.nearDupRecallSql(),
     "q_gram_lm" ->
       """WITH nm AS (SELECT doc_id,
         |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),

@@ -182,6 +182,36 @@ object Dedup {
     nearDupPairsFromSignatures(sigs, idCol, k, bands, minEstJaccard, maxBucketSize)
   }
 
+  /** LSH-tier QC: recall of [[nearDupPairs]]' banded candidates against
+    * the EXACT set-Jaccard ground truth at the same threshold — one row of
+    * (n_exact, n_found, recall), integer counts with one final division.
+    * The estimate threshold is applied to est-Jaccard and the truth
+    * threshold to exact Jaccard, so the number reflects what the tier's
+    * users actually see (banding misses AND estimator misses together).
+    *
+    * Ground truth runs [[blockedJaccard]] with a constant block and no
+    * doc-frequency cap — all-shared-shingle-pairs shaped, so run the QC on
+    * a SAMPLE of the corpus (that is what a recall report is for), never
+    * the full 100 TB; the LSH side stays the production-shaped banded join.
+    */
+  def nearDupRecall(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
+                    minJaccard: Double = 0.5,
+                    textCol: String = "text",
+                    idCol: String = "doc_id"): DataFrame = {
+    val lsh = nearDupPairs(docs, textCol, idCol, n, k, bands,
+      minEstJaccard = minJaccard)
+    val exact = blockedJaccard(docs.withColumn("_all", lit(1)), "_all",
+      textCol, idCol, n, minJaccard, maxDocFrac = 1.0)
+    exact.select(col("id_a"), col("id_b"))
+      .join(lsh.select(col("id_a"), col("id_b"), lit(1L).as("_hit")),
+        Seq("id_a", "id_b"), "left")
+      .agg(count(lit(1)).cast("long").as("n_exact"),
+        coalesce(sum(col("_hit")), lit(0L)).cast("long").as("n_found"))
+      .withColumn("recall",
+        when(col("n_exact") > 0,
+          col("n_found").cast("double") / col("n_exact")))
+  }
+
   // ------------------------------------------------------ n-gram jaccard
 
   /** Exact token-shingle Jaccard for given (id_a, id_b) candidate pairs —

@@ -269,6 +269,24 @@ object TextAnalysis {
       .groupBy("token")
       .agg(sum("tf").cast("long").as("cf"), count(lit(1)).cast("long").as("df"))
 
+  /** Blocklist term filter — the safety/quality gate that drops documents
+    * containing too many blocklisted terms (slurs, spam markers, boilerplate
+    * phrases). Counts lowercased whole-token OCCURRENCES against the list
+    * and flags docs whose count exceeds `maxHits` (0 = zero-tolerance).
+    * The list rides the plan as a literal set (`isInCollection` compiles to
+    * a hash-set probe in codegen) — the right shape for the usual 10²–10⁵
+    * term lists; counts are integers, so the verdict is engine-exact.
+    */
+  def blocklistFilter(df: DataFrame, terms: Seq[String], maxHits: Long = 0,
+                      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "blocklistFilter needs at least one term")
+    val lowered = terms.map(_.toLowerCase)
+    df.withColumn("n_blocked",
+        size(filter(tokens(lower(col(textCol))),
+          t => t.isInCollection(lowered))).cast("long"))
+      .withColumn("blocked", col("n_blocked") > maxHits)
+  }
+
   /** Occurrence-weighted adjacent-character pair counts over the corpus
     * [[vocabulary]] — the counting step a BPE tokenizer trainer iterates
     * (count pairs → merge the most frequent → recount). The iterated

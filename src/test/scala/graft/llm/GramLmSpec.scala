@@ -44,6 +44,21 @@ class GramLmSpec extends SparkSpec {
     assert(got(2L) == ((3L, 2.0)))
   }
 
+  test("blocklistFilter counts whole-token occurrences case-insensitively") {
+    val d = Seq(
+      (1L, "Slow code is SLOW and slowly broken"),  // 2 whole-token hits
+      (2L, "fast clean code"),
+      (3L, "slow slow slow slow")).toDF("doc_id", "text")
+    val got = TextAnalysis.blocklistFilter(d, Seq("slow", "broken"), maxHits = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_blocked"), r.getAs[Boolean]("blocked")))).toMap
+    // doc 1: "Slow"+"SLOW"+"broken" = 3 (NOT "slowly" — whole tokens only)
+    assert(got(1L) == ((3L, true)))
+    assert(got(2L) == ((0L, false)))
+    assert(got(3L) == ((4L, true)))
+  }
+
   test("sourcePriors blocks sources below the keep-rate threshold") {
     // src_good: long wordy docs with stopwords → keep; src_bad: junk
     val good = (1 to 4).map(i => (i.toLong,

@@ -195,6 +195,23 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 4L, 0L, 0.0)))
   }
 
+  test("nearDupRecall: banded LSH finds the planted near-identical pair " +
+       "(recall 1 on an easy corpus)") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the cat sleeps on the warm windowsill every single afternoon"
+    val docs = (Seq(
+      (1L, base),
+      (2L, base + " extra"),                 // near-identical to 1
+      (3L, "completely different text about spark partitions and shuffles " +
+        "with nothing shared at all in any window of tokens anywhere")) ++
+      (10L to 19L).map(i => (i, s"filler document number $i with unrelated words")))
+      .toDF("doc_id", "text")
+    val r = Dedup.nearDupRecall(docs).collect().head
+    assert(r.getAs[Long]("n_exact") >= 1L)
+    assert(r.getAs[Long]("n_found") == r.getAs[Long]("n_exact"))
+    assert(r.getAs[Double]("recall") == 1.0)
+  }
+
   test("componentSurvivorsBest keeps the best-quality member per cluster, " +
        "ties to the lowest id") {
     val components = Seq(
