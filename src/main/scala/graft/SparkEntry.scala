@@ -238,6 +238,12 @@ object SparkEntry {
     // truth at the same threshold (run on a sample at scale)
     "q_neardup_recall" -> ((s, d) =>
       Dedup.nearDupRecall(documents(s, d))),
+    // winnowing (MOSS) partial-overlap pairs: window-min char-gram
+    // fingerprints, df-capped inverted self-join; minShared = 32 is the
+    // real-overlap band on this fixture (word-salad text shares many
+    // incidental 8-grams — 2-31 shared fps is background noise)
+    "q_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowOverlapPairs(documents(s, d), minShared = 32)),
     // char-trigram LM familiarity: rationally-exact perplexity surrogate
     // (mean corpus gram frequency + OOV rate) — the CCNet-style LM quality
     // gate with log-probs replaced by integer-exact ratios
@@ -970,6 +976,7 @@ object SparkEntry {
         |    AS blocked
         |FROM t""".stripMargin,
     "q_neardup_recall" -> OracleSqlGen.nearDupRecallSql(),
+    "q_winnow_pairs" -> OracleSqlGen.winnowPairsSql(minShared = 32),
     "q_gram_lm" ->
       """WITH nm AS (SELECT doc_id,
         |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),

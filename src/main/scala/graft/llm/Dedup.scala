@@ -182,6 +182,73 @@ object Dedup {
     nearDupPairsFromSignatures(sigs, idCol, k, bands, minEstJaccard, maxBucketSize)
   }
 
+  /** Winnowing fingerprints (the MOSS local-fingerprinting scheme): char
+    * `kChars`-gram md5-60 hashes over the whitespace-normalized lowercased
+    * text, one SELECTED hash per sliding window of `window` consecutive
+    * grams (the window minimum), distinct per doc. The winnowing guarantee:
+    * any shared substring of at least `kChars + window − 1` characters
+    * yields at least one shared selected fingerprint — so PARTIAL overlap
+    * (doc A embeds a paragraph of doc B) is detectable where whole-doc
+    * minhash dilutes it away.
+    *
+    * Output: (idCol, fp) exploded, distinct per doc. Both the per-position
+    * hash array and the window minima are computed against MATERIALIZED
+    * attribute columns (separate projections), so each md5 runs once per
+    * position — not once per (position × window) (the lambda-inlining trap;
+    * see gramFamiliarity).
+    */
+  def winnowFingerprints(docs: DataFrame, kChars: Int = 8, window: Int = 4,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    require(kChars > 0 && window > 0,
+      s"need kChars > 0 and window > 0, got $kChars/$window")
+    val normed = docs.select(col(idCol),
+      regexp_replace(lower(col(textCol)), "\\s+", " ").as("_norm"))
+    val nm = col("_norm")
+    val hashed = normed.select(col(idCol),
+      when(length(nm) >= kChars,
+        transform(sequence(lit(1), length(nm) - (kChars - 1)),
+          i => conv(substring(md5(nm.substr(i, lit(kChars))), 1, 15), 16, 10)
+            .cast("long")))
+        .otherwise(array().cast("array<long>")).as("_hs"))
+    val hs = col("_hs")
+    hashed.select(col(idCol),
+        explode(when(size(hs) >= window,
+          array_distinct(transform(sequence(lit(1), size(hs) - (window - 1)),
+            j => array_min(slice(hs, j, lit(window))))))
+          .otherwise(array().cast("array<long>"))).as("fp"))
+      .select(col(idCol), col("fp"))
+  }
+
+  /** Partial-overlap pairs over [[winnowFingerprints]]: an inverted index
+    * on the selected fingerprints, document-frequency capped (ubiquitous
+    * fingerprints are boilerplate, and at scale a hot fingerprint would
+    * quadratically explode its self-join bucket), self-equi-joined and
+    * reduced to pairs sharing at least `minShared` fingerprints. The same
+    * staged-index + capped-join shape as [[blockedJaccard]] — never a
+    * cross join, shuffles carry hashes only.
+    */
+  def winnowOverlapPairs(docs: DataFrame, kChars: Int = 8, window: Int = 4,
+                         minShared: Long = 2, maxDocFreq: Long = 100,
+                         textCol: String = "text",
+                         idCol: String = "doc_id"): DataFrame = {
+    val inv = Scratch.stage(
+      winnowFingerprints(docs, kChars, window, textCol, idCol)
+        .select(col(idCol).as("id"), col("fp")),
+      "winnow_inv")
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val capped = inv
+      .withColumn("_df", count(lit(1)).over(wDf))
+      .where(col("_df") <= maxDocFreq)
+      .select(col("id"), col("fp"))
+    capped.as("a")
+      .join(capped.as("b"),
+        col("a.fp") === col("b.fp") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).cast("long").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** LSH-tier QC: recall of [[nearDupPairs]]' banded candidates against
     * the EXACT set-Jaccard ground truth at the same threshold — one row of
     * (n_exact, n_found, recall), integer counts with one final division.

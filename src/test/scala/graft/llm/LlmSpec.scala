@@ -195,6 +195,30 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) == ((3L, 4L, 0L, 0.0)))
   }
 
+  test("winnowing: a shared substring of length >= k + w - 1 guarantees a " +
+       "shared fingerprint; disjoint texts share none") {
+    val para = "the common paragraph both documents embed verbatim here"
+    val docs = Seq(
+      (1L, s"first document unique preamble text. $para"),
+      (2L, s"$para. second document with its own completely different tail"),
+      (3L, "zq xv jk wq zzp qqy kkx jjv xxw wwv vvu uuz rrq ppx yyk"))
+      .toDF("doc_id", "text")
+    val fps = Dedup.winnowFingerprints(docs).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(_.getAs[Long]("fp")).toSet).toMap
+    // the winnowing guarantee on the embedded paragraph
+    assert((fps(1L) intersect fps(2L)).nonEmpty)
+    assert((fps(1L) intersect fps(3L)).isEmpty)
+    val pairs = Dedup.winnowOverlapPairs(docs, minShared = 2).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("winnowFingerprints: short docs yield no fingerprints, not errors") {
+    val docs = Seq((1L, "tiny"), (2L, "")).toDF("doc_id", "text")
+    assert(Dedup.winnowFingerprints(docs).count() == 0L)
+  }
+
   test("nearDupRecall: banded LSH finds the planted near-identical pair " +
        "(recall 1 on an easy corpus)") {
     val base = "the quick brown fox jumps over the lazy dog again and again " +
