@@ -44,6 +44,11 @@ object CrossHashExprs {
   /** Count of agreeing positions between two minhash signatures. */
   def sigAgree(a: Column, b: Column): Column =
     ColumnBridge.column(SigAgreeExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** string → array<long>: distinct winnowing fingerprints (window-min of
+    * per-position char k-gram md5-60 hashes). */
+  def winnowFps(c: Column, kChars: Int, window: Int): Column =
+    ColumnBridge.column(WinnowExpr(ColumnBridge.expression(c), kChars, window))
 }
 
 final case class Md5H60Array(child: Expression)
@@ -204,6 +209,70 @@ final case class SigAgreeExpr(left: Expression, right: Expression)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreeExpr =
     copy(left = l, right = r)
+}
+
+/** Distinct winnowing fingerprints of a (pre-normalized) string: md5-60 of
+  * the char k-gram at every position, then the minimum of each `window` of
+  * consecutive gram hashes, deduplicated by first occurrence — one tight
+  * loop per row with an O(n) monotonic-deque window minimum, replacing the
+  * interpreted per-element `md5 → hex-substring → conv` pipeline plus the
+  * O(n·w) `transform(slice→array_min)` pass (the same ~2× constant-factor
+  * class as the other kernels here). Value-identical to that column
+  * formula: same char positions (BMP text — `String.substring`; the corpus
+  * is whitespace-normalized before this runs), same md5-60, same window
+  * minima. Shorter-than-k text yields an empty array.
+  */
+final case class WinnowExpr(child: Expression, kChars: Int, window: Int)
+    extends UnaryExpression with Serializable {
+  require(kChars >= 1 && window >= 1, "winnow needs kChars >= 1 and window >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  def kernel(in: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val s = in.toString
+    val len = s.length
+    if (len < kChars) return new GenericArrayData(Array.emptyLongArray)
+    val nH = len - kChars + 1
+    val hs = new Array[Long](nH)
+    var i = 0
+    while (i < nH) {
+      hs(i) = CrossHash.md5h60(s.substring(i, i + kChars).getBytes("UTF-8"))
+      i += 1
+    }
+    if (nH < window) return new GenericArrayData(Array.emptyLongArray)
+    // monotonic deque of candidate indices: front is the window minimum;
+    // ties keep the EARLIEST index (strict < when popping), matching
+    // array_min over each slice value-for-value
+    val deque = new Array[Int](nH)
+    var head = 0
+    var tail = 0 // exclusive
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long](nH - window + 1)
+    i = 0
+    while (i < nH) {
+      while (tail > head && hs(deque(tail - 1)) > hs(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - window) head += 1
+      if (i >= window - 1) {
+        val h = hs(deque(head))
+        if (seen.add(h)) out += h
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnowself", this, classOf[WinnowExpr].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.kernel($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowExpr =
+    copy(child = newChild)
 }
 
 /** Hyperplane bucket for one LSH table; the ±1 planes are derived from

@@ -191,34 +191,20 @@ object Dedup {
     * (doc A embeds a paragraph of doc B) is detectable where whole-doc
     * minhash dilutes it away.
     *
-    * Output: (idCol, fp) exploded, distinct per doc. Both the per-position
-    * hash array and the window minima are computed against MATERIALIZED
-    * attribute columns (separate projections), so each md5 runs once per
-    * position — not once per (position × window) (the lambda-inlining trap;
-    * see gramFamiliarity).
+    * Output: (idCol, fp) exploded, distinct per doc. Hashing + window
+    * minima run as ONE native kernel per row
+    * ([[graft.functions.WinnowExpr]]: positional md5-60 + an O(n)
+    * monotonic-deque window minimum) — the interpreted per-element
+    * `md5 → hex → conv` pipeline this replaces was the bench's slowest
+    * query at sf0.1.
     */
   def winnowFingerprints(docs: DataFrame, kChars: Int = 8, window: Int = 4,
                          textCol: String = "text",
-                         idCol: String = "doc_id"): DataFrame = {
-    require(kChars > 0 && window > 0,
-      s"need kChars > 0 and window > 0, got $kChars/$window")
-    val normed = docs.select(col(idCol),
-      regexp_replace(lower(col(textCol)), "\\s+", " ").as("_norm"))
-    val nm = col("_norm")
-    val hashed = normed.select(col(idCol),
-      when(length(nm) >= kChars,
-        transform(sequence(lit(1), length(nm) - (kChars - 1)),
-          i => conv(substring(md5(nm.substr(i, lit(kChars))), 1, 15), 16, 10)
-            .cast("long")))
-        .otherwise(array().cast("array<long>")).as("_hs"))
-    val hs = col("_hs")
-    hashed.select(col(idCol),
-        explode(when(size(hs) >= window,
-          array_distinct(transform(sequence(lit(1), size(hs) - (window - 1)),
-            j => array_min(slice(hs, j, lit(window))))))
-          .otherwise(array().cast("array<long>"))).as("fp"))
-      .select(col(idCol), col("fp"))
-  }
+                         idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol),
+      explode(CrossHashExprs.winnowFps(
+        regexp_replace(lower(col(textCol)), "\\s+", " "), kChars, window))
+        .as("fp"))
 
   /** Partial-overlap pairs over [[winnowFingerprints]]: an inverted index
     * on the selected fingerprints, document-frequency capped (ubiquitous
