@@ -73,6 +73,11 @@ object SqlFunctions {
       require(args.length == 2, "sig_agree(sig_a, sig_b)")
       SigAgreeExpr(args.head, args(1))
     },
+    reg("winnow_fps", classOf[WinnowExpr]) { args =>
+      require(args.length == 3, "winnow_fps(text, k_chars, window)")
+      WinnowExpr(args.head, intArg(args(1), "winnow_fps", "k_chars"),
+        intArg(args(2), "winnow_fps", "window"))
+    },
     reg("vec_l2sq", classOf[L2SqExpr]) { args =>
       require(args.length == 2, "vec_l2sq(a, b)")
       L2SqExpr(args.head, args(1))

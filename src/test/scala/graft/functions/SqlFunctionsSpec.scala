@@ -67,6 +67,19 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(d2 == 49.0 + 9.0)     // (2-9)^2 + (4-7)^2
   }
 
+  test("SQL winnow_fps equals the Column API") {
+    GraftSparkExtensions.install(spark)
+    Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text").createOrReplaceTempView("sqlfn_w")
+    val viaSql = spark.sql(
+      "SELECT winnow_fps(lower(text), 8, 4) AS fps FROM sqlfn_w")
+      .as[Seq[Long]].head()
+    val viaApi = spark.table("sqlfn_w")
+      .select(graft.functions.CrossHashExprs.winnowFps(lower(col("text")), 8, 4))
+      .as[Seq[Long]].head()
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+  }
+
   test("shape parameters must be literals (clear error, not silent misuse)") {
     GraftSparkExtensions.install(spark)
     Seq((1L, "abc")).toDF("doc_id", "text").createOrReplaceTempView("sqlfn_e")
