@@ -313,6 +313,17 @@ object SparkEntry {
     // the probed cells' candidates — the billion-scale two-tier layout
     "q_ann_ivfpq" -> ((s, d) =>
       Pq.ivfPqTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    // scalar quantization (SQ8), the per-dim compression path: the code
+    // table over exact corpus bounds (narrow codegen'd encode) ...
+    "q_sq_codes" -> ((s, d) => {
+      val emb = embeddings(s, d)
+      val (lo, hi) = Sq.bounds(emb)
+      Sq.encode(emb, lo, hi)
+    }),
+    // ... and the full ADC ranking over it (one fused dim-loop per corpus
+    // row against the broadcast query vector) — both oracle-exact
+    "q_sq_adc" -> ((s, d) =>
+      Sq.adcTopK(embeddings(s, d), (0L until 10L), k = 10)),
     // recall of the approximate paths vs exact top-k (quality report);
     // signatures and the IVF index are built ONCE and both reads reuse them
     "q_ann_recall" -> ((s, d) => {
@@ -899,6 +910,8 @@ object SparkEntry {
       nQueries = 10, k = 10),
     "q_ann_ivfpq" -> OracleSqlGen.ivfPqAdcSql(nProbe = 4, m = 8, ksub = 16,
       dim = 64, nQueries = 10, k = 10),
+    "q_sq_codes" -> OracleSqlGen.sqCodesSql(dim = 64),
+    "q_sq_adc" -> OracleSqlGen.sqAdcSql(dim = 64, nQueries = 10, k = 10),
     "q_multimodal_features" -> OracleSqlGen.multimodalFeaturesSql(),
     "q_raw_headers" ->
       """SELECT l_orderkey, l_linenumber, l_suppkey, l_partkey,

@@ -50,6 +50,13 @@ object VecExprs {
     ColumnBridge.column(PqAdcExpr(ColumnBridge.expression(codes),
       ColumnBridge.expression(lut), ksub))
 
+  def sqEncode(v: Column, lo: Array[Double], hi: Array[Double]): Column =
+    ColumnBridge.column(SqEncodeExpr(ColumnBridge.expression(v), lo, hi))
+
+  def sqAdc(codes: Column, qv: Column, lo: Array[Double], hi: Array[Double]): Column =
+    ColumnBridge.column(SqAdcExpr(ColumnBridge.expression(codes),
+      ColumnBridge.expression(qv), lo, hi))
+
   /** Element accessor that tolerates float or double arrays. */
   private[functions] def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
@@ -433,5 +440,98 @@ final case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
   }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PqAdcExpr =
+    copy(left = l, right = r)
+}
+
+/** Scalar (SQ8) quantization encode: per dimension i,
+  * `code_i = clamp(floor((x_i − lo_i) / (hi_i − lo_i) · 255), 0, 255)`
+  * (0 when the dimension is constant, `hi_i == lo_i`). `lo`/`hi` are the
+  * corpus per-dim bounds — parameter-sized (2 × dim doubles) and ride the
+  * expression like [[PqEncodeExpr]]'s codebooks, so encode is a narrow
+  * codegen'd map with no join or shuffle. Codes are longs here for oracle
+  * parity (a dedicated layout stores dim BYTES — the 4× cut vs float32
+  * that keeps a 10⁹-vector scan in page cache); the arithmetic is the
+  * plain rational form the DuckDB oracle replays bit-for-bit.
+  */
+final case class SqEncodeExpr(child: Expression, lo: Array[Double], hi: Array[Double])
+    extends UnaryExpression with Serializable {
+  require(lo.nonEmpty && lo.length == hi.length,
+    "SQ encode needs matching non-empty per-dim bounds")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sq_encode"
+
+  @transient private lazy val fin = VecExprs.isFloatArray(child)
+
+  def kernel(a: ArrayData): ArrayData = {
+    val dim = lo.length
+    require(a.numElements() == dim,
+      s"$prettyName: vector dim ${a.numElements()} != bounds dim $dim")
+    val out = new Array[Long](dim)
+    var i = 0
+    while (i < dim) {
+      val span = hi(i) - lo(i)
+      out(i) = if (span > 0) {
+        val c = math.floor((VecExprs.elem(a, i, fin) - lo(i)) / span * 255.0).toLong
+        math.max(0L, math.min(255L, c))
+      } else 0L
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sqencself", this, classOf[SqEncodeExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SqEncodeExpr =
+    copy(child = c)
+}
+
+/** SQ8 asymmetric distance: `Σ_i (q_i − decode(code_i))²` with
+  * `decode(c) = lo_i + c / 255 · (hi_i − lo_i)`, accumulated in dimension
+  * order — the same left-to-right association as the oracle's ordered
+  * `list_reduce`, so distances hash-match. One fused loop per corpus row
+  * inside codegen; the scan reads dim codes, never the float vector.
+  */
+final case class SqAdcExpr(left: Expression, right: Expression,
+                           lo: Array[Double], hi: Array[Double])
+    extends BinaryExpression with Serializable {
+  require(lo.nonEmpty && lo.length == hi.length,
+    "SQ ADC needs matching non-empty per-dim bounds")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_adc"
+
+  @transient private lazy val fq = VecExprs.isFloatArray(right)
+
+  def kernel(codes: ArrayData, q: ArrayData): Double = {
+    val dim = lo.length
+    require(codes.numElements() == dim,
+      s"$prettyName: code dim ${codes.numElements()} != bounds dim $dim")
+    require(q.numElements() == dim,
+      s"$prettyName: query dim ${q.numElements()} != bounds dim $dim")
+    var acc = 0.0
+    var i = 0
+    while (i < dim) {
+      val dec = lo(i) + codes.getLong(i).toDouble / 255.0 * (hi(i) - lo(i))
+      val d = VecExprs.elem(q, i, fq) - dec
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    kernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sqadcself", this, classOf[SqAdcExpr].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.kernel($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SqAdcExpr =
     copy(left = l, right = r)
 }
