@@ -176,6 +176,19 @@ object SparkEntry {
       Dedup.dedupParagraphs(
         docsT.withColumn("text", array_join(paras, "\n")).drop("_toks"))
     }),
+    // line-frequency filter (C4 rule): a line in >= 3 distinct docs is
+    // boilerplate and every occurrence drops; same token-triple line prep
+    "q_line_filter" -> ((s, d) => {
+      val docsT = documents(s, d)
+        .withColumn("_toks", TextAnalysis.tokens(col("text")))
+      val n = size(col("_toks"))
+      val last = greatest(floor((n - 1).cast("double") / 3.0).cast("int"), lit(0))
+      val paras = transform(sequence(lit(0), last),
+        i => array_join(slice(col("_toks"), i * lit(3) + 1, lit(3)), " "))
+      Dedup.filterRepeatedLines(
+        docsT.withColumn("text", array_join(paras, "\n")).drop("_toks"),
+        maxDocs = 3, minChars = 5)
+    }),
     // doc-frequency cap ON (maxDocFrac=0.5 default) — the scale-safe variant
     "q_jaccard_blocked" -> ((s, d) =>
       Dedup.blockedJaccard(documents(s, d), "source", minJaccard = 0.05)),
@@ -880,6 +893,35 @@ object SparkEntry {
         |  np.n_paras, CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
         |  np.n_paras - CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_dropped
         |FROM np LEFT JOIN agg USING (doc_id)""".stripMargin,
+    "q_line_filter" ->
+      """WITH tok AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |prep AS (SELECT doc_id, list_transform(
+        |    range(0, greatest((len(toks) - 1) // 3, 0) + 1),
+        |    i -> array_to_string(list_slice(toks, i * 3 + 1, i * 3 + 3), ' '))
+        |    AS parts
+        |  FROM tok),
+        |p AS (SELECT doc_id, unnest(parts) AS line,
+        |    unnest(range(0, len(parts))) AS ord
+        |  FROM prep),
+        |h AS (SELECT doc_id, ord,
+        |    ('0x' || substr(md5(line), 1, 15))::BIGINT AS lh
+        |  FROM p WHERE length(line) >= 5),
+        |banned AS (SELECT lh FROM h GROUP BY 1
+        |  HAVING count(DISTINCT doc_id) >= 3),
+        |bad AS (SELECT doc_id, ord FROM h JOIN banned USING (lh)),
+        |kept AS (SELECT p.doc_id, p.ord, p.line FROM p
+        |  LEFT JOIN bad ON p.doc_id = bad.doc_id AND p.ord = bad.ord
+        |  WHERE bad.ord IS NULL),
+        |agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord)
+        |    AS clean_text, count(*) AS n_kept
+        |  FROM kept GROUP BY 1),
+        |nl AS (SELECT doc_id, CAST(len(parts) AS BIGINT) AS n_lines
+        |  FROM prep)
+        |SELECT nl.doc_id, COALESCE(agg.clean_text, '') AS clean_text,
+        |  nl.n_lines, CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM nl LEFT JOIN agg USING (doc_id)""".stripMargin,
     "q_dedup_components" -> OracleSqlGen.dedupComponentsSql(),
     "q_dedup_components_best" ->
       s"""WITH c AS (${OracleSqlGen.dedupComponentsSql()}),

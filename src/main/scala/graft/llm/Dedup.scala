@@ -759,4 +759,49 @@ object Dedup {
         size(kept).cast("long").as("n_kept"))
       .withColumn("n_dropped", col("n_paras") - col("n_kept"))
   }
+
+  /** Line-frequency filter (the C4 cleaning rule): drop every line that
+    * occurs in at least `maxDocs` DISTINCT documents — corpus-wide
+    * boilerplate (cookie banners, nav bars, license footers) repeats across
+    * unrelated pages, and unlike [[dedupParagraphs]] no occurrence
+    * survives, not even the first. Lines shorter than `minChars` are never
+    * banned (blank lines and markup stubs repeat legitimately); repeats
+    * WITHIN one document don't count toward the threshold.
+    *
+    * Scale shape: same as [[dedupParagraphs]] — lines hash to md5-60 at the
+    * split, the frequency aggregate and the ban join shuffle (id, ord,
+    * hash) triples, never line text; the banned-ordinal array (usually
+    * empty) joins back doc-keyed, and the cleaned text is rebuilt in a
+    * narrow map. Document text crosses exactly one doc_id-keyed join, once.
+    *
+    * Emits one row per input doc: (idCol, clean_text, n_lines, n_kept);
+    * a doc made entirely of boilerplate survives with clean_text = ''.
+    */
+  def filterRepeatedLines(docs: DataFrame, maxDocs: Int = 3,
+                          minChars: Int = 10, sep: String = "\n",
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(maxDocs >= 2, s"maxDocs must be at least 2, got $maxDocs")
+    val parts = split(col(textCol), java.util.regex.Pattern.quote(sep), -1)
+    val lines = docs
+      .select(col(idCol).as("_lid"), posexplode(parts).as(Seq("ord", "_line")))
+      .where(length(col("_line")) >= minChars)
+      .select(col("_lid"), col("ord"),
+        conv(substring(md5(col("_line")), 1, 15), 16, 10).cast("long")
+          .as("_lh"))
+    val banned = lines.groupBy("_lh")
+      .agg(countDistinct(col("_lid")).as("_nd"))
+      .where(col("_nd") >= maxDocs)
+      .select("_lh")
+    val bannedOrds = lines.join(banned, "_lh")
+      .groupBy(col("_lid"))
+      .agg(sort_array(collect_list(col("ord"))).as("_banned"))
+    val bset = coalesce(col("_banned"), array().cast("array<int>"))
+    docs.join(bannedOrds, docs(idCol) === bannedOrds("_lid"), "left")
+      .select(col(idCol),
+        array_join(filter(parts, (_, i) => !array_contains(bset, i)), sep)
+          .as("clean_text"),
+        size(parts).cast("long").as("n_lines"),
+        (size(parts) - size(bset)).cast("long").as("n_kept"))
+  }
 }
