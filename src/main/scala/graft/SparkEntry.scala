@@ -533,6 +533,13 @@ object SparkEntry {
         rates = Map("src1" -> 0.8, "src2" -> 0.5, "src3" -> 0.05),
         defaultRate = 0.25)
         .select("doc_id", "source")),
+    // mixture sampling to a token budget: per-source keep rates derived
+    // from target shares vs actual source token mass (src1 oversubscribes
+    // and clamps to keep-all; absent sources drop entirely)
+    "q_mixture_sample" -> ((s, d) =>
+      Sampling.mixtureSample(documents(s, d),
+        shares = Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.125),
+        tokenBudget = 4000L)),
     // --- corpus prep: every sketch column in one pass, materialized ------
     "q_corpus_prep" -> ((s, d) => {
       val path = graft.core.TempDirs.scratch("corpus")
@@ -1161,6 +1168,21 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5('sample:' || doc_id), 1, 15))::BIGINT % 10000
         |  < CASE source WHEN 'src1' THEN 8000 WHEN 'src2' THEN 5000
         |    WHEN 'src3' THEN 500 ELSE 2500 END""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH c AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |t AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+        |  FROM c GROUP BY 1),
+        |r AS (SELECT source, least(CAST(1.0 AS DOUBLE),
+        |    CAST(CASE source WHEN 'src1' THEN 2000.0 WHEN 'src2' THEN 1000.0
+        |      WHEN 'src3' THEN 500.0 ELSE 0.0 END AS DOUBLE)
+        |    / CAST(src_tokens AS DOUBLE)) AS rate
+        |  FROM t)
+        |SELECT c.doc_id, c.source, c.n_tokens FROM c JOIN r USING (source)
+        |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 10000
+        |  < CAST(floor(rate * 10000.0) AS BIGINT)""".stripMargin,
     "q_corpus_prep" ->
       s"""SELECT q.doc_id, f.fp, sh.simhash, sg.sig_h, q.quality, q.keep,
          |  tc.n_ws_tokens, tc.n_bpeish

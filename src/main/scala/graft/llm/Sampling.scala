@@ -40,4 +40,45 @@ object Sampling {
     }
     df.where(bucket(col(idCol), salt) < threshold)
   }
+
+  /** Mixture sampling to a TOKEN budget — the recipe step that turns
+    * "train on 50% curated, 25% web, 12.5% code" plus a total token count
+    * into per-document keep decisions. Each source's keep rate is
+    * `min(1, share·budget / sourceTokens)` (sources outside the recipe
+    * drop entirely), then rows sample deterministically by the same
+    * md5-60 bucket as [[hashSample]] — so the realized mixture tracks the
+    * target in expectation while staying reproducible across engines,
+    * retries and appends. Oversubscribed sources (share·budget beyond
+    * what the source has) clamp to keep-everything; re-balancing the
+    * shortfall across the remaining sources is a recipe decision, not
+    * this operator's.
+    *
+    * Scale shape: token counts are a narrow codegen'd map; the per-source
+    * totals aggregate is source-table-sized (map-side combine) and joins
+    * back broadcast, so the corpus is scanned once and never shuffled.
+    *
+    * Emits the sampled manifest (idCol, srcCol, n_tokens).
+    */
+  def mixtureSample(docs: DataFrame, shares: Map[String, Double],
+                    tokenBudget: Long, srcCol: String = "source",
+                    textCol: String = "text", idCol: String = "doc_id",
+                    salt: String = "mix"): DataFrame = {
+    require(shares.nonEmpty, "mixtureSample needs at least one source share")
+    require(tokenBudget > 0, s"tokenBudget must be positive, got $tokenBudget")
+    val counted = docs.select(col(idCol), col(srcCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val totals = counted.groupBy(col(srcCol))
+      .agg(sum("n_tokens").cast("long").as("src_tokens"))
+    // target tokens per source as a double literal (share · budget is
+    // folded HERE, once, so the oracle inlines the identical constant)
+    val target = shares.foldLeft(lit(0.0): Column) { case (acc, (src, share)) =>
+      when(col(srcCol) === src, lit(share * tokenBudget)).otherwise(acc)
+    }
+    counted.join(broadcast(totals), srcCol)
+      .withColumn("rate",
+        least(lit(1.0), target / col("src_tokens").cast("double")))
+      .where(bucket(col(idCol), salt) <
+        floor(col("rate") * lit(M.toDouble)).cast("long"))
+      .select(col(idCol), col(srcCol), col("n_tokens"))
+  }
 }
