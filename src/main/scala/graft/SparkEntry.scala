@@ -45,6 +45,14 @@ object SparkEntry {
 
   private val maskR = col("l_returnflag") === "R" && col("l_quantity") > 25
 
+  /** BM25 demo queries — one literal list feeding BOTH the Spark plan and
+    * the oracle generator, so the query-term tables agree by construction.
+    */
+  private val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "fast table scan",
+    1L -> "spark window query",
+    2L -> "customer data stream")
+
   /** One entry per implemented operator from SURVEY.md §2 (+ LLM pipeline). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- G1/A5: dimension inference -------------------------------------
@@ -225,6 +233,10 @@ object SparkEntry {
         .orderBy(col("cf").desc, col("token")).limit(50)),
     // per-doc distinctive keywords by the tf/df rational score
     "q_keywords" -> ((s, d) => TextAnalysis.keywords(documents(s, d))),
+    // BM25 lexical retrieval (rational idf): query-term explode prunes the
+    // corpus scan; dfs, query terms and corpus stats all ride broadcasts
+    "q_bm25" -> ((s, d) =>
+      Retrieval.bm25TopK(documents(s, d), bm25Queries, k = 10)),
     // BPE trainer counting step: occurrence-weighted adjacent-char pairs
     // over the vocabulary; top 50 — (pair_count, lhs, rhs) totally orders
     "q_bpe_pairs" -> ((s, d) =>
@@ -1093,6 +1105,7 @@ object SparkEntry {
         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
         |    ORDER BY score DESC, token) AS BIGINT) AS rk FROM k)
         |SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= 3""".stripMargin,
+    "q_bm25" -> OracleSqlGen.bm25Sql(bm25Queries, k = 10),
     "q_bpe_pairs" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
