@@ -237,6 +237,15 @@ object SparkEntry {
     // corpus scan; dfs, query terms and corpus stats all ride broadcasts
     "q_bm25" -> ((s, d) =>
       Retrieval.bm25TopK(documents(s, d), bm25Queries, k = 10)),
+    // hybrid retrieval: RRF-fuse the lexical arm with the dense exact arm
+    // (rank-space merge — no cross-arm score normalization needed)
+    "q_hybrid_rrf" -> ((s, d) => {
+      val lex = Retrieval.bm25TopK(documents(s, d), bm25Queries, k = 10)
+      val dense = Similarity.bruteForceTopK(embeddings(s, d),
+          bm25Queries.map(_._1), k = 10)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      Retrieval.rrfFuse(Seq("dense" -> dense, "lex" -> lex), k = 10)
+    }),
     // BPE trainer counting step: occurrence-weighted adjacent-char pairs
     // over the vocabulary; top 50 — (pair_count, lhs, rhs) totally orders
     "q_bpe_pairs" -> ((s, d) =>
@@ -1106,6 +1115,36 @@ object SparkEntry {
         |    ORDER BY score DESC, token) AS BIGINT) AS rk FROM k)
         |SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= 3""".stripMargin,
     "q_bm25" -> OracleSqlGen.bm25Sql(bm25Queries, k = 10),
+    "q_hybrid_rrf" ->
+      s"""WITH lex AS (${OracleSqlGen.bm25Sql(bm25Queries, k = 10)}),
+         |dense AS (
+         |  WITH q AS (SELECT vec_id AS query_id,
+         |      CAST(embedding AS DOUBLE[]) AS qvec
+         |    FROM embeddings WHERE vec_id < ${bm25Queries.size}),
+         |  c AS (SELECT vec_id AS neighbor_id,
+         |      CAST(embedding AS DOUBLE[]) AS cvec
+         |    FROM embeddings),
+         |  s AS (SELECT query_id, neighbor_id,
+         |      list_cosine_similarity(qvec, cvec) AS sim
+         |    FROM q, c WHERE neighbor_id != query_id)
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+         |  FROM s QUALIFY rank <= 10),
+         |u AS (SELECT query_id, doc_id, rank, 'lex' AS src FROM lex
+         |  UNION ALL
+         |  SELECT query_id, neighbor_id AS doc_id, rank, 'dense' AS src
+         |  FROM dense),
+         |g AS (SELECT query_id, doc_id,
+         |    list_reduce(list(CAST(1.0 AS DOUBLE) / CAST(60 + rank AS DOUBLE)
+         |      ORDER BY src, rank), (x, y) -> x + y) AS score
+         |  FROM u GROUP BY 1, 2)
+         |SELECT query_id, doc_id, score, rank FROM (
+         |  SELECT query_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM g)
+         |WHERE rank <= 10""".stripMargin,
     "q_bpe_pairs" ->
       """WITH t AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x != ''))

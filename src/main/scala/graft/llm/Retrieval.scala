@@ -28,27 +28,31 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  private def queryTerms(queries: Seq[(Long, String)]): Seq[(Long, String)] = {
+    val qTerms = queries.flatMap { case (qid, text) =>
+      text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
+        .map(t => (qid, t))
+    }
+    require(qTerms.nonEmpty, "no query has any term")
+    qTerms
+  }
+
   /** BM25 top-k: score `queries` (id → free-text) against every document,
     * return the best `k` docs per query as (query_id, idCol, score, rank).
     * Ranking ties break on document id; docs sharing no term with a query
-    * score nothing and never surface.
+    * score nothing and never surface. This demo shape re-tokenizes the
+    * corpus per call; production builds the postings once
+    * ([[buildIndex]]) and serves query batches from it.
     */
   def bm25TopK(docs: DataFrame, queries: Seq[(Long, String)], k: Int,
                k1: Double = 1.2, b: Double = 0.75,
                textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(queries.nonEmpty && queries.size <= 65536,
       s"BM25 broadcasts the query-term table — got ${queries.size} queries")
-    require(k > 0, s"k must be positive, got $k")
     val sess = docs.sparkSession
     import sess.implicits._
-
-    val qTerms: Seq[(Long, String)] = queries.flatMap { case (qid, text) =>
-      text.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct
-        .map(t => (qid, t))
-    }
-    require(qTerms.nonEmpty, "no query has any term")
+    val qTerms = queryTerms(queries)
     val allTerms = qTerms.map(_._2).distinct
-    val qTermDf = qTerms.toDF("query_id", "term")
 
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     val tokenized = docs.select(col(idCol),
@@ -60,12 +64,68 @@ object Retrieval {
       .select(col(idCol), col("dl"), explode(col("_hits")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    // document frequency per query term ((id, term) is distinct above) and
-    // corpus stats — both tiny, both broadcast
-    val dfTable = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
     val stats = tokenized.agg(
       count(lit(1)).cast("long").as("n_docs"),
       (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    score(tf, stats, qTerms, k, k1, b, idCol)
+  }
+
+  /** Build + persist the BM25 inverted index under `indexPath`: `postings`
+    * ((term, idCol, tf, dl) — one row per distinct doc-term, laid out
+    * term-keyed so a query batch's `term IN (...)` prunes at the parquet
+    * scan) and `stats` (one row: n_docs, avgdl). The posting build is the
+    * one full tokenize the corpus ever pays; every query batch afterwards
+    * reads only its terms' postings.
+    */
+  def buildIndex(docs: DataFrame, indexPath: String,
+                 textCol: String = "text", idCol: String = "doc_id"): Unit = {
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val tokenized = docs.select(col(idCol),
+      size(toks).cast("long").as("dl"), toks.as("_toks"))
+    tokenized
+      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"))
+      .repartition(col("term"))
+      .write.mode("overwrite").parquet(s"$indexPath/postings")
+    tokenized.agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+  }
+
+  /** BM25 top-k against a prebuilt index: same ranking as [[bm25TopK]] (the
+    * spec pins equality), but the corpus never re-tokenizes — the postings
+    * scan carries a pushed-down `term IN (query terms)` filter, so I/O is
+    * sized by the query terms' posting lists, not the corpus.
+    */
+  def bm25TopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, queries: Seq[(Long, String)],
+                        k: Int, k1: Double = 1.2, b: Double = 0.75,
+                        idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty && queries.size <= 65536,
+      s"BM25 broadcasts the query-term table — got ${queries.size} queries")
+    val qTerms = queryTerms(queries)
+    val allTerms = qTerms.map(_._2).distinct
+    val tf = spark.read.parquet(s"$indexPath/postings")
+      .where(col("term").isInCollection(allTerms))
+    val stats = spark.read.parquet(s"$indexPath/stats")
+    score(tf, stats, qTerms, k, k1, b, idCol)
+  }
+
+  /** Shared scoring tail: tf rows (idCol, dl, term, tf) × broadcast dfs ×
+    * broadcast query terms × broadcast one-row stats → term-ordered fold →
+    * per-query top-k window.
+    */
+  private def score(tf: DataFrame, stats: DataFrame,
+                    qTerms: Seq[(Long, String)], k: Int, k1: Double,
+                    b: Double, idCol: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val sess = tf.sparkSession
+    import sess.implicits._
+    val qTermDf = qTerms.toDF("query_id", "term")
+    // document frequency per surviving term ((id, term) is distinct in tf)
+    val dfTable = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
 
     val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)) + lit(1.0)
@@ -87,6 +147,44 @@ object Retrieval {
       // so it matches the oracle's seedless list_reduce
       .withColumn("score",
         aggregate(transform(array_sort(col("_ps")), s => s.getField("p")),
+          lit(0.0), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (RRF) — the standard hybrid-retrieval merge:
+    * each source ranking contributes `1/(k0 + rank)` per (query, doc) and
+    * the fused score is the sum, so a doc surfacing high in ANY arm ranks
+    * well without any score normalization across arms (BM25 scores and
+    * cosine distances are not commensurable; ranks are). `rankings` maps a
+    * source tag to that arm's (query_id, idCol, rank) frame — e.g. the
+    * lexical [[bm25TopK]] and the dense [[Similarity.bruteForceTopK]] /
+    * [[Ivf.ivfTopK]].
+    *
+    * Determinism: contributions are exact IEEE divisions folded in
+    * (source-tag, rank) order; fused ties break on doc id. Scale shape:
+    * inputs are per-query top-k lists (already tiny); one (query, doc)
+    * aggregate and one window.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame)], k: Int, k0: Int = 60,
+              idCol: String = "doc_id"): DataFrame = {
+    require(rankings.nonEmpty, "RRF needs at least one ranking")
+    require(rankings.map(_._1).distinct.size == rankings.size,
+      "RRF source tags must be distinct")
+    val tagged = rankings.map { case (tag, df) =>
+      df.select(col("query_id"), col(idCol), col("rank"),
+        lit(tag).as("src"))
+    }.reduce(_ unionByName _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col(idCol))
+    tagged
+      .groupBy(col("query_id"), col(idCol))
+      .agg(collect_list(struct(col("src"), col("rank"))).as("_rs"))
+      .withColumn("score",
+        aggregate(
+          transform(array_sort(col("_rs")),
+            s => lit(1.0) / (lit(k0.toLong) + s.getField("rank")).cast("double")),
           lit(0.0), (acc, x) => acc + x))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

@@ -56,4 +56,29 @@ class RetrievalSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"stats must ride a broadcast, not a cartesian:\n$plan")
   }
+
+  test("index path equals the demo path and pushes the term filter down") {
+    val path = graft.core.TempDirs.scratch("bm25_spec")
+    Retrieval.buildIndex(docs, path)
+    val queries = Seq(0L -> "spark fast", 1L -> "engine")
+    val fromIdx = Retrieval.bm25TopKFromIndex(spark, path, queries, k = 10)
+    val direct = Retrieval.bm25TopK(docs, queries, k = 10)
+    assert(fromIdx.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+    val scan = fromIdx.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("In(term"),
+      s"postings scan must push term IN (...) to parquet:\n$scan")
+  }
+
+  test("RRF: a doc ranked by both arms beats docs ranked by one") {
+    import org.apache.spark.sql.functions.lit
+    val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 10L, 2L), (0L, 12L, 1L)).toDF("query_id", "doc_id", "rank")
+    val fused = Retrieval.rrfFuse(Seq("a" -> a, "b" -> b), k = 10)
+      .orderBy("rank").collect()
+    assert(fused.head.getAs[Long]("doc_id") == 10L)
+    // 1/61 + 1/62 for doc 10; 1/61 for 12; 1/62 for 11
+    assert(fused.head.getAs[Double]("score") == 1.0 / 61 + 1.0 / 62)
+    assert(fused.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 12L, 11L))
+  }
 }
