@@ -233,6 +233,10 @@ object SparkEntry {
         .orderBy(col("cf").desc, col("token")).limit(50)),
     // per-doc distinctive keywords by the tf/df rational score
     "q_keywords" -> ((s, d) => TextAnalysis.keywords(documents(s, d))),
+    // exact per-source token-length quantiles: the data-driven cut points
+    // for length filters (one source-keyed window, engine-exact)
+    "q_length_quantiles" -> ((s, d) =>
+      TextAnalysis.lengthQuantiles(documents(s, d))),
     // BM25 lexical retrieval (rational idf): query-term explode prunes the
     // corpus scan; dfs, query terms and corpus stats all ride broadcasts
     "q_bm25" -> ((s, d) =>
@@ -1115,6 +1119,24 @@ object SparkEntry {
         |    ORDER BY score DESC, token) AS BIGINT) AS rk FROM k)
         |SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= 3""".stripMargin,
     "q_bm25" -> OracleSqlGen.bm25Sql(bm25Queries, k = 10),
+    "q_length_quantiles" ->
+      """WITH c AS (SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT source, n_tokens,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_docs
+        |  FROM c)
+        |SELECT source, max(n_docs) AS n_docs,
+        |  max(CASE WHEN rn = CAST(ceil(0.1 * n_docs) AS BIGINT)
+        |    THEN n_tokens END) AS p10,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n_docs) AS BIGINT)
+        |    THEN n_tokens END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n_docs) AS BIGINT)
+        |    THEN n_tokens END) AS p90
+        |FROM r GROUP BY 1""".stripMargin,
     "q_hybrid_rrf" ->
       s"""WITH lex AS (${OracleSqlGen.bm25Sql(bm25Queries, k = 10)}),
          |dense AS (

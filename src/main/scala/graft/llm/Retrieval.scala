@@ -73,12 +73,28 @@ object Retrieval {
   /** Build + persist the BM25 inverted index under `indexPath`: `postings`
     * ((term, idCol, tf, dl) — one row per distinct doc-term, laid out
     * term-keyed so a query batch's `term IN (...)` prunes at the parquet
-    * scan) and `stats` (one row: n_docs, avgdl). The posting build is the
-    * one full tokenize the corpus ever pays; every query batch afterwards
-    * reads only its terms' postings.
+    * scan) and `stats` (one row per build/append: n_docs, sum_dl — kept as
+    * SUMS so appends stay additive; avgdl derives at read). The posting
+    * build is the one full tokenize the corpus ever pays; every query
+    * batch afterwards reads only its terms' postings.
     */
   def buildIndex(docs: DataFrame, indexPath: String,
-                 textCol: String = "text", idCol: String = "doc_id"): Unit = {
+                 textCol: String = "text", idCol: String = "doc_id"): Unit =
+    writeIndex(docs, indexPath, "overwrite", textCol, idCol)
+
+  /** Incremental maintenance: tokenize `newDocs` and append their posting
+    * and stats rows — document frequencies and avgdl derive at query time
+    * from the accumulated tables, so (unlike the fixed-quantizer ANN
+    * appends) the ranking stays EXACT after any number of appends. Same
+    * id-uniqueness contract as [[Ivf.appendToIndex]]: appending the same
+    * doc twice double-counts it (dedup upstream).
+    */
+  def appendToIndex(newDocs: DataFrame, indexPath: String,
+                    textCol: String = "text", idCol: String = "doc_id"): Unit =
+    writeIndex(newDocs, indexPath, "append", textCol, idCol)
+
+  private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
+                         textCol: String, idCol: String): Unit = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     val tokenized = docs.select(col(idCol),
       size(toks).cast("long").as("dl"), toks.as("_toks"))
@@ -87,11 +103,11 @@ object Retrieval {
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
       .repartition(col("term"))
-      .write.mode("overwrite").parquet(s"$indexPath/postings")
+      .write.mode(mode).parquet(s"$indexPath/postings")
     tokenized.agg(
       count(lit(1)).cast("long").as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexPath/stats")
+      sum("dl").cast("long").as("sum_dl"))
+      .coalesce(1).write.mode(mode).parquet(s"$indexPath/stats")
   }
 
   /** BM25 top-k against a prebuilt index: same ranking as [[bm25TopK]] (the
@@ -109,7 +125,14 @@ object Retrieval {
     val allTerms = qTerms.map(_._2).distinct
     val tf = spark.read.parquet(s"$indexPath/postings")
       .where(col("term").isInCollection(allTerms))
+    // one row per build/append: fold the sums, then the single division —
+    // the same (Σdl as long) / (n as long) the demo path computes
     val stats = spark.read.parquet(s"$indexPath/stats")
+      .agg(sum("n_docs").cast("long").as("n_docs"),
+        sum("sum_dl").cast("long").as("sum_dl"))
+      .select(col("n_docs"),
+        (col("sum_dl").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
     score(tf, stats, qTerms, k, k1, b, idCol)
   }
 

@@ -329,4 +329,43 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"), col("score"),
         col("rk"))
   }
+
+  /** EXACT per-source token-length quantiles — the data-driven cut points a
+    * length filter should use instead of global magic numbers (a code
+    * source's p10 is a news source's p90). Quantile q = the value at row
+    * `ceil(q·n)` of the source's docs in ascending (n_tokens, id) order —
+    * the discrete lower-quantile definition both engines express with one
+    * window, so the report hash-matches (approx sketches are neither exact
+    * nor engine-portable).
+    *
+    * Scale shape: one source-keyed window over narrow (source, id,
+    * n_tokens) rows, then a source-sized aggregate. Exact per-key quantiles
+    * inherently sort each source's rows; at 24 bytes/row a 10⁹-doc source
+    * is ~24 GB spread over its range partitions — acceptable where an
+    * exact, reproducible report is the point.
+    *
+    * Emits one row per source: (srcCol, n_docs, p<q1>, p<q2>, ...).
+    */
+  def lengthQuantiles(df: DataFrame,
+                      quantiles: Seq[Double] = Seq(0.1, 0.5, 0.9),
+                      srcCol: String = "source", textCol: String = "text",
+                      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
+      s"quantiles must be in (0, 1], got $quantiles")
+    val counted = df.select(col(srcCol), col(idCol),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col(srcCol))
+      .orderBy(col("n_tokens"), col(idCol))
+    val ranked = counted
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy(col(srcCol))).cast("long"))
+    val qCols = quantiles.map { q =>
+      max(when(col("rn") === ceil(lit(q) * col("n_docs")).cast("long"),
+        col("n_tokens"))).as(s"p${math.round(q * 100)}")
+    }
+    ranked.groupBy(col(srcCol))
+      .agg(max(col("n_docs")).as("n_docs"), qCols: _*)
+  }
 }

@@ -70,6 +70,17 @@ class RetrievalSpec extends SparkSpec {
       s"postings scan must push term IN (...) to parquet:\n$scan")
   }
 
+  test("appended index ranks EXACTLY like a fresh build over the union") {
+    val path = graft.core.TempDirs.scratch("bm25_append_spec")
+    Retrieval.buildIndex(docs.where($"doc_id" <= 3), path)
+    Retrieval.appendToIndex(docs.where($"doc_id" > 3), path)
+    val queries = Seq(0L -> "spark fast", 1L -> "engine")
+    val appended = Retrieval.bm25TopKFromIndex(spark, path, queries, k = 10)
+    val direct = Retrieval.bm25TopK(docs, queries, k = 10)
+    assert(appended.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+  }
+
   test("RRF: a doc ranked by both arms beats docs ranked by one") {
     import org.apache.spark.sql.functions.lit
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
