@@ -136,9 +136,13 @@ object Retrieval {
     score(tf, stats, qTerms, k, k1, b, idCol)
   }
 
-  /** Shared scoring tail: tf rows (idCol, dl, term, tf) × broadcast dfs ×
+  /** Shared scoring tail: tf rows (idCol, dl, term, tf) + windowed dfs ×
     * broadcast query terms × broadcast one-row stats → term-ordered fold →
-    * per-query top-k window.
+    * per-query top-k window. Document frequency is a term-partitioned
+    * window COUNT over the tf rows ((id, term) is distinct there) rather
+    * than a groupBy + self-join — the tf subtree is already query-term
+    * sized, and the join shape would re-run its whole corpus scan to build
+    * the broadcast side.
     */
   private def score(tf: DataFrame, stats: DataFrame,
                     qTerms: Seq[(Long, String)], k: Int, k1: Double,
@@ -147,8 +151,7 @@ object Retrieval {
     val sess = tf.sparkSession
     import sess.implicits._
     val qTermDf = qTerms.toDF("query_id", "term")
-    // document frequency per surviving term ((id, term) is distinct in tf)
-    val dfTable = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    val wdf = Window.partitionBy(col("term"))
 
     val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
       (col("df").cast("double") + lit(0.5)) + lit(1.0)
@@ -160,7 +163,7 @@ object Retrieval {
 
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col(idCol))
-    tf.join(broadcast(dfTable), "term")
+    tf.withColumn("df", count(lit(1)).over(wdf).cast("long"))
       .join(broadcast(qTermDf), "term")
       .crossJoin(broadcast(stats))
       .withColumn("_p", partial)

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.llm.{Ivf, Pq}
+import graft.llm.{Ivf, Pq, Sq}
 
 /** Streaming ANN index maintenance: an arriving embedding stream appends to
   * the persisted IVF and/or PQ indexes between triggers, so searches see
@@ -22,27 +22,29 @@ import graft.llm.{Ivf, Pq}
 object StreamingAnn {
 
   /** Append an embedding stream to the index(es); at least one of
-    * `ivfPath` / `pqPath` must point at an existing built index.
+    * `ivfPath` / `pqPath` / `sqPath` must point at an existing built index.
     */
   def appendToIndexes(stream: DataFrame,
                       ivfPath: Option[String] = None,
                       pqPath: Option[String] = None,
+                      sqPath: Option[String] = None,
                       checkpoint: Option[String] = None,
                       dedupKey: Option[String] = Some("vec_id"),
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
-    require(ivfPath.isDefined || pqPath.isDefined,
+    require(ivfPath.isDefined || pqPath.isDefined || sqPath.isDefined,
       "StreamingAnn.appendToIndexes needs at least one index path")
     val deduped = dedupKey.fold(stream)(k => stream.dropDuplicates(k))
     val ckpt = checkpoint.getOrElse(
-      s"${ivfPath.orElse(pqPath).get}/_stream_checkpoint")
+      s"${ivfPath.orElse(pqPath).orElse(sqPath).get}/_stream_checkpoint")
     deduped.writeStream
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         ivfPath.foreach(p => Ivf.appendToIndex(batch, p, idCol, vecCol))
         pqPath.foreach(p => Pq.appendToIndex(batch, p, idCol, vecCol))
+        sqPath.foreach(p => Sq.appendToIndex(batch, p, idCol, vecCol))
       }
       .start()
   }

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.llm.Retrieval
+
+/** Streaming BM25 index maintenance: an arriving document stream appends
+  * posting and stats rows to the persisted inverted index between triggers
+  * ([[Retrieval.appendToIndex]]), so lexical searches see new documents
+  * within one trigger interval — and, unlike the fixed-quantizer ANN
+  * appends in [[StreamingAnn]], the BM25 ranking stays EXACT after any
+  * number of appends (dfs and avgdl derive at query time from the
+  * accumulated tables; no out-of-band rebuild is ever needed for
+  * correctness).
+  *
+  * The foreachBatch boundary is at-least-once on retry and a replayed
+  * append would double-count a document, so `dedupKey` (default: the id
+  * column) keeps drop-duplicates state ahead of the sink — the
+  * [[StreamingMdio]] pattern. The checkpoint (offsets + dedup state)
+  * survives restarts.
+  */
+object StreamingRetrieval {
+
+  /** Append a document stream's postings to the index at `indexPath`
+    * (which must already exist via [[Retrieval.buildIndex]]).
+    */
+  def appendPostings(stream: DataFrame, indexPath: String,
+                     checkpoint: Option[String] = None,
+                     dedupKey: Option[String] = Some("doc_id"),
+                     textCol: String = "text", idCol: String = "doc_id",
+                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val deduped = dedupKey.fold(stream)(k => stream.dropDuplicates(k))
+    val ckpt = checkpoint.getOrElse(s"$indexPath/_stream_checkpoint")
+    deduped.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Retrieval.appendToIndex(batch, indexPath, textCol, idCol)
+      }
+      .start()
+  }
+}

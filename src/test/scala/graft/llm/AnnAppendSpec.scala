@@ -54,14 +54,16 @@ class AnnAppendSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val ivfPath = graft.core.TempDirs.scratch("ivf_stream_append")
     val pqPath = graft.core.TempDirs.scratch("pq_stream_append")
+    val sqPath = graft.core.TempDirs.scratch("sq_stream_append")
     Ivf.buildIndexSeeded(base, ivfPath, nCells = 8)
     Pq.buildIndex(base, pqPath, m = 4, ksub = 4)
+    Sq.buildIndex(base, sqPath)
 
     val input = MemoryStream[(Long, Seq[Float])]
     val stream = input.toDF().toDF("vec_id", "embedding")
     val rows = ((30 until 39).map(i => (i.toLong, vec(i))) :+ (39L, vec(0)))
     val q = graft.streaming.StreamingAnn.appendToIndexes(stream,
-      ivfPath = Some(ivfPath), pqPath = Some(pqPath),
+      ivfPath = Some(ivfPath), pqPath = Some(pqPath), sqPath = Some(sqPath),
       trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
     try {
       input.addData(rows: _*)
@@ -73,6 +75,11 @@ class AnnAppendSpec extends SparkSpec {
 
     assert(spark.read.parquet(s"$ivfPath/cells").count() == 40)
     assert(spark.read.parquet(s"$pqPath/codes").count() == 40)
+    assert(spark.read.parquet(s"$sqPath/codes").count() == 40)
+    // the streamed-in clone shares vec 0's SQ codes (fixed bounds encode)
+    val sqCodes = spark.read.parquet(s"$sqPath/codes").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Long](1)).toMap
+    assert(sqCodes(39L) == sqCodes(0L))
     // composed search over the streamed-in index finds the streamed clone
     val got = Pq.ivfPqTopKFromIndexes(all, ivfPath, pqPath, Seq(0L),
         k = 1, nProbe = 8, nRerank = 8)

@@ -81,6 +81,32 @@ class RetrievalSpec extends SparkSpec {
       direct.collect().map(_.toSeq).toSet)
   }
 
+  test("streamed postings append once — replays absorbed, ranking exact") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = graft.core.TempDirs.scratch("bm25_stream_spec")
+    Retrieval.buildIndex(docs.where($"doc_id" <= 3), path)
+
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text")
+    val late = Seq((4L, "fast fast fast fast fast fast fast fast"),
+      (5L, "FAST spark"))
+    val q = graft.streaming.StreamingRetrieval.appendPostings(stream, path,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+    try {
+      input.addData(late: _*)
+      q.processAllAvailable()
+      input.addData(late: _*) // source replay must not double-count
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val queries = Seq(0L -> "spark fast")
+    val streamed = Retrieval.bm25TopKFromIndex(spark, path, queries, k = 10)
+    val direct = Retrieval.bm25TopK(docs, queries, k = 10)
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet)
+  }
+
   test("RRF: a doc ranked by both arms beats docs ranked by one") {
     import org.apache.spark.sql.functions.lit
     val a = Seq((0L, 10L, 1L), (0L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
