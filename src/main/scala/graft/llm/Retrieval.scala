@@ -102,7 +102,11 @@ object Retrieval {
       .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
+      // term-keyed distribution + term-sorted files: each term's postings
+      // land contiguously, so the parquet row-group min/max stats turn the
+      // query-time `term IN (...)` into actual row-group skipping
       .repartition(col("term"))
+      .sortWithinPartitions("term")
       .write.mode(mode).parquet(s"$indexPath/postings")
     tokenized.agg(
       count(lit(1)).cast("long").as("n_docs"),
