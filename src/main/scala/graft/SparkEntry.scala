@@ -565,6 +565,18 @@ object SparkEntry {
       Sampling.mixtureSample(documents(s, d),
         shares = Map("src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.125),
         tokenBudget = 4000L)),
+    // corpus snapshot diff: the incremental-processing primitive — v2 is a
+    // deterministic mutation of v1 (drops %7, rewrites %5, adds %11 under
+    // shifted ids); downstream stages consume added ∪ changed, never 100 TB
+    "q_corpus_diff" -> ((s, d) => {
+      val docs = documents(s, d).select("doc_id", "text")
+      val v2 = docs.where(col("doc_id") % 7 =!= 0)
+        .withColumn("text", when(col("doc_id") % 5 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+        .unionByName(docs.where(col("doc_id") % 11 === 0)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+      CorpusPrep.corpusDiff(docs, v2)
+    }),
     // --- corpus prep: every sketch column in one pass, materialized ------
     "q_corpus_prep" -> ((s, d) => {
       val path = graft.core.TempDirs.scratch("corpus")
@@ -1257,6 +1269,25 @@ object SparkEntry {
         |SELECT c.doc_id, c.source, c.n_tokens FROM c JOIN r USING (source)
         |WHERE ('0x' || substr(md5('mix:' || doc_id), 1, 15))::BIGINT % 10000
         |  < CAST(floor(rate * 10000.0) AS BIGINT)""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 != 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |n AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM v2)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.fp IS NULL THEN 'added'
+        |    WHEN n.fp IS NULL THEN 'removed'
+        |    WHEN o.fp = n.fp THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
     "q_corpus_prep" ->
       s"""SELECT q.doc_id, f.fp, sh.simhash, sg.sig_h, q.quality, q.keep,
          |  tc.n_ws_tokens, tc.n_bpeish

@@ -57,4 +57,37 @@ object CorpusPrep {
       .write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** Snapshot diff between two corpus versions — the incremental-processing
+    * primitive: re-running the pipeline over 100 TB because 0.1% of pages
+    * re-crawled is the scale anti-pattern, so downstream stages consume
+    * `added` ∪ `changed` (and retire `removed`) instead of the full corpus.
+    * Change detection is by content fingerprint ([[TextAnalysis
+    * .fingerprint]] — whitespace-normalized, case-folded), so a reformatted
+    * page does not count as changed.
+    *
+    * Scale shape: both sides reduce to (id, fp) before the full-outer
+    * equi-join on id — the shuffle carries 2 fingerprint columns, never
+    * text; the prepared corpus ([[prepare]]) already HAS `fp`, making the
+    * old side a column read.
+    *
+    * Emits one row per doc in either version: (idCol, status ∈
+    * added|removed|changed|unchanged).
+    */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 fpCol: Option[String] = None): DataFrame = {
+    def side(df: DataFrame, as: String) = fpCol match {
+      case Some(f) => df.select(col(idCol), col(f).as(as))
+      case None => df.select(col(idCol),
+        TextAnalysis.fingerprint(col(textCol)).as(as))
+    }
+    side(oldDocs, "_fp_old")
+      .join(side(newDocs, "_fp_new"), Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("_fp_old").isNull, "added")
+          .when(col("_fp_new").isNull, "removed")
+          .when(col("_fp_old") === col("_fp_new"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
 }
