@@ -308,6 +308,73 @@ object TextAnalysis {
       .agg(sum("cf").cast("long").as("pair_count"))
   }
 
+  /** Distributed BPE training — the iterated loop [[bpePairCounts]] counts
+    * for: start from the character-split corpus [[vocabulary]], and
+    * `nMerges` times (count adjacent symbol pairs weighted by collection
+    * frequency → merge the most frequent pair corpus-wide → recount).
+    * The winning pair is (count DESC, lhs, rhs) — deterministic ties — and
+    * merging is the standard left-to-right non-overlapping fold.
+    *
+    * Scale shape: the corpus is scanned ONCE (the vocabulary build); every
+    * iteration after that is a vocabulary-sized job (explode pairs → one
+    * small aggregate → driver-collect exactly ONE row) plus a narrow
+    * symbol-rewrite map, with lineage truncated per round so 10³ merges
+    * don't stack 10³ plan nodes. The driver never holds the vocabulary —
+    * only the current top pair.
+    *
+    * Not SQL-expressible as one query (iterative) — spec-gated like the
+    * KMeans IVF path. Emits the ordered merge table (merge_rank, lhs, rhs,
+    * merged, pair_count); a tokenizer applies these ranks at encode time.
+    */
+  def trainBpeMerges(df: DataFrame, nMerges: Int,
+                     textCol: String = "text",
+                     idCol: String = "doc_id"): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val sess = df.sparkSession
+    import sess.implicits._
+    val pairsOf = (symbols: Column) =>
+      when(size(symbols) >= 2,
+        transform(sequence(lit(1), size(symbols) - 1),
+          i => struct(element_at(symbols, i).as("lhs"),
+            element_at(symbols, i + 1).as("rhs"))))
+        .otherwise(array().cast("array<struct<lhs:string,rhs:string>>"))
+    // left-to-right non-overlapping merge of (a, b) within a symbol array;
+    // CaseWhen arms evaluate lazily, so element_at never sees an empty acc
+    def merged(symbols: Column, a: String, b: String): Column =
+      aggregate(symbols, array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) === 0, array(x))
+            .when(element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+
+    var vocab = vocabulary(df, textCol, idCol)
+      .select(col("cf"),
+        filter(split(col("token"), ""), c => c =!= "").as("symbols"))
+      .localCheckpoint(true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var rank = 0L
+    var done = false
+    while (rank < nMerges && !done) {
+      val top = vocab
+        .select(col("cf"), explode(pairsOf(col("symbols"))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum("cf").cast("long").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getAs[Long]("pair_count") < 2) done = true
+      else {
+        val (a, b) = (top(0).getAs[String]("lhs"), top(0).getAs[String]("rhs"))
+        out += ((rank, a, b, a + b, top(0).getAs[Long]("pair_count")))
+        vocab = vocab
+          .select(col("cf"), merged(col("symbols"), a, b).as("symbols"))
+          .localCheckpoint(true)
+        rank += 1
+      }
+    }
+    out.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Per-doc distinctive keywords: top-`k` tokens by tf/df — the rational
     * tf-idf surrogate (monotone in tf and in 1/df). The score is a single
     * IEEE division, so ranking is bit-identical on any engine (a log-based

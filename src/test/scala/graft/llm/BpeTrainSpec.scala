@@ -1,0 +1,46 @@
+package graft.llm
+
+import graft.SparkSpec
+
+class BpeTrainSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic BPE demo corpus: occurrence counts low×5 lower×2 newest×6
+  // widest×3 (Sennrich et al.'s worked example, token-repeated into docs)
+  private lazy val docs = Seq(
+    (1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower")).mkString(" ")),
+    (2L, (Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")),
+  ).toDF("doc_id", "text")
+
+  test("merges follow max pair count with deterministic ties") {
+    val merges = TextAnalysis.trainBpeMerges(docs, nMerges = 4)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count")))
+    // counts: (e,s)=9 (newest 6 + widest 3), (s,t)=9, (t,</none>)… the
+    // (lhs, rhs) tie rule picks ('e','s') before ('s','t'); after merging,
+    // ('es','t')=9 dominates, then ('l','o')=7 (low 5 + lower 2)
+    assert(merges(0) == (("e", "s", 9L)))
+    assert(merges(1) == (("es", "t", 9L)))
+    assert(merges(2) == (("l", "o", 7L)))
+    assert(merges(3) == (("lo", "w", 7L)))
+  }
+
+  test("merging is left-to-right non-overlapping") {
+    val d = Seq((1L, "aaa aaa aaa")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(d, nMerges = 2)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"),
+        r.getAs[Long]("pair_count")))
+    // "aaa": pairs (a,a) twice per occurrence → count 6; merging
+    // left-to-right gives [aa, a], so the next round counts (aa, a) = 3
+    assert(merges(0) == (("a", "a", 6L)))
+    assert(merges(1) == (("aa", "a", 3L)))
+  }
+
+  test("training stops when no pair reaches count 2") {
+    val d = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(d, nMerges = 10)
+    assert(merges.count() == 0) // every pair occurs once
+  }
+}
