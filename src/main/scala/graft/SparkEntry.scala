@@ -341,7 +341,12 @@ object SparkEntry {
     // table (deterministic seeded codebooks, narrow codegen'd encode) ...
     "q_pq_codes" -> ((s, d) => {
       val emb = embeddings(s, d)
+      // exploded to scalar (vec_id, j, code) rows: the packed array<long>
+      // stays the INDEX layout, but the registered query emits a
+      // comparator-sortable shape (array cells can't be canonical-sorted)
       Pq.encode(emb, Pq.codebooks(emb, m = 8, ksub = 16))
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("code"))
     }),
     // ... and the full ADC ranking over it (m LUT lookups per corpus row,
     // broadcast query LUTs, no float vector touched) — both oracle-exact
@@ -356,7 +361,11 @@ object SparkEntry {
     "q_sq_codes" -> ((s, d) => {
       val emb = embeddings(s, d)
       val (lo, hi) = Sq.bounds(emb)
+      // scalar (vec_id, j, code) rows, same comparator-shape rule as
+      // q_pq_codes; the persisted index keeps the packed array
       Sq.encode(emb, lo, hi)
+        .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("code"))
     }),
     // ... and the full ADC ranking over it (one fused dim-loop per corpus
     // row against the broadcast query vector) — both oracle-exact
