@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.Scratch
+
 /** Sparse (lexical) retrieval over the corpus — the BM25 companion to the
   * dense-vector search in [[Similarity]]/[[Ivf]]/[[Pq]]. Training-data
   * pipelines use it for targeted corpus queries (find the docs about X),
@@ -55,18 +57,27 @@ object Retrieval {
     val allTerms = qTerms.map(_._2).distinct
 
     val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val tokenized = docs.select(col(idCol),
-      size(toks).cast("long").as("dl"),
-      filter(toks, t => t.isInCollection(allTerms)).as("_hits"))
-    // one row per (doc, query term present in it): corpus tokens that match
-    // no query died before this explode
-    val tf = tokenized
-      .select(col(idCol), col("dl"), explode(col("_hits")).as("term"))
+    // ONE corpus scan: the generate pipelines into a codegen'd where (an
+    // array `filter` HOF would evaluate its lambda interpreted per token).
+    // pos-0/null rows are kept as one-per-doc markers so the corpus stats
+    // (n_docs, avgdl) survive the term filter; the staged table is
+    // summary-sized (query-term hits + one marker row per doc, no text).
+    val ex = Scratch.stage(
+      docs.select(col(idCol), size(toks).cast("long").as("dl"),
+          posexplode_outer(toks).as(Seq("_pos", "term")))
+        .where(col("_pos").isNull || col("_pos") === 0 ||
+          col("term").isInCollection(allTerms)),
+      "bm25_tok")
+    // one row per (doc, query-term occurrence): corpus tokens matching no
+    // query died at the scan
+    val tf = ex
+      .where(col("term").isInCollection(allTerms))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"))
-    val stats = tokenized.agg(
-      count(lit(1)).cast("long").as("n_docs"),
-      (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
+    val stats = ex
+      .where(col("_pos").isNull || col("_pos") === 0)
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        (sum("dl").cast("double") / count(lit(1)).cast("double")).as("avgdl"))
     score(tf, stats, qTerms, k, k1, b, idCol)
   }
 
@@ -93,24 +104,35 @@ object Retrieval {
                     textCol: String = "text", idCol: String = "doc_id"): Unit =
     writeIndex(newDocs, indexPath, "append", textCol, idCol)
 
+  /** One corpus scan staged as the AGGREGATED posting rows (posting-sized,
+    * no text); both index tables derive from that single deterministic
+    * frame, so a nondeterministic input DataFrame cannot make them
+    * disagree. posexplode_outer keeps zero-token docs as a term-null row so
+    * the stats still count them. NOT atomic across the two writes: a
+    * failure between them leaves postings appended with no matching stats
+    * row — a failed [[appendToIndex]] requires an index rebuild
+    * ([[buildIndex]]).
+    */
   private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
                          textCol: String, idCol: String): Unit = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val tokenized = docs.select(col(idCol),
-      size(toks).cast("long").as("dl"), toks.as("_toks"))
-    tokenized
-      .select(col(idCol), col("dl"), explode(col("_toks")).as("term"))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"))
+    val agg = Scratch.stage(
+      docs.select(col(idCol), size(toks).cast("long").as("dl"),
+          posexplode_outer(toks).as(Seq("_pos", "term")))
+        .groupBy(col(idCol), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("long").as("tf")),
+      "bm25_widx")
+    agg.where(col("term").isNotNull)
       // term-keyed distribution + term-sorted files: each term's postings
       // land contiguously, so the parquet row-group min/max stats turn the
       // query-time `term IN (...)` into actual row-group skipping
       .repartition(col("term"))
       .sortWithinPartitions("term")
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
       .write.mode(mode).parquet(s"$indexPath/postings")
-    tokenized.agg(
-      count(lit(1)).cast("long").as("n_docs"),
-      sum("dl").cast("long").as("sum_dl"))
+    agg.select(col(idCol), col("dl")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("dl").cast("long").as("sum_dl"))
       .coalesce(1).write.mode(mode).parquet(s"$indexPath/stats")
   }
 
