@@ -243,17 +243,27 @@ object Dedup {
     * users actually see (banding misses AND estimator misses together).
     *
     * Ground truth runs [[blockedJaccard]] with a constant block and no
-    * doc-frequency cap — all-shared-shingle-pairs shaped, so run the QC on
-    * a SAMPLE of the corpus (that is what a recall report is for), never
-    * the full 100 TB; the LSH side stays the production-shaped banded join.
+    * doc-frequency cap — all-shared-shingle-pairs shaped, so at scale the
+    * QC runs on a SAMPLE: `sampleFraction < 1` restricts the exact arm to
+    * the deterministic md5-bucket subset ([[Sampling.hashSample]], salt
+    * "recall"), bounding the quadratic by construction, and recall is then
+    * measured over exact pairs WITHIN the sample (the LSH side stays the
+    * production-shaped banded join over the full corpus, so sampled recall
+    * reflects the production candidate generator).
     */
   def nearDupRecall(docs: DataFrame, n: Int = 3, k: Int = 32, bands: Int = 8,
                     minJaccard: Double = 0.5,
+                    sampleFraction: Double = 1.0,
                     textCol: String = "text",
                     idCol: String = "doc_id"): DataFrame = {
+    require(sampleFraction > 0.0 && sampleFraction <= 1.0,
+      s"sampleFraction must be in (0, 1], got $sampleFraction")
     val lsh = nearDupPairs(docs, textCol, idCol, n, k, bands,
       minEstJaccard = minJaccard)
-    val exact = blockedJaccard(docs.withColumn("_all", lit(1)), "_all",
+    val exactDocs =
+      if (sampleFraction >= 1.0) docs
+      else Sampling.hashSample(docs, sampleFraction, idCol, salt = "recall")
+    val exact = blockedJaccard(exactDocs.withColumn("_all", lit(1)), "_all",
       textCol, idCol, n, minJaccard, maxDocFrac = 1.0)
     exact.select(col("id_a"), col("id_b"))
       .join(lsh.select(col("id_a"), col("id_b"), lit(1L).as("_hit")),

@@ -75,8 +75,12 @@ object Sampling {
       when(col(srcCol) === src, lit(share * tokenBudget)).otherwise(acc)
     }
     counted.join(broadcast(totals), srcCol)
+      // zero-token sources must drop, not divide: target/0.0 is Inf (or
+      // NaN off-recipe), and least() treats NaN as LARGER than any double,
+      // so the unguarded rate would keep every doc of such a source
       .withColumn("rate",
-        least(lit(1.0), target / col("src_tokens").cast("double")))
+        when(col("src_tokens") === 0, lit(0.0))
+          .otherwise(least(lit(1.0), target / col("src_tokens").cast("double"))))
       .where(bucket(col(idCol), salt) <
         floor(col("rate") * lit(M.toDouble)).cast("long"))
       .select(col(idCol), col(srcCol), col("n_tokens"))

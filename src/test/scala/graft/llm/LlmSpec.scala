@@ -236,6 +236,22 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Double]("recall") == 1.0)
   }
 
+  test("nearDupRecall: sampleFraction gates the exact arm to the " +
+       "deterministic md5-bucket subset") {
+    val base = "the quick brown fox jumps over the lazy dog again and again " +
+      "while the cat sleeps on the warm windowsill every single afternoon"
+    // every doc is near-identical (one distinct tail token), so the exact
+    // arm finds ALL pairs among whatever docs it is handed — n_exact
+    // therefore reveals the exact arm's input set exactly
+    val docs = (1L to 20L).map(i => (i, s"$base tail$i")).toDF("doc_id", "text")
+    val sampleIds = Sampling.hashSample(docs, 0.5, "doc_id", "recall")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sampleIds.nonEmpty && sampleIds.size < 20) // a proper subset
+    val r = Dedup.nearDupRecall(docs, sampleFraction = 0.5).collect().head
+    val m = sampleIds.size.toLong
+    assert(r.getAs[Long]("n_exact") == m * (m - 1) / 2)
+  }
+
   test("componentSurvivorsBest keeps the best-quality member per cluster, " +
        "ties to the lowest id") {
     val components = Seq(

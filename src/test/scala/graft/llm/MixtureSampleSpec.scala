@@ -36,6 +36,18 @@ class MixtureSampleSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.size < 50)
   }
 
+  test("a zero-token source drops entirely (no NaN/Inf rate keep-all)") {
+    // share·budget / 0 src_tokens would be Inf — and least() treats NaN as
+    // larger than any double — so without the guard every doc of the
+    // zero-token source would be kept
+    val withEmpty = docs.unionByName(
+      Seq((900L, "empty", ""), (901L, "empty", "")).toDF("doc_id", "source", "text"))
+    val out = Sampling.mixtureSample(withEmpty,
+      shares = Map("src0" -> 0.5, "empty" -> 0.5), tokenBudget = 100L)
+    assert(out.where($"source" === "empty").count() == 0)
+    assert(out.where($"source" === "src0").count() > 0)
+  }
+
   test("manifest carries exact per-doc token counts and is deterministic") {
     val shares = Map("src0" -> 0.5, "src1" -> 0.25)
     val a = Sampling.mixtureSample(docs, shares, 200L).collect()
