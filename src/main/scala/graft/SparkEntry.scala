@@ -394,6 +394,33 @@ object SparkEntry {
     }),
     // --- S1/S2/P7: source scans -----------------------------------------
     "q_file_info" -> ((s, d) => graft.sources.Sources.fileInfo(s, d, "lineitem")),
+    // REAL SEG-Y bytes end to end: a deterministic lineitem projection is
+    // exported as an actual byte-stream file (EBCDIC text header, 400B
+    // binary header, fixed-length big-endian records) and re-ingested with
+    // the byte-stream reader; the oracle recomputes the projection straight
+    // from parquet, so the row only hash-matches if writer→reader is an
+    // exact identity on every header field and payload word
+    "q_segy_roundtrip" -> ((s, d) => {
+      import graft.`export`.{SegyExport, SegyHeaders}
+      import graft.sources.{SegyRead, Sources}
+      val src = lineitem(s, d).select(
+        col("l_orderkey").cast("int").as("il"),
+        col("l_linenumber").cast("int").as("xl"),
+        col("l_partkey").cast("int").as("pk"))
+      val withPay = src.withColumn("samples",
+        call_function("to_binary",
+          lpad(hex(col("pk").cast("bigint").bitwiseAND(0xFFFFFFFFL)), 8, "0"),
+          lit("hex")))
+      val records = SegyExport.serializeTraces(
+        withPay.orderBy("il", "xl"), Seq("il", "xl"), "samples")
+      val f = graft.core.TempDirs.scratch("segy_rt") + "/rt.sgy"
+      SegyExport.writeSegy(records, f,
+        SegyHeaders.sanitizeTextHeader(Seq("C 1 GRAFT ROUNDTRIP")),
+        new Array[Byte](400))
+      SegyRead.readTraces(s, f, Seq("il", "xl"), sampleBytes = 4)
+        .select(col("il"), col("xl"),
+          Sources.parseRawHeaderField(col("samples"), 0).as("pk"))
+    }),
     // native codegen'd IBM hex-float decode over synthesized bit patterns
     "q_ibm_decode" -> ((s, d) => {
       import graft.functions.IbmFloatDecode
@@ -1320,6 +1347,13 @@ object SparkEntry {
         |QUALIFY rank <= 10""".stripMargin,
     "q_file_info" ->
       """SELECT count(*) AS n_traces, 11 AS n_fields, 'lineitem' AS table_name
+        |FROM lineitem""".stripMargin,
+    // byte-path identity: the reader must hand back exactly the projection
+    // the writer serialized
+    "q_segy_roundtrip" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS il,
+        |  CAST(l_linenumber AS BIGINT) AS xl,
+        |  CAST(l_partkey AS BIGINT) AS pk
         |FROM lineitem""".stripMargin,
     "q_ibm_decode" ->
       """WITH b AS (SELECT l_orderkey,

@@ -67,3 +67,29 @@ final case class IbmFloat32(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): IbmFloat32 =
     copy(child = newChild)
 }
+
+/** IEEE-754 bit pattern → float32 (SEG-Y sample format 5; the trivial
+  * sibling of [[IbmFloat32]] for rev-1+ files). Codegen inlines to the
+  * JVM intrinsic.
+  */
+object IeeeFloat32Decode {
+  def apply(c: Column): Column =
+    ColumnBridge.column(IeeeFloat32(ColumnBridge.expression(c)))
+}
+
+final case class IeeeFloat32(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = FloatType
+  override def prettyName: String = "ieee_float32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Float.intBitsToFloat(input.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, bits =>
+      s"${ev.value} = java.lang.Float.intBitsToFloat($bits);")
+
+  override protected def withNewChildInternal(newChild: Expression): IeeeFloat32 =
+    copy(child = newChild)
+}

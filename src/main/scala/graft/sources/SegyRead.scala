@@ -1,0 +1,191 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.export.SegyHeaders
+import graft.functions.IbmFloatDecode
+
+/** SEG-Y byte-stream ingest (S1/S2/S3 over a real file): the read half of
+  * [[graft.export.SegyExport]] — 3200-byte EBCDIC/ASCII text header,
+  * 400-byte binary header, then fixed-length trace records (4-byte
+  * big-endian header fields followed by the sample payload).
+  *
+  * Reference: `segy/file.py:152-186` (file info = headers + trace count
+  * before any bulk work) and `segy/_workers.py:30-72` (`header_scan_worker`
+  * fans fixed trace ranges to a worker pool). The Spark shape of that
+  * fan-out: the DRIVER reads only the two fixed headers (3600 bytes) and
+  * computes the trace count from the file length; trace ranges become an
+  * RDD of splits and each task seeks to its own byte offset — no byte of
+  * trace data ever crosses the driver, so a 100 TB file reads at full
+  * cluster parallelism. Byte decoding per record is the one genuinely
+  * imperative per-partition loop in this source, which is exactly what
+  * mapPartitions is for (SURVEY §7's sanctioned exception).
+  */
+object SegyRead {
+
+  val TextHeaderBytes = 3200
+  val BinaryHeaderBytes = 400
+  val DataOffset: Long = TextHeaderBytes + BinaryHeaderBytes
+
+  /** Driver-side file summary — everything the reference's
+    * `get_segy_file_info` returns that this format carries: decoded text
+    * header rows, raw binary header, the revision word at its standard
+    * offset, and the trace count derived from the file length.
+    */
+  final case class SegyFileInfo(
+      fileSize: Long,
+      nTraces: Long,
+      textHeader: Seq[String],
+      binaryHeader: Array[Byte],
+      revision: (Int, Int))
+
+  /** Decode a 3200-byte text header, auto-detecting EBCDIC vs ASCII the way
+    * public SEG-Y readers do: decode under both charsets and keep the one
+    * with more printable-ASCII characters (EBCDIC text decoded as ASCII is
+    * mostly control bytes, and vice versa). Deterministic — a pure function
+    * of the bytes.
+    */
+  def decodeTextHeader(bytes: Array[Byte]): Seq[String] = {
+    require(bytes.length == TextHeaderBytes,
+      s"text header must be $TextHeaderBytes bytes, got ${bytes.length}")
+    def printable(s: String): Int = s.count(c => c >= 0x20 && c <= 0x7e)
+    val ascii = new String(bytes, java.nio.charset.StandardCharsets.US_ASCII)
+    val decoded =
+      try {
+        val ebcdic = new String(bytes, java.nio.charset.Charset.forName("IBM037"))
+        if (printable(ebcdic) >= printable(ascii)) ebcdic else ascii
+      } catch { case _: Exception => ascii }
+    decoded.grouped(SegyHeaders.Cols).toSeq
+  }
+
+  /** S1: read file metadata from the two fixed headers only — the driver
+    * touches 3600 bytes regardless of file size. Trace count is
+    * `(fileSize − 3600) / recordLen`; a remainder means the declared record
+    * geometry is wrong for this file and fails loudly rather than silently
+    * truncating.
+    */
+  def fileInfo(spark: SparkSession, path: String,
+               nHeaderFields: Int, sampleBytes: Int): SegyFileInfo = {
+    val recordLen = recordLength(nHeaderFields, sampleBytes)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val size = fs.getFileStatus(p).getLen
+    require(size >= DataOffset,
+      s"$path is ${size}B — smaller than the $DataOffset-byte SEG-Y headers")
+    require((size - DataOffset) % recordLen == 0,
+      s"$path data section ${size - DataOffset}B is not a multiple of the " +
+        s"$recordLen-byte record ($nHeaderFields header fields + ${sampleBytes}B samples)")
+    val head = new Array[Byte](DataOffset.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, head) finally in.close()
+    val text = decodeTextHeader(java.util.Arrays.copyOfRange(head, 0, TextHeaderBytes))
+    val bin = java.util.Arrays.copyOfRange(head, TextHeaderBytes, DataOffset.toInt)
+    val revOff = 300 // SEG-Y bytes 3501-3502 within the binary header
+    val rev = SegyHeaders.decodeRevision(
+      ((bin(revOff) & 0xff) << 8) | (bin(revOff + 1) & 0xff))
+    SegyFileInfo(size, (size - DataOffset) / recordLen, text, bin, rev)
+  }
+
+  private def recordLength(nHeaderFields: Int, sampleBytes: Int): Long = {
+    require(nHeaderFields > 0, s"need at least one header field, got $nHeaderFields")
+    require(sampleBytes >= 0, s"sampleBytes must be >= 0, got $sampleBytes")
+    nHeaderFields.toLong * 4L + sampleBytes
+  }
+
+  /** S2/S3: parse the trace records into a DataFrame of
+    * `(trace_index: long, <field>: long per header field, samples: binary)`.
+    * Header fields decode as signed 32-bit big-endian (the exact inverse of
+    * [[graft.export.SegyExport.serializeTraces]]'s packing); the payload
+    * stays raw bytes — decode lazily with [[ibmSamples]] (or a cast) so the
+    * scan itself never touches float conversion.
+    *
+    * Distribution: `tracesPerSplit` fixed-size ranges (default sized so a
+    * split reads ~128 MB) fan out as one task each; every task opens the
+    * file, seeks to `3600 + start·recordLen`, and decodes only its range.
+    */
+  def readTraces(spark: SparkSession, path: String, headerFields: Seq[String],
+                 sampleBytes: Int, tracesPerSplit: Int = 0): DataFrame = {
+    require(headerFields.nonEmpty, "headerFields must be non-empty")
+    require(headerFields.distinct.size == headerFields.size,
+      s"duplicate header fields in ${headerFields.mkString(",")}")
+    val info = fileInfo(spark, path, headerFields.size, sampleBytes)
+    val recordLen = recordLength(headerFields.size, sampleBytes)
+    val perSplit: Long =
+      if (tracesPerSplit > 0) tracesPerSplit.toLong
+      else math.max(1L, (128L << 20) / recordLen)
+    val nSplits = ((info.nTraces + perSplit - 1) / perSplit).toInt
+    val nFields = headerFields.size
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
+
+    val schema = StructType(
+      StructField("trace_index", LongType, nullable = false) +:
+        headerFields.map(f => StructField(f, LongType, nullable = false)) :+
+        StructField("samples", BinaryType, nullable = false))
+
+    val rows = spark.sparkContext
+      .parallelize(0 until nSplits, math.max(1, nSplits))
+      .flatMap { split =>
+        val start = split.toLong * perSplit
+        val end = math.min(start + perSplit, info.nTraces)
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(confSer.value)
+        val in = fs.open(new org.apache.hadoop.fs.Path(path))
+        in.seek(DataOffset + start * recordLen)
+        val buf = new Array[Byte](recordLen.toInt)
+        // CompletionIterator-free close: the iterator owns the stream and
+        // closes it when its range is exhausted (Spark always drains
+        // flatMap iterators or fails the task, which tears the JVM down)
+        new Iterator[Row] {
+          private var i = start
+          def hasNext: Boolean = {
+            val more = i < end
+            if (!more && in != null) in.close()
+            more
+          }
+          def next(): Row = {
+            in.readFully(buf)
+            val vals = new Array[Any](1 + nFields + 1)
+            vals(0) = i
+            var f = 0
+            while (f < nFields) {
+              val o = f * 4
+              vals(1 + f) = (((buf(o) & 0xff) << 24) | ((buf(o + 1) & 0xff) << 16) |
+                ((buf(o + 2) & 0xff) << 8) | (buf(o + 3) & 0xff)).toLong
+              f += 1
+            }
+            vals(1 + nFields) = java.util.Arrays.copyOfRange(
+              buf, nFields * 4, recordLen.toInt)
+            i += 1
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** Decode an IBM32 sample payload to `array<float>` with the native
+    * [[graft.functions.IbmFloat32]] kernel — one codegen'd decode per
+    * 4-byte word, no UDF. `nSamples` is fixed per file (SEG-Y records are
+    * fixed-length), so the loop bound is a literal the optimizer sees.
+    */
+  def ibmSamples(payload: Column, nSamples: Int): Column =
+    transform(sequence(lit(0), lit(nSamples - 1)),
+      i => IbmFloatDecode(beInt(payload, i)))
+
+  /** Decode a big-endian IEEE float32 payload (SEG-Y sample format 5) to
+    * `array<float>` with the native [[graft.functions.IeeeFloat32]] kernel.
+    */
+  def ieeeSamples(payload: Column, nSamples: Int): Column =
+    transform(sequence(lit(0), lit(nSamples - 1)),
+      i => graft.functions.IeeeFloat32Decode(beInt(payload, i)))
+
+  /** Signed big-endian 32-bit word `i` (0-based) of a binary column. */
+  private def beInt(bin: Column, i: Column): Column = {
+    val u = conv(hex(substring(bin, i * 4 + 1, lit(4))), 16, 10).cast("long")
+    when(u > Int.MaxValue.toLong, u - 0x100000000L).otherwise(u).cast("int")
+  }
+}

@@ -1,0 +1,162 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.`export`.{SegyExport, SegyHeaders}
+import graft.functions.IbmFloatDecode
+import org.apache.spark.sql.functions._
+
+/** Byte-stream reader tests, mirroring the reference's Teapot import→export
+  * round-trip (`tests/integration/test_segy_roundtrip_teapot.py:151-310`):
+  * a file written by the engine's own sink reads back bit-identical
+  * (headers AND samples), and re-exporting the read frame reproduces the
+  * original file byte-for-byte.
+  */
+class SegyReadSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val textLines = SegyHeaders.sanitizeTextHeader(
+    Seq("C 1 GRAFT READBACK", "C 2 FIXED CONTENT") ++
+      (3 to 40).map(i => f"C$i%3d"))
+
+  private def binaryHeader: Array[Byte] = {
+    val b = new Array[Byte](400)
+    val rev = SegyHeaders.encodeRevision(1, 0)
+    b(300) = ((rev >> 8) & 0xff).toByte
+    b(301) = (rev & 0xff).toByte
+    b
+  }
+
+  // (il, xl, 8-byte payload = two 4-byte BE words)
+  private val traces: Seq[(Int, Int, Array[Byte])] = Seq(
+    (1, 10, Array[Byte](0, 0, 0, 1, 0, 0, 0, 2)),
+    (1, 20, Array[Byte](0, 0, 0, 3, -1, -1, -1, -1)),
+    (2, 10, Array[Byte](64, 16, 0, 0, 0, 0, 0, 5)),
+    (-3, 7, Array[Byte](0, 1, 2, 3, 4, 5, 6, 7)))
+
+  private def writeFile(): String = {
+    val df = traces.toDF("il", "xl", "samples").orderBy("il", "xl")
+    val records = SegyExport.serializeTraces(df, Seq("il", "xl"), "samples")
+    val out = Files.createTempDirectory("segyread").toString + "/in.sgy"
+    SegyExport.writeSegy(records, out, textLines, binaryHeader)
+    out
+  }
+
+  test("fileInfo reads trace count, text header, and revision from the " +
+       "3600 fixed bytes") {
+    val f = writeFile()
+    val info = SegyRead.fileInfo(spark, f, nHeaderFields = 2, sampleBytes = 8)
+    assert(info.nTraces == 4)
+    assert(info.fileSize == 3600 + 4 * (8 + 8))
+    assert(info.textHeader == textLines)
+    assert(info.revision == ((1, 0)))
+    assert(info.binaryHeader.toSeq == binaryHeader.toSeq)
+  }
+
+  test("fileInfo rejects a file whose length is not header-aligned") {
+    val f = writeFile()
+    val e = intercept[IllegalArgumentException] {
+      SegyRead.fileInfo(spark, f, nHeaderFields = 2, sampleBytes = 7)
+    }
+    assert(e.getMessage.contains("not a multiple"))
+  }
+
+  test("readTraces returns headers and samples bit-equal to what was " +
+       "exported, in file order") {
+    val f = writeFile()
+    val got = SegyRead.readTraces(spark, f, Seq("il", "xl"), sampleBytes = 8)
+      .orderBy("trace_index").collect()
+    val expected = traces.sortBy { case (il, xl, _) => (il, xl) }
+    assert(got.length == expected.length)
+    got.zip(expected).zipWithIndex.foreach {
+      case ((row, (il, xl, pay)), i) =>
+        assert(row.getAs[Long]("trace_index") == i.toLong)
+        assert(row.getAs[Long]("il") == il.toLong) // signed survives
+        assert(row.getAs[Long]("xl") == xl.toLong)
+        assert(row.getAs[Array[Byte]]("samples").toSeq == pay.toSeq)
+    }
+  }
+
+  test("split boundaries do not change the result (tracesPerSplit = 1)") {
+    val f = writeFile()
+    val whole = SegyRead.readTraces(spark, f, Seq("il", "xl"), 8)
+      .orderBy("trace_index").collect().map(_.toSeq)
+    val split = SegyRead.readTraces(spark, f, Seq("il", "xl"), 8,
+      tracesPerSplit = 1)
+      .orderBy("trace_index").collect().map(_.toSeq)
+    assert(split.length == 4)
+    assert(whole.zip(split).forall { case (a, b) =>
+      a.zip(b).forall {
+        case (x: Array[Byte], y: Array[Byte]) => x.sameElements(y)
+        case (x, y) => x == y
+      }
+    })
+  }
+
+  test("import -> export -> import: re-exported file is byte-identical") {
+    val f = writeFile()
+    val info = SegyRead.fileInfo(spark, f, 2, 8)
+    val readBack = SegyRead.readTraces(spark, f, Seq("il", "xl"), 8)
+      .orderBy("trace_index")
+    val records = SegyExport.serializeTraces(
+      readBack.select(col("il").cast("int").as("il"),
+        col("xl").cast("int").as("xl"), col("samples")),
+      Seq("il", "xl"), "samples")
+    val out = Files.createTempDirectory("segyread").toString + "/out.sgy"
+    SegyExport.writeSegy(records, out, info.textHeader, info.binaryHeader)
+    assert(Files.readAllBytes(Paths.get(out)).toSeq ==
+      Files.readAllBytes(Paths.get(f)).toSeq)
+  }
+
+  test("ibmSamples decodes the payload with the native IBM32 kernel") {
+    // payload = two IBM32 words synthesized from known bit patterns
+    val bits = Seq(0x41100000, 0xC1100000) // +1.0 and -1.0 in IBM hex float
+    val pay = java.nio.ByteBuffer.allocate(8)
+    bits.foreach(pay.putInt)
+    val df = Seq((1, 1, pay.array())).toDF("il", "xl", "samples")
+    val records = SegyExport.serializeTraces(df, Seq("il", "xl"), "samples")
+    val out = Files.createTempDirectory("segyread").toString + "/ibm.sgy"
+    SegyExport.writeSegy(records, out,
+      SegyHeaders.sanitizeTextHeader(Seq("C 1")), new Array[Byte](400))
+    val decoded = SegyRead.readTraces(spark, out, Seq("il", "xl"), 8)
+      .select(SegyRead.ibmSamples(col("samples"), 2).as("v"))
+      .collect().head.getSeq[Float](0)
+    assert(decoded == bits.map(IbmFloatDecode.decode))
+    assert(decoded == Seq(1.0f, -1.0f))
+  }
+
+  test("ieeeSamples decodes big-endian IEEE float32 payloads") {
+    val floats = Seq(1.5f, -2.25f, 0.0f, Float.MinPositiveValue)
+    val pay = java.nio.ByteBuffer.allocate(16)
+    floats.foreach(pay.putFloat)
+    val df = Seq((1, 1, pay.array())).toDF("il", "xl", "samples")
+    val records = SegyExport.serializeTraces(df, Seq("il", "xl"), "samples")
+    val out = Files.createTempDirectory("segyread").toString + "/ieee.sgy"
+    SegyExport.writeSegy(records, out,
+      SegyHeaders.sanitizeTextHeader(Seq("C 1")), new Array[Byte](400))
+    val decoded = SegyRead.readTraces(spark, out, Seq("il", "xl"), 16)
+      .select(SegyRead.ieeeSamples(col("samples"), 4).as("v"))
+      .collect().head.getSeq[Float](0)
+    assert(decoded == floats)
+  }
+
+  test("ASCII text headers auto-detect (a file not written by this engine)") {
+    // hand-assemble a file with an ASCII text header
+    val ascii = textLines.mkString.getBytes(
+      java.nio.charset.StandardCharsets.US_ASCII)
+    val rec = java.nio.ByteBuffer.allocate(12)
+    rec.putInt(5); rec.putInt(6); rec.putInt(7)
+    val out = Files.createTempDirectory("segyread").toString + "/ascii.sgy"
+    val os = Files.newOutputStream(Paths.get(out))
+    try { os.write(ascii); os.write(new Array[Byte](400)); os.write(rec.array()) }
+    finally os.close()
+    val info = SegyRead.fileInfo(spark, out, 2, 4)
+    assert(info.textHeader == textLines)
+    assert(info.nTraces == 1)
+    val row = SegyRead.readTraces(spark, out, Seq("il", "xl"), 4).collect().head
+    assert(row.getAs[Long]("il") == 5L && row.getAs[Long]("xl") == 6L)
+    assert(row.getAs[Array[Byte]]("samples").toSeq ==
+      Seq[Byte](0, 0, 0, 7))
+  }
+}
