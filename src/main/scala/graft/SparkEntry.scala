@@ -371,8 +371,10 @@ object SparkEntry {
     // row against the broadcast query vector) — both oracle-exact
     "q_sq_adc" -> ((s, d) =>
       Sq.adcTopK(embeddings(s, d), (0L until 10L), k = 10)),
-    // recall of the approximate paths vs exact top-k (quality report);
-    // signatures and the IVF index are built ONCE and both reads reuse them
+    // recall of EVERY approximate tier vs exact top-k (quality report):
+    // lsh, ivf, and the compression tiers pq/sq/ivfpq. Signatures and the
+    // three persisted indexes are built ONCE; the ivfpq arm reuses the ivf
+    // and pq indexes rather than rebuilding its own
     "q_ann_recall" -> ((s, d) => {
       import graft.core.Scratch
       val qids = (0L until 10L)
@@ -388,9 +390,19 @@ object SparkEntry {
         Similarity.lshSignatures(emb, bits = 4, tables = 8, dim = 64), "recall_sig")
       val ivfPath = graft.core.TempDirs.scratch("recall_ivf")
       Ivf.buildIndexSeeded(emb, ivfPath)
+      val pqPath = graft.core.TempDirs.scratch("recall_pq")
+      Pq.buildIndex(emb, pqPath, m = 8, ksub = 16)
+      val sqPath = graft.core.TempDirs.scratch("recall_sq")
+      Sq.buildIndex(emb, sqPath)
       recallOf(Similarity.lshTopKFromSignatures(sigs, qids, k = 10), "lsh")
         .unionAll(recallOf(
           Ivf.ivfTopKFromIndex(emb, ivfPath, qids, k = 10), "ivf"))
+        .unionAll(recallOf(
+          Pq.adcTopKFromIndex(emb, pqPath, qids, k = 10), "pq"))
+        .unionAll(recallOf(
+          Sq.adcTopKFromIndex(emb, sqPath, qids, k = 10), "sq"))
+        .unionAll(recallOf(
+          Pq.ivfPqTopKFromIndexes(emb, ivfPath, pqPath, qids, k = 10), "ivfpq"))
     }),
     // --- S1/S2/P7: source scans -----------------------------------------
     "q_file_info" -> ((s, d) => graft.sources.Sources.fileInfo(s, d, "lineitem")),
@@ -1026,7 +1038,7 @@ object SparkEntry {
     "q_ann_ivf_2l" -> OracleSqlGen.annIvfSql(nProbe = 4, dim = 64,
       nQueries = 10, k = 10, fixedNCells = Some(64)),
     "q_ann_recall" -> OracleSqlGen.annRecallSql(bits = 4, tables = 8,
-      nProbe = 4, dim = 64, nQueries = 10, k = 10),
+      nProbe = 4, dim = 64, nQueries = 10, k = 10, m = 8, ksub = 16),
     "q_pq_codes" -> OracleSqlGen.pqCodesSql(m = 8, ksub = 16, dim = 64),
     "q_pq_adc" -> OracleSqlGen.pqAdcSql(m = 8, ksub = 16, dim = 64,
       nQueries = 10, k = 10),
