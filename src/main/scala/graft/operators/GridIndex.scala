@@ -23,9 +23,21 @@ import org.apache.spark.sql.functions._
   * Scale: each dim-index table has cardinality ≪ rows (it is the reference's
   * in-memory coordinate vector); `row_number` over it is a single-partition
   * window over cardinality-sized data only, and the join back to the trace
-  * table is an explicit `broadcast` — no shuffle of the big side.
+  * table is an explicit `broadcast` — no shuffle of the big side. For the
+  * pathological dim whose cardinality is NOT metadata-sized, callers pass
+  * the cardinality (known from the invariant pass, like the ingest tail's
+  * `writeDimTables`) and any dim over `graft.dims.driverMaxValues` numbers
+  * through the over-gate branch instead: distributed distinct →
+  * [[GlobalOrder.withGlobalSeq]] (two-pass zipWithIndex, no single-partition
+  * window) → plain equi-join (sort-merge; the index side is too big to
+  * broadcast by assumption).
   */
 object GridIndex {
+
+  /** Same knob as the ingest tail's dim-vector gate (default 10⁶). */
+  private def dimGate(df: DataFrame): Long =
+    df.sparkSession.conf.getOption("graft.dims.driverMaxValues").map(_.toLong)
+      .getOrElse(1000000L)
 
   /** Sorted-distinct dim values with 0-based ordinal — the searchsorted table. */
   def dimIndex(df: DataFrame, dim: String): DataFrame = {
@@ -34,9 +46,30 @@ object GridIndex {
       .withColumn(s"${dim}_idx", (row_number().over(w) - 1).cast("long"))
   }
 
-  /** J1: annotate each row with per-dim ordinals via broadcast equi-joins. */
-  def withDimIndices(df: DataFrame, dims: Seq[String]): DataFrame =
-    dims.foldLeft(df)((acc, d) => acc.join(broadcast(dimIndex(df, d)), Seq(d)))
+  /** The over-gate searchsorted table: identical ordinals to [[dimIndex]]
+    * (ascending sort, 0-based) but no single-partition window — the
+    * distinct stays distributed and numbering is the two-pass zipWithIndex.
+    */
+  def dimIndexDistributed(df: DataFrame, dim: String): DataFrame =
+    GlobalOrder.withGlobalSeq(
+      df.select(col(dim)).where(col(dim).isNotNull).distinct(),
+      Seq(dim), out = s"${dim}_idx")
+
+  /** J1: annotate each row with per-dim ordinals. Dims whose caller-known
+    * cardinality exceeds the gate take the distributed branch and a
+    * sort-merge join; everything else (including dims with UNKNOWN
+    * cardinality — dim vectors are metadata-sized by design) broadcasts.
+    */
+  def withDimIndices(df: DataFrame, dims: Seq[String],
+                     cardinalities: Map[String, Long] = Map.empty): DataFrame = {
+    val gate = dimGate(df)
+    dims.foldLeft(df) { (acc, d) =>
+      if (cardinalities.getOrElse(d, 0L) > gate)
+        acc.join(dimIndexDistributed(df, d), Seq(d))
+      else
+        acc.join(broadcast(dimIndex(df, d)), Seq(d))
+    }
+  }
 
   /** J1: row-major (C-order) flat cell ordinal over the given dims.
     * Sizes of trailing dims drive the stride; they ride along as a
@@ -45,8 +78,9 @@ object GridIndex {
     * `count()` actions against the base table (round 2 ran 2 scans per dim:
     * one inside the index join, one for the eager size).
     */
-  def withCellOrdinal(df: DataFrame, dims: Seq[String], out: String = "cell"): DataFrame = {
-    val indexed = withDimIndices(df, dims)
+  def withCellOrdinal(df: DataFrame, dims: Seq[String], out: String = "cell",
+                      cardinalities: Map[String, Long] = Map.empty): DataFrame = {
+    val indexed = withDimIndices(df, dims, cardinalities)
     val sizeCols = dims.map(d => countDistinct(col(d)).as(s"__sz_$d"))
     val sizesRow = df.agg(sizeCols.head, sizeCols.tail: _*)
     // C-order strides: stride(i) = product of sizes of dims after i

@@ -135,6 +135,30 @@ class GridIndexSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "dim joins must never shuffle the fact side")
   }
 
+  test("over-gate dims take the distributed numbering branch and produce " +
+       "identical ordinals") {
+    val path = java.nio.file.Files.createTempDirectory("gridog").toString + "/t"
+    (1 to 5000).map(i => (i % 40, i % 25)).toDF("il", "xl").write.parquet(path)
+    val src = spark.read.parquet(path)
+    val expected = GridIndex.withCellOrdinal(src, Seq("il", "xl"))
+      .select("il", "xl", "cell").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+    val prev = spark.conf.getOption("graft.dims.driverMaxValues")
+    spark.conf.set("graft.dims.driverMaxValues", "10") // il's 40 > gate
+    try {
+      val q = GridIndex.withCellOrdinal(src, Seq("il", "xl"),
+        cardinalities = Map("il" -> 40L, "xl" -> 25L))
+      val got = q.select("il", "xl", "cell").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSet
+      assert(got == expected)
+      // both dims exceeded the lowered gate → no single-partition window
+      // anywhere in the plan
+      assert(!q.queryExecution.executedPlan.toString.contains("Window"),
+        "over-gate dims must not number through a window")
+    } finally prev.fold(spark.conf.unset("graft.dims.driverMaxValues"))(v =>
+      spark.conf.set("graft.dims.driverMaxValues", v))
+  }
+
   test("liveTraceCheck detects duplicate dim tuples") {
     val unique = Seq((1, 1), (1, 2)).toDF("a", "b")
     val dup = Seq((1, 1), (1, 1)).toDF("a", "b")
