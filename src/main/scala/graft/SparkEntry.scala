@@ -255,6 +255,11 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, d) =>
       TextAnalysis.bpePairCounts(documents(s, d))
         .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(50)),
+    // BPE trainer round 1 end to end: top pair selected and MERGED into
+    // every vocabulary token — the rewrite step the iterated trainer loops,
+    // oracle-gated in its one SQL-expressible round
+    "q_bpe_train1" -> ((s, d) =>
+      TextAnalysis.bpeTrainOneRound(documents(s, d))),
     // PII scrub: the fixture is PII-free, so the query plants one email,
     // one IP and one digit run per doc (deterministic from doc_id, mirrored
     // in the oracle) and redacts them back out
@@ -1241,6 +1246,32 @@ object SparkEntry {
         |  FROM p GROUP BY 1, 2)
         |SELECT lhs, rhs, pair_count FROM a
         |ORDER BY pair_count DESC, lhs, rhs LIMIT 50""".stripMargin,
+    // round-1 merge: symbols are single chars, so the left-to-right
+    // non-overlapping merge IS a string replace; chr(1) marks merge sites
+    // so the exploded symbol list re-expands them to the merged pair
+    "q_bpe_train1" ->
+      """WITH t AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'), x -> x != ''))
+        |      AS token
+        |  FROM documents),
+        |g AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2),
+        |v AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cf FROM g GROUP BY 1),
+        |p AS (SELECT substr(token, CAST(i AS INT), 1) AS lhs,
+        |    substr(token, CAST(i AS INT) + 1, 1) AS rhs, cf
+        |  FROM (SELECT token, cf, unnest(range(1, length(token))) AS i FROM v)),
+        |a AS (SELECT lhs, rhs, CAST(sum(cf) AS BIGINT) AS pair_count
+        |  FROM p GROUP BY 1, 2),
+        |top AS (SELECT lhs, rhs FROM a
+        |  ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        |m AS (SELECT v.token, v.cf, top.lhs, top.rhs,
+        |    replace(v.token, top.lhs || top.rhs, chr(1)) AS r
+        |  FROM v, top)
+        |SELECT token, cf, CAST(i - 1 AS BIGINT) AS pos,
+        |  CASE WHEN substr(r, CAST(i AS INT), 1) = chr(1) THEN lhs || rhs
+        |    ELSE substr(r, CAST(i AS INT), 1) END AS symbol
+        |FROM (SELECT token, cf, r, lhs, rhs,
+        |    unnest(range(1, length(r) + 1)) AS i
+        |  FROM m)""".stripMargin,
     "q_pii_redact" ->
       """WITH s AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com from 10.0.'

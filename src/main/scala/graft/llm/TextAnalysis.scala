@@ -308,6 +308,42 @@ object TextAnalysis {
       .agg(sum("cf").cast("long").as("pair_count"))
   }
 
+  /** ONE trainer round, oracle-gated: pick the top pair exactly like
+    * [[trainBpeMerges]]'s first iteration (pair_count DESC, lhs, rhs —
+    * deterministic ties) and apply the left-to-right non-overlapping merge
+    * to every vocabulary token, emitting the exploded post-merge symbol
+    * sequences as scalar (token, cf, pos, symbol) rows. Round 1 is the
+    * SQL-expressible round — every symbol is still a single character, so
+    * the merge equals a plain string replace — which lets the rewrite step
+    * the trainer iterates get a DuckDB oracle row (the loop itself stays
+    * spec-gated; later rounds only grow the symbol alphabet, not the
+    * rewrite logic).
+    */
+  def bpeTrainOneRound(df: DataFrame, textCol: String = "text",
+                       idCol: String = "doc_id"): DataFrame = {
+    val vocab = vocabulary(df, textCol, idCol)
+      .select(col("token"), col("cf"),
+        filter(split(col("token"), ""), c => c =!= "").as("symbols"))
+    val top = bpePairCounts(df, textCol, idCol)
+      .orderBy(col("pair_count").desc, col("lhs"), col("rhs")).limit(1)
+      .select(col("lhs"), col("rhs"))
+    // same fold as trainBpeMerges.merged, with the pair riding the joined
+    // one-row broadcast instead of a driver literal
+    val mergedSyms = aggregate(col("symbols"),
+      array().cast("array<string>"),
+      (acc, x) =>
+        when(size(acc) === 0, array(x))
+          .when(element_at(acc, -1) === col("lhs") && x === col("rhs"),
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(concat(col("lhs"), col("rhs")))))
+          .otherwise(concat(acc, array(x))))
+    vocab.crossJoin(broadcast(top))
+      .select(col("token"), col("cf"),
+        posexplode(mergedSyms).as(Seq("pos", "symbol")))
+      .select(col("token"), col("cf"), col("pos").cast("long").as("pos"),
+        col("symbol"))
+  }
+
   /** Distributed BPE training — the iterated loop [[bpePairCounts]] counts
     * for: start from the character-split corpus [[vocabulary]], and
     * `nMerges` times (count adjacent symbol pairs weighted by collection

@@ -43,4 +43,21 @@ class BpeTrainSpec extends SparkSpec {
     val merges = TextAnalysis.trainBpeMerges(d, nMerges = 10)
     assert(merges.count() == 0) // every pair occurs once
   }
+
+  test("bpeTrainOneRound applies exactly the trainer's first merge") {
+    val firstMerge = TextAnalysis.trainBpeMerges(docs, nMerges = 1)
+      .collect().head
+    val (a, b) = (firstMerge.getAs[String]("lhs"), firstMerge.getAs[String]("rhs"))
+    assert((a, b) == (("e", "s")))
+    val rows = TextAnalysis.bpeTrainOneRound(docs).collect()
+    val byToken = rows.groupBy(_.getAs[String]("token")).map { case (t, rs) =>
+      t -> rs.sortBy(_.getAs[Long]("pos")).map(_.getAs[String]("symbol")).toSeq
+    }
+    // the merged symbol appears, non-merged chars stay single
+    assert(byToken("newest") == Seq("n", "e", "w", "es", "t"))
+    assert(byToken("widest") == Seq("w", "i", "d", "es", "t"))
+    assert(byToken("low") == Seq("l", "o", "w"))
+    // symbols re-concatenate to the token for every row
+    assert(byToken.forall { case (t, syms) => syms.mkString == t })
+  }
 }
