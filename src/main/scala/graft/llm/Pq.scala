@@ -154,6 +154,10 @@ object Pq {
     * (the standard PQ short-list refinement; touches nRerank vectors per
     * query instead of the corpus). `nRerank = 0` returns the raw ADC
     * ranking — the oracle-checked shape.
+    *
+    * CONTRACT: `embeddings` must cover every indexed id and every query id
+    * — see [[Sq.adcTopKFromIndex]] for the full statement (the rerank join
+    * silently drops uncovered candidates).
     */
   def adcTopKFromIndex(embeddings: DataFrame, indexPath: String,
                        queryIds: Seq[Long], k: Int, nRerank: Int = 0,

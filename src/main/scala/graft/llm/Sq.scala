@@ -106,6 +106,14 @@ object Sq {
     * `nRerank > 0` refines that many ADC candidates per query by exact
     * cosine (the float vector is touched only for the short list);
     * `nRerank = 0` is the raw oracle-checked ranking.
+    *
+    * CONTRACT (shared with [[Pq.adcTopKFromIndex]]): `embeddings` must
+    * cover every id in the persisted code table AND every requested query
+    * id. The rerank path inner-joins candidates back to `embeddings`, so a
+    * vector indexed via [[appendToIndex]]/StreamingAnn but absent here
+    * silently vanishes from reranked results, and an uncovered query id
+    * returns zero rows — keep the embeddings table append-consistent with
+    * the index (the streaming tier appends both from the same batch).
     */
   def adcTopKFromIndex(embeddings: DataFrame, indexPath: String,
                        queryIds: Seq[Long], k: Int, nRerank: Int = 0,

@@ -456,6 +456,11 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     require(quantiles.nonEmpty && quantiles.forall(q => q > 0 && q <= 1),
       s"quantiles must be in (0, 1], got $quantiles")
+    // labels round to integer percents; two quantiles landing on the same
+    // label (0.1 and 0.104 → p10) would emit duplicate column names and
+    // break downstream resolution — fail loudly instead
+    require(quantiles.map(q => math.round(q * 100)).distinct.size == quantiles.size,
+      s"quantile labels p<round(q*100)> must be distinct, got $quantiles")
     val counted = df.select(col(srcCol), col(idCol),
       size(tokens(col(textCol))).cast("long").as("n_tokens"))
     val w = Window.partitionBy(col(srcCol))
