@@ -47,6 +47,27 @@ object Mdio {
     IngestPipeline.ingest(spark, traces, template, overrides, path,
       ordinal, valueCol, rawHeaderFields = rawHeaderFields)
 
+  /** The FILE-path entry point — the reference's `segy_to_mdio` takes a URL
+    * (`segy/file.py:152-186`): parse the byte stream with
+    * [[graft.sources.SegyRead.readTraces]] (driver touches 3600 bytes,
+    * trace ranges fan out per task) and ingest the decoded frame. Header
+    * words arrive as signed 32-bit longs; `decodeSamples` maps the raw
+    * payload binary to `valueCol` (e.g. `SegyRead.ibmSamples(_, n)` for
+    * IBM32 files, `SegyRead.ieeeSamples(_, n)` for rev-1+ format 5).
+    */
+  def segyFileToMdio(spark: SparkSession, segyFile: String,
+                     headerFields: Seq[String], sampleBytes: Int,
+                     template: DatasetTemplate, overrides: GridOverrides,
+                     path: String, ordinal: Seq[String], valueCol: String,
+                     decodeSamples: Column => Column): IngestPipeline.IngestResult = {
+    import org.apache.spark.sql.functions.col
+    val traces = graft.sources.SegyRead
+      .readTraces(spark, segyFile, headerFields, sampleBytes)
+      .withColumn(valueCol, decodeSamples(col("samples")))
+    IngestPipeline.ingest(spark, traces, template, overrides, path,
+      ordinal, valueCol)
+  }
+
   /** E1–E5: masked, globally ordered SEG-Y export of an open store. The
     * samples column must survive the header projection, so it rides the
     * `headerFields` of the masked select and is then serialized as the

@@ -64,4 +64,38 @@ class MdioFacadeSpec extends SparkSpec {
     assert(Mdio.openMdio(spark, copied).schema.layout == h.schema.layout)
     graft.plans.AccessPatternCatalog.clear()
   }
+
+  test("segyFileToMdio ingests a real byte-stream file (the reference's " +
+       "URL entry point)") {
+    // write a little SEG-Y file through the sink: IEEE float32 amplitude
+    // payloads assembled driver-side (the fixture is 20 traces)
+    val rows = for (il <- 1 to 4; xl <- 1 to 5) yield (il, xl)
+    val traces = rows.map { case (il, xl) =>
+      val amp = (il * 100 + xl).toFloat
+      val b = java.nio.ByteBuffer.allocate(4)
+      b.putFloat(amp)
+      (il, xl, b.array())
+    }.toDF("inline", "crossline", "samples")
+    val f = Files.createTempDirectory("facade-read").toString + "/in.sgy"
+    graft.`export`.SegyExport.writeSegy(
+      graft.`export`.SegyExport.serializeTraces(
+        traces.orderBy("inline", "crossline"), Seq("inline", "crossline"),
+        "samples"),
+      f, graft.`export`.SegyHeaders.sanitizeTextHeader(Seq("C 1 READ")),
+      new Array[Byte](400))
+
+    val store = Files.createTempDirectory("facade-read-store").toString
+    val r = Mdio.segyFileToMdio(spark, f,
+      headerFields = Seq("inline", "crossline"), sampleBytes = 4,
+      TemplateRegistry.instance.get("PostStack3DTime"), GridOverrides(),
+      store, ordinal = Seq("inline", "crossline"), valueCol = "amplitude",
+      decodeSamples = b =>
+        element_at(graft.sources.SegyRead.ieeeSamples(b, 1), 1).cast("double"))
+    assert(r.nTraces == 20)
+    val got = Mdio.openMdio(spark, store).df
+      .select("inline", "crossline", "amplitude").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+    assert(got == rows.map { case (il, xl) =>
+      (il.toLong, xl.toLong, (il * 100 + xl).toDouble) }.toSet)
+  }
 }
