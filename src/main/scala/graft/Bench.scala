@@ -34,10 +34,10 @@ object Bench {
     }
     // ... and JIT/codegen: the alphabetically-first timed queries would
     // otherwise absorb the whole JVM warmup (~2s measured — it made the
-    // first query look 2× its steady-state cost). Three untimed
-    // representatives warm the aggregate, kernel-expression and
-    // parquet-write paths.
-    Seq("q_stats", "q_simhash", "q_store_roundtrip").foreach { q =>
+    // first query look 2× its steady-state cost). Four untimed
+    // representatives warm the aggregate, kernel-expression,
+    // parquet-write and generate+window+fold paths.
+    Seq("q_stats", "q_simhash", "q_store_roundtrip", "q_keywords").foreach { q =>
       SparkEntry.queries.get(q).foreach(fn =>
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () })
     }

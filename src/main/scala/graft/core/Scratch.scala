@@ -25,4 +25,18 @@ object Scratch {
     df.write.mode("overwrite").parquet(p)
     df.sparkSession.read.parquet(p)
   }
+
+  /** Rebalance a COMPACT scan ahead of a compute-heavy map (tokenize,
+    * shingle, explode): a table small enough to plan fewer partitions than
+    * the session's parallelism would otherwise run the whole downstream
+    * compute on those few tasks (one 600 KB parquet file = ONE task doing
+    * every document's explode). At real scale the source plans >= target
+    * splits and this is the identity — no shuffle is ever added to a big
+    * scan. The round-robin exchange it inserts on small inputs moves only
+    * the compact source bytes.
+    */
+  def rebalance(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 }

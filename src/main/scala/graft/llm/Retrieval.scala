@@ -63,7 +63,8 @@ object Retrieval {
     // (n_docs, avgdl) survive the term filter; the staged table is
     // summary-sized (query-term hits + one marker row per doc, no text).
     val ex = Scratch.stage(
-      docs.select(col(idCol), size(toks).cast("long").as("dl"),
+      Scratch.rebalance(docs)
+        .select(col(idCol), size(toks).cast("long").as("dl"),
           posexplode_outer(toks).as(Seq("_pos", "term")))
         .where(col("_pos").isNull || col("_pos") === 0 ||
           col("term").isInCollection(allTerms)),
@@ -117,7 +118,8 @@ object Retrieval {
                          textCol: String, idCol: String): Unit = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     val agg = Scratch.stage(
-      docs.select(col(idCol), size(toks).cast("long").as("dl"),
+      Scratch.rebalance(docs)
+        .select(col(idCol), size(toks).cast("long").as("dl"),
           posexplode_outer(toks).as(Seq("_pos", "term")))
         .groupBy(col(idCol), col("dl"), col("term"))
         .agg(count(lit(1)).cast("long").as("tf")),

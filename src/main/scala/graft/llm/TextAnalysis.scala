@@ -217,7 +217,9 @@ object TextAnalysis {
     // re-run per element — O(len²) per doc (the bench showed 7× on this
     // query alone). CollapseProject keeps the split because the alias is
     // expensive and multiply-referenced.
-    val normed = df.select(col(idCol),
+    // rebalance ahead of the char-gram explode: a compact corpus file
+    // otherwise runs every doc's O(len) gram generation on one task
+    val normed = graft.core.Scratch.rebalance(df).select(col(idCol),
       regexp_replace(lower(col(textCol)), "\\s+", " ").as("_norm"))
     val nm = col("_norm")
     val grams = when(length(nm) >= n,
