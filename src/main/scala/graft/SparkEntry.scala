@@ -384,6 +384,9 @@ object SparkEntry {
       import graft.core.Scratch
       val qids = (0L until 10L)
       val emb = embeddings(s, d)
+      // all five arms join this identical subtree; Spark's exchange reuse
+      // computes it once (staging it measured SLOWER — the extra write/read
+      // round-trip costs more than the reuse saves)
       val exact = Similarity.bruteForceTopK(emb, qids, k = 10)
         .select(col("query_id"), col("neighbor_id"))
       def recallOf(approx: DataFrame, name: String): DataFrame =

@@ -177,7 +177,8 @@ object Dedup {
                    minEstJaccard: Double = 0.5,
                    maxBucketSize: Int = 10000,
                    scratchPath: Option[String] = None): DataFrame = {
-    val sigs = Scratch.stage(withMinhashSignature(df, textCol, idCol, n, k),
+    val sigs = Scratch.stage(
+      withMinhashSignature(Scratch.rebalance(df), textCol, idCol, n, k),
       "minhash_sig", scratchPath)
     nearDupPairsFromSignatures(sigs, idCol, k, bands, minEstJaccard, maxBucketSize)
   }
@@ -219,7 +220,7 @@ object Dedup {
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
     val inv = Scratch.stage(
-      winnowFingerprints(docs, kChars, window, textCol, idCol)
+      winnowFingerprints(Scratch.rebalance(docs), kChars, window, textCol, idCol)
         .select(col(idCol).as("id"), col("fp")),
       "winnow_inv")
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
@@ -285,7 +286,8 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id",
                       n: Int = 3): DataFrame = {
     val sh = Scratch.stage(
-      docs.select(col(idCol), shingles(col(textCol), n).as("sh")), "jaccard_sh")
+      Scratch.rebalance(docs)
+        .select(col(idCol), shingles(col(textCol), n).as("sh")), "jaccard_sh")
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
     pairs
@@ -321,7 +323,8 @@ object Dedup {
     // one scan hashes the shingles; the staged (blk, id, s) index feeds the
     // doc-frequency window, both self-join sides, and the size recount
     val inverted = Scratch.stage(
-      df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      Scratch.rebalance(df)
+        .select(col(blockCol).as("blk"), col(idCol).as("id"),
           shingleHashes(col(textCol), n).as("h0"))
         .select(col("blk"), col("id"), explode(col("h0")).as("s")),
       "jaccard_inv")
@@ -700,7 +703,7 @@ object Dedup {
         s"blocking (got $bands) — raise bands or use MinHash LSH")
     val width = bits / bands
     val fp = Scratch.stage(
-      withSimhash(df, textCol).select(col(idCol), col("simhash")),
+      withSimhash(Scratch.rebalance(df), textCol).select(col(idCol), col("simhash")),
       "simhash_fp", scratchPath)
     val banded = fp.select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))
