@@ -188,4 +188,163 @@ object SegyRead {
     val u = conv(hex(substring(bin, i * 4 + 1, lit(4))), 16, 10).cast("long")
     when(u > Int.MaxValue.toLong, u - 0x100000000L).otherwise(u).cast("int")
   }
+
+  // ---------------------------------------------- standard rev-1 layout
+
+  /** A trace-header field in the STANDARD 240-byte header: 2- or 4-byte
+    * big-endian signed int at a 1-based byte offset — the public SEG-Y
+    * rev-1 layout the reference's header specs describe
+    * (`segy` package `HeaderField` entries).
+    */
+  final case class HeaderField(name: String, byteOffset: Int, bytes: Int) {
+    require(bytes == 2 || bytes == 4, s"$name: header ints are 2 or 4 bytes")
+    require(byteOffset >= 1 && byteOffset + bytes - 1 <= 240,
+      s"$name: bytes $byteOffset..${byteOffset + bytes - 1} outside the 240-byte header")
+  }
+
+  /** The standard fields real files are indexed by (byte positions are
+    * public SEG-Y rev-1; same entries the reference's default spec names).
+    */
+  object StandardFields {
+    val TraceSeqLine = HeaderField("trace_seq_line", 1, 4)
+    val FieldRecord = HeaderField("field_record", 9, 4)
+    val TraceField = HeaderField("trace_field", 13, 4)
+    val SourcePoint = HeaderField("source_point", 17, 4)
+    val CdpEnsemble = HeaderField("cdp_ensemble", 21, 4)
+    val TraceIdCode = HeaderField("trace_id_code", 29, 2)
+    val Offset = HeaderField("offset", 37, 4)
+    val CoordScalar = HeaderField("coord_scalar", 71, 2)
+    val SourceX = HeaderField("source_x", 73, 4)
+    val SourceY = HeaderField("source_y", 77, 4)
+    val GroupX = HeaderField("group_x", 81, 4)
+    val GroupY = HeaderField("group_y", 85, 4)
+    val NSamples = HeaderField("n_samples", 115, 2)
+    val SampleInterval = HeaderField("sample_interval", 117, 2)
+    val CdpX = HeaderField("cdp_x", 181, 4)
+    val CdpY = HeaderField("cdp_y", 185, 4)
+    val Inline = HeaderField("inline", 189, 4)
+    val Crossline = HeaderField("crossline", 193, 4)
+  }
+
+  /** Bytes per sample for the standard binary-header format code
+    * (1=IBM32, 2=int32, 3=int16, 5=IEEE32, 8=int8).
+    */
+  def bytesPerSample(formatCode: Int): Int = formatCode match {
+    case 1 | 2 | 5 => 4
+    case 3 => 2
+    case 8 => 1
+    case c => throw new IllegalArgumentException(
+      s"unsupported SEG-Y sample format code $c (supported: 1, 2, 3, 5, 8)")
+  }
+
+  /** Self-describing file info for a STANDARD-layout file: samples per
+    * trace (binary-header bytes 21-22), sample interval (17-18) and format
+    * code (25-26) parse from the binary header itself, so the record
+    * geometry needs no caller input — the reference's open path does the
+    * same before planning workers (`segy/file.py:152-186`).
+    */
+  final case class StandardInfo(
+      base: SegyFileInfo, nSamples: Int, sampleInterval: Int, formatCode: Int)
+
+  def standardInfo(spark: SparkSession, path: String): StandardInfo = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val size = fs.getFileStatus(p).getLen
+    require(size >= DataOffset,
+      s"$path is ${size}B — smaller than the $DataOffset-byte SEG-Y headers")
+    val head = new Array[Byte](DataOffset.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, head) finally in.close()
+    def beShort(off: Int): Int = // 1-based offset within the binary header
+      ((head(TextHeaderBytes + off - 1) & 0xff) << 8) |
+        (head(TextHeaderBytes + off) & 0xff)
+    val interval = beShort(17)
+    val ns = beShort(21)
+    val fmt = beShort(25)
+    require(ns > 0, s"$path declares $ns samples per trace")
+    val recordLen = 240L + ns.toLong * bytesPerSample(fmt)
+    require((size - DataOffset) % recordLen == 0,
+      s"$path data section ${size - DataOffset}B is not a multiple of the " +
+        s"$recordLen-byte standard record (ns=$ns, format=$fmt)")
+    val text = decodeTextHeader(java.util.Arrays.copyOfRange(head, 0, TextHeaderBytes))
+    val bin = java.util.Arrays.copyOfRange(head, TextHeaderBytes, DataOffset.toInt)
+    val rev = SegyHeaders.decodeRevision(
+      ((bin(300) & 0xff) << 8) | (bin(301) & 0xff))
+    StandardInfo(
+      SegyFileInfo(size, (size - DataOffset) / recordLen, text, bin, rev),
+      ns, interval, fmt)
+  }
+
+  /** Parse a STANDARD-layout file: 240-byte trace headers decoded at the
+    * requested fields' spec offsets, sample payload raw (decode with
+    * [[ibmSamples]]/[[ieeeSamples]] per the file's format code). Same
+    * split-per-trace-range distribution as [[readTraces]]; geometry comes
+    * from [[standardInfo]], so the only caller input is which header
+    * fields to surface.
+    */
+  def readStandardTraces(spark: SparkSession, path: String,
+                         fields: Seq[HeaderField],
+                         tracesPerSplit: Int = 0): DataFrame = {
+    require(fields.nonEmpty, "fields must be non-empty")
+    require(fields.map(_.name).distinct.size == fields.size,
+      s"duplicate field names in ${fields.map(_.name).mkString(",")}")
+    val info = standardInfo(spark, path)
+    val sampleBytes = info.nSamples * bytesPerSample(info.formatCode)
+    val recordLen = 240L + sampleBytes
+    val perSplit: Long =
+      if (tracesPerSplit > 0) tracesPerSplit.toLong
+      else math.max(1L, (128L << 20) / recordLen)
+    val nSplits = ((info.base.nTraces + perSplit - 1) / perSplit).toInt
+    val specs = fields.map(f => (f.byteOffset - 1, f.bytes)).toArray
+    val nFields = specs.length
+    val nTraces = info.base.nTraces
+    val confSer = new org.apache.spark.util.SerializableConfiguration(
+      new org.apache.hadoop.conf.Configuration(
+        spark.sparkContext.hadoopConfiguration))
+
+    val schema = StructType(
+      StructField("trace_index", LongType, nullable = false) +:
+        fields.map(f => StructField(f.name, LongType, nullable = false)) :+
+        StructField("samples", BinaryType, nullable = false))
+
+    val rows = spark.sparkContext
+      .parallelize(0 until nSplits, math.max(1, nSplits))
+      .flatMap { split =>
+        val start = split.toLong * perSplit
+        val end = math.min(start + perSplit, nTraces)
+        val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(confSer.value)
+        val in = fs.open(new org.apache.hadoop.fs.Path(path))
+        in.seek(DataOffset + start * recordLen)
+        val buf = new Array[Byte](recordLen.toInt)
+        new Iterator[Row] {
+          private var i = start
+          def hasNext: Boolean = {
+            val more = i < end
+            if (!more && in != null) in.close()
+            more
+          }
+          def next(): Row = {
+            in.readFully(buf)
+            val vals = new Array[Any](1 + nFields + 1)
+            vals(0) = i
+            var f = 0
+            while (f < nFields) {
+              val (o, w) = (specs(f)._1, specs(f)._2)
+              vals(1 + f) =
+                if (w == 4)
+                  (((buf(o) & 0xff) << 24) | ((buf(o + 1) & 0xff) << 16) |
+                    ((buf(o + 2) & 0xff) << 8) | (buf(o + 3) & 0xff)).toLong
+                else // signed 16-bit
+                  (((buf(o) & 0xff) << 8) | (buf(o + 1) & 0xff)).toShort.toLong
+              f += 1
+            }
+            vals(1 + nFields) = java.util.Arrays.copyOfRange(buf, 240, recordLen.toInt)
+            i += 1
+            Row.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(vals))
+          }
+        }
+      }
+    spark.createDataFrame(rows, schema)
+  }
 }

@@ -141,6 +141,72 @@ class SegyReadSpec extends SparkSpec {
     assert(decoded == floats)
   }
 
+  test("standard rev-1 layout: 240-byte headers at spec offsets, " +
+       "self-describing geometry, IBM32 samples") {
+    // hand-assemble a STANDARD file this engine's sink never wrote:
+    // binary header declares ns=3 (bytes 21-22), interval=2000 (17-18),
+    // format=1/IBM32 (25-26); two traces with inline/crossline at bytes
+    // 189/193, a 2-byte trace_id_code at 29 and a NEGATIVE 2-byte
+    // coord_scalar at 71 (sign must survive the short decode)
+    val bin = java.nio.ByteBuffer.allocate(400)
+    bin.putShort(16, 2000.toShort)  // 0-based 16 = SEG-Y binary bytes 17-18
+    bin.putShort(20, 3.toShort)
+    bin.putShort(24, 1.toShort)
+    bin.putShort(300, SegyHeaders.encodeRevision(1, 0).toShort)
+    val ibm = Seq(0x41100000, 0xC1100000, 0x42640000) // +1.0, -1.0, +100.0
+    def trace(il: Int, xl: Int, idCode: Short, scalar: Short): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(240 + 12)
+      b.putInt(188, il)               // 0-based 188 = header bytes 189-192
+      b.putInt(192, xl)
+      b.putShort(28, idCode)
+      b.putShort(70, scalar)
+      b.position(240)
+      ibm.foreach(b.putInt)
+      b.array()
+    }
+    val out = Files.createTempDirectory("segystd").toString + "/std.sgy"
+    val os = Files.newOutputStream(Paths.get(out))
+    try {
+      os.write(textLines.mkString.getBytes(
+        java.nio.charset.Charset.forName("IBM037")))
+      os.write(bin.array())
+      os.write(trace(500, 900, 1, -100))
+      os.write(trace(501, 901, 3, -100))
+    } finally os.close()
+
+    val info = SegyRead.standardInfo(spark, out)
+    assert(info.nSamples == 3 && info.sampleInterval == 2000 &&
+      info.formatCode == 1)
+    assert(info.base.nTraces == 2 && info.base.revision == ((1, 0)))
+    assert(info.base.textHeader == textLines)
+
+    import SegyRead.StandardFields._
+    val got = SegyRead.readStandardTraces(spark, out,
+        Seq(Inline, Crossline, TraceIdCode, CoordScalar))
+      .withColumn("v", SegyRead.ibmSamples(col("samples"), info.nSamples))
+      .orderBy("trace_index").collect()
+    assert(got.map(r => (r.getAs[Long]("inline"), r.getAs[Long]("crossline"),
+      r.getAs[Long]("trace_id_code"), r.getAs[Long]("coord_scalar"))).toSeq ==
+      Seq((500L, 900L, 1L, -100L), (501L, 901L, 3L, -100L)))
+    got.foreach(r =>
+      assert(r.getSeq[Float](r.fieldIndex("v")) == Seq(1.0f, -1.0f, 100.0f)))
+  }
+
+  test("standardInfo rejects unsupported sample format codes") {
+    val bin = java.nio.ByteBuffer.allocate(400)
+    bin.putShort(20, 3.toShort)
+    bin.putShort(24, 4.toShort) // format 4 = fixed-point w/ gain, unsupported
+    val out = Files.createTempDirectory("segystd").toString + "/bad.sgy"
+    val os = Files.newOutputStream(Paths.get(out))
+    try {
+      os.write(new Array[Byte](3200)); os.write(bin.array())
+    } finally os.close()
+    val e = intercept[IllegalArgumentException] {
+      SegyRead.standardInfo(spark, out)
+    }
+    assert(e.getMessage.contains("format code 4"))
+  }
+
   test("ASCII text headers auto-detect (a file not written by this engine)") {
     // hand-assemble a file with an ASCII text header
     val ascii = textLines.mkString.getBytes(
