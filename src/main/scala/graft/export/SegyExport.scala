@@ -45,6 +45,76 @@ object SegyExport {
       .withColumn("record_len", octet_length(col("trace_record")).cast("long"))
   }
 
+  /** E2/E3 for REAL interop: serialize traces with STANDARD 240-byte
+    * trace headers — each (field, column) pair packs a 2-/4-byte
+    * big-endian signed int at its public rev-1 spec offset, every other
+    * byte zero — followed by the sample payload (already encoded; see
+    * [[ibmPayload]] for format 1). The inverse of
+    * [[graft.sources.SegyRead.readStandardTraces]], pure column
+    * expressions throughout.
+    */
+  def serializeStandardTraces(df: DataFrame,
+                              fieldCols: Seq[(graft.sources.SegyRead.HeaderField, String)],
+                              samplesCol: String): DataFrame = {
+    require(fieldCols.nonEmpty, "need at least one header field")
+    val sorted = fieldCols.sortBy(_._1.byteOffset)
+    sorted.sliding(2).foreach {
+      case Seq((a, _), (b, _)) =>
+        require(a.byteOffset + a.bytes <= b.byteOffset,
+          s"${a.name} and ${b.name} overlap in the 240-byte header")
+      case _ =>
+    }
+    def beBytes(c: Column, bytes: Int): Column =
+      call_function("to_binary",
+        lpad(hex(c.cast("bigint").bitwiseAND(lit((1L << (bytes * 8)) - 1))),
+          bytes * 2, "0"),
+        lit("hex"))
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
+    var pos = 1 // 1-based next unwritten header byte
+    sorted.foreach { case (f, c) =>
+      if (f.byteOffset > pos)
+        pieces += lit(Array.fill[Byte](f.byteOffset - pos)(0))
+      pieces += beBytes(col(c), f.bytes)
+      pos = f.byteOffset + f.bytes
+    }
+    if (pos <= 240) pieces += lit(Array.fill[Byte](241 - pos)(0))
+    df.withColumn("trace_record",
+        concat((pieces :+ col(samplesCol).cast("binary")).toSeq: _*))
+      .withColumn("record_len", octet_length(col("trace_record")).cast("long"))
+  }
+
+  /** Format-1 sample payload: each float IBM32-encoded by the native
+    * [[graft.functions.IbmFloatEncode]] kernel and packed big-endian —
+    * `nSamples` is fixed per file, so the concat is a literal-width plan.
+    */
+  def ibmPayload(samples: Column, nSamples: Int): Column =
+    concat((1 to nSamples).map { i =>
+      call_function("to_binary",
+        lpad(hex(graft.functions.IbmFloatEncode(element_at(samples, i))
+          .cast("bigint").bitwiseAND(0xFFFFFFFFL)), 8, "0"),
+        lit("hex"))
+    }: _*)
+
+  /** The standard 400-byte binary header a real reader parses: sample
+    * interval at bytes 17-18, samples per trace at 21-22, format code at
+    * 25-26, revision word at 301-302 — the self-describing geometry
+    * [[graft.sources.SegyRead.standardInfo]] reads back.
+    */
+  def standardBinaryHeader(nSamples: Int, sampleInterval: Int,
+                           formatCode: Int,
+                           revision: (Int, Int) = (1, 0)): Array[Byte] = {
+    graft.sources.SegyRead.bytesPerSample(formatCode) // validates the code
+    require(nSamples > 0 && nSamples <= 0xffff, s"nSamples $nSamples not in 1..65535")
+    require(sampleInterval >= 0 && sampleInterval <= 0xffff,
+      s"sampleInterval $sampleInterval not in 0..65535")
+    val b = java.nio.ByteBuffer.allocate(400)
+    b.putShort(16, sampleInterval.toShort)
+    b.putShort(20, nSamples.toShort)
+    b.putShort(24, formatCode.toShort)
+    b.putShort(300, SegyHeaders.encodeRevision(revision._1, revision._2).toShort)
+    b.array()
+  }
+
   /** S6/E4: write a SEG-Y-shaped file — 3200-byte text header (EBCDIC when
     * the JVM has IBM037, ASCII otherwise), 400-byte binary header, then all
     * trace records in global order.

@@ -68,6 +68,56 @@ final case class IbmFloat32(child: Expression)
     copy(child = newChild)
 }
 
+/** IEEE float → IBM System/360 hexadecimal float32 bit pattern — the
+  * ENCODE half of [[IbmFloat32]], needed to write format-1 SEG-Y files a
+  * real reader accepts. Normalizes the base-16 exponent so the top hex
+  * digit of the 24-bit fraction is non-zero (the canonical form every
+  * public encoder emits; round-trips through [[IbmFloatDecode.decode]]
+  * exactly for values IBM32 can represent). Out-of-range magnitudes clamp
+  * to the largest/smallest representable, like the reference's underlying
+  * C encoder.
+  */
+object IbmFloatEncode {
+  /** Scalar encode, shared by interpreted eval and tests. Exponent derives
+    * from the IEEE bit layout (`getExponent`/`scalb`), not a log — exact at
+    * every power-of-16 boundary.
+    */
+  def encode(v: Float): Int = {
+    if (v == 0.0f || java.lang.Float.isNaN(v)) return 0
+    val sign = if (v < 0) 0x80000000 else 0
+    val mag = math.abs(v.toDouble) // a float's magnitude is always a NORMAL double
+    val p = Math.getExponent(mag) // floor(log2(mag)), exact
+    var e = Math.floorDiv(p + 4, 4) // ceil((p+1)/4): 16^e·[1/16,1) covers mag
+    var f24 = Math.round(Math.scalb(mag, 24 - 4 * e))
+    if (f24 >= 0x1000000) { f24 >>= 4; e += 1 } // rounding carried past 1.0
+    val biased = e + 64
+    if (biased > 127) return sign | 0x7fffffff // clamp to max magnitude
+    if (biased < 0) return 0 // underflow to zero
+    sign | (biased << 24) | (f24.toInt & 0x00ffffff)
+  }
+
+  def apply(c: Column): Column =
+    ColumnBridge.column(IbmFloat32Enc(ColumnBridge.expression(c)))
+}
+
+final case class IbmFloat32Enc(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "ibm_float32_enc"
+
+  override protected def nullSafeEval(input: Any): Any =
+    IbmFloatEncode.encode(input.asInstanceOf[Float])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.IbmFloatEncode.encode($v);")
+
+  override protected def withNewChildInternal(newChild: Expression): IbmFloat32Enc =
+    copy(child = newChild)
+}
+
 /** IEEE-754 bit pattern → float32 (SEG-Y sample format 5; the trivial
   * sibling of [[IbmFloat32]] for rev-1+ files). Codegen inlines to the
   * JVM intrinsic.

@@ -192,6 +192,65 @@ class SegyReadSpec extends SparkSpec {
       assert(r.getSeq[Float](r.fieldIndex("v")) == Seq(1.0f, -1.0f, 100.0f)))
   }
 
+  test("standard WRITE -> standard READ: spec-offset headers and IBM32 " +
+       "samples round-trip bit-exactly") {
+    import SegyRead.StandardFields._
+    // magnitudes exactly representable in IBM32 (<= 24 significant bits,
+    // hex-aligned) so the encode->decode identity is exact
+    val sampleSets = Seq(
+      Seq(1.0f, -1.0f, 100.0f, 0.0f),
+      Seq(0.15625f, -118.625f, 0.5f, 16384.0f))
+    val df = sampleSets.zipWithIndex.map { case (v, i) =>
+      (200 + i, 300 + i, -100, v)
+    }.toDF("inline", "crossline", "coord_scalar", "v")
+    val records = SegyExport.serializeStandardTraces(
+      df.orderBy("inline")
+        .withColumn("samples", SegyExport.ibmPayload(col("v"), 4)),
+      Seq(Inline -> "inline", Crossline -> "crossline",
+        CoordScalar -> "coord_scalar"),
+      "samples")
+    val out = Files.createTempDirectory("segystd").toString + "/w.sgy"
+    SegyExport.writeSegy(records, out, textLines,
+      SegyExport.standardBinaryHeader(nSamples = 4, sampleInterval = 2000,
+        formatCode = 1))
+
+    val info = SegyRead.standardInfo(spark, out)
+    assert(info.nSamples == 4 && info.formatCode == 1 &&
+      info.sampleInterval == 2000 && info.base.nTraces == 2)
+    val got = SegyRead.readStandardTraces(spark, out,
+        Seq(Inline, Crossline, CoordScalar))
+      .withColumn("v", SegyRead.ibmSamples(col("samples"), 4))
+      .orderBy("trace_index").collect()
+    got.zip(sampleSets).zipWithIndex.foreach { case ((r, vs), i) =>
+      assert(r.getAs[Long]("inline") == 200L + i)
+      assert(r.getAs[Long]("crossline") == 300L + i)
+      assert(r.getAs[Long]("coord_scalar") == -100L)
+      assert(r.getSeq[Float](r.fieldIndex("v")) == vs)
+    }
+  }
+
+  test("IBM32 encode kernel: decode(encode(v)) is exact for hex-aligned " +
+       "values and within 2^-20 relative everywhere") {
+    import graft.functions.{IbmFloatDecode, IbmFloatEncode}
+    Seq(1.0f, -1.0f, 0.0f, 100.0f, 0.15625f, -118.625f, 16384.0f, 0.5f,
+      65536.0f, 1.0f / 16, 1.0f / 256).foreach { v =>
+      assert(IbmFloatDecode.decode(IbmFloatEncode.encode(v)) == v, s"exact $v")
+    }
+    assert(IbmFloatEncode.encode(1.0f) == 0x41100000)
+    assert(IbmFloatEncode.encode(-1.0f) == 0xC1100000)
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val v = java.lang.Float.intBitsToFloat(rnd.nextInt())
+      // every finite nonzero float32 is inside IBM32's range (16^±63
+      // spans far past IEEE float32's 2^±126)
+      if (!v.isNaN && !v.isInfinite && v != 0.0f) {
+        val back = IbmFloatDecode.decode(IbmFloatEncode.encode(v))
+        assert(math.abs(back - v) <= math.abs(v) * math.pow(2, -20),
+          s"$v -> $back")
+      }
+    }
+  }
+
   test("standardInfo rejects unsupported sample format codes") {
     val bin = java.nio.ByteBuffer.allocate(400)
     bin.putShort(20, 3.toShort)
