@@ -84,6 +84,33 @@ object Mdio {
     graft.export.SegyExport.writeSegy(records, outFile, textHeader, binaryHeader)
   }
 
+  /** [[mdioToSegy]] in the STANDARD rev-1 layout — real 240-byte trace
+    * headers at spec offsets and a self-describing binary header, so the
+    * output opens in any SEG-Y tool (and in [[graft.sources.SegyRead
+    * .readStandardTraces]]). `samplesCol` must hold float samples of fixed
+    * length `nSamples`; they encode as format-1 IBM32 through the native
+    * kernel.
+    */
+  def mdioToStandardSegy(handle: MdioDatasetHandle, outFile: String,
+                         mask: Column,
+                         dims: Seq[String],
+                         fieldCols: Seq[(graft.sources.SegyRead.HeaderField, String)],
+                         orderKeys: Seq[String], samplesCol: String,
+                         nSamples: Int, sampleInterval: Int,
+                         textHeader: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val headerCols = fieldCols.map(_._2)
+    val ordered = graft.export.SegyExport.maskedExport(
+      handle.df, mask, dims, (headerCols :+ samplesCol).distinct, orderKeys)
+    val records = graft.export.SegyExport.serializeStandardTraces(
+      ordered.withColumn("_pay",
+        graft.export.SegyExport.ibmPayload(col(samplesCol), nSamples)),
+      fieldCols, "_pay")
+    graft.export.SegyExport.writeSegy(records, outFile, textHeader,
+      graft.export.SegyExport.standardBinaryHeader(nSamples, sampleInterval,
+        formatCode = 1))
+  }
+
   /** O1: materialize `fast_<dim>` clustered (optionally quantized) copies
     * and register them so [[graft.plans.AccessPatternRule]] swaps scans. */
   def optimizeAccessPatterns(handle: MdioDatasetHandle, dims: Seq[String],

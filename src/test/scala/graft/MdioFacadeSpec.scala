@@ -98,4 +98,41 @@ class MdioFacadeSpec extends SparkSpec {
     assert(got == rows.map { case (il, xl) =>
       (il.toLong, xl.toLong, (il * 100 + xl).toDouble) }.toSet)
   }
+
+  test("mdioToStandardSegy emits a spec-compliant file any reader opens") {
+    import graft.sources.SegyRead
+    import SegyRead.StandardFields._
+    val rows = for (il <- 1 to 3; xl <- 1 to 4) yield (il, xl)
+    val df = rows.toDF("inline", "crossline")
+      .withColumn("amplitude", (col("inline") * 16 + col("crossline")).cast("double"))
+    val store = Files.createTempDirectory("facade-std").toString
+    Mdio.segyToMdio(spark, df,
+      TemplateRegistry.instance.get("PostStack3DTime"), GridOverrides(),
+      store, ordinal = Seq("inline", "crossline"), valueCol = "amplitude")
+
+    val handle = Mdio.openMdio(spark, store)
+    val withSamples = handle.df.withColumn("v",
+      array(col("amplitude").cast("float"), lit(0.5f)))
+    val out = Files.createTempDirectory("facade-std-out").toString + "/std.sgy"
+    Mdio.mdioToStandardSegy(handle.copy(df = withSamples), out,
+      mask = col("inline") <= 2,
+      dims = Seq("inline", "crossline"),
+      fieldCols = Seq(Inline -> "inline", Crossline -> "crossline"),
+      orderKeys = Seq("inline", "crossline"),
+      samplesCol = "v", nSamples = 2, sampleInterval = 4000,
+      textHeader = graft.`export`.SegyHeaders.sanitizeTextHeader(Seq("C 1 STD")))
+
+    val info = SegyRead.standardInfo(spark, out)
+    assert(info.nSamples == 2 && info.formatCode == 1 && info.base.nTraces == 8)
+    val got = SegyRead.readStandardTraces(spark, out, Seq(Inline, Crossline))
+      .withColumn("v", SegyRead.ibmSamples(col("samples"), 2))
+      .orderBy("trace_index").collect()
+      .map(r => (r.getAs[Long]("inline"), r.getAs[Long]("crossline"),
+        r.getSeq[Float](r.fieldIndex("v"))))
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      (for (il <- 1 to 2; xl <- 1 to 4) yield (il.toLong, xl.toLong)))
+    got.foreach { case (il, xl, v) =>
+      assert(v == Seq((il * 16 + xl).toFloat, 0.5f))
+    }
+  }
 }
