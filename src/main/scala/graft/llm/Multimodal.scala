@@ -108,6 +108,87 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------- REAL decode: PPM P6
+
+  /** A decoded PPM (P6) image: dimensions plus exact per-channel means
+    * (integer pixel sums, one final IEEE division — deterministic).
+    */
+  final case class PpmImage(width: Int, height: Int,
+                            meanR: Double, meanG: Double, meanB: Double)
+
+  /** REAL image decode for the one raster format that needs no codec
+    * library: binary PPM (`P6`) is an ASCII header (`P6`, width, height,
+    * maxval, '#' comments allowed) followed by raw RGB bytes — pure byte
+    * arithmetic, so this path is NOT a stub. JPEG/PNG/audio stay behind
+    * [[fakeDecodeFeatures]] until codecs exist in the runtime; a real
+    * pipeline swaps them into the same batched shape below.
+    */
+  private[llm] def decodePpmJvm(bytes: Array[Byte]): Option[PpmImage] = {
+    var i = 0
+    def skipWs(): Unit = {
+      var in = true
+      while (in && i < bytes.length) {
+        val c = bytes(i)
+        if (c == '#') { while (i < bytes.length && bytes(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\r' || c == '\n') i += 1
+        else in = false
+      }
+    }
+    def int(): Option[Int] = {
+      skipWs()
+      val start = i
+      var v = 0L
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9' && v <= Int.MaxValue) {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      if (i == start || v > Int.MaxValue) None else Some(v.toInt)
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    i = 2
+    for {
+      w <- int(); h <- int(); maxv <- int()
+      if w > 0 && h > 0 && maxv > 0 && maxv < 256 // 1 byte/channel only
+      if i < bytes.length // the single whitespace byte after maxval
+      _ = { i += 1 }
+      if bytes.length - i >= w.toLong * h * 3
+    } yield {
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      val n = w * h
+      var p = 0
+      while (p < n) {
+        val o = i + p * 3
+        sr += bytes(o) & 0xff; sg += bytes(o + 1) & 0xff; sb += bytes(o + 2) & 0xff
+        p += 1
+      }
+      PpmImage(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n)
+    }
+  }
+
+  /** Batched REAL decode over payload rows: PPM payloads parse to
+    * dimensions + channel means, anything else yields `ok = false` with
+    * null fields (a mixed-format corpus keeps flowing; route non-PPM rows
+    * to their codec's stage). Same grouped-iterator shape as
+    * [[decodeBatched]] — a real JPEG codec drops into the same loop.
+    */
+  def decodePpmBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            decodePpmJvm(bytes) match {
+              case Some(img) => (id, true, Some(img.width), Some(img.height),
+                Some(img.meanR), Some(img.meanG), Some(img.meanB))
+              case None => (id, false, None, None, None, None, None)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
   /** Frame sampling for a chunked (video-like) payload: take every `stride`-th
     * fixed-size chunk. Binary slicing via substr — no UDF, no decode.
     */

@@ -471,6 +471,39 @@ class BatchDecodeSpec extends graft.SparkSpec {
     rows.foreach { case (id, f, _) => assert(again(id) == f) }
   }
 
+  test("decodePpmBatched: REAL decode of binary PPM payloads, exact " +
+       "channel means; non-PPM rows flow through as ok=false") {
+    // a 4x2 gradient: pixel (x,y) = (x*10, y*100, 7); plus a '#' comment
+    // in the header (the format allows them) and one non-image payload
+    val (w, h) = (4, 2)
+    val header = s"P6\n# synthetic gradient\n$w $h\n255\n"
+      .getBytes("US-ASCII")
+    val pix = for (y <- 0 until h; x <- 0 until w;
+                   c <- Seq(x * 10, y * 100, 7)) yield c.toByte
+    val ppm = header ++ pix
+    val docs = Seq((1L, ppm), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodePpmBatched(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val img = out(1L)
+    assert(img.getAs[Boolean]("ok"))
+    assert(img.getAs[Int]("width") == 4 && img.getAs[Int]("height") == 2)
+    // exact integer means: r = (0+10+20+30)*2/8 = 15, g = (0*4+100*4)/8 = 50
+    assert(img.getAs[Double]("mean_r") == 15.0)
+    assert(img.getAs[Double]("mean_g") == 50.0)
+    assert(img.getAs[Double]("mean_b") == 7.0)
+    assert(!out(2L).getAs[Boolean]("ok"))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("width")))
+  }
+
+  test("decodePpmJvm rejects truncated pixel data and 2-byte maxval") {
+    val good = "P6\n2 1\n255\n".getBytes("US-ASCII") ++ Array[Byte](1,2,3,4,5,6)
+    assert(Multimodal.decodePpmJvm(good).isDefined)
+    assert(Multimodal.decodePpmJvm(good.dropRight(1)).isEmpty) // truncated
+    val deep = "P6\n2 1\n65535\n".getBytes("US-ASCII") ++ new Array[Byte](12)
+    assert(Multimodal.decodePpmJvm(deep).isEmpty) // 2 bytes/channel unsupported
+  }
+
   test("blockedJaccard df-cap drops hot shingles but keeps true near-dups") {
     // 6 docs share boilerplate; two are real near-dups beyond it
     val boiler = "terms and conditions apply to all entries in this corpus"
