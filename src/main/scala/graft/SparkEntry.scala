@@ -697,6 +697,33 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("features")))
         .select(col("doc_id"), col("pos").cast("long").as("idx"),
                 col("col").as("value"))),
+    // the REAL decode path under oracle: synthesize an actual binary PPM
+    // per doc IN-PLAN (header + 4x2 RGB pixels from a closed-form formula
+    // of doc_id), run the true byte parser through the batched decode
+    // stage, and the oracle recomputes the channel means from the same
+    // formula — the row only matches if the parser reads the bytes right
+    "q_multimodal_ppm" -> ((s, d) => {
+      val w = 4; val h = 2
+      // pixel (x, y) channels: r = (doc_id + 10x) % 256, g = (doc_id +
+      // 100y) % 256, b = doc_id % 256 — every byte a deterministic int
+      val pixelHex = concat(
+        (for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) yield {
+          val v = c match {
+            case 0 => (col("doc_id") + lit(10 * x)) % 256
+            case 1 => (col("doc_id") + lit(100 * y)) % 256
+            case 2 => col("doc_id") % 256
+          }
+          lpad(hex(v), 2, "0")
+        }): _*)
+      val payload = concat(
+        lit(s"P6\n$w $h\n255\n".getBytes("US-ASCII")),
+        call_function("to_binary", pixelHex, lit("hex")))
+      Multimodal.decodePpmBatched(
+          documents(s, d).select(col("doc_id"), payload.as("payload")))
+        .select(col("doc_id"), col("ok"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
   )
 
   // SQL shared between standalone entries and the q_corpus_prep combine
@@ -1497,5 +1524,17 @@ object SparkEntry {
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS digest
         |FROM documents""".stripMargin,
+    // means recomputed from the pixel FORMULA (no byte parsing oracle-side);
+    // integer sums / 8 are exact in IEEE, so the decode must be bit-right
+    "q_multimodal_ppm" ->
+      """WITH xs AS (SELECT unnest(range(0, 4)) AS x),
+        |ys AS (SELECT unnest(range(0, 2)) AS y),
+        |px AS (SELECT d.doc_id, xs.x, ys.y FROM documents d, xs, ys)
+        |SELECT doc_id, true AS ok,
+        |  CAST(4 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+        |  avg(CAST((doc_id + 10 * x) % 256 AS DOUBLE)) AS mean_r,
+        |  avg(CAST((doc_id + 100 * y) % 256 AS DOUBLE)) AS mean_g,
+        |  avg(CAST(doc_id % 256 AS DOUBLE)) AS mean_b
+        |FROM px GROUP BY doc_id""".stripMargin,
   )
 }
