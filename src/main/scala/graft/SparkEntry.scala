@@ -260,6 +260,12 @@ object SparkEntry {
     // oracle-gated in its one SQL-expressible round
     "q_bpe_train1" -> ((s, d) =>
       TextAnalysis.bpeTrainOneRound(documents(s, d))),
+    // ... and the FULL iterated loop for 3 rounds: the oracle chains
+    // delimiter-string replaces (symbol boundaries pinned by chr(1)), so
+    // the data-dependent merge table itself is hash-checked — driver loop,
+    // recounts, tie-breaks and all
+    "q_bpe_train_loop" -> ((s, d) =>
+      TextAnalysis.trainBpeMerges(documents(s, d), nMerges = 3)),
     // PII scrub: the fixture is PII-free, so the query plants one email,
     // one IP and one digit run per doc (deterministic from doc_id, mirrored
     // in the oracle) and redacts them back out
@@ -1302,6 +1308,7 @@ object SparkEntry {
         |FROM (SELECT token, cf, r, lhs, rhs,
         |    unnest(range(1, length(r) + 1)) AS i
         |  FROM m)""".stripMargin,
+    "q_bpe_train_loop" -> OracleSqlGen.bpeTrainLoopSql(nMerges = 3),
     "q_pii_redact" ->
       """WITH s AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com from 10.0.'
