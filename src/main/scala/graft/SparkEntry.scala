@@ -266,6 +266,21 @@ object SparkEntry {
     // recounts, tie-breaks and all
     "q_bpe_train_loop" -> ((s, d) =>
       TextAnalysis.trainBpeMerges(documents(s, d), nMerges = 3)),
+    // the ENCODE half: the trained 3-merge table applied to the whole
+    // vocabulary through the delimiter-replace chain (train -> encode,
+    // end to end under one oracle)
+    "q_bpe_encode" -> ((s, d) => {
+      val docs = documents(s, d)
+      val merges = TextAnalysis.trainBpeMerges(docs, nMerges = 3)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+      TextAnalysis.bpeApplyMerges(
+          TextAnalysis.vocabulary(docs).select("token", "cf"), merges)
+        .select(col("token"), col("cf"),
+          posexplode(col("pieces")).as(Seq("pos", "piece")))
+        .select(col("token"), col("cf"), col("pos").cast("long").as("pos"),
+          col("piece"))
+    }),
     // PII scrub: the fixture is PII-free, so the query plants one email,
     // one IP and one digit run per doc (deterministic from doc_id, mirrored
     // in the oracle) and redacts them back out
@@ -1309,6 +1324,7 @@ object SparkEntry {
         |    unnest(range(1, length(r) + 1)) AS i
         |  FROM m)""".stripMargin,
     "q_bpe_train_loop" -> OracleSqlGen.bpeTrainLoopSql(nMerges = 3),
+    "q_bpe_encode" -> OracleSqlGen.bpeEncodeSql(nMerges = 3),
     "q_pii_redact" ->
       """WITH s AS (SELECT doc_id,
         |    text || ' contact user' || doc_id || '@example.com from 10.0.'

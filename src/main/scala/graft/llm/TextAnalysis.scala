@@ -346,6 +346,34 @@ object TextAnalysis {
         col("symbol"))
   }
 
+  /** BPE ENCODE: apply an ORDERED merge table to a token column — the
+    * tokenizer's inference half. Each token rides as a chr(1)-delimited
+    * symbol string and every merge is one non-regex `replace` pass
+    * (left-to-right, non-overlapping — Java and SQL replace semantics ARE
+    * the BPE merge fold once delimiters pin the symbol boundaries), so the
+    * whole encode is chained codegen'd string ops: no per-token loop, no
+    * UDF, and the DuckDB oracle replays it exactly.
+    *
+    * The expression chain grows with the merge table, so this shape suits
+    * demo/analysis vocabularies (≤ ~1000 merges); a production 32k-merge
+    * encoder belongs in a dedicated kernel expression with the table as a
+    * literal array — same algorithm, one expression node.
+    */
+  def bpeApplyMerges(tokens: DataFrame, merges: Seq[(String, String)],
+                     tokenCol: String = "token"): DataFrame = {
+    val d = ""
+    require(merges.size <= 1000,
+      s"expression-chain encoder caps at 1000 merges, got ${merges.size}")
+    require(merges.forall { case (a, b) =>
+      a.nonEmpty && b.nonEmpty && !(a + b).contains(d) },
+      "merge symbols must be non-empty and delimiter-free")
+    val s0 = concat(lit(d), regexp_replace(col(tokenCol), "(.)", "$1" + d))
+    val sN = merges.foldLeft(s0) { case (s, (a, b)) =>
+      call_function("replace", s, lit(d + a + d + b + d), lit(d + a + b + d))
+    }
+    tokens.withColumn("pieces", filter(split(sN, d), p => p =!= ""))
+  }
+
   /** Distributed BPE training — the iterated loop [[bpePairCounts]] counts
     * for: start from the character-split corpus [[vocabulary]], and
     * `nMerges` times (count adjacent symbol pairs weighted by collection

@@ -44,6 +44,20 @@ class BpeTrainSpec extends SparkSpec {
     assert(merges.count() == 0) // every pair occurs once
   }
 
+  test("bpeApplyMerges encodes with the ordered merge table (the " +
+       "trainer's inverse-direction half)") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val toks = Seq("newest", "widest", "low", "lower", "x").toDF("token")
+    val got = TextAnalysis.bpeApplyMerges(toks, merges).collect()
+      .map(r => r.getAs[String]("token") ->
+        r.getSeq[String](r.fieldIndex("pieces"))).toMap
+    assert(got("newest") == Seq("n", "e", "w", "est"))
+    assert(got("widest") == Seq("w", "i", "d", "est"))
+    assert(got("low") == Seq("low"))
+    assert(got("lower") == Seq("low", "e", "r"))
+    assert(got("x") == Seq("x"))
+  }
+
   test("bpeTrainOneRound applies exactly the trainer's first merge") {
     val firstMerge = TextAnalysis.trainBpeMerges(docs, nMerges = 1)
       .collect().head
