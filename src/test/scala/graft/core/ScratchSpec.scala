@@ -1,0 +1,28 @@
+package graft.core
+
+import graft.SparkSpec
+
+/** The rebalance contract: repartition up ONLY when the source plans fewer
+  * partitions than the session's parallelism — at real scale (many input
+  * splits) it must be the identity, adding no exchange to a big scan.
+  */
+class ScratchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rebalance is the identity when the scan already plans enough " +
+       "partitions") {
+    val wide = spark.range(1000).repartition(16).toDF("x")
+    assert(Scratch.rebalance(wide) eq wide) // same object, no new plan node
+  }
+
+  test("rebalance repartitions a compact single-partition source up to " +
+       "the session parallelism") {
+    val narrow = spark.range(1000).coalesce(1).toDF("x")
+    val out = Scratch.rebalance(narrow)
+    assert(!(out eq narrow))
+    assert(out.rdd.getNumPartitions ==
+      spark.sparkContext.defaultParallelism)
+    // same rows, only redistributed
+    assert(out.as[Long].collect().sorted.sameElements(0L until 1000L))
+  }
+}
