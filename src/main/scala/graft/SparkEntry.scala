@@ -462,6 +462,33 @@ object SparkEntry {
         .select(col("il"), col("xl"),
           Sources.parseRawHeaderField(col("samples"), 0).as("pk"))
     }),
+    // the STANDARD rev-1 stack under the same identity: 240-byte headers
+    // at spec offsets, self-describing binary-header geometry, and the
+    // IBM32 encode->decode kernel pair all sit on the byte path, so the
+    // hash only matches if every layer is exact (partkey <= 2^21 is
+    // IBM32-exact by construction)
+    "q_segy_std_roundtrip" -> ((s, d) => {
+      import graft.`export`.{SegyExport, SegyHeaders}
+      import graft.sources.SegyRead
+      import SegyRead.StandardFields.{Crossline, Inline}
+      val src = lineitem(s, d).select(
+        col("l_orderkey").cast("int").as("il"),
+        col("l_linenumber").cast("int").as("xl"),
+        array(col("l_partkey").cast("float")).as("v"))
+      val records = SegyExport.serializeStandardTraces(
+        src.orderBy("il", "xl")
+          .withColumn("samples", SegyExport.ibmPayload(col("v"), 1)),
+        Seq(Inline -> "il", Crossline -> "xl"), "samples")
+      val f = graft.core.TempDirs.scratch("segy_std_rt") + "/rt.sgy"
+      SegyExport.writeSegy(records, f,
+        SegyHeaders.sanitizeTextHeader(Seq("C 1 GRAFT STANDARD ROUNDTRIP")),
+        SegyExport.standardBinaryHeader(nSamples = 1, sampleInterval = 2000,
+          formatCode = 1))
+      SegyRead.readStandardTraces(s, f, Seq(Inline, Crossline))
+        .select(col("inline").as("il"), col("crossline").as("xl"),
+          element_at(SegyRead.ibmSamples(col("samples"), 1), 1)
+            .cast("long").as("pk"))
+    }),
     // native codegen'd IBM hex-float decode over synthesized bit patterns
     "q_ibm_decode" -> ((s, d) => {
       import graft.functions.IbmFloatDecode
@@ -1447,6 +1474,12 @@ object SparkEntry {
     // byte-path identity: the reader must hand back exactly the projection
     // the writer serialized
     "q_segy_roundtrip" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS il,
+        |  CAST(l_linenumber AS BIGINT) AS xl,
+        |  CAST(l_partkey AS BIGINT) AS pk
+        |FROM lineitem""".stripMargin,
+    // the standard-layout stack must reproduce the same projection
+    "q_segy_std_roundtrip" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS il,
         |  CAST(l_linenumber AS BIGINT) AS xl,
         |  CAST(l_partkey AS BIGINT) AS pk
