@@ -1,0 +1,23 @@
+package graft
+
+/** The correctness-gate contract: every registered query carries oracle
+  * SQL (a key in one map but not the other silently downgrades the
+  * driver's check to rows-only — this spec makes that drift a failure).
+  */
+class RegistrySpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("queries and oracleSql cover exactly the same names") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((o -- q).isEmpty, s"oracle entries without a query: ${o -- q}")
+    assert((q -- o).isEmpty, s"queries without oracle SQL: ${q -- o}")
+  }
+
+  test("query names are well-formed and oracle SQL non-empty") {
+    SparkEntry.queries.keys.foreach(n =>
+      assert(n.matches("q_[a-z0-9_]+"), s"odd query name: $n"))
+    SparkEntry.oracleSql.foreach { case (n, sql) =>
+      assert(sql.trim.nonEmpty, s"empty oracle SQL for $n")
+    }
+  }
+}
