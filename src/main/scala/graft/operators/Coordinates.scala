@@ -25,6 +25,18 @@ object Coordinates {
     if (scalar < 0) c / math.abs(scalar).toDouble else c * scalar.toDouble
   }
 
+  /** P8 with a PER-TRACE scalar column — the shape the standard byte
+    * reader produces ([[graft.sources.SegyRead.StandardFields.CoordScalar]]
+    * surfaces header bytes 71-72 per trace). Same convention; a zero
+    * scalar means "not set" in real files and applies as 1 (the rev-1
+    * practice — the constant-scalar overload rejects 0 instead because a
+    * caller passing a literal 0 is a bug, not a file quirk).
+    */
+  def applyScalarCol(c: Column, scalar: Column): Column =
+    when(scalar < 0, c / abs(scalar).cast("double"))
+      .when(scalar > 0, c * scalar.cast("double"))
+      .otherwise(c.cast("double"))
+
   /** C1: one coordinate value per cell = value on the first-ordered row. */
   def populateCoordinate(df: DataFrame, cellDims: Seq[String], coordCol: String,
                          orderKey: String, scalar: Int = 1): DataFrame = {

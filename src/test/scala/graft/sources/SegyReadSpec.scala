@@ -251,6 +251,29 @@ class SegyReadSpec extends SparkSpec {
     }
   }
 
+  test("per-trace coordinate scalar composes with the standard reader " +
+       "(negative divides, zero applies as 1)") {
+    import SegyRead.StandardFields._
+    def t(cdpX: Int, scalar: Short): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(240 + 4)
+      b.putShort(70, scalar); b.putInt(180, cdpX)
+      b.array()
+    }
+    val bin = java.nio.ByteBuffer.allocate(400)
+    bin.putShort(20, 1.toShort); bin.putShort(24, 5.toShort)
+    val out = Files.createTempDirectory("segysc").toString + "/sc.sgy"
+    val os = Files.newOutputStream(Paths.get(out))
+    try {
+      os.write(new Array[Byte](3200)); os.write(bin.array())
+      os.write(t(1234500, -100)); os.write(t(7, 10)); os.write(t(42, 0))
+    } finally os.close()
+    val got = SegyRead.readStandardTraces(spark, out, Seq(CdpX, CoordScalar))
+      .withColumn("x", graft.operators.Coordinates.applyScalarCol(
+        col("cdp_x"), col("coord_scalar")))
+      .orderBy("trace_index").collect().map(_.getAs[Double]("x"))
+    assert(got.toSeq == Seq(12345.0, 70.0, 42.0))
+  }
+
   test("standardInfo rejects unsupported sample format codes") {
     val bin = java.nio.ByteBuffer.allocate(400)
     bin.putShort(20, 3.toShort)
