@@ -347,17 +347,23 @@ object TextAnalysis {
   }
 
   /** BPE ENCODE: apply an ORDERED merge table to a token column — the
-    * tokenizer's inference half. Each token rides as a chr(1)-delimited
-    * symbol string and every merge is one non-regex `replace` pass
-    * (left-to-right, non-overlapping — Java and SQL replace semantics ARE
-    * the BPE merge fold once delimiters pin the symbol boundaries), so the
-    * whole encode is chained codegen'd string ops: no per-token loop, no
-    * UDF, and the DuckDB oracle replays it exactly.
+    * tokenizer's inference half. Each token rides as a symbol string whose
+    * boundaries (both ends included) are DOUBLED chr(1) delimiters, and
+    * every merge is one non-regex `replace` pass. The doubling is what
+    * makes a single left-to-right replace equal the trainer's greedy fold:
+    * the pattern `d a d d b d` consumes ONE delimiter from each side of
+    * the pair, leaving the other available to an immediately adjacent
+    * occurrence — so back-to-back matches ("banana" with (a,n), "aaaa"
+    * with (a,a)) merge exactly like [[trainBpeMerges]]'s fold instead of
+    * being skipped at the shared boundary. No merged symbol can re-match
+    * its own pattern (a+b is a different whole symbol than a or b), so one
+    * pass per merge IS the fixpoint. Chained codegen'd string ops: no
+    * per-token loop, no UDF, and the DuckDB oracle replays it exactly.
     *
     * The expression chain grows with the merge table, so this shape suits
-    * demo/analysis vocabularies (≤ ~1000 merges); a production 32k-merge
-    * encoder belongs in a dedicated kernel expression with the table as a
-    * literal array — same algorithm, one expression node.
+    * demo/analysis vocabularies (≤ ~1000 merges); the production 32k-merge
+    * encoder is the BpeEncode kernel expression — one codegen node
+    * carrying the table, same fold semantics.
     */
   def bpeApplyMerges(tokens: DataFrame, merges: Seq[(String, String)],
                      tokenCol: String = "token"): DataFrame = {
@@ -367,9 +373,11 @@ object TextAnalysis {
     require(merges.forall { case (a, b) =>
       a.nonEmpty && b.nonEmpty && !(a + b).contains(d) },
       "merge symbols must be non-empty and delimiter-free")
-    val s0 = concat(lit(d), regexp_replace(col(tokenCol), "(.)", "$1" + d))
+    val s0 = concat(regexp_replace(col(tokenCol), "(.)", d + d + "$1"),
+      lit(d + d))
     val sN = merges.foldLeft(s0) { case (s, (a, b)) =>
-      call_function("replace", s, lit(d + a + d + b + d), lit(d + a + b + d))
+      call_function("replace", s,
+        lit(d + a + d + d + b + d), lit(d + a + b + d))
     }
     tokens.withColumn("pieces", filter(split(sN, d), p => p =!= ""))
   }

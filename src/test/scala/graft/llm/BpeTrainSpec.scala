@@ -58,6 +58,58 @@ class BpeTrainSpec extends SparkSpec {
     assert(got("x") == Seq("x"))
   }
 
+  test("bpeApplyMerges merges back-to-back pair occurrences like the " +
+       "trainer's fold (shared-boundary adjacency)") {
+    // 'banana' with (a,n): occurrences at positions 1 and 3 share the
+    // boundary after the first 'n' — a single-delimiter replace pattern
+    // would consume it and skip the second site, yielding [b,an,a,n,a]
+    val toks = Seq("banana", "abab", "nana").toDF("token")
+    val got = TextAnalysis.bpeApplyMerges(toks, Seq(("a", "n"))).collect()
+      .map(r => r.getAs[String]("token") ->
+        r.getSeq[String](r.fieldIndex("pieces"))).toMap
+    assert(got("banana") == Seq("b", "an", "an", "a"))
+    assert(got("nana") == Seq("n", "an", "a"))
+    val ab = TextAnalysis.bpeApplyMerges(toks, Seq(("a", "b"))).collect()
+      .map(r => r.getAs[String]("token") ->
+        r.getSeq[String](r.fieldIndex("pieces"))).toMap
+    assert(ab("abab") == Seq("ab", "ab"))
+  }
+
+  test("bpeApplyMerges handles equal-symbol pairs with leftmost-greedy " +
+       "grouping (runs of the same char)") {
+    val toks = Seq("aaaa", "aaaaaa", "aaa").toDF("token")
+    val got = TextAnalysis.bpeApplyMerges(toks, Seq(("a", "a"))).collect()
+      .map(r => r.getAs[String]("token") ->
+        r.getSeq[String](r.fieldIndex("pieces"))).toMap
+    assert(got("aaaa") == Seq("aa", "aa"))
+    assert(got("aaaaaa") == Seq("aa", "aa", "aa"))
+    assert(got("aaa") == Seq("aa", "a"))
+  }
+
+  test("bpeApplyMerges agrees with the merge table its own trainer " +
+       "produced on an adjacency-heavy corpus") {
+    val d = Seq((1L, "banana banana nananana anan")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(d, nMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val toks = Seq("banana", "nananana", "anan").toDF("token")
+    val enc = TextAnalysis.bpeApplyMerges(toks, merges).collect()
+      .map(r => r.getAs[String]("token") ->
+        r.getSeq[String](r.fieldIndex("pieces"))).toMap
+    // exact reference: the trainer's greedy left-to-right fold, per merge
+    def fold(tok: String): Seq[String] =
+      merges.foldLeft(tok.map(_.toString): Seq[String]) {
+        case (syms, (a, b)) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+      }
+    Seq("banana", "nananana", "anan").foreach { t =>
+      assert(enc(t) == fold(t), s"$t: got ${enc(t)}, fold says ${fold(t)}")
+    }
+  }
+
   test("bpeTrainOneRound applies exactly the trainer's first merge") {
     val firstMerge = TextAnalysis.trainBpeMerges(docs, nMerges = 1)
       .collect().head
