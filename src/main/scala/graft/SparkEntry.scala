@@ -298,10 +298,12 @@ object SparkEntry {
       TextAnalysis.blocklistFilter(documents(s, d),
           Seq("slow", "stale", "legacy"), maxHits = 2)
         .select("doc_id", "n_blocked", "blocked")),
-    // LSH-tier recall QC: banded candidates vs exact corpus-wide Jaccard
-    // truth at the same threshold (run on a sample at scale)
+    // LSH-tier recall QC: banded candidates vs exact Jaccard truth at the
+    // same threshold; the quadratic exact arm runs on a deterministic
+    // md5-bucket half-sample so the registered plan is bounded at scale,
+    // while the LSH arm stays the full-corpus production candidate join
     "q_neardup_recall" -> ((s, d) =>
-      Dedup.nearDupRecall(documents(s, d))),
+      Dedup.nearDupRecall(documents(s, d), sampleFraction = 0.5)),
     // winnowing (MOSS) partial-overlap pairs: window-min char-gram
     // fingerprints, df-capped inverted self-join; minShared = 32 is the
     // real-overlap band on this fixture (word-salad text shares many
@@ -1205,7 +1207,7 @@ object SparkEntry {
         |  len(list_filter(toks, t -> t IN ('slow', 'stale', 'legacy'))) > 2
         |    AS blocked
         |FROM t""".stripMargin,
-    "q_neardup_recall" -> OracleSqlGen.nearDupRecallSql(),
+    "q_neardup_recall" -> OracleSqlGen.nearDupRecallSql(sampleFraction = 0.5),
     "q_winnow_pairs" -> OracleSqlGen.winnowPairsSql(minShared = 32),
     "q_gram_lm" ->
       """WITH nm AS (SELECT doc_id,
