@@ -491,6 +491,35 @@ object SparkEntry {
           element_at(SegyRead.ibmSamples(col("samples"), 1), 1)
             .cast("long").as("pk"))
     }),
+    // format-3 (int16) standard roundtrip — what real field data ships:
+    // three signed int16 samples per trace packed/decoded by the native
+    // BeIntAt kernel family, negatives included, overflow-checked on write
+    "q_segy_fmt3_roundtrip" -> ((s, d) => {
+      import graft.`export`.{SegyExport, SegyHeaders}
+      import graft.sources.SegyRead
+      import SegyRead.StandardFields.{Crossline, Inline}
+      val src = lineitem(s, d).select(
+        col("l_orderkey").cast("int").as("il"),
+        col("l_linenumber").cast("int").as("xl"),
+        array((col("l_partkey") % 20000 - 10000).cast("int"),
+          (-(col("l_partkey") % 20000) + 10000).cast("int"),
+          (col("l_orderkey") % 100).cast("int")).as("v"))
+      val records = SegyExport.serializeStandardTraces(
+        src.orderBy("il", "xl")
+          .withColumn("samples", SegyExport.intPayload(col("v"), 3, formatCode = 3)),
+        Seq(Inline -> "il", Crossline -> "xl"), "samples")
+      val f = graft.core.TempDirs.scratch("segy_fmt3_rt") + "/rt.sgy"
+      SegyExport.writeSegy(records, f,
+        SegyHeaders.sanitizeTextHeader(Seq("C 1 GRAFT FORMAT-3 ROUNDTRIP")),
+        SegyExport.standardBinaryHeader(nSamples = 3, sampleInterval = 2000,
+          formatCode = 3))
+      val dec = SegyRead.intSamples(col("samples"), 3, formatCode = 3)
+      SegyRead.readStandardTraces(s, f, Seq(Inline, Crossline))
+        .select(col("inline").as("il"), col("crossline").as("xl"),
+          element_at(dec, 1).cast("long").as("s1"),
+          element_at(dec, 2).cast("long").as("s2"),
+          element_at(dec, 3).cast("long").as("s3"))
+    }),
     // native codegen'd IBM hex-float decode over synthesized bit patterns
     "q_ibm_decode" -> ((s, d) => {
       import graft.functions.IbmFloatDecode
@@ -1485,6 +1514,15 @@ object SparkEntry {
       """SELECT CAST(l_orderkey AS BIGINT) AS il,
         |  CAST(l_linenumber AS BIGINT) AS xl,
         |  CAST(l_partkey AS BIGINT) AS pk
+        |FROM lineitem""".stripMargin,
+    // int16 samples survive the pack->file->decode path exactly, sign bit
+    // included
+    "q_segy_fmt3_roundtrip" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS il,
+        |  CAST(l_linenumber AS BIGINT) AS xl,
+        |  CAST(l_partkey % 20000 - 10000 AS BIGINT) AS s1,
+        |  CAST(-(l_partkey % 20000) + 10000 AS BIGINT) AS s2,
+        |  CAST(l_orderkey % 100 AS BIGINT) AS s3
         |FROM lineitem""".stripMargin,
     "q_ibm_decode" ->
       """WITH b AS (SELECT l_orderkey,

@@ -64,23 +64,50 @@ object SegyExport {
           s"${a.name} and ${b.name} overlap in the 240-byte header")
       case _ =>
     }
-    def beBytes(c: Column, bytes: Int): Column =
-      call_function("to_binary",
-        lpad(hex(c.cast("bigint").bitwiseAND(lit((1L << (bytes * 8)) - 1))),
-          bytes * 2, "0"),
-        lit("hex"))
     val pieces = scala.collection.mutable.ArrayBuffer.empty[Column]
     var pos = 1 // 1-based next unwritten header byte
     sorted.foreach { case (f, c) =>
       if (f.byteOffset > pos)
         pieces += lit(Array.fill[Byte](f.byteOffset - pos)(0))
-      pieces += beBytes(col(c), f.bytes)
+      pieces += beBytes(col(c), f.bytes, f.name)
       pos = f.byteOffset + f.bytes
     }
     if (pos <= 240) pieces += lit(Array.fill[Byte](241 - pos)(0))
     df.withColumn("trace_record",
         concat((pieces :+ col(samplesCol).cast("binary")).toSeq: _*))
       .withColumn("record_len", octet_length(col("trace_record")).cast("long"))
+  }
+
+  /** A value packed as a `bytes`-wide big-endian word, failing LOUDLY on
+    * overflow: a value outside the field's range would otherwise wrap
+    * silently under the width mask (70000 in a 2-byte slot reads back as
+    * 4464) — the one writer hazard no downstream check can catch. The
+    * accepted range spans both interpretations a reader may use,
+    * [−2^(8b−1), 2^(8b)−1]: signed for coordinates/scalars, unsigned for
+    * counts (mirroring [[graft.sources.SegyRead.HeaderField]]'s split).
+    */
+  private def beBytes(c: Column, bytes: Int, name: String): Column = {
+    val lo = -(1L << (bytes * 8 - 1))
+    val hi = (1L << (bytes * 8)) - 1
+    val v = c.cast("bigint")
+    val checked = when(
+      assert_true(v.between(lo, hi),
+        format_string(s"$name value %d overflows the $bytes-byte header field " +
+          s"(range $lo..$hi)", v)).isNull, v)
+    call_function("to_binary",
+      lpad(hex(checked.bitwiseAND(lit(hi))), bytes * 2, "0"), lit("hex"))
+  }
+
+  /** Integer sample payload (SEG-Y formats 2=int32, 3=int16, 8=int8): each
+    * sample packed big-endian at its width, overflow-checked — the encode
+    * inverse of [[graft.sources.SegyRead.intSamples]].
+    */
+  def intPayload(samples: Column, nSamples: Int, formatCode: Int): Column = {
+    require(formatCode == 2 || formatCode == 3 || formatCode == 8,
+      s"intPayload packs formats 2/3/8, got $formatCode (use ibmPayload for 1)")
+    val w = graft.sources.SegyRead.bytesPerSample(formatCode)
+    concat((1 to nSamples).map(i =>
+      beBytes(element_at(samples, i), w, s"sample_$i")): _*)
   }
 
   /** Format-1 sample payload: each float IBM32-encoded by the native

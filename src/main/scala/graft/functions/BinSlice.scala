@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
+
+/** Big-endian integer at a byte offset of a binary column — the word decode
+  * of the SEG-Y byte reader ([[graft.sources.SegyRead]]), as a NATIVE
+  * Catalyst expression. The previous decode path round-tripped every word
+  * through `conv(hex(substring(...)))` — two transient strings per sample
+  * word; this expression reads the bytes directly inside the generated loop
+  * (an array index and three shifts for a 4-byte word).
+  *
+  * `width` ∈ {1, 2, 4} and `signed` are compile-time properties of the file
+  * layout (SEG-Y sample formats 8/3/2 and the 2-/4-byte header fields;
+  * reference geometry in `segy/file.py:152-186`), so they are case-class
+  * fields, not child expressions — the codegen specializes per width.
+  */
+object BeIntAt {
+  /** Scalar decode, shared by interpreted eval and tests. */
+  def decode(bytes: Array[Byte], off: Int, width: Int, signed: Boolean): Int = {
+    var v = 0
+    var i = 0
+    while (i < width) { v = (v << 8) | (bytes(off + i) & 0xff); i += 1 }
+    if (signed && width < 4) {
+      val shift = 32 - 8 * width
+      (v << shift) >> shift
+    } else v
+  }
+
+  def apply(bin: Column, pos: Column, width: Int, signed: Boolean = true): Column =
+    ColumnBridge.column(BeIntAtExpr(
+      ColumnBridge.expression(bin), ColumnBridge.expression(pos), width, signed))
+}
+
+final case class BeIntAtExpr(bin: Expression, pos: Expression,
+                             width: Int, signed: Boolean)
+    extends BinaryExpression with Serializable {
+  require(width == 1 || width == 2 || width == 4,
+    s"big-endian int width must be 1, 2 or 4 bytes, got $width")
+
+  override def left: Expression = bin
+  override def right: Expression = pos
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (bin.dataType == BinaryType && pos.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"be_int_at expects (binary, int), got (${bin.dataType}, ${pos.dataType})")
+  }
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "be_int_at"
+
+  override protected def nullSafeEval(b: Any, p: Any): Any =
+    BeIntAt.decode(b.asInstanceOf[Array[Byte]], p.asInstanceOf[Int], width, signed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, p) => {
+      // unrolled per-width big-endian assembly straight off the byte array
+      val raw = width match {
+        case 4 => s"((($b[$p] & 0xff) << 24) | (($b[$p + 1] & 0xff) << 16) | " +
+          s"(($b[$p + 2] & 0xff) << 8) | ($b[$p + 3] & 0xff))"
+        case 2 =>
+          if (signed) s"(int)(short)((($b[$p] & 0xff) << 8) | ($b[$p + 1] & 0xff))"
+          else s"((($b[$p] & 0xff) << 8) | ($b[$p + 1] & 0xff))"
+        case 1 =>
+          if (signed) s"(int)$b[$p]" else s"($b[$p] & 0xff)"
+      }
+      s"${ev.value} = $raw;"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BeIntAtExpr =
+    copy(bin = newLeft, pos = newRight)
+}

@@ -134,16 +134,14 @@ object SegyRead {
         val end = math.min(start + perSplit, info.nTraces)
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(confSer.value)
         val in = fs.open(new org.apache.hadoop.fs.Path(path))
+        val close = registerStreamClose(in)
         in.seek(DataOffset + start * recordLen)
         val buf = new Array[Byte](recordLen.toInt)
-        // CompletionIterator-free close: the iterator owns the stream and
-        // closes it when its range is exhausted (Spark always drains
-        // flatMap iterators or fails the task, which tears the JVM down)
         new Iterator[Row] {
           private var i = start
           def hasNext: Boolean = {
             val more = i < end
-            if (!more && in != null) in.close()
+            if (!more) close()
             more
           }
           def next(): Row = {
@@ -167,6 +165,23 @@ object SegyRead {
     spark.createDataFrame(rows, schema)
   }
 
+  /** Close-on-task-completion for a split's input stream: an iterator that
+    * closes only on exhaustion leaks the handle when the consumer stops
+    * early (`limit`/`take` don't drain, and an exception in `next()` skips
+    * the drain entirely) — one open file per task on a long-lived executor.
+    * Registering a TaskCompletionListener ties the close to the task
+    * lifecycle instead; the returned thunk also closes eagerly (idempotent)
+    * when the iterator does drain, so well-behaved scans release the handle
+    * as soon as their range ends rather than at task end.
+    */
+  private def registerStreamClose(in: java.io.Closeable): () => Unit = {
+    val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val close = () => if (closed.compareAndSet(false, true)) in.close()
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+    close
+  }
+
   /** Decode an IBM32 sample payload to `array<float>` with the native
     * [[graft.functions.IbmFloat32]] kernel — one codegen'd decode per
     * 4-byte word, no UDF. `nSamples` is fixed per file (SEG-Y records are
@@ -183,20 +198,53 @@ object SegyRead {
     transform(sequence(lit(0), lit(nSamples - 1)),
       i => graft.functions.IeeeFloat32Decode(beInt(payload, i)))
 
-  /** Signed big-endian 32-bit word `i` (0-based) of a binary column. */
-  private def beInt(bin: Column, i: Column): Column = {
-    val u = conv(hex(substring(bin, i * 4 + 1, lit(4))), 16, 10).cast("long")
-    when(u > Int.MaxValue.toLong, u - 0x100000000L).otherwise(u).cast("int")
+  /** Decode an integer sample payload (SEG-Y formats 2=int32, 3=int16,
+    * 8=int8) to `array<int>` — signed big-endian words read natively by
+    * [[graft.functions.BeIntAt]], one codegen'd array index per sample.
+    * Real field data very often ships format 3; the reference gets these
+    * from the `segy` package's transforms (`segy/file.py:152-186`).
+    */
+  def intSamples(payload: Column, nSamples: Int, formatCode: Int): Column = {
+    require(formatCode == 2 || formatCode == 3 || formatCode == 8,
+      s"intSamples decodes formats 2/3/8, got $formatCode (use ibmSamples/ieeeSamples for 1/5)")
+    val w = bytesPerSample(formatCode)
+    transform(sequence(lit(0), lit(nSamples - 1)),
+      i => graft.functions.BeIntAt(payload, (i * w).cast("int"), w))
   }
+
+  /** Decode any supported sample format to its natural element type:
+    * `array<float>` for 1 (IBM32) and 5 (IEEE32), `array<int>` for
+    * 2/3/8 — the per-format dispatch a standard-layout open path needs
+    * once [[standardInfo]] has read the format code.
+    */
+  def decodeSamples(payload: Column, nSamples: Int, formatCode: Int): Column =
+    formatCode match {
+      case 1 => ibmSamples(payload, nSamples)
+      case 5 => ieeeSamples(payload, nSamples)
+      case 2 | 3 | 8 => intSamples(payload, nSamples, formatCode)
+      case c => throw new IllegalArgumentException(
+        s"unsupported SEG-Y sample format code $c (supported: 1, 2, 3, 5, 8)")
+    }
+
+  /** Signed big-endian 32-bit word `i` (0-based) of a binary column —
+    * native byte access ([[graft.functions.BeIntAt]]), no hex-string
+    * round-trip.
+    */
+  private def beInt(bin: Column, i: Column): Column =
+    graft.functions.BeIntAt(bin, (i * 4).cast("int"), 4)
 
   // ---------------------------------------------- standard rev-1 layout
 
   /** A trace-header field in the STANDARD 240-byte header: 2- or 4-byte
-    * big-endian signed int at a 1-based byte offset — the public SEG-Y
-    * rev-1 layout the reference's header specs describe
-    * (`segy` package `HeaderField` entries).
+    * big-endian int at a 1-based byte offset — the public SEG-Y rev-1
+    * layout the reference's header specs describe (`segy` package
+    * `HeaderField` entries). Fields default to signed (coordinates,
+    * scalars); count-like fields (n_samples, sample_interval) set
+    * `unsigned` so values above 32767 don't read negative — matching how
+    * [[standardInfo]] reads the binary-header sample count.
     */
-  final case class HeaderField(name: String, byteOffset: Int, bytes: Int) {
+  final case class HeaderField(name: String, byteOffset: Int, bytes: Int,
+                               unsigned: Boolean = false) {
     require(bytes == 2 || bytes == 4, s"$name: header ints are 2 or 4 bytes")
     require(byteOffset >= 1 && byteOffset + bytes - 1 <= 240,
       s"$name: bytes $byteOffset..${byteOffset + bytes - 1} outside the 240-byte header")
@@ -218,8 +266,8 @@ object SegyRead {
     val SourceY = HeaderField("source_y", 77, 4)
     val GroupX = HeaderField("group_x", 81, 4)
     val GroupY = HeaderField("group_y", 85, 4)
-    val NSamples = HeaderField("n_samples", 115, 2)
-    val SampleInterval = HeaderField("sample_interval", 117, 2)
+    val NSamples = HeaderField("n_samples", 115, 2, unsigned = true)
+    val SampleInterval = HeaderField("sample_interval", 117, 2, unsigned = true)
     val CdpX = HeaderField("cdp_x", 181, 4)
     val CdpY = HeaderField("cdp_y", 185, 4)
     val Inline = HeaderField("inline", 189, 4)
@@ -296,7 +344,7 @@ object SegyRead {
       if (tracesPerSplit > 0) tracesPerSplit.toLong
       else math.max(1L, (128L << 20) / recordLen)
     val nSplits = ((info.base.nTraces + perSplit - 1) / perSplit).toInt
-    val specs = fields.map(f => (f.byteOffset - 1, f.bytes)).toArray
+    val specs = fields.map(f => (f.byteOffset - 1, f.bytes, f.unsigned)).toArray
     val nFields = specs.length
     val nTraces = info.base.nTraces
     val confSer = new org.apache.spark.util.SerializableConfiguration(
@@ -315,13 +363,14 @@ object SegyRead {
         val end = math.min(start + perSplit, nTraces)
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(confSer.value)
         val in = fs.open(new org.apache.hadoop.fs.Path(path))
+        val close = registerStreamClose(in)
         in.seek(DataOffset + start * recordLen)
         val buf = new Array[Byte](recordLen.toInt)
         new Iterator[Row] {
           private var i = start
           def hasNext: Boolean = {
             val more = i < end
-            if (!more && in != null) in.close()
+            if (!more) close()
             more
           }
           def next(): Row = {
@@ -330,13 +379,16 @@ object SegyRead {
             vals(0) = i
             var f = 0
             while (f < nFields) {
-              val (o, w) = (specs(f)._1, specs(f)._2)
+              val (o, w, uns) = (specs(f)._1, specs(f)._2, specs(f)._3)
               vals(1 + f) =
-                if (w == 4)
-                  (((buf(o) & 0xff) << 24) | ((buf(o + 1) & 0xff) << 16) |
-                    ((buf(o + 2) & 0xff) << 8) | (buf(o + 3) & 0xff)).toLong
-                else // signed 16-bit
-                  (((buf(o) & 0xff) << 8) | (buf(o + 1) & 0xff)).toShort.toLong
+                if (w == 4) {
+                  val v = ((buf(o) & 0xff) << 24) | ((buf(o + 1) & 0xff) << 16) |
+                    ((buf(o + 2) & 0xff) << 8) | (buf(o + 3) & 0xff)
+                  if (uns) v.toLong & 0xffffffffL else v.toLong
+                } else { // 16-bit: signed by default, unsigned for counts
+                  val v = ((buf(o) & 0xff) << 8) | (buf(o + 1) & 0xff)
+                  if (uns) v.toLong else v.toShort.toLong
+                }
               f += 1
             }
             vals(1 + nFields) = java.util.Arrays.copyOfRange(buf, 240, recordLen.toInt)

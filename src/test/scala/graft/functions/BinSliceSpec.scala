@@ -1,0 +1,43 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BinSliceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("BeIntAt.decode assembles signed/unsigned big-endian words") {
+    val b = Array[Byte](0x80.toByte, 0x01, 0xff.toByte, 0xfe.toByte)
+    assert(BeIntAt.decode(b, 0, 4, signed = true) == 0x8001fffe)
+    assert(BeIntAt.decode(b, 0, 2, signed = true) == -32767)
+    assert(BeIntAt.decode(b, 0, 2, signed = false) == 0x8001)
+    assert(BeIntAt.decode(b, 2, 2, signed = true) == -2)
+    assert(BeIntAt.decode(b, 2, 2, signed = false) == 0xfffe)
+    assert(BeIntAt.decode(b, 0, 1, signed = true) == -128)
+    assert(BeIntAt.decode(b, 0, 1, signed = false) == 128)
+    assert(BeIntAt.decode(b, 1, 1, signed = true) == 1)
+  }
+
+  test("BeIntAt expression matches the scalar decode under codegen") {
+    val bytes = Array[Byte](0x12, 0x34, 0x80.toByte, 0xff.toByte, 0x00, 0x7f)
+    val df = Seq(Tuple1(bytes)).toDF("b")
+    val got = df.select(
+      BeIntAt(col("b"), lit(0), 4).as("w4"),
+      BeIntAt(col("b"), lit(2), 2).as("w2s"),
+      BeIntAt(col("b"), lit(2), 2, signed = false).as("w2u"),
+      BeIntAt(col("b"), lit(3), 1).as("w1s"),
+      BeIntAt(col("b"), lit(3), 1, signed = false).as("w1u")).collect().head
+    assert(got.getInt(0) == 0x123480ff)
+    assert(got.getInt(1) == BeIntAt.decode(bytes, 2, 2, signed = true))
+    assert(got.getInt(2) == 0x80ff)
+    assert(got.getInt(3) == -1)
+    assert(got.getInt(4) == 255)
+  }
+
+  test("BeIntAt rejects widths outside {1, 2, 4}") {
+    val e = intercept[IllegalArgumentException] {
+      BeIntAt(lit(Array[Byte](0, 0, 0)), lit(0), 3)
+    }
+    assert(e.getMessage.contains("width"))
+  }
+}

@@ -307,4 +307,105 @@ class SegyReadSpec extends SparkSpec {
     assert(row.getAs[Array[Byte]]("samples").toSeq ==
       Seq[Byte](0, 0, 0, 7))
   }
+
+  test("integer sample formats 2/3/8 round-trip through intPayload -> " +
+       "intSamples, negatives and width extremes included") {
+    import SegyRead.StandardFields._
+    // per format: values at the signed extremes of its width
+    val cases = Seq(
+      (2, Seq(Int.MaxValue, Int.MinValue, -1, 12345678)),
+      (3, Seq(32767, -32768, -1, 1234)),
+      (8, Seq(127, -128, -1, 42)))
+    cases.foreach { case (fmt, vals) =>
+      val df = Seq((7, 9, vals)).toDF("inline", "crossline", "v")
+      val records = SegyExport.serializeStandardTraces(
+        df.withColumn("samples", SegyExport.intPayload(col("v"), 4, fmt)),
+        Seq(Inline -> "inline", Crossline -> "crossline"), "samples")
+      val out = Files.createTempDirectory("segyint").toString + s"/f$fmt.sgy"
+      SegyExport.writeSegy(records, out, textLines,
+        SegyExport.standardBinaryHeader(nSamples = 4, sampleInterval = 1000,
+          formatCode = fmt))
+      val info = SegyRead.standardInfo(spark, out)
+      assert(info.formatCode == fmt && info.nSamples == 4)
+      val got = SegyRead.readStandardTraces(spark, out, Seq(Inline, Crossline))
+        .withColumn("v", SegyRead.decodeSamples(col("samples"), 4, fmt))
+        .collect().head
+      assert(got.getAs[Long]("inline") == 7L)
+      assert(got.getSeq[Int](got.fieldIndex("v")) == vals, s"format $fmt")
+    }
+  }
+
+  test("count-like trace-header fields decode unsigned: n_samples above " +
+       "32767 does not read negative") {
+    import SegyRead.StandardFields._
+    // 40000 fits the unsigned 2-byte range; the write-side overflow check
+    // accepts it and the read side must not sign-wrap it to -25536
+    val df = Seq((1, 2, 40000, 50000)).toDF("inline", "crossline", "ns", "si")
+    val records = SegyExport.serializeStandardTraces(
+      df.withColumn("samples", lit(Array[Byte](0, 0, 0, 0))),
+      Seq(Inline -> "inline", Crossline -> "crossline",
+        NSamples -> "ns", SampleInterval -> "si"), "samples")
+    val out = Files.createTempDirectory("segyuns").toString + "/u.sgy"
+    SegyExport.writeSegy(records, out, textLines,
+      SegyExport.standardBinaryHeader(nSamples = 1, sampleInterval = 1000,
+        formatCode = 2))
+    val got = SegyRead.readStandardTraces(spark, out,
+      Seq(Inline, NSamples, SampleInterval)).collect().head
+    assert(got.getAs[Long]("n_samples") == 40000L)
+    assert(got.getAs[Long]("sample_interval") == 50000L)
+  }
+
+  test("header-field overflow fails loudly instead of wrapping under the " +
+       "width mask") {
+    import SegyRead.StandardFields._
+    val df = Seq((1, 70000)).toDF("inline", "scl")
+    val e = intercept[Exception] {
+      SegyExport.serializeStandardTraces(
+        df.withColumn("samples", lit(Array[Byte](0))),
+        Seq(Inline -> "inline", CoordScalar -> "scl"), "samples")
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("coord_scalar value 70000 overflows")))
+  }
+
+  test("early-terminated scans (limit) close the split's file handle via " +
+       "the task-completion listener") {
+    val f = writeFile()
+    def openHandles: Int = {
+      val fdDir = new java.io.File("/proc/self/fd")
+      if (!fdDir.exists()) -1
+      else fdDir.listFiles().count { l =>
+        try java.nio.file.Files.readSymbolicLink(l.toPath).toString == f
+        catch { case _: Exception => false }
+      }
+    }
+    assume(openHandles >= 0, "/proc/self/fd not available")
+    // limit(1) stops consuming after one row: the iterator never drains,
+    // so only the listener can release the handle
+    val one = SegyRead.readTraces(spark, f, Seq("il", "xl"), 8,
+      tracesPerSplit = 1).limit(1).collect()
+    assert(one.length == 1)
+    assert(openHandles == 0, "open handle leaked past task completion")
+    val std = writeStdFile()
+    val oneStd = SegyRead.readStandardTraces(spark, std,
+      Seq(SegyRead.StandardFields.Inline), tracesPerSplit = 1)
+      .limit(1).collect()
+    assert(oneStd.length == 1)
+  }
+
+  private def writeStdFile(): String = {
+    import SegyRead.StandardFields._
+    val df = Seq((1, 2), (3, 4)).toDF("inline", "crossline")
+    val records = SegyExport.serializeStandardTraces(
+      df.withColumn("samples", lit(Array[Byte](0, 0))),
+      Seq(Inline -> "inline", Crossline -> "crossline"), "samples")
+    val out = Files.createTempDirectory("segylim").toString + "/s.sgy"
+    SegyExport.writeSegy(records, out, textLines,
+      SegyExport.standardBinaryHeader(nSamples = 1, sampleInterval = 1000,
+        formatCode = 3))
+    out
+  }
 }
