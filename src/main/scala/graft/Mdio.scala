@@ -59,13 +59,17 @@ object Mdio {
                      headerFields: Seq[String], sampleBytes: Int,
                      template: DatasetTemplate, overrides: GridOverrides,
                      path: String, ordinal: Seq[String], valueCol: String,
-                     decodeSamples: Column => Column): IngestPipeline.IngestResult = {
+                     decodeSamples: Column => Column,
+                     sparsityWarn: Double = 2.0, sparsityError: Double = 10.0,
+                     ignoreChecks: Boolean = false,
+                     rawHeaderFields: Seq[String] = Nil): IngestPipeline.IngestResult = {
     import org.apache.spark.sql.functions.col
     val traces = graft.sources.SegyRead
       .readTraces(spark, segyFile, headerFields, sampleBytes)
       .withColumn(valueCol, decodeSamples(col("samples")))
     IngestPipeline.ingest(spark, traces, template, overrides, path,
-      ordinal, valueCol)
+      ordinal, valueCol, sparsityWarn, sparsityError, ignoreChecks,
+      rawHeaderFields)
   }
 
   /** E1–E5: masked, globally ordered SEG-Y export of an open store. The

@@ -551,6 +551,64 @@ object SparkEntry {
       Seq((r.nTraces, r.nCells, traceMax, storeRows, r.stats.sum))
         .toDF("n_rows", "n_cells", "trace_max", "store_rows", "sum_val")
     }),
+    // the reference's ACTUAL segy_to_mdio entry point, oracle-gated end to
+    // end (converters/segy.py:44-80 -> ingestion/segy/pipeline.py:117-195):
+    // lineitem is serialized as a real SEG-Y byte file (header words +
+    // one BE-int32 cents sample), then Mdio.segyFileToMdio runs file bytes
+    // -> split-fanned header scan -> sample decode -> index strategies ->
+    // grid QC -> write-pass stats -> dim tables -> store; the row checks
+    // the pipeline result, the REOPENED store, and the dim tables against
+    // DuckDB over the same projection — every seam on one green row
+    "q_segy_file_ingest" -> ((s, d) => {
+      import s.implicits._
+      import graft.`export`.{SegyExport, SegyHeaders}
+      import graft.ingestion._
+      import graft.schema.DatasetTemplate
+      import graft.storage.MdioDataset
+      val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")
+      val src = lineitem(s, d).select(
+        col("l_suppkey").cast("int").as("il"),
+        col("l_partkey").cast("int").as("xl"),
+        col("l_orderkey").cast("int").as("ok"),
+        col("l_linenumber").cast("int").as("ln"),
+        cents.cast("int").as("cents"))
+      val withPay = src.withColumn("samples",
+        call_function("to_binary",
+          lpad(hex(col("cents").cast("bigint").bitwiseAND(0xFFFFFFFFL)), 8, "0"),
+          lit("hex")))
+      val records = SegyExport.serializeTraces(
+        withPay.orderBy("il", "xl", "ok", "ln"), Seq("il", "xl", "ok", "ln"),
+        "samples")
+      val f = graft.core.TempDirs.scratch("segy_file_ingest") + "/in.sgy"
+      SegyExport.writeSegy(records, f,
+        SegyHeaders.sanitizeTextHeader(Seq("C 1 GRAFT FILE INGEST")),
+        new Array[Byte](400))
+      val tmpl = DatasetTemplate("SegyFileGrid", "time",
+        Seq("il", "xl", "time"), Seq(8, 8, 512))
+      val path = graft.core.TempDirs.scratch("segy_file_ingest_store")
+      val r = Mdio.segyFileToMdio(s, f, Seq("il", "xl", "ok", "ln"),
+        sampleBytes = 4, tmpl, GridOverrides(hasDuplicates = true), path,
+        ordinal = Seq("ok", "ln"), valueCol = "cents",
+        decodeSamples = p => graft.functions.BeIntAt(p, lit(0), 4).cast("long"),
+        sparsityError = 1e9)
+      val ds = MdioDataset.open(s, path)
+      val chk = ds.df.agg(count(lit(1)).as("n"), max(col("trace")).as("m"),
+        sum(col("cents")).as("s")).first()
+      def dimStats(dim: String): (Long, Long, Long) = {
+        val row = s.read.parquet(s"$path/dims/$dim")
+          .agg(count(lit(1)), min(col("dim_value").cast("long")),
+            max(col("dim_value").cast("long"))).first()
+        (row.getLong(0), row.getLong(1), row.getLong(2))
+      }
+      val (ilCard, ilMin, ilMax) = dimStats("il")
+      val (xlCard, xlMin, xlMax) = dimStats("xl")
+      Seq((r.nTraces, r.nCells, chk.getLong(1), chk.getLong(0), r.stats.sum,
+        chk.getLong(2), ilCard, ilMin, ilMax, xlCard, xlMin, xlMax))
+        .toDF("n_rows", "n_cells", "trace_max", "store_rows", "sum_val",
+          "store_sum", "il_card", "il_min", "il_max", "xl_card", "xl_min",
+          "xl_max")
+    }),
     // the ingest-tail dim tables through the OVER-THE-GATE branch: the
     // cardinality gate drops to 1 so every dim skips the driver collect_set
     // and writes via the distributed distinct (writeDimDistributed) or the
@@ -1548,6 +1606,28 @@ object SparkEntry {
         |  CAST(CAST((SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))) FROM lineitem
         |    WHERE l_extendedprice IS NOT NULL AND l_extendedprice != 0) AS VARCHAR) AS DOUBLE)
         |    AS sum_val""".stripMargin,
+    // the file->pipeline->store composition must agree with DuckDB straight
+    // off parquet on every seam: counts, per-cell max, decimal-exact cents
+    // sums (pipeline stats AND reopened store), and the dim tables
+    "q_segy_file_ingest" ->
+      """WITH c AS (SELECT l_suppkey, l_partkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem),
+        |g AS (SELECT count(*) AS cnt FROM c GROUP BY l_suppkey, l_partkey)
+        |SELECT (SELECT count(*) FROM c) AS n_rows,
+        |  (SELECT count(*) FROM c) AS n_cells,
+        |  (SELECT max(cnt) FROM g) AS trace_max,
+        |  (SELECT count(*) FROM c) AS store_rows,
+        |  CAST(CAST((SELECT sum(CAST(cents AS DECIMAL(18,2))) FROM c
+        |    WHERE cents IS NOT NULL AND cents != 0) AS VARCHAR) AS DOUBLE)
+        |    AS sum_val,
+        |  (SELECT CAST(sum(cents) AS BIGINT) FROM c) AS store_sum,
+        |  (SELECT CAST(count(DISTINCT l_suppkey) AS BIGINT) FROM c) AS il_card,
+        |  (SELECT CAST(min(l_suppkey) AS BIGINT) FROM c) AS il_min,
+        |  (SELECT CAST(max(l_suppkey) AS BIGINT) FROM c) AS il_max,
+        |  (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) FROM c) AS xl_card,
+        |  (SELECT CAST(min(l_partkey) AS BIGINT) FROM c) AS xl_min,
+        |  (SELECT CAST(max(l_partkey) AS BIGINT) FROM c) AS xl_max""".stripMargin,
     "q_dims_distributed" ->
       """SELECT 'l_suppkey' AS dim_name, CAST(l_suppkey AS BIGINT) AS dim_value
         |FROM lineitem GROUP BY 2

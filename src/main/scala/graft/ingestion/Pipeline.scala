@@ -215,7 +215,11 @@ object IngestPipeline {
         .sortWithinPartitions(gridDims.map(col): _*)
     val observed = clustered.observe(obs,
       count(masked).as("n"),
-      min(masked).as("min_val"), max(masked).as("max_val"),
+      // cast: min/max keep the value column's native type, and an integer
+      // valueCol (e.g. int sample formats) must still land in the sidecar's
+      // double stats
+      min(masked).cast("double").as("min_val"),
+      max(masked).cast("double").as("max_val"),
       sum(xd).cast("string").cast("double").as("sum_val"),
       sum(xd * xd).cast("string").cast("double").as("sumsq_val"))
 
