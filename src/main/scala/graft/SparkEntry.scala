@@ -274,7 +274,10 @@ object SparkEntry {
       val merges = TextAnalysis.trainBpeMerges(docs, nMerges = 3)
         .orderBy("merge_rank").collect()
         .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
-      TextAnalysis.bpeApplyMerges(
+      // the PRODUCTION encoder (one kernel node carrying the table) under
+      // the chained-replace oracle: green only if the kernel's fold equals
+      // the SQL replay symbol-for-symbol
+      TextAnalysis.bpeEncode(
           TextAnalysis.vocabulary(docs).select("token", "cf"), merges)
         .select(col("token"), col("cf"),
           posexplode(col("pieces")).as(Seq("pos", "piece")))

@@ -382,6 +382,22 @@ object TextAnalysis {
     tokens.withColumn("pieces", filter(split(sN, d), p => p =!= ""))
   }
 
+  /** BPE ENCODE, production shape: the ordered merge table rides ONE
+    * codegen kernel node ([[graft.functions.BpeEncodeExpr]]) instead of one
+    * chained `replace` per merge — the plan is the same size at 32k merges
+    * as at 3. Symbol-for-symbol identical to [[bpeApplyMerges]] (both
+    * implement the trainer's left-to-right fold per merge in rank order);
+    * use the chained variant only where the DuckDB oracle must replay the
+    * exact SQL.
+    */
+  def bpeEncode(tokens: DataFrame, merges: Seq[(String, String)],
+                tokenCol: String = "token"): DataFrame = {
+    require(merges.forall { case (a, b) => a.nonEmpty && b.nonEmpty },
+      "merge symbols must be non-empty")
+    tokens.withColumn("pieces",
+      graft.functions.BpeEncode(col(tokenCol), merges))
+  }
+
   /** Distributed BPE training — the iterated loop [[bpePairCounts]] counts
     * for: start from the character-split corpus [[vocabulary]], and
     * `nMerges` times (count adjacent symbol pairs weighted by collection

@@ -126,4 +126,71 @@ class BpeTrainSpec extends SparkSpec {
     // symbols re-concatenate to the token for every row
     assert(byToken.forall { case (t, syms) => syms.mkString == t })
   }
+
+  test("BpeEncode kernel is symbol-for-symbol identical to the chained-" +
+       "replace encoder on every tricky shape") {
+    val merges = Seq(("a", "n"), ("a", "a"), ("an", "an"), ("e", "s"),
+      ("es", "t"), ("l", "o"), ("lo", "w"))
+    val toks = Seq("banana", "nana", "abab", "aaaa", "aaaaaa", "aaa",
+      "newest", "widest", "low", "lower", "x", "anananan").toDF("token")
+    val chained = TextAnalysis.bpeApplyMerges(toks, merges).collect()
+      .map(r => r.getAs[String]("token") ->
+        r.getSeq[String](r.fieldIndex("pieces"))).toMap
+    val kernel = TextAnalysis.bpeEncode(toks, merges).collect()
+      .map(r => r.getAs[String]("token") ->
+        r.getSeq[String](r.fieldIndex("pieces"))).toMap
+    chained.keys.foreach { t =>
+      assert(kernel(t) == chained(t),
+        s"$t: kernel ${kernel(t)} vs chained ${chained(t)}")
+    }
+    // back-to-back and equal-symbol groupings specifically
+    assert(kernel("banana") == Seq("b", "anan", "a"))
+    assert(kernel("aaaa") == Seq("aa", "aa"))
+  }
+
+  test("BpeEncode kernel handles a 10k-merge table in one plan node " +
+       "(size independent of merge count)") {
+    // 10k merges over a synthetic alphabet; only the first few ever apply,
+    // the rest exercise the presence-probe skip path
+    val real = Seq(("a", "b"), ("ab", "c"), ("abc", "d"))
+    val noise = (0 until 10000).map(i => (s"<$i>", s"[$i]"))
+    val merges = real ++ noise
+    val toks = Seq("abcd", "abab", "dcba", "xyz").toDF("token")
+    val enc = TextAnalysis.bpeEncode(toks, merges)
+    // plan text must not grow with the table: one bpe_encode node, no
+    // chained replaces
+    val plan = enc.queryExecution.analyzed.toString
+    assert(plan.contains("bpe_encode"))
+    assert(!plan.contains("replace("))
+    assert(plan.length < 10000, s"plan unexpectedly large: ${plan.length}")
+    val got = enc.collect().map(r => r.getAs[String]("token") ->
+      r.getSeq[String](r.fieldIndex("pieces"))).toMap
+    assert(got("abcd") == Seq("abcd"))
+    assert(got("abab") == Seq("ab", "ab"))
+    assert(got("dcba") == Seq("d", "c", "b", "a"))
+    assert(got("xyz") == Seq("x", "y", "z"))
+  }
+
+  test("BpeEncode kernel agrees with a trained table end to end " +
+       "(encode of the training corpus reproduces training segmentation)") {
+    val d = Seq((1L, "banana banana nananana anan")).toDF("doc_id", "text")
+    val merges = TextAnalysis.trainBpeMerges(d, nMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs"))).toSeq
+    val toks = Seq("banana", "nananana", "anan").toDF("token")
+    def fold(tok: String): Seq[String] =
+      merges.foldLeft(tok.map(_.toString): Seq[String]) {
+        case (syms, (a, b)) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+            else acc :+ x
+          }
+      }
+    val enc = TextAnalysis.bpeEncode(toks, merges).collect()
+      .map(r => r.getAs[String]("token") ->
+        r.getSeq[String](r.fieldIndex("pieces"))).toMap
+    Seq("banana", "nananana", "anan").foreach { t =>
+      assert(enc(t) == fold(t), s"$t: got ${enc(t)}, fold says ${fold(t)}")
+    }
+  }
 }
