@@ -139,6 +139,33 @@ object SparkEntry {
         "l_returnflag" -> Selection.Point("A"),
         "l_linenumber" -> Selection.Values(Seq(1, 2, 3)),
       ))),
+    // POSITIONAL selection (xarray isel): a store written WITHOUT the
+    // ingest pipeline (so the dim coordinate order derives from a distinct
+    // scan), then integer positions — a clamping slice, a position list,
+    // and a negative point — resolve to label predicates through the
+    // sorted coordinate tables; green only if position->label arithmetic
+    // matches DuckDB's row_number over the same distinct sets
+    "q_isel" -> ((s, d) => {
+      import graft.schema._
+      import graft.storage.MdioDataset
+      val path = graft.core.TempDirs.scratch("isel_store")
+      val li = lineitem(s, d).select("l_orderkey", "l_linenumber",
+        "l_suppkey", "l_returnflag", "l_quantity")
+      val schema = MdioSchema(
+        variables = Seq(Variable("l_quantity",
+          Seq("l_orderkey", "l_linenumber"), Left(ScalarType.Float64),
+          compressor = Some(Blosc()))),
+        metadata = DatasetMetadata("isel-slice", "1.0.0", "2026-01-01T00:00:00Z"))
+      MdioDataset.write(li, path, schema, sortDims = Seq("l_suppkey"))
+      MdioDataset.open(s, path)
+        .isel("l_suppkey" -> Selection.ISlice(3, 8),
+          "l_linenumber" -> Selection.IValues(Seq(0, 1, 2)),
+          "l_returnflag" -> Selection.IPoint(-1))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+    }),
     // --- P1/P2: projection ----------------------------------------------
     "q_proj" -> ((s, d) =>
       Projection.projectToSpec(lineitem(s, d),
@@ -1048,6 +1075,26 @@ object SparkEntry {
         |WHERE l_shipdate BETWEEN TIMESTAMP '1995-03-01 00:00:00'
         |    AND TIMESTAMP '1995-06-30 00:00:00'
         |  AND l_returnflag = 'A' AND l_linenumber IN (1, 2, 3)""".stripMargin,
+    // positions resolve through row_number over the same sorted distinct
+    // coordinate sets the engine's dim tables hold
+    "q_isel" ->
+      """WITH sk AS (SELECT l_suppkey,
+        |    row_number() OVER (ORDER BY l_suppkey) - 1 AS p
+        |  FROM (SELECT DISTINCT l_suppkey FROM lineitem)),
+        |ln AS (SELECT l_linenumber,
+        |    row_number() OVER (ORDER BY l_linenumber) - 1 AS p
+        |  FROM (SELECT DISTINCT l_linenumber FROM lineitem)),
+        |rf AS (SELECT l_returnflag,
+        |    row_number() OVER (ORDER BY l_returnflag) - 1 AS p,
+        |    count(*) OVER () AS n
+        |  FROM (SELECT DISTINCT l_returnflag FROM lineitem))
+        |SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_suppkey IN (SELECT l_suppkey FROM sk WHERE p >= 3 AND p < 8)
+        |  AND l_linenumber IN (SELECT l_linenumber FROM ln WHERE p IN (0, 1, 2))
+        |  AND l_returnflag IN (SELECT l_returnflag FROM rf WHERE p = n - 1)
+        |GROUP BY 1""".stripMargin,
     "q_proj" ->
       "SELECT l_linenumber, l_suppkey, l_orderkey, l_extendedprice FROM lineitem",
     "q_export_order" ->

@@ -223,6 +223,28 @@ final case class MdioDatasetHandle(df: DataFrame, schema: MdioSchema, path: Stri
   def sel(sels: (String, Selection.Sel)*): DataFrame =
     Selection.sel(df, sels.toMap)
 
+  /** POSITIONAL selection (xarray `isel`): integer positions along each
+    * dim's sorted coordinate order, resolved through the store's
+    * `dims/<dim>` table into label predicates — so an isel prunes row
+    * groups exactly like the equivalent sel. Stores written without the
+    * ingest pipeline have no dim tables; the coordinate order then derives
+    * from a distinct scan of the dim column (correct, one extra scan).
+    */
+  def isel(sels: (String, Selection.ISel)*): DataFrame = {
+    val spark = df.sparkSession
+    sels.foldLeft(df) { case (d, (dim, is)) =>
+      val dimDir = s"$path/dims/$dim"
+      val hp = new org.apache.hadoop.fs.Path(dimDir)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val dimTable =
+        if (fs.exists(hp)) spark.read.parquet(dimDir)
+        else df.select(org.apache.spark.sql.functions.col(dim).as("dim_value"))
+          .distinct()
+      d.where(Selection.predicate(dim,
+        Selection.resolvePositional(dimTable, is)))
+    }
+  }
+
   /** S8 info: per-dim min/max/cardinality from data + sidecar metadata.
     * (Exact `countDistinct` — the QC paths J2/J3 need exactness; use
     * approx_count_distinct for interactive display at extreme scale.)

@@ -225,6 +225,57 @@ class SelectionSpec extends SparkSpec {
   }
 }
 
+class IselSpec extends SparkSpec {
+  import spark.implicits._
+  import Selection._
+
+  // sorted coordinate table for a dim with values 10,20,30,40,50
+  private def dimTable = Seq(10, 20, 30, 40, 50).toDF("dim_value")
+
+  test("IPoint resolves a position to its label; negative counts from end") {
+    assert(resolvePositional(dimTable, IPoint(0)) == Point(10))
+    assert(resolvePositional(dimTable, IPoint(4)) == Point(50))
+    assert(resolvePositional(dimTable, IPoint(-1)) == Point(50))
+    assert(resolvePositional(dimTable, IPoint(-5)) == Point(10))
+  }
+
+  test("IPoint raises out of bounds, like xarray") {
+    intercept[IndexOutOfBoundsException] {
+      resolvePositional(dimTable, IPoint(5))
+    }
+    intercept[IndexOutOfBoundsException] {
+      resolvePositional(dimTable, IPoint(-6))
+    }
+  }
+
+  test("ISlice is stop-exclusive and clamps silently") {
+    assert(resolvePositional(dimTable, ISlice(1, 3)) == Range(20, 30))
+    assert(resolvePositional(dimTable, ISlice(3, 99)) == Range(40, 50)) // clamp
+    assert(resolvePositional(dimTable, ISlice(2, 2)) == Values(Nil))   // empty
+    assert(resolvePositional(dimTable, ISlice(7, 9)) == Values(Nil))   // past end
+    assert(resolvePositional(dimTable, ISlice(-2, 5)) == Range(40, 50))
+  }
+
+  test("IValues maps positions to labels and raises on any miss") {
+    assert(resolvePositional(dimTable, IValues(Seq(0, 2, -1))
+      ).asInstanceOf[Values].vs.toSet == Set(10, 30, 50))
+    intercept[IndexOutOfBoundsException] {
+      resolvePositional(dimTable, IValues(Seq(1, 9)))
+    }
+  }
+
+  test("handle.isel without dim tables falls back to a distinct scan") {
+    val df = Seq((10, 1.0), (20, 2.0), (30, 3.0), (30, 4.0)).toDF("k", "v")
+    val handle = graft.storage.MdioDatasetHandle(
+      df, graft.schema.MdioSchema(Nil,
+        graft.schema.DatasetMetadata("t", "1", "2026-01-01T00:00:00Z")),
+      "/nonexistent/isel_test_path")
+    val got = handle.isel("k" -> ISlice(1, 3)).agg(sum($"v")).as[Double]
+      .collect().head
+    assert(got == 9.0) // k in {20, 30}
+  }
+}
+
 class ProjectionSpec extends SparkSpec {
   import spark.implicits._
 
