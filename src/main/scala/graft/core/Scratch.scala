@@ -26,6 +26,21 @@ object Scratch {
     df.sparkSession.read.parquet(p)
   }
 
+  /** [[stage]] gated on the SOURCE's optimizer-estimated scan size: below
+    * `graft.scratch.stageMinBytes` (default 64 MB) the write round-trip
+    * costs more than just recomputing the subtree in each consumer arm, so
+    * the frame is returned un-staged. Above it (always true at real scale)
+    * the one summary-sized write wins. The estimate comes from the
+    * optimized plan's statistics — no job is triggered.
+    */
+  def stageIfLarge(df: DataFrame, tag: String, source: DataFrame): DataFrame = {
+    val minBytes = BigInt(source.sparkSession.conf
+      .get("graft.scratch.stageMinBytes", (64L << 20).toString).toLong)
+    if (source.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes)
+      stage(df, tag)
+    else df
+  }
+
   /** Rebalance a COMPACT scan ahead of a compute-heavy map (tokenize,
     * shingle, explode): a table small enough to plan fewer partitions than
     * the session's parallelism would otherwise run the whole downstream

@@ -62,13 +62,15 @@ object Retrieval {
     // pos-0/null rows are kept as one-per-doc markers so the corpus stats
     // (n_docs, avgdl) survive the term filter; the staged table is
     // summary-sized (query-term hits + one marker row per doc, no text).
-    val ex = Scratch.stage(
+    // Size-gated: a corpus below the stage gate just tokenizes twice (tf +
+    // stats arms) — cheaper than the write round-trip at that size.
+    val ex = Scratch.stageIfLarge(
       Scratch.rebalance(docs)
         .select(col(idCol), size(toks).cast("long").as("dl"),
           posexplode_outer(toks).as(Seq("_pos", "term")))
         .where(col("_pos").isNull || col("_pos") === 0 ||
           col("term").isInCollection(allTerms)),
-      "bm25_tok")
+      "bm25_tok", source = docs)
     // one row per (doc, query-term occurrence): corpus tokens matching no
     // query died at the scan
     val tf = ex
