@@ -414,6 +414,11 @@ object SparkEntry {
     // the probed cells' candidates — the billion-scale two-tier layout
     "q_ann_ivfpq" -> ((s, d) =>
       Pq.ivfPqTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    // two-stage production ANN: the compressed (ADC) scan surfaces
+    // max(k, nRerank) candidates per query, an exact cosine pass over just
+    // those candidates fixes the quantization error in the final order
+    "q_ann_ivfpq_rerank" -> ((s, d) =>
+      Pq.ivfPqTopK(embeddings(s, d), (0L until 10L), k = 10, nRerank = 30)),
     // scalar quantization (SQ8), the per-dim compression path: the code
     // table over exact corpus bounds (narrow codegen'd encode) ...
     "q_sq_codes" -> ((s, d) => {
@@ -1266,6 +1271,8 @@ object SparkEntry {
       nQueries = 10, k = 10),
     "q_ann_ivfpq" -> OracleSqlGen.ivfPqAdcSql(nProbe = 4, m = 8, ksub = 16,
       dim = 64, nQueries = 10, k = 10),
+    "q_ann_ivfpq_rerank" -> OracleSqlGen.ivfPqRerankSql(nProbe = 4, m = 8,
+      ksub = 16, dim = 64, nQueries = 10, k = 10, nRerank = 30),
     "q_sq_codes" -> OracleSqlGen.sqCodesSql(dim = 64),
     "q_sq_adc" -> OracleSqlGen.sqAdcSql(dim = 64, nQueries = 10, k = 10),
     "q_multimodal_features" -> OracleSqlGen.multimodalFeaturesSql(),
