@@ -751,6 +751,25 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // multi-dim clustering: write the Z-order (Morton) layout over two
+    // grid dims, re-read it, and run the two-dim bounding box — count,
+    // decimal-exact sum, and the min/max stored _zkey gate both the
+    // interleave arithmetic and layout invariance (same rows back)
+    "q_zorder" -> ((s, d) => {
+      import graft.operators.AccessPatterns
+      val base = graft.core.TempDirs.scratch("zorder")
+      val li = lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity")
+      val zp = AccessPatterns.optimizeZorder(li, base,
+        Seq("l_suppkey", "l_linenumber"), bits = 16)
+      s.read.parquet(zp)
+        .where(col("l_suppkey").between(10, 50) &&
+          col("l_linenumber").between(2, 5))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"),
+          min(col("_zkey")).as("zmin"), max(col("_zkey")).as("zmax"))
+    }),
     "q_boilerplate" -> ((s, d) =>
       Dedup.boilerplateShingles(documents(s, d))),
     // decontamination: test split (src1) vs the rest of the corpus
@@ -1754,6 +1773,16 @@ object SparkEntry {
       """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_partkey < 100""".stripMargin,
+    "q_zorder" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  min(${OracleSqlGen.zorderKeySql(
+               Seq("l_suppkey", "l_linenumber"), 16)}) AS zmin,
+         |  max(${OracleSqlGen.zorderKeySql(
+               Seq("l_suppkey", "l_linenumber"), 16)}) AS zmax
+         |FROM lineitem
+         |WHERE l_suppkey BETWEEN 10 AND 50
+         |  AND l_linenumber BETWEEN 2 AND 5""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, sha256(text) AS digest
         |FROM documents""".stripMargin,

@@ -36,6 +36,64 @@ object AccessPatterns {
         .parquet(fastTablePath(basePath, d))
     }
 
+  /** Bit-interleaved Z-order (Morton) key over N non-negative integer dims:
+    * bit i of dim j lands at key bit `i·N + j`, so nearby (dim₁, …, dimN)
+    * tuples share key prefixes and a sort by the key clusters
+    * MULTI-dimensional locality into the same files — the layout a
+    * `fast_<dim>` single-axis clustering cannot give when queries slice on
+    * two grid dims at once (inline AND crossline bounding boxes, the P6
+    * access shape). Same idea as Delta Lake's `OPTIMIZE ZORDER BY`; built
+    * from codegen'd shift/mask builtins, unrolled at plan time (`bits`
+    * words per dim, a literal-width expression).
+    *
+    * Values must fit `bits` bits; out-of-range fails LOUDLY (same
+    * philosophy as the SEG-Y writer's overflow guard — a silently masked
+    * coordinate would cluster the row in the wrong region). Dims with
+    * negative or huge coordinates z-order their RANK (dim-table ordinal),
+    * not the raw value.
+    */
+  def zorderKey(dims: Seq[Column], bits: Int): Column = {
+    val n = dims.size
+    require(n >= 2, s"Z-order interleaves >= 2 dims, got $n (use fast_<dim>)")
+    require(bits >= 1 && n * bits <= 63,
+      s"$n dims x $bits bits must fit a signed 64-bit key")
+    val lim = 1L << bits
+    val longs = dims.map(_.cast("bigint"))
+    val inRange = longs.map(_.between(0, lim - 1)).reduce(_ && _)
+    val key = (for {
+      i <- 0 until bits
+      (c, j) <- longs.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ bitwiseOR _)
+    when(
+      assert_true(inRange, concat(
+        lit(s"z-order dim value out of [0, ${lim - 1}]: "),
+        concat_ws(",", longs.map(_.cast("string")): _*))).isNull, key)
+  }
+
+  def zorderTablePath(basePath: String, dims: Seq[String]): String =
+    s"$basePath/fast_z_${dims.mkString("_")}"
+
+  /** Materialize the multi-dim clustering: rows range-partitioned AND
+    * sorted by the interleaved key (files then hold disjoint key ranges,
+    * and parquet min/max on the ORIGINAL dim columns stay tight within
+    * each file because the key clusters both dims), with the key stored
+    * as `_zkey` so readers and the spec can see the layout. One shuffle,
+    * write-dominated — the same cost envelope as a single-dim fast copy.
+    */
+  def optimizeZorder(df: DataFrame, basePath: String, dims: Seq[String],
+                     bits: Int, partitions: Int = 0): String = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val path = zorderTablePath(basePath, dims)
+    df.withColumn("_zkey", zorderKey(dims.map(col), bits))
+      .repartitionByRange(n, col("_zkey"))
+      .sortWithinPartitions(col("_zkey"))
+      .write.mode("overwrite")
+      .parquet(path)
+    path
+  }
+
   /** ZFP-tolerance parity: quantize to the given absolute tolerance before
     * (Parquet-)compressing — `round(x / (2·tol)) · 2·tol`, an explicit,
     * honest approximation of fixed-accuracy ZFP (`optimize/common.py:42-53`;

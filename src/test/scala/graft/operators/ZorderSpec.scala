@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The Z-order layout contract: the key is the exact bit interleave, bad
+  * coordinates fail loudly, and the written layout both preserves rows and
+  * range-partitions the key (files hold disjoint key ranges — the property
+  * row-group pruning rides on).
+  */
+class ZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference interleave: bit i of dim j at key bit i·N + j. */
+  private def morton(vals: Seq[Long], bits: Int): Long =
+    (for {
+      i <- 0 until bits
+      (v, j) <- vals.zipWithIndex
+    } yield ((v >> i) & 1L) << (i * vals.size + j)).reduce(_ | _)
+
+  test("zorderKey equals the reference interleave (2 and 3 dims)") {
+    val df = Seq((5L, 3L, 7L), (0L, 0L, 0L), (65535L, 1L, 2L),
+      (1L, 65535L, 255L)).toDF("x", "y", "z")
+    val got2 = df.select(AccessPatterns.zorderKey(Seq($"x", $"y"), 16))
+      .as[Long].collect().toSeq
+    val want2 = Seq((5L, 3L), (0L, 0L), (65535L, 1L), (1L, 65535L))
+      .map(t => morton(Seq(t._1, t._2), 16))
+    assert(got2 == want2)
+    // 3-dim interleave on rows that fit 8 bits
+    val small = Seq((5L, 3L, 7L), (0L, 0L, 0L)).toDF("x", "y", "z")
+    val got3s = small.select(AccessPatterns.zorderKey(Seq($"x", $"y", $"z"), 8))
+      .as[Long].collect().toSeq
+    assert(got3s == Seq(morton(Seq(5L, 3L, 7L), 8), 0L))
+  }
+
+  test("z-order clusters: interleave of (1,1) sorts between (0,0) and (3,3)") {
+    assert(morton(Seq(0L, 0L), 4) < morton(Seq(1L, 1L), 4))
+    assert(morton(Seq(1L, 1L), 4) < morton(Seq(3L, 3L), 4))
+  }
+
+  test("zorderKey fails loudly on out-of-range and rejects bad arity") {
+    val bad = Seq((-1L, 2L)).toDF("x", "y")
+    val e = intercept[Exception] {
+      bad.select(AccessPatterns.zorderKey(Seq($"x", $"y"), 8)).collect()
+    }
+    assert(e.getMessage.contains("z-order dim value out of"))
+    intercept[IllegalArgumentException] {
+      AccessPatterns.zorderKey(Seq($"x"), 8) // one dim: use fast_<dim>
+    }
+    intercept[IllegalArgumentException] {
+      AccessPatterns.zorderKey(Seq($"x", $"y"), 32) // 64 bits: overflow
+    }
+  }
+
+  test("optimizeZorder preserves rows and writes disjoint key ranges") {
+    val df = (0 until 256).map(i => (i % 16, i / 16, i.toDouble))
+      .toDF("a", "b", "v")
+    val base = graft.core.TempDirs.scratch("zspec")
+    val path = AccessPatterns.optimizeZorder(df, base, Seq("a", "b"),
+      bits = 4, partitions = 4)
+    val re = spark.read.parquet(path)
+    // same rows back
+    assert(re.count() == 256)
+    assert(re.agg(sum($"v")).as[Double].collect().head ==
+      (0 until 256).map(_.toDouble).sum)
+    // every key matches the reference interleave
+    val mism = re.where($"_zkey" =!= AccessPatterns.zorderKey(
+      Seq($"a", $"b"), 4)).count()
+    assert(mism == 0)
+    // files hold disjoint _zkey ranges (range partitioning by the key)
+    val ranges = re.groupBy(input_file_name().as("f"))
+      .agg(min($"_zkey").as("lo"), max($"_zkey").as("hi"))
+      .orderBy($"lo")
+      .select($"lo", $"hi").as[(Long, Long)].collect()
+    assert(ranges.length > 1) // partitions=4 on 256 rows: multiple files
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+}
