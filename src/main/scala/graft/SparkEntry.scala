@@ -893,6 +893,30 @@ object SparkEntry {
     // of doc_id), run the true byte parser through the batched decode
     // stage, and the oracle recomputes the channel means from the same
     // formula — the row only matches if the parser reads the bytes right
+    // REAL audio decode: a PCM16 WAV file per doc synthesized in-plan
+    // (header + LIST metadata chunk built driver-side as constant bytes;
+    // sample words packed little-endian in SQL), parsed back by the RIFF
+    // chunk walk — amplitude stats are integer-exact so the oracle
+    // recomputes them from the sample FORMULA, proving the byte path
+    "q_multimodal_wav" -> ((s, d) => {
+      val n = 8
+      // sample i of doc: v = ((doc_id*7 + i*13) % 65536) - 32768, an int16;
+      // its unsigned LE word is v & 0xFFFF = (u + 32768) % 65536 (the
+      // sign-bit flip of u = (doc_id*7 + i*13) % 65536)
+      val sampleHex = concat((0 until n).flatMap { i =>
+        val w = ((col("doc_id") * 7 + lit(13 * i)) % 65536 + 32768) % 65536
+        Seq(lpad(hex(w % 256), 2, "0"), lpad(hex(floor(w / 256)), 2, "0"))
+      }: _*)
+      // header with CORRECT sizes for n samples: synthesize a zero-filled
+      // file of the right length and keep everything before the samples
+      val header = Multimodal.wavFileJvm(Array.fill[Short](n)(0), 8000, 1,
+        listPayload = "INFOgenerated-fixture ".getBytes("US-ASCII"))
+        .dropRight(2 * n)
+      val payload = concat(lit(header),
+        call_function("to_binary", sampleHex, lit("hex")))
+      Multimodal.decodeWavBatched(
+        documents(s, d).select(col("doc_id"), payload.as("payload")))
+    }),
     "q_multimodal_ppm" -> ((s, d) => {
       val w = 4; val h = 2
       // pixel (x, y) channels: r = (doc_id + 10x) % 256, g = (doc_id +
@@ -1788,6 +1812,20 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // means recomputed from the pixel FORMULA (no byte parsing oracle-side);
     // integer sums / 8 are exact in IEEE, so the decode must be bit-right
+    // amplitude stats recomputed from the sample FORMULA (no byte parsing
+    // oracle-side); integer sums / n are exact in IEEE, so the RIFF chunk
+    // walk and LE sample decode must be bit-right to match
+    "q_multimodal_wav" ->
+      """WITH is_ AS (SELECT unnest(range(0, 8)) AS i),
+        |sm AS (SELECT d.doc_id, ((d.doc_id * 7 + i * 13) % 65536) - 32768 AS v
+        |  FROM documents d, is_)
+        |SELECT doc_id, true AS ok, CAST(1 AS BIGINT) AS n_channels,
+        |  CAST(8000 AS BIGINT) AS sample_rate, CAST(16 AS BIGINT) AS bits,
+        |  CAST(8 AS BIGINT) AS n_frames,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_amp,
+        |  CAST(sum(v * v) AS DOUBLE) / count(*) AS ms_amp,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM sm GROUP BY doc_id""".stripMargin,
     "q_multimodal_ppm" ->
       """WITH xs AS (SELECT unnest(range(0, 4)) AS x),
         |ys AS (SELECT unnest(range(0, 2)) AS y),

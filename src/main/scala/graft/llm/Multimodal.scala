@@ -189,6 +189,127 @@ object Multimodal {
       .toDF("doc_id", "ok", "width", "height", "mean_r", "mean_g", "mean_b")
   }
 
+  // ------------------------------------------------- REAL decode: WAV PCM
+
+  /** A decoded WAV clip: format geometry plus exact amplitude stats —
+    * integer sample sums (sum, sum-of-squares, peak |amplitude|) with one
+    * final IEEE division each, so every value is deterministic and
+    * oracle-replayable (same trade as [[PpmImage]]'s channel means; no
+    * sqrt — RMS² is reported as `msAmp`, callers can sqrt for display).
+    */
+  final case class WavClip(nChannels: Int, sampleRate: Int, bitsPerSample: Int,
+                           nFrames: Int, meanAmp: Double, msAmp: Double,
+                           peakAmp: Int)
+
+  /** REAL audio decode for the container+codec that needs no library:
+    * RIFF/WAVE with integer PCM (bits = 8 unsigned-centered or 16
+    * little-endian signed) is pure byte arithmetic. The chunk walk skips
+    * unknown chunks (LIST/INFO metadata is routine in real files) and
+    * honors RIFF's word alignment (odd-sized chunks pad one byte).
+    * Compressed/float formats (audioFormat ≠ 1), exotic widths, and
+    * truncated or empty payloads yield None — route those rows to a codec
+    * stage, same policy as [[decodePpmJvm]].
+    */
+  private[llm] def decodeWavJvm(bytes: Array[Byte]): Option[WavClip] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) |
+        (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    if (bytes.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var fmt: Option[(Int, Int, Int, Int)] = None // format, nCh, rate, bits
+    var i = 12
+    while (i + 8 <= bytes.length) {
+      val t = tag(i)
+      val sz = le32(i + 4)
+      if (sz < 0 || i + 8 + sz > bytes.length) return None
+      t match {
+        case "fmt " if sz >= 16 =>
+          fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12).toInt,
+            le16(i + 22)))
+        case "data" =>
+          return fmt.flatMap { case (af, nCh, rate, bits) =>
+            val w = bits / 8
+            if (af != 1 || nCh < 1 || (bits != 8 && bits != 16) ||
+                sz < w || sz % (w * nCh) != 0) None
+            else {
+              val n = (sz / w).toInt // total samples across channels
+              var sum = 0L; var sumsq = 0L; var peak = 0
+              var p = 0
+              while (p < n) {
+                val o = i + 8 + p * w
+                val v = if (bits == 16) le16(o).toShort.toInt else u8(o) - 128
+                sum += v; sumsq += v.toLong * v
+                val a = math.abs(v); if (a > peak) peak = a
+                p += 1
+              }
+              Some(WavClip(nCh, rate, bits, n / nCh,
+                sum.toDouble / n, sumsq.toDouble / n, peak))
+            }
+          }
+        case _ => () // unknown chunk (LIST, fact, ...): skip
+      }
+      i += 8 + sz.toInt + (sz.toInt & 1) // RIFF word alignment
+    }
+    None
+  }
+
+  /** Synthesize a PCM WAV file (JVM side) — the test/fixture builder dual
+    * of [[decodeWavJvm]], with an optional extra LIST chunk between fmt
+    * and data so round-trips exercise the chunk skip.
+    */
+  private[graft] def wavFileJvm(samples: Array[Short], sampleRate: Int,
+                                nChannels: Int,
+                                listPayload: Array[Byte] = Array.empty): Array[Byte] = {
+    require(listPayload.length % 2 == 0,
+      "LIST payload must be word-aligned (pad odd payloads)")
+    def le16b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32b(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val dataSz = samples.length * 2
+    val listSz = if (listPayload.isEmpty) 0 else 8 + listPayload.length
+    val blockAlign = nChannels * 2
+    val out = java.nio.ByteBuffer.allocate(44 + listSz + dataSz)
+    out.put("RIFF".getBytes("US-ASCII")).put(le32b(36 + listSz + dataSz))
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).put(le32b(16))
+      .put(le16b(1)).put(le16b(nChannels)).put(le32b(sampleRate))
+      .put(le32b(sampleRate * blockAlign)).put(le16b(blockAlign)).put(le16b(16))
+    if (listPayload.nonEmpty)
+      out.put("LIST".getBytes("US-ASCII")).put(le32b(listPayload.length))
+        .put(listPayload)
+    out.put("data".getBytes("US-ASCII")).put(le32b(dataSz))
+    samples.foreach(s => out.put(le16b(s & 0xffff)))
+    out.array()
+  }
+
+  /** Batched REAL audio decode over payload rows — same grouped-iterator
+    * shape as [[decodePpmBatched]]; non-WAV/unsupported rows flow through
+    * as ok = false.
+    */
+  def decodeWavBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            decodeWavJvm(bytes) match {
+              case Some(c) => (id, true, Some(c.nChannels.toLong),
+                Some(c.sampleRate.toLong), Some(c.bitsPerSample.toLong),
+                Some(c.nFrames.toLong), Some(c.meanAmp), Some(c.msAmp),
+                Some(c.peakAmp.toLong))
+              case None => (id, false, None, None, None, None, None, None, None)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "n_channels", "sample_rate", "bits", "n_frames",
+        "mean_amp", "ms_amp", "peak")
+  }
+
   /** Frame sampling for a chunked (video-like) payload: take every `stride`-th
     * fixed-size chunk. Binary slicing via substr — no UDF, no decode.
     */

@@ -504,6 +504,62 @@ class BatchDecodeSpec extends graft.SparkSpec {
     assert(Multimodal.decodePpmJvm(deep).isEmpty) // 2 bytes/channel unsupported
   }
 
+  test("decodeWavBatched: REAL RIFF/PCM16 decode roundtrips wavFileJvm, " +
+       "LIST chunks skipped; non-WAV rows flow through as ok=false") {
+    val mono = Multimodal.wavFileJvm(Array[Short](100, -200, 300, -32768),
+      sampleRate = 8000, nChannels = 1,
+      listPayload = "INFOab".getBytes("US-ASCII"))
+    val stereo = Multimodal.wavFileJvm(Array[Short](10, -10, 20, -20),
+      sampleRate = 44100, nChannels = 2)
+    val docs = Seq((1L, mono), (2L, stereo),
+      (3L, "not audio at all, too short".getBytes("UTF-8") ++ new Array[Byte](40)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeWavBatched(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val m = out(1L)
+    assert(m.getAs[Boolean]("ok"))
+    assert(m.getAs[Long]("n_channels") == 1L &&
+      m.getAs[Long]("sample_rate") == 8000L &&
+      m.getAs[Long]("bits") == 16L && m.getAs[Long]("n_frames") == 4L)
+    assert(m.getAs[Double]("mean_amp") == (100 - 200 + 300 - 32768) / 4.0)
+    assert(m.getAs[Double]("ms_amp") ==
+      (100.0 * 100 + 200.0 * 200 + 300.0 * 300 + 32768.0 * 32768) / 4.0)
+    assert(m.getAs[Long]("peak") == 32768L)
+    val st = out(2L)
+    assert(st.getAs[Long]("n_channels") == 2L &&
+      st.getAs[Long]("n_frames") == 2L &&
+      st.getAs[Long]("sample_rate") == 44100L)
+    assert(st.getAs[Double]("mean_amp") == 0.0 &&
+      st.getAs[Long]("peak") == 20L)
+    assert(!out(3L).getAs[Boolean]("ok"))
+    assert(out(3L).isNullAt(out(3L).fieldIndex("mean_amp")))
+  }
+
+  test("decodeWavJvm rejects truncated data, float formats and odd " +
+       "sample widths; decodes PCM8 centered at 128") {
+    val good = Multimodal.wavFileJvm(Array[Short](1, 2, 3, 4), 8000, 1)
+    assert(Multimodal.decodeWavJvm(good).isDefined)
+    assert(Multimodal.decodeWavJvm(good.dropRight(1)).isEmpty) // truncated
+    // flip audioFormat (LE16 at fmt payload offset 20) to 3 = IEEE float
+    val float = good.clone(); float(20) = 3
+    assert(Multimodal.decodeWavJvm(float).isEmpty)
+    // PCM8: same file but bits=8 (offset 34) and data halved — build by hand
+    val pcm8 = {
+      val b = Multimodal.wavFileJvm(Array[Short](0, 0), 8000, 1).clone()
+      b(34) = 8 // bitsPerSample LE16 lo byte
+      b(32) = 1 // blockAlign = nCh * 1
+      // data payload: 4 unsigned bytes centered at 128
+      b(b.length - 4) = (128 + 5).toByte
+      b(b.length - 3) = (128 - 5).toByte
+      b(b.length - 2) = (128 + 10).toByte
+      b(b.length - 1) = (128 - 10).toByte
+      b
+    }
+    val c8 = Multimodal.decodeWavJvm(pcm8)
+    assert(c8.isDefined && c8.get.bitsPerSample == 8 && c8.get.nFrames == 4)
+    assert(c8.get.meanAmp == 0.0 && c8.get.peakAmp == 10)
+  }
+
   test("blockedJaccard df-cap drops hot shingles but keeps true near-dups") {
     // 6 docs share boilerplate; two are real near-dups beyond it
     val boiler = "terms and conditions apply to all entries in this corpus"
