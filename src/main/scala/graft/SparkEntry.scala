@@ -177,6 +177,73 @@ object SparkEntry {
         Seq("l_suppkey", "l_orderkey", "l_linenumber"))),
     // --- events: windowed aggregation + sessionization ------------------
     "q_events_hourly" -> ((s, d) => Events.hourlyAgg(events(s, d))),
+    // Structured Streaming under the ORACLE: the events table replayed as a
+    // file stream through the watermarked 1-hour window agg (append mode,
+    // AvailableNow), sink read back as the result. Append emission is
+    // deterministic: the final no-data microbatch flushes every window
+    // whose end <= max(ts) − watermark, which the oracle mirrors in SQL —
+    // so the streaming path (state store, watermark arithmetic, flush)
+    // hash-matches the batch world
+    "q_stream_hourly" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.LongType
+      val out = graft.core.TempDirs.scratch("stream_hourly_out")
+      val ckpt = graft.core.TempDirs.scratch("stream_hourly_ckpt")
+      // the file-stream source requires a DIRECTORY; the fixture is a
+      // single file — stage it into a scratch dir (a real deployment
+      // streams a landing directory to begin with)
+      val srcDir = graft.core.TempDirs.scratch("stream_hourly_src")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
+        to.getFileSystem(hconf), to, false, hconf)
+      val rawSchema = s.read.parquet(srcDir).schema
+      val raw = s.readStream.schema(rawSchema).parquet(srcDir)
+      val fixed = rawSchema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+      val q = graft.streaming.StreamingEvents.hourlyAggStream(fixed)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
+    // session windows under the same streaming-vs-oracle contract: the
+    // state store merges per-user sessions (gap 30 min), append emission
+    // flushes sessions whose END (last event + gap) the final watermark
+    // passed — the oracle rebuilds the same sessions with the batch
+    // lag/gap construction and applies the same flush predicate
+    "q_stream_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.LongType
+      val out = graft.core.TempDirs.scratch("stream_sess_out")
+      val ckpt = graft.core.TempDirs.scratch("stream_sess_ckpt")
+      val srcDir = graft.core.TempDirs.scratch("stream_sess_src")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
+        to.getFileSystem(hconf), to, false, hconf)
+      val rawSchema = s.read.parquet(srcDir).schema
+      val raw = s.readStream.schema(rawSchema).parquet(srcDir)
+      val fixed = rawSchema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+      val q = graft.streaming.StreamingEvents.sessionWindowStream(fixed)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d))),
     "q_session_stats" -> ((s, d) =>
       Events.sessionize(events(s, d))
@@ -1155,6 +1222,36 @@ object SparkEntry {
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // append-mode emission: a window flushes when the final watermark
+    // (max event time − 2h delay) passes its end
+    "q_stream_hourly" ->
+      """WITH mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+        |agg AS (SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |    event_type, count(*) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour, event_type, n_events, sum_value FROM agg, mx
+        |WHERE hour + INTERVAL 1 HOUR <= wm""".stripMargin,
+    // sessions rebuilt batch-side (lag/gap), flushed when the final
+    // watermark passes session_end = last event + gap
+    "q_stream_sessions" ->
+      """WITH mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+        |x AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+        |    event_id
+        |  FROM events),
+        |sess AS (SELECT user_id, ts, value,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
+        |        OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, user_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess, mx GROUP BY user_id, sid, wm
+        |HAVING max(ts) + INTERVAL 30 MINUTE <= wm""".stripMargin,
     "q_sessionize" ->
       """WITH x AS (SELECT event_id, user_id, ts,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

@@ -38,7 +38,11 @@ object StreamingEvents {
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal accumulate: order-independent, so the merged-session sum
+        // is deterministic (and oracle-matchable) regardless of state order
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
       .select(col("session_window.start").as("session_start"),
               col("session_window.end").as("session_end"),
               col("user_id"), col("n_events"), col("sum_value"))
