@@ -245,6 +245,22 @@ object SparkEntry {
       s.read.parquet(out)
     }),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d))),
+    // backward as-of join (pandas merge_asof / DuckDB ASOF JOIN): each
+    // click enriched with the user's most recent purchase at or before
+    // it — the union+keyed-window composition, one shuffle, no range join
+    "q_asof_join" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.asofJoin(clicks, purchases,
+        on = Seq("user_id"), valueCols = Seq("value"))
+        // comparator-safe no-match marker: null TIMESTAMP cells don't
+        // value-compare (NaT != NaT); the double stays null (NaN-safe)
+        .withColumn("asof_ts",
+          coalesce(col("asof_ts"), lit("1970-01-01 00:00:00").cast("timestamp")))
+    }),
     "q_session_stats" -> ((s, d) =>
       Events.sessionize(events(s, d))
         .groupBy(col("user_id"), col("session_id"))
@@ -1232,6 +1248,16 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |SELECT hour, event_type, n_events, sum_value FROM agg, mx
         |WHERE hour + INTERVAL 1 HOUR <= wm""".stripMargin,
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM events
+        |    WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  coalesce(r.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+        |  r.value AS asof_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     // sessions rebuilt batch-side (lag/gap), flushed when the final
     // watermark passes session_end = last event + gap
     "q_stream_sessions" ->
