@@ -245,6 +245,22 @@ object SparkEntry {
       s.read.parquet(out)
     }),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d))),
+    // bucketized point-in-interval range join: every click inside a 2-hour
+    // post-purchase window, per user — equi-join on (user, time bucket)
+    // instead of Spark's nested-loop BETWEEN plan
+    "q_range_join" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val wins = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("win_start"),
+          (col("ts") + expr("INTERVAL 2 HOURS")).as("win_end"),
+          col("event_id").as("purchase_id"))
+      graft.operators.RangeJoin.pointInInterval(clicks, wins,
+        on = Seq("user_id"), tsCol = "ts", startCol = "win_start",
+        endCol = "win_end", bucketSeconds = 7200,
+        rightCols = Seq("purchase_id"))
+    }),
     // backward as-of join (pandas merge_asof / DuckDB ASOF JOIN): each
     // click enriched with the user's most recent purchase at or before
     // it — the union+keyed-window composition, one shuffle, no range join
@@ -1248,6 +1264,16 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |SELECT hour, event_type, n_events, sum_value FROM agg, mx
         |WHERE hour + INTERVAL 1 HOUR <= wm""".stripMargin,
+    "q_range_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS win_start,
+        |    ts + INTERVAL 2 HOUR AS win_end, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts, p.win_start, p.win_end,
+        |  p.purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.ts BETWEEN p.win_start AND p.win_end""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |    WHERE event_type = 'click'),
