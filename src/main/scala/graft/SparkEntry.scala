@@ -245,6 +245,51 @@ object SparkEntry {
       s.read.parquet(out)
     }),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d))),
+    // stream-stream interval join under the oracle: clicks and purchases
+    // as two watermarked streams, inner-joined on user within the 2-hour
+    // window — state eviction rides the watermarks, but an INNER interval
+    // join emits exactly the batch pair set, so the sink equals the
+    // q_range_join-style SQL
+    "q_stream_join" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.LongType
+      val out = graft.core.TempDirs.scratch("stream_join_out")
+      val ckpt = graft.core.TempDirs.scratch("stream_join_ckpt")
+      val srcDir = graft.core.TempDirs.scratch("stream_join_src")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
+        to.getFileSystem(hconf), to, false, hconf)
+      val rawSchema = s.read.parquet(srcDir).schema
+      def stream() = {
+        val raw = s.readStream.schema(rawSchema).parquet(srcDir)
+        rawSchema("ts").dataType match {
+          case LongType =>
+            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+          case _ => raw
+        }
+      }
+      val clicks = stream().where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = stream().where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+          col("event_id").as("purchase_id"))
+        .withWatermark("p_ts", "2 hours")
+      val q = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("click_ts") >= col("p_ts") &&
+            col("click_ts") <= col("p_ts") + expr("INTERVAL 2 HOURS"))
+        .select(col("event_id"), col("user_id"), col("click_ts"),
+          col("p_ts"), col("purchase_id"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
     // bucketized point-in-interval range join: every click inside a 2-hour
     // post-purchase window, per user — equi-join on (user, time bucket)
     // instead of Spark's nested-loop BETWEEN plan
@@ -1264,6 +1309,15 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |SELECT hour, event_type, n_events, sum_value FROM agg, mx
         |WHERE hour + INTERVAL 1 HOUR <= wm""".stripMargin,
+    "q_stream_join" ->
+      """WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events
+        |    WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts, event_id AS purchase_id
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.click_ts, p.p_ts, p.purchase_id
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.click_ts BETWEEN p.p_ts
+        |    AND p.p_ts + INTERVAL 2 HOUR""".stripMargin,
     "q_range_join" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |    WHERE event_type = 'click'),
