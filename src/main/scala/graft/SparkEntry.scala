@@ -909,6 +909,10 @@ object SparkEntry {
       s.read.parquet(zp)
         .where(col("l_suppkey").between(10, 50) &&
           col("l_linenumber").between(2, 5))
+        // the layout is schema-identical (sort key dropped at write); the
+        // key recomputed at read still gates the interleave arithmetic
+        .withColumn("_zkey", AccessPatterns.zorderKey(
+          Seq(col("l_suppkey"), col("l_linenumber")), 16))
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
             .as("sum_qty"),

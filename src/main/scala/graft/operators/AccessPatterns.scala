@@ -77,18 +77,25 @@ object AccessPatterns {
   /** Materialize the multi-dim clustering: rows range-partitioned AND
     * sorted by the interleaved key (files then hold disjoint key ranges,
     * and parquet min/max on the ORIGINAL dim columns stay tight within
-    * each file because the key clusters both dims), with the key stored
-    * as `_zkey` so readers and the spec can see the layout. One shuffle,
+    * each file because the key clusters both dims). One shuffle,
     * write-dominated — the same cost envelope as a single-dim fast copy.
+    *
+    * By default the transient `_zkey` sort column is DROPPED before the
+    * write (the projection after the sort keeps row order), so the layout
+    * is schema-identical to the base table and the optimizer's relation
+    * swap ([[graft.plans.AccessPatternRule]]) can serve it to unchanged
+    * queries; `keepKey = true` stores it for inspection.
     */
   def optimizeZorder(df: DataFrame, basePath: String, dims: Seq[String],
-                     bits: Int, partitions: Int = 0): String = {
+                     bits: Int, partitions: Int = 0,
+                     keepKey: Boolean = false): String = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val path = zorderTablePath(basePath, dims)
-    df.withColumn("_zkey", zorderKey(dims.map(col), bits))
+    val keyed = df.withColumn("_zkey", zorderKey(dims.map(col), bits))
       .repartitionByRange(n, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
+    (if (keepKey) keyed else keyed.drop("_zkey"))
       .write.mode("overwrite")
       .parquet(path)
     path

@@ -37,15 +37,30 @@ object AccessPatternCatalog {
   private val relCache = new ConcurrentHashMap[(SparkSession, String), LogicalRelation]()
   private[plans] val relBuilds = new java.util.concurrent.atomic.AtomicLong()
 
+  /** base data path → (z-ordered dim set → fast_z table path) — the
+    * multi-dim clusterings ([[graft.operators.AccessPatterns.optimizeZorder]]).
+    */
+  private val multiEntries =
+    new ConcurrentHashMap[String, Map[Set[String], String]]()
+
   def register(basePath: String, dim: String, fastPath: String): Unit = {
     relCache.keySet.removeIf(_._2 == fastPath)
     entries.merge(norm(basePath), Map(dim -> fastPath), (a, b) => a ++ b)
   }
 
-  def clear(): Unit = { entries.clear(); relCache.clear() }
+  /** Register a Z-order clustering over `dims` for `basePath`. */
+  def registerMulti(basePath: String, dims: Set[String], fastPath: String): Unit = {
+    relCache.keySet.removeIf(_._2 == fastPath)
+    multiEntries.merge(norm(basePath), Map(dims -> fastPath), (a, b) => a ++ b)
+  }
+
+  def clear(): Unit = { entries.clear(); multiEntries.clear(); relCache.clear() }
 
   def lookup(basePath: String): Map[String, String] =
     entries.getOrDefault(norm(basePath), Map.empty)
+
+  def lookupMulti(basePath: String): Map[Set[String], String] =
+    multiEntries.getOrDefault(norm(basePath), Map.empty)
 
   private[plans] def relationFor(session: SparkSession, path: String,
                                  build: String => Option[LogicalRelation]): Option[LogicalRelation] = {
@@ -91,12 +106,24 @@ final case class AccessPatternRule(spark: SparkSession) extends Rule[LogicalPlan
         }
         root <- fsRel.location.rootPaths.headOption.map(_.toString)
         fastByDim = AccessPatternCatalog.lookup(root)
-        if fastByDim.nonEmpty
+        fastByDims = AccessPatternCatalog.lookupMulti(root)
+        if fastByDim.nonEmpty || fastByDims.nonEmpty
+        // a Z-order clustering wins when EVERY one of its dims carries a
+        // real predicate (a bbox) — the interleave spreads any single dim,
+        // so a partially-covered z table never beats a fast_<dim> copy;
+        // among covered z tables the widest (then highest-scored) wins
+        multiHit = fastByDims.toSeq
+          .filter(_._1.forall(d => predicateScore(cond, d) >= 1))
+          .sortBy { case (ds, p) =>
+            (-ds.size, -ds.toSeq.map(predicateScore(cond, _)).sum, p) }
+          .headOption
         candidates = cond.references.map(_.name).toSeq.distinct.sorted
           .filter(fastByDim.contains)
-        if candidates.nonEmpty
-        dim = candidates.maxBy(d => predicateScore(cond, d)) // sorted → ties pick first name
-        fastPath = fastByDim(dim)
+        if multiHit.nonEmpty || candidates.nonEmpty
+        fastPath = multiHit.map(_._2).getOrElse {
+          val dim = candidates.maxBy(d => predicateScore(cond, d)) // sorted → ties pick first name
+          fastByDim(dim)
+        }
         newRel <- AccessPatternCatalog.relationFor(spark, fastPath, analyzedRelation)
         // same columns in the same order — the clustering is a row-identical
         // rewrite of the base table
@@ -107,7 +134,7 @@ final case class AccessPatternRule(spark: SparkSession) extends Rule[LogicalPlan
         // relation (same names/types, different files) so every reference
         // above the scan — the filter, projections, aggregates — stays
         // valid. Only the files being read change.
-        logInfo(s"access-pattern swap: $root → $fastPath (predicate on $dim)")
+        logInfo(s"access-pattern swap: $root → $fastPath")
         Filter(cond, newRel.copy(output = rel.output))
       }
       swap.getOrElse(f)

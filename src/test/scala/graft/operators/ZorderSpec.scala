@@ -56,8 +56,13 @@ class ZorderSpec extends SparkSpec {
     val df = (0 until 256).map(i => (i % 16, i / 16, i.toDouble))
       .toDF("a", "b", "v")
     val base = graft.core.TempDirs.scratch("zspec")
+    // default layout is schema-identical: the sort key is dropped at write
+    val bare = spark.read.parquet(AccessPatterns.optimizeZorder(
+      df, graft.core.TempDirs.scratch("zspec_bare"), Seq("a", "b"),
+      bits = 4, partitions = 4))
+    assert(bare.columns.toSeq == df.columns.toSeq)
     val path = AccessPatterns.optimizeZorder(df, base, Seq("a", "b"),
-      bits = 4, partitions = 4)
+      bits = 4, partitions = 4, keepKey = true)
     val re = spark.read.parquet(path)
     // same rows back
     assert(re.count() == 256)

@@ -77,6 +77,39 @@ class AccessPatternRuleSpec extends SparkSpec {
     AccessPatternCatalog.clear()
   }
 
+  test("bbox on both z-dims swaps to the z-order table; single-dim filter " +
+       "prefers fast_<dim>") {
+    GraftSparkExtensions.install(spark)
+    AccessPatternCatalog.clear()
+    val base = Files.createTempDirectory("aprz").toString
+    val df = (0 until 1024).map(i => (i % 32, i / 32, i * 1.0))
+      .toDF("il", "xl", "amp")
+    df.write.parquet(s"$base/base")
+    val zPath = AccessPatterns.optimizeZorder(df, base, Seq("il", "xl"),
+      bits = 6, partitions = 4)
+    AccessPatterns.optimize(df, base, Seq("il"), partitions = 4)
+    AccessPatternCatalog.register(s"$base/base", "il",
+      AccessPatterns.fastTablePath(base, "il"))
+    AccessPatternCatalog.registerMulti(s"$base/base", Set("il", "xl"), zPath)
+
+    // bounding box on BOTH dims → the z layout serves the scan
+    val bbox = spark.read.parquet(s"$base/base")
+      .where(col("il").between(3, 9) && col("xl").between(10, 20))
+    assert(scanPaths(bbox).exists(_.contains("fast_z_")),
+      s"expected z-order scan, got ${scanPaths(bbox)}")
+    assert(bbox.count() ==
+      df.where(col("il").between(3, 9) && col("xl").between(10, 20)).count())
+    assert(bbox.select(sum(col("amp"))).as[Double].head() ==
+      df.where(col("il").between(3, 9) && col("xl").between(10, 20))
+        .select(sum(col("amp"))).as[Double].head())
+
+    // only one z-dim filtered → the z table must NOT serve it; fast_il does
+    val one = spark.read.parquet(s"$base/base").where(col("il") === 5)
+    assert(!scanPaths(one).exists(_.contains("fast_z_")))
+    assert(scanPaths(one).exists(_.contains("fast_il")))
+    AccessPatternCatalog.clear()
+  }
+
   test("analyzed fast relations are cached — one listing per fast table") {
     GraftSparkExtensions.install(spark)
     AccessPatternCatalog.clear()
