@@ -895,6 +895,24 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // co-located join: both sides written bucketed on the join key, then
+    // sort-merge-joined with broadcast disabled — correctness gated here,
+    // the NO-exchange plan shape pinned in BucketingSpec (at 100 TB this
+    // deletes the dominant shuffle from every repeated fact join)
+    "q_bucketed_join" -> ((s, d) => {
+      import graft.storage.Bucketing
+      val li = lineitem(s, d).select("l_orderkey", "l_quantity",
+        "l_extendedprice")
+      val ord = orders(s, d).select("o_orderkey", "o_custkey", "o_orderstatus")
+      Bucketing.writeBucketed(li, "q_bkt_lineitem", Seq("l_orderkey"), 8)
+      Bucketing.writeBucketed(ord.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "q_bkt_orders", Seq("l_orderkey"), 8)
+      s.table("q_bkt_lineitem").join(s.table("q_bkt_orders"), "l_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+    }),
     // multi-dim clustering: write the Z-order (Morton) layout over two
     // grid dims, re-read it, and run the two-dim bounding box — count,
     // decimal-exact sum, and the min/max stored _zkey gate both the
@@ -2004,6 +2022,11 @@ object SparkEntry {
       """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_partkey < 100""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_zorder" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

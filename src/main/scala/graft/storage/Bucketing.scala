@@ -11,10 +11,20 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed, per-bucket-sorted managed table. */
+  /** Write `df` as a bucketed, per-bucket-sorted managed table. Replaces
+    * any previous incarnation: the catalog entry is dropped AND the
+    * warehouse location cleared — a fresh in-memory catalog doesn't know
+    * about directories an earlier session left behind, and `saveAsTable`
+    * refuses to adopt an existing location.
+    */
   def writeBucketed(df: DataFrame, tableName: String, bucketCols: Seq[String],
                     nBuckets: Int): Unit = {
     require(bucketCols.nonEmpty && nBuckets > 0, "need bucket columns and count")
+    val sess = df.sparkSession
+    sess.sql(s"DROP TABLE IF EXISTS `$tableName`")
+    val loc = new org.apache.hadoop.fs.Path(
+      sess.conf.get("spark.sql.warehouse.dir") + "/" + tableName.toLowerCase)
+    loc.getFileSystem(sess.sparkContext.hadoopConfiguration).delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(nBuckets, bucketCols.head, bucketCols.drop(1): _*)
       .sortBy(bucketCols.head, bucketCols.drop(1): _*)
