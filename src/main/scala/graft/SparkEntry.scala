@@ -563,6 +563,11 @@ object SparkEntry {
     // those candidates fixes the quantization error in the final order
     "q_ann_ivfpq_rerank" -> ((s, d) =>
       Pq.ivfPqTopK(embeddings(s, d), (0L until 10L), k = 10, nRerank = 30)),
+    // FAISS-style residual IVFADC: PQ trained on x − centroid(cell(x)),
+    // one LUT per (query, probed cell) — tighter codes at the same bit
+    // budget; the full train→encode→probe→ADC chain replays in SQL
+    "q_ann_ivfpq_res" -> ((s, d) =>
+      Pq.ivfPqResidualTopK(embeddings(s, d), (0L until 10L), k = 10)),
     // scalar quantization (SQ8), the per-dim compression path: the code
     // table over exact corpus bounds (narrow codegen'd encode) ...
     "q_sq_codes" -> ((s, d) => {
@@ -1541,6 +1546,8 @@ object SparkEntry {
       dim = 64, nQueries = 10, k = 10),
     "q_ann_ivfpq_rerank" -> OracleSqlGen.ivfPqRerankSql(nProbe = 4, m = 8,
       ksub = 16, dim = 64, nQueries = 10, k = 10, nRerank = 30),
+    "q_ann_ivfpq_res" -> OracleSqlGen.ivfPqResidualSql(nProbe = 4, m = 8,
+      ksub = 16, dim = 64, nQueries = 10, k = 10),
     "q_sq_codes" -> OracleSqlGen.sqCodesSql(dim = 64),
     "q_sq_adc" -> OracleSqlGen.sqAdcSql(dim = 64, nQueries = 10, k = 10),
     "q_multimodal_features" -> OracleSqlGen.multimodalFeaturesSql(),

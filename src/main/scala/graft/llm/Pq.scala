@@ -39,9 +39,10 @@ object Pq {
     */
   def codebooks(embeddings: DataFrame, m: Int, ksub: Int,
                 idCol: String = "vec_id",
-                vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+                vecCol: String = "embedding",
+                salt: String = "pq:"): Array[Array[Array[Double]]] = {
     require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got m=$m ksub=$ksub")
-    val h = conv(substring(md5(concat(lit("pq:"), col(idCol).cast("string"))),
+    val h = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
       1, 15), 16, 10).cast("long")
     val seeds = embeddings
       .select(transform(col(vecCol), _.cast("double")).as("_v"), h.as("_h"),
@@ -299,5 +300,111 @@ object Pq {
     buildIndex(embeddings, pqPath, m, ksub, idCol, vecCol)
     ivfPqTopKFromIndexes(embeddings, ivfPath, pqPath, queryIds, k, nProbe,
       nRerank, idCol, vecCol)
+  }
+
+  // ------------------------------------------------- residual IVFADC
+
+  /** Residual of every corpus vector against its assigned IVF centroid —
+    * the frame PQ trains and encodes on in a RESIDUAL index. Exact double
+    * subtraction per component (the seeded quantizer's centroids are
+    * medoids, i.e. real corpus vectors), so residuals are deterministic
+    * and oracle-replayable.
+    */
+  private def residuals(embeddings: DataFrame, ivfPath: String,
+                        idCol: String, vecCol: String): DataFrame = {
+    val sess = embeddings.sparkSession
+    val cells = sess.read.parquet(s"$ivfPath/cells")
+    val cent = sess.read.parquet(s"$ivfPath/centroids")
+    embeddings.join(cells, idCol)
+      .join(cent, "cell")
+      .select(col(idCol), col("cell"),
+        zip_with(transform(col(vecCol), _.cast("double")), col("centroid"),
+          (a, b) => a - b).as("rv"))
+  }
+
+  /** FAISS-style residual IVFADC index: PQ codebooks trained on (and codes
+    * computed from) `x − centroid(cell(x))` instead of raw vectors. With
+    * the same bit budget the residual distribution is tighter than the raw
+    * one (the coarse quantizer already explains the between-cell
+    * variance), so quantization error — and ADC ranking error — drops;
+    * the price is one LUT per (query, probed cell) instead of one per
+    * query. Codes persist WITH their cell so the query path joins LUTs
+    * straight onto the code table.
+    */
+  def buildResidualIndex(embeddings: DataFrame, ivfPath: String,
+                         pqPath: String, m: Int = 8, ksub: Int = 16,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): Unit = {
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    val res = residuals(embeddings, ivfPath, idCol, vecCol)
+    val books = codebooks(res, m, ksub, idCol, "rv", salt = "pqr:")
+    res.select(col(idCol), col("cell"),
+        VecExprs.pqEncode(col("rv"), books).as("codes"))
+      .write.mode("overwrite").parquet(s"$pqPath/codes")
+    books.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (c0, c) => (j.toLong, c.toLong, c0.toSeq) }
+    }.toSeq.toDF("j", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$pqPath/books")
+  }
+
+  /** Search the residual index: the LUT table carries one entry per
+    * (query, probed cell) — `‖(q − centroid_cell)_slice − codebook‖²` —
+    * and doubles as the probe filter: joining the cell-keyed code table to
+    * the broadcast LUTs on `cell` IS the candidate selection, so the
+    * plan is one broadcast-hash join + the ADC kernel + the top-k window.
+    */
+  def ivfPqResidualTopKFromIndexes(embeddings: DataFrame, ivfPath: String,
+                                   pqPath: String, queryIds: Seq[Long],
+                                   k: Int, nProbe: Int = 4,
+                                   idCol: String = "vec_id",
+                                   vecCol: String = "embedding"): DataFrame = {
+    val sess = embeddings.sparkSession
+    import sess.implicits._
+    require(queryIds.nonEmpty && queryIds.size <= 65536,
+      s"residual ADC broadcasts nProbe LUTs per query — got ${queryIds.size}")
+    val books = readBooks(sess, pqPath)
+    val ksub = books(0).length
+    val centroids = Ivf.readCentroids(sess, ivfPath)
+    val queryFrame = embeddings.where(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val probePairs = Ivf.probeTable(queryFrame, ivfPath, nProbe)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("cell")))
+    val qvs = queryFrame
+      .select(col("query_id"), transform(col("qvec"), _.cast("double")).as("_qv"))
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getSeq[Double](1).toArray))
+      .toMap
+    val luts = probePairs.toSeq.map { case (qid, cell) =>
+      val q = qvs(qid)
+      val c = centroids(cell.toInt)
+      val rq = Array.tabulate(q.length)(i => q(i) - c(i))
+      (qid, cell, lutFor(rq, books).toSeq)
+    }.toDF("query_id", "cell", "_lut")
+    val codes = sess.read.parquet(s"$pqPath/codes")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist"), col(idCol))
+    codes.join(broadcast(luts), "cell")
+      .where(col(idCol) =!= col("query_id"))
+      .withColumn("dist", VecExprs.pqAdc(col("codes"), col("_lut"), ksub))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
+  /** Convenience: build the IVF index and the residual PQ index, then run
+    * the composed residual search — the registered, oracle-checked shape.
+    */
+  def ivfPqResidualTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
+                        nCells: Int = 0, nProbe: Int = 4,
+                        m: Int = 8, ksub: Int = 16,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val ivfPath = graft.core.TempDirs.scratch("ivfpqr_ivf")
+    val pqPath = graft.core.TempDirs.scratch("ivfpqr_pq")
+    Ivf.buildIndexSeeded(embeddings, ivfPath, nCells, idCol, vecCol)
+    buildResidualIndex(embeddings, ivfPath, pqPath, m, ksub, idCol, vecCol)
+    ivfPqResidualTopKFromIndexes(embeddings, ivfPath, pqPath, queryIds, k,
+      nProbe, idCol, vecCol)
   }
 }

@@ -111,6 +111,55 @@ class PqSpec extends SparkSpec {
     assert(nCand < 39, s"nProbe=1 must prune candidates, got $nCand rows")
   }
 
+  test("residual IVFADC: codes carry cells, clone ranks first, ranking " +
+       "is deterministic across rebuilds") {
+    val ivfPath = graft.core.TempDirs.scratch("ivfpqr_spec_ivf")
+    val pqPath = graft.core.TempDirs.scratch("ivfpqr_spec_pq")
+    Ivf.buildIndexSeeded(emb, ivfPath, nCells = 4)
+    Pq.buildResidualIndex(emb, ivfPath, pqPath, m = 4, ksub = 4)
+    val codes = spark.read.parquet(s"$pqPath/codes")
+    assert(codes.count() == 40)
+    assert(codes.columns.toSet == Set("vec_id", "cell", "codes"))
+    // the clone has vec 0's cell AND residual, so its residual codes equal
+    // vec 0's exactly; raw ADC ranks by quantized distance (no rerank
+    // stage here), so the clone must surface in the short list even if
+    // another vector's code happens to sit marginally closer to the
+    // query's residual
+    val got = Pq.ivfPqResidualTopKFromIndexes(emb, ivfPath, pqPath,
+        queryIds = Seq(0L), k = 5, nProbe = 4)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(got.values.toSet.contains(39L), s"clone must be in the top-5, got $got")
+    // determinism: a fresh build + search returns the identical ranking
+    val ivf2 = graft.core.TempDirs.scratch("ivfpqr_spec_ivf2")
+    val pq2 = graft.core.TempDirs.scratch("ivfpqr_spec_pq2")
+    Ivf.buildIndexSeeded(emb, ivf2, nCells = 4)
+    Pq.buildResidualIndex(emb, ivf2, pq2, m = 4, ksub = 4)
+    val again = Pq.ivfPqResidualTopKFromIndexes(emb, ivf2, pq2,
+        queryIds = Seq(0L), k = 5, nProbe = 4)
+      .collect().map(r => r.getAs[Long]("rank") -> r.getAs[Long]("neighbor_id"))
+      .toMap
+    assert(again == got)
+  }
+
+  test("residual codes differ from raw codes — the residual path engages") {
+    val ivfPath = graft.core.TempDirs.scratch("ivfpqr_spec_ivf3")
+    val pqrPath = graft.core.TempDirs.scratch("ivfpqr_spec_pq3")
+    val pqPath = graft.core.TempDirs.scratch("ivfpqr_spec_pq4")
+    Ivf.buildIndexSeeded(emb, ivfPath, nCells = 4)
+    Pq.buildResidualIndex(emb, ivfPath, pqrPath, m = 4, ksub = 4)
+    Pq.buildIndex(emb, pqPath, m = 4, ksub = 4)
+    val raw = spark.read.parquet(s"$pqPath/codes")
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val res = spark.read.parquet(s"$pqrPath/codes")
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(raw.keySet == res.keySet)
+    assert(raw.keys.exists(id => raw(id) != res(id)),
+      "residual training must produce a different code assignment")
+  }
+
   test("IVF+PQ plan: probes and LUTs broadcast, candidate pruning is a " +
        "hash join — never cartesian") {
     val ivfPath = graft.core.TempDirs.scratch("ivfpq_spec_plan_ivf")
