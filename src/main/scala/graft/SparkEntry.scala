@@ -245,6 +245,39 @@ object SparkEntry {
       s.read.parquet(out)
     }),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d))),
+    // sliding (hopping) windows: 1-hour span every 15 minutes — each event
+    // lands in 4 windows; the oracle replays the window math by explode
+    "q_events_sliding" -> ((s, d) =>
+      events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_value"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n_events"), col("sum_value"))),
+    // OLAP rollup: (status, linenumber) -> (status) -> () subtotal levels;
+    // grouping ids disambiguate NULL-as-subtotal from NULL data
+    "q_rollup" -> ((s, d) =>
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linenumber"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("<all>")).as("flag"),
+          coalesce(col("l_linenumber").cast("string"), lit("<all>"))
+            .as("line"),
+          col("n"), col("sum_qty"))),
+    // pivot with a FIXED value list (deterministic schema): event counts
+    // per user-bucket, one column per event type
+    "q_pivot" -> ((s, d) =>
+      events(s, d)
+        .withColumn("bucket", (col("user_id") % 10).cast("long"))
+        .groupBy(col("bucket"))
+        .pivot("event_type",
+          Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)).cast("long"))
+        .na.fill(0L)),
     // stream-stream interval join under the oracle: clicks and purchases
     // as two watermarked streams, inner-joined on user within the 2-hour
     // window — state eviction rides the watermarks, but an INNER interval
@@ -1355,6 +1388,32 @@ object SparkEntry {
         |  p.purchase_id
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND c.ts BETWEEN p.win_start AND p.win_end""".stripMargin,
+    // each event lands in exactly 4 hopping windows: the 15-min-floor and
+    // the 3 slides before it (half-open [start, start+1h) like Spark)
+    "q_events_sliding" ->
+      """WITH ks AS (SELECT unnest(range(0, 4)) AS k),
+        |w AS (SELECT event_type, value,
+        |    make_timestamp((epoch_us(ts) // 900000000 - k) * 900000000)
+        |      AS win_start
+        |  FROM events, ks)
+        |SELECT win_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, '<all>') AS flag,
+        |  coalesce(CAST(l_linenumber AS VARCHAR), '<all>') AS line,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linenumber)""".stripMargin,
+    "q_pivot" ->
+      """SELECT CAST(user_id % 10 AS BIGINT) AS bucket,
+        |  CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+        |  CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        |FROM events GROUP BY 1""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |    WHERE event_type = 'click'),
