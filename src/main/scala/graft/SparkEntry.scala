@@ -278,6 +278,36 @@ object SparkEntry {
           Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)).cast("long"))
         .na.fill(0L)),
+    // the streaming MDIO sink under the oracle: events stream through
+    // dropDuplicates state and the foreachBatch mdio append (schema
+    // validation + sidecar per batch), then the RE-OPENED store aggregates
+    // — gating the whole stream→store→open path against the batch world
+    "q_stream_store" -> ((s, d) => {
+      import org.apache.spark.sql.types.LongType
+      val store = graft.core.TempDirs.scratch("stream_store")
+      val ckpt = graft.core.TempDirs.scratch("stream_store_ckpt")
+      val srcDir = graft.core.TempDirs.scratch("stream_store_src")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
+        to.getFileSystem(hconf), to, false, hconf)
+      val rawSchema = s.read.parquet(srcDir).schema
+      val raw = s.readStream.schema(rawSchema).parquet(srcDir)
+      val fixed = (rawSchema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }).select("event_id", "user_id", "event_type", "value")
+      val q = graft.streaming.StreamingMdio.appendToStore(fixed, store,
+        checkpoint = Some(ckpt), dedupKey = Some("event_id"))
+      q.awaitTermination()
+      graft.storage.MdioDataset.open(s, store).df
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_value"))
+    }),
     // stream-stream interval join under the oracle: clicks and purchases
     // as two watermarked streams, inner-joined on user within the 2-hour
     // window — state eviction rides the watermarks, but an INNER interval
@@ -1369,6 +1399,10 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |SELECT hour, event_type, n_events, sum_value FROM agg, mx
         |WHERE hour + INTERVAL 1 HOUR <= wm""".stripMargin,
+    "q_stream_store" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
     "q_stream_join" ->
       """WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events
         |    WHERE event_type = 'click'),
