@@ -353,6 +353,32 @@ object SparkEntry {
       q.awaitTermination()
       s.read.parquet(out)
     }),
+    // forward as-of: each click's NEXT purchase at or after it — the
+    // mirrored carry (first over the following frame)
+    "q_asof_fwd" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.asofJoin(clicks, purchases,
+        on = Seq("user_id"), valueCols = Seq("value"), forward = true)
+        .withColumn("asof_ts",
+          coalesce(col("asof_ts"), lit("1970-01-01 00:00:00").cast("timestamp")))
+    }),
+    // exact fixed-width histogram — explicit bucket arithmetic (identical
+    // expression both engines; underflow→0, overflow→21)
+    "q_histogram" -> ((s, d) =>
+      lineitem(s, d)
+        .withColumn("bucket",
+          when(col("l_extendedprice") < 0.0, 0L)
+            .when(col("l_extendedprice") >= 100000.0, 21L)
+            .otherwise(floor(col("l_extendedprice") / 5000.0) + 1)
+            .cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_price"))),
     // bucketized point-in-interval range join: every click inside a 2-hour
     // post-purchase window, per user — equi-join on (user, time bucket)
     // instead of Spark's nested-loop BETWEEN plan
@@ -1412,6 +1438,24 @@ object SparkEntry {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND c.click_ts BETWEEN p.p_ts
         |    AND p.p_ts + INTERVAL 2 HOUR""".stripMargin,
+    "q_asof_fwd" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM events
+        |    WHERE event_type = 'purchase')
+        |SELECT l.event_id, l.user_id, l.ts,
+        |  coalesce(r.ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+        |  r.value AS asof_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
+    "q_histogram" ->
+      """SELECT CAST(CASE WHEN l_extendedprice < 0.0 THEN 0
+        |    WHEN l_extendedprice >= 100000.0 THEN 21
+        |    ELSE floor(l_extendedprice / 5000.0) + 1 END AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem GROUP BY 1""".stripMargin,
     "q_range_join" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |    WHERE event_type = 'click'),

@@ -49,34 +49,49 @@ object AsofJoin {
 
   /** The join. Output = every left column, then `asof_<rightTs>` and
     * `asof_<v>` for each requested right value column (null when no right
-    * row precedes the left row, or the match is older than the tolerance).
+    * row precedes — `forward = true`: follows — the left row, or the
+    * match is further away than the tolerance). Forward direction flips
+    * the carry: FIRST following right row per key (`l.ts <= r.ts`,
+    * equal-ts inclusive), the frame running from the current row to the
+    * partition end.
     */
   def asofJoin(left: DataFrame, right: DataFrame, on: Seq[String],
                leftTs: String = "ts", rightTs: String = "ts",
                valueCols: Seq[String] = Seq("value"),
-               toleranceSeconds: Option[Long] = None): DataFrame = {
+               toleranceSeconds: Option[Long] = None,
+               forward: Boolean = false): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equality key")
     require(valueCols.nonEmpty, "select at least one right value column")
     val rStruct = struct(col(rightTs).as("_rts") +:
       valueCols.map(col): _*)
+    // backward: right sorts BEFORE left at equal ts (match inclusive);
+    // forward: right sorts AFTER left at equal ts — and the side tag must
+    // flip with it so the carry window looks the right way
+    val (rSide, lSide) = if (forward) (1, 0) else (0, 1)
     val rPacked = right.select(on.map(col) :+ col(rightTs).as("_ets") :+
-      lit(0).as("_side") :+ rStruct.as("_r"): _*)
+      lit(rSide).as("_side") :+ rStruct.as("_r"): _*)
     val rType = rPacked.schema("_r").dataType
     val lPacked = left.select(on.map(col) :+ col(leftTs).as("_ets") :+
-      lit(1).as("_side") :+ lit(null).cast(rType).as("_r") :+
+      lit(lSide).as("_side") :+ lit(null).cast(rType).as("_r") :+
       struct(left.columns.map(col): _*).as("_l"): _*)
     val rWithNullL = rPacked.withColumn("_l",
       lit(null).cast(lPacked.schema("_l").dataType))
-    val w = Window.partitionBy(on.map(col): _*)
+    val base = Window.partitionBy(on.map(col): _*)
       .orderBy(col("_ets"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val w =
+      if (forward) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carry =
+      if (forward) first(col("_r"), ignoreNulls = true)
+      else last(col("_r"), ignoreNulls = true)
     val carried = lPacked.unionByName(rWithNullL)
-      .withColumn("_m", last(col("_r"), ignoreNulls = true).over(w))
+      .withColumn("_m", carry.over(w))
       .where(col("_l").isNotNull)
+    val gap =
+      if (forward) col("_m._rts").cast("long") - col("_ets").cast("long")
+      else col("_ets").cast("long") - col("_m._rts").cast("long")
     val bounded = toleranceSeconds match {
-      case Some(tol) => carried.withColumn("_m",
-        when(col("_ets").cast("long") - col("_m._rts").cast("long") <= tol,
-          col("_m")))
+      case Some(tol) => carried.withColumn("_m", when(gap <= tol, col("_m")))
       case None => carried
     }
     bounded.select(

@@ -35,6 +35,25 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L) == (None, None))
   }
 
+  test("forward as-of: smallest right ts >= left ts, equal ts inclusive") {
+    val out = AsofJoin.asofJoin(left, right, on = Seq("user_id"),
+        forward = true)
+      .select("event_id", "asof_ts", "asof_value")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(1)), Option(r.get(2)))).toMap
+    assert(out(1L) == (Some(ts(200)), Some(2.0))) // next after 100
+    assert(out(2L) == (Some(ts(200)), Some(2.0))) // equal ts inclusive
+    assert(out(3L) == (Some(ts(50)), Some(1.0)))  // next after 40
+    assert(out(4L) == (None, None))               // key with no right rows
+    // forward tolerance: gap measured the other way
+    val tol = AsofJoin.asofJoin(left, right, on = Seq("user_id"),
+        forward = true, toleranceSeconds = Some(20L))
+      .select("event_id", "asof_value")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(tol(3L) == Some(1.0)) // 50 - 40 = 10s <= 20s
+    assert(tol(1L).isEmpty)      // 200 - 100 = 100s > 20s
+  }
+
   test("tolerance nulls stale matches") {
     val out = AsofJoin.asofJoin(left, right, on = Seq("user_id"),
         toleranceSeconds = Some(10L))
