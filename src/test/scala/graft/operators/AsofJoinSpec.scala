@@ -63,6 +63,22 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(2L) == Some(2.0))   // 0s gap survives
   }
 
+  test("plan shape: no join operator at all — one keyed exchange + window") {
+    val out = AsofJoin.asofJoin(left, right, on = Seq("user_id"))
+    out.collect() // finalize AQE
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"as-of must never plan a loop join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"the union+carry shape has no join node:\n$plan")
+    // AQE prints final + initial plans; count shuffles in the final only
+    val finalPlan = plan.split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(finalPlan).length
+    assert(exchanges == 1, s"expected exactly one keyed shuffle, got " +
+      s"$exchanges:\n$finalPlan")
+  }
+
   test("dedupRight canonicalizes duplicate (key, ts) rows by tiebreak") {
     val dup = Seq((10L, ts(50), 1.0, 7L), (10L, ts(50), 9.0, 8L),
       (10L, ts(60), 5.0, 9L)).toDF("user_id", "ts", "value", "seq")

@@ -32,6 +32,21 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.count() == 1) // no dedup pass, no duplicate row
   }
 
+  test("plan shape: an equi-join on (keys, bucket) — never a nested loop") {
+    val points = (0 until 500).map(i => (i.toLong, i.toLong % 7, ts(i * 13)))
+      .toDF("event_id", "user_id", "ts")
+    val ivals = (0 until 100).map(i => (i.toLong % 7, ts(i * 60), ts(i * 60 + 90), i.toLong))
+      .toDF("user_id", "s", "e", "ival_id")
+    val out = RangeJoin.pointInInterval(points, ivals, Seq("user_id"),
+      "ts", "s", "e", bucketSeconds = 100, rightCols = Seq("ival_id"))
+    out.collect() // finalize AQE
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must stay an equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"),
+      s"expected a hash/sort-merge equi-join:\n$plan")
+  }
+
   test("validated contract: oversized and inverted intervals fail loudly") {
     val points = Seq((1L, ts(50))).toDF("event_id", "ts")
     val long = Seq((ts(0), ts(500), 1L)).toDF("s", "e", "ival_id")
