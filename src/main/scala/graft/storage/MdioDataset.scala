@@ -115,9 +115,22 @@ object MdioDataset {
         out.write.mode(SaveMode.Overwrite)
           .option("partitionOverwriteMode", "dynamic")
     }
-    val writer =
+    // Honor the schema's declared compressor physically: Blosc maps to the
+    // matching parquet codec (zstd default — `compressors.py:20-26`'s
+    // analog), Zfp stores zstd after the quantize stage carries the loss.
+    // No declaration → session default codec.
+    val codec = schema.variables.flatMap(_.compressor).collectFirst {
+      case b: graft.schema.Blosc => b.cname match {
+        case "lz4"            => "lz4"
+        case "gzip" | "zlib"  => "gzip"
+        case _                => "zstd"
+      }
+      case _: graft.schema.Zfp => "zstd"
+    }
+    val writer0 =
       if (layout.partitionCols.isEmpty) base
       else base.partitionBy(layout.partitionCols: _*)
+    val writer = codec.fold(writer0)(c => writer0.option("compression", c))
     writer.parquet(dataPath(path))
     writeSidecar(df.sparkSession, path, schema.copy(layout = Some(layout)))
   }

@@ -36,6 +36,25 @@ class MdioDatasetSpec extends SparkSpec {
     assert(info.getAs[Int]("il_min") == 1 && info.getAs[Long]("xl_n") == 2L)
   }
 
+  test("declared Blosc compressor maps to the physical parquet codec") {
+    val path = tmp()
+    val schema = sampleSchema.copy(variables = sampleSchema.variables
+      .map(_.copy(compressor = Some(Blosc("zstd")))))
+    MdioDataset.write(sampleDf, path, schema)
+    val files = new java.io.File(s"$path/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(files.nonEmpty && files.forall(_.contains("zstd")),
+      s"expected zstd-compressed parts, got ${files.mkString(",")}")
+    // round-trip unaffected
+    assert(MdioDataset.open(spark, path).df.count() == 4)
+    // no declaration → session default codec (not zstd)
+    val plain = tmp()
+    MdioDataset.write(sampleDf, plain, sampleSchema)
+    val plainFiles = new java.io.File(s"$plain/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet"))
+    assert(plainFiles.nonEmpty && !plainFiles.exists(_.contains("zstd")))
+  }
+
   test("write modes: w- fails on existing, a appends") {
     val path = tmp()
     MdioDataset.write(sampleDf, path, sampleSchema)
