@@ -278,6 +278,42 @@ object SparkEntry {
           Seq("click", "view", "purchase", "signup", "error"))
         .agg(count(lit(1)).cast("long"))
         .na.fill(0L)),
+    // arbitrary-state streaming under the oracle: the
+    // flatMapGroupsWithState sessionizer emits a session when a successor
+    // event closes it OR the event-time watermark passes its timeout
+    // (lastTs + gap) — both re-derivable in SQL, and per-session double
+    // sums fold in (ts, arrival) order which is deterministic because the
+    // fixture has no duplicate (user, ts) pairs
+    "q_stream_state_sessions" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      import org.apache.spark.sql.types.LongType
+      import s.implicits._
+      val out = graft.core.TempDirs.scratch("stream_fmgs_out")
+      val ckpt = graft.core.TempDirs.scratch("stream_fmgs_ckpt")
+      val srcDir = graft.core.TempDirs.scratch("stream_fmgs_src")
+      val hconf = s.sparkContext.hadoopConfiguration
+      val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
+      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
+        to.getFileSystem(hconf), to, false, hconf)
+      val rawSchema = s.read.parquet(srcDir).schema
+      val raw = s.readStream.schema(rawSchema).parquet(srcDir)
+      val fixed = rawSchema("ts").dataType match {
+        case LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ => raw
+      }
+      val typed = fixed.select(col("user_id"), col("ts"), col("value"))
+        .as[graft.streaming.StatefulSessions.Event]
+      val q = graft.streaming.StatefulSessions.sessionizeStream(typed)
+        .toDF()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+    }),
     // the streaming MDIO sink under the oracle: events stream through
     // dropDuplicates state and the foreachBatch mdio append (schema
     // validation + sidecar per batch), then the RE-OPENED store aggregates
@@ -1425,6 +1461,33 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |SELECT hour, event_type, n_events, sum_value FROM agg, mx
         |WHERE hour + INTERVAL 1 HOUR <= wm""".stripMargin,
+    // emitted sessions: closed by a successor (not the user's latest) or
+    // timed out (session_end + gap strictly before the final watermark);
+    // seedless ordered list_reduce replays the stateful double fold
+    "q_stream_state_sessions" ->
+      """WITH mx AS (SELECT (epoch_us(max(ts)) // 1000) * 1000
+        |    - 3600000000 AS wm_us FROM events),
+        |x AS (SELECT user_id, ts, value, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |sess AS (SELECT user_id, ts, value, event_id,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
+        |        OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x),
+        |agg AS (SELECT user_id, sid, min(ts) AS session_start,
+        |    max(ts) AS session_end, CAST(count(*) AS BIGINT) AS n_events,
+        |    list_reduce(list(value ORDER BY ts, event_id),
+        |      (x, y) -> x + y) AS sum_value
+        |  FROM sess GROUP BY 1, 2),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY session_start DESC) AS rn FROM agg)
+        |SELECT user_id, session_start, session_end, n_events, sum_value
+        |FROM rk, mx
+        |WHERE rn > 1
+        |  OR (epoch_us(session_end) // 1000) * 1000 + 1800000000
+        |    < wm_us""".stripMargin,
     "q_stream_store" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

@@ -17,30 +17,43 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object StatefulSessions {
 
   final case class Event(user_id: Long, ts: Timestamp, value: Double)
+  /** Timestamps carried as epoch MICROSECONDS — `Timestamp.getTime` is
+    * millis and would silently floor microsecond event times (real ingest
+    * data has them; the fixture caught exactly that).
+    */
   final case class SessionState(sessionStart: Long, lastTs: Long,
                                 nEvents: Long, sumValue: Double)
   final case class SessionOut(user_id: Long, session_start: Timestamp,
                               session_end: Timestamp, n_events: Long,
                               sum_value: Double)
 
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+  private def fromMicros(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   private def close(user: Long, s: SessionState): SessionOut =
-    SessionOut(user, new Timestamp(s.sessionStart), new Timestamp(s.lastTs),
+    SessionOut(user, fromMicros(s.sessionStart), fromMicros(s.lastTs),
       s.nEvents, s.sumValue)
 
   def updateSessions(gapMs: Long)(user: Long, events: Iterator[Event],
                                   state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val gapUs = gapMs * 1000L
     if (state.hasTimedOut) {
       val out = state.getOption.map(close(user, _)).iterator
       state.remove()
       return out
     }
-    val sorted = events.toArray.sortBy(_.ts.getTime)
+    val sorted = events.toArray.sortBy(e => micros(e.ts))
     var closed = List.empty[SessionOut]
     var cur = state.getOption
     sorted.foreach { e =>
-      val t = e.ts.getTime
+      val t = micros(e.ts)
       cur = cur match {
-        case Some(s) if t - s.lastTs <= gapMs =>
+        case Some(s) if t - s.lastTs <= gapUs =>
           Some(s.copy(lastTs = math.max(s.lastTs, t),
             nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
         case Some(s) =>
@@ -52,7 +65,9 @@ object StatefulSessions {
     }
     cur.foreach { s =>
       state.update(s)
-      state.setTimeoutTimestamp(s.lastTs + gapMs)
+      // the timeout API is millisecond-precision: floor — the session can
+      // only time out at or after its true lastTs + gap
+      state.setTimeoutTimestamp(s.lastTs / 1000L + gapMs)
     }
     closed.reverse.iterator
   }
