@@ -1025,6 +1025,19 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // skew-proof salted join: the fact side scatters per-row to one of 8
+    // salt buckets, the dim side replicates to all 8 — row-identical to
+    // the plain join (oracle is exactly that), hot keys spread 8-wide
+    "q_salted_join" -> ((s, d) =>
+      graft.operators.SaltedJoin.join(
+          lineitem(s, d).select("l_orderkey", "l_quantity"),
+          orders(s, d).select(col("o_orderkey").as("l_orderkey"),
+            col("o_orderstatus")),
+          on = Seq("l_orderkey"), salts = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))),
     // co-located join: both sides written bucketed on the join key, then
     // sort-merge-joined with broadcast disabled — correctness gated here,
     // the NO-exchange plan shape pinned in BucketingSpec (at 100 TB this
@@ -2229,6 +2242,11 @@ object SparkEntry {
       """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_partkey < 100""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
