@@ -829,6 +829,45 @@ object SparkEntry {
           element_at(dec, 2).cast("long").as("s2"),
           element_at(dec, 3).cast("long").as("s3"))
     }),
+    // the other two integer sample formats through the same write→read
+    // identity: format 2 (int32, ±1e9 values exercise all four bytes) and
+    // format 8 (signed int8), one file each, joined on the grid key
+    "q_segy_fmt28_roundtrip" -> ((s, d) => {
+      import graft.`export`.{SegyExport, SegyHeaders}
+      import graft.sources.SegyRead
+      import SegyRead.StandardFields.{Crossline, Inline}
+      def file(fmt: Int, mk: org.apache.spark.sql.Column): String = {
+        val src = lineitem(s, d).select(
+          col("l_orderkey").cast("int").as("il"),
+          col("l_linenumber").cast("int").as("xl"), mk.as("v"))
+        val records = SegyExport.serializeStandardTraces(
+          src.orderBy("il", "xl")
+            .withColumn("samples",
+              SegyExport.intPayload(col("v"), 2, formatCode = fmt)),
+          Seq(Inline -> "il", Crossline -> "xl"), "samples")
+        val f = graft.core.TempDirs.scratch(s"segy_fmt${fmt}_rt") + "/rt.sgy"
+        SegyExport.writeSegy(records, f,
+          SegyHeaders.sanitizeTextHeader(Seq(s"C 1 GRAFT FORMAT-$fmt RT")),
+          SegyExport.standardBinaryHeader(nSamples = 2, sampleInterval = 2000,
+            formatCode = fmt))
+        f
+      }
+      val f2 = file(2, array(
+        (col("l_partkey") % 20000 * 100000 - 1000000000).cast("int"),
+        (-(col("l_partkey") % 20000) * 100000 + 1000000000).cast("int")))
+      val f8 = file(8, array(
+        (col("l_partkey") % 255 - 127).cast("int"),
+        (col("l_orderkey") % 200 - 100).cast("int")))
+      def decoded(f: String, fmt: Int) = {
+        val dec = SegyRead.intSamples(col("samples"), 2, formatCode = fmt)
+        SegyRead.readStandardTraces(s, f, Seq(Inline, Crossline))
+          .select(col("inline").as("il"), col("crossline").as("xl"),
+            lit(fmt.toLong).as("fmt"),
+            element_at(dec, 1).cast("long").as("s1"),
+            element_at(dec, 2).cast("long").as("s2"))
+      }
+      decoded(f2, 2).unionByName(decoded(f8, 8))
+    }),
     // native codegen'd IBM hex-float decode over synthesized bit patterns
     "q_ibm_decode" -> ((s, d) => {
       import graft.functions.IbmFloatDecode
@@ -2126,6 +2165,18 @@ object SparkEntry {
         |  CAST(l_partkey % 20000 - 10000 AS BIGINT) AS s1,
         |  CAST(-(l_partkey % 20000) + 10000 AS BIGINT) AS s2,
         |  CAST(l_orderkey % 100 AS BIGINT) AS s3
+        |FROM lineitem""".stripMargin,
+    "q_segy_fmt28_roundtrip" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS il,
+        |  CAST(l_linenumber AS BIGINT) AS xl, CAST(2 AS BIGINT) AS fmt,
+        |  CAST(l_partkey % 20000 * 100000 - 1000000000 AS BIGINT) AS s1,
+        |  CAST(-(l_partkey % 20000) * 100000 + 1000000000 AS BIGINT) AS s2
+        |FROM lineitem
+        |UNION ALL
+        |SELECT CAST(l_orderkey AS BIGINT) AS il,
+        |  CAST(l_linenumber AS BIGINT) AS xl, CAST(8 AS BIGINT) AS fmt,
+        |  CAST(l_partkey % 255 - 127 AS BIGINT) AS s1,
+        |  CAST(l_orderkey % 200 - 100 AS BIGINT) AS s2
         |FROM lineitem""".stripMargin,
     "q_ibm_decode" ->
       """WITH b AS (SELECT l_orderkey,
