@@ -625,6 +625,11 @@ object SparkEntry {
     // sequence, round-robin shard deal — retry-safe, engine-reproducible
     "q_shuffle_shards" -> ((s, d) =>
       Packing.shuffleShards(documents(s, d), nShards = 8)),
+    // inference-side bucketed batching: similar-length docs batch together
+    // so per-batch padding (pad_to = batch max) stays tight
+    "q_length_batches" -> ((s, d) =>
+      Packing.lengthBucketBatches(documents(s, d), bucketTokens = 32,
+        batchSize = 16)),
     // long-doc → overlapping training samples (the dual of packing): 64-token
     // windows every 48 tokens; a pure narrow map + explode, zero shuffle
     "q_chunk_docs" -> ((s, d) =>
@@ -2272,6 +2277,18 @@ object SparkEntry {
          |    ${OracleSqlGen.h60("'shuf:' || doc_id")}, doc_id) - 1) % 8 AS BIGINT)
          |    AS shard
          |FROM documents""".stripMargin,
+    "q_length_batches" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x != '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |b AS (SELECT doc_id, n_tokens, (n_tokens + 31) // 32 AS bucket,
+        |    CAST((row_number() OVER (PARTITION BY (n_tokens + 31) // 32
+        |      ORDER BY n_tokens, doc_id) - 1) // 16 AS BIGINT) AS batch_idx
+        |  FROM c)
+        |SELECT doc_id, n_tokens, bucket, batch_idx,
+        |  max(n_tokens) OVER (PARTITION BY bucket, batch_idx) AS pad_to
+        |FROM b""".stripMargin,
     "q_chunk_docs" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks

@@ -65,4 +65,38 @@ object Packing {
       .withGlobalSeq(keyed, Seq("shuffle_key", idCol), "seq")
       .withColumn("shard", col("seq") % nShards)
   }
+
+  /** Length-bucketed batch manifest — the INFERENCE/eval-side dual of
+    * [[packSequences]]: transformer batches pad every sequence to the
+    * batch max, so batching docs of similar length minimizes pad waste
+    * ("bucketed batching"). Docs bucket by `ceil(n_tokens / bucketTokens)`
+    * (empty docs → bucket 0), order within the bucket by (n_tokens, id) —
+    * deterministic — and group into `batchSize`-row batches. Emits (idCol,
+    * n_tokens, bucket, batch_idx, pad_to): a loader runs batch (bucket,
+    * batch_idx) padded to its recorded max.
+    *
+    * Scale shape: one shuffle on bucket + a per-bucket window (buckets are
+    * many and balanced for real corpora — the skewed-bucket case is the
+    * middle of the length distribution, still thousands of batches per
+    * bucket, shardable downstream by batch_idx).
+    */
+  def lengthBucketBatches(docs: DataFrame, bucketTokens: Int, batchSize: Int,
+                          textCol: String = "text",
+                          idCol: String = "doc_id"): DataFrame = {
+    require(bucketTokens > 0 && batchSize > 0,
+      s"bucketTokens and batchSize must be positive")
+    val counted = docs.select(col(idCol),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        expr(s"(n_tokens + ${bucketTokens - 1}) DIV $bucketTokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket")).orderBy(col("n_tokens"), col(idCol))
+    counted
+      .withColumn("batch_idx",
+        floor((row_number().over(w) - 1) / lit(batchSize)).cast("long"))
+      .withColumn("pad_to",
+        max(col("n_tokens")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("bucket"), col("batch_idx"))))
+  }
 }

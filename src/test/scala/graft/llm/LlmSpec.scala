@@ -606,6 +606,28 @@ class PackingSpec extends graft.SparkSpec {
   import spark.implicits._
   import org.apache.spark.sql.functions._
 
+  test("lengthBucketBatches: same-bucket batches, bounded size, tight pad") {
+    val docs = (0 until 100).map(i => (i.toLong, ("w " * (i % 40 + 1)).trim))
+      .toDF("doc_id", "text")
+    val out = Packing.lengthBucketBatches(docs, bucketTokens = 8,
+      batchSize = 4).collect()
+    assert(out.length == 100)
+    out.foreach { r =>
+      val (n, bucket, pad) = (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("pad_to"))
+      assert(bucket == (n + 7) / 8)
+      assert(pad >= n && pad <= bucket * 8) // tight: pad within the bucket
+    }
+    // no batch exceeds batchSize rows, and batches fill in order
+    val sizes = out.groupBy(r => (r.getAs[Long]("bucket"),
+      r.getAs[Long]("batch_idx"))).view.mapValues(_.length)
+    assert(sizes.values.forall(_ <= 4))
+    sizes.keys.groupBy(_._1).foreach { case (_, batches) =>
+      val idxs = batches.map(_._2).toSeq.sorted
+      assert(idxs == (0L until idxs.length.toLong)) // contiguous batch ids
+    }
+  }
+
   test("packSequences: contiguous offsets, window spans, empty-doc handling") {
     val docs = Seq(
       (1L, "a b c d e"),        // 5 tokens  -> [0, 5)
