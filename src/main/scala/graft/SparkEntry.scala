@@ -404,7 +404,7 @@ object SparkEntry {
     }),
     // exact fixed-width histogram — explicit bucket arithmetic (identical
     // expression both engines; underflow→0, overflow→21)
-    "q_histogram" -> ((s, d) =>
+    "q_price_histogram" -> ((s, d) =>
       lineitem(s, d)
         .withColumn("bucket",
           when(col("l_extendedprice") < 0.0, 0L)
@@ -1568,7 +1568,7 @@ object SparkEntry {
         |  r.value AS asof_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
-    "q_histogram" ->
+    "q_price_histogram" ->
       """SELECT CAST(CASE WHEN l_extendedprice < 0.0 THEN 0
         |    WHEN l_extendedprice >= 100000.0 THEN 21
         |    ELSE floor(l_extendedprice / 5000.0) + 1 END AS BIGINT) AS bucket,
