@@ -26,6 +26,49 @@ object SparkEntry {
   private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
   private def embeddings(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** Stage the single-file events fixture into a scratch DIRECTORY (the
+    * file-stream source requires one; a real deployment streams a landing
+    * dir to begin with) and return it. One copy per streaming query run.
+    */
+  private def stageEventsDir(s: SparkSession, d: String, tag: String): String = {
+    val srcDir = graft.core.TempDirs.scratch(s"${tag}_src")
+    val hconf = s.sparkContext.hadoopConfiguration
+    val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+    val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
+      to.getFileSystem(hconf), to, false, hconf)
+    srcDir
+  }
+
+  /** File stream over a staged events dir, with the same nanos→micros ts
+    * fix the batch `Tables.events` applies.
+    */
+  private def eventsStream(s: SparkSession, srcDir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val rawSchema = s.read.parquet(srcDir).schema
+    val raw = s.readStream.schema(rawSchema).parquet(srcDir)
+    rawSchema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Run `body` with `spark.sql.shuffle.partitions` pinned — streaming
+    * state-store instance count is set by this at FIRST run against a
+    * checkpoint, and the registered gates always start fresh checkpoints;
+    * 8 state partitions beat 32 at fixture scale (less per-batch state
+    * store open/commit overhead) and a production job sizes this
+    * deliberately anyway. Restored in finally so the surrounding
+    * sequential Verify/Bench session is untouched.
+    */
+  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A representative slice of the engine: mask filter → broadcast-joined
     * enrich → grouped exact-decimal aggregation.
@@ -186,31 +229,17 @@ object SparkEntry {
     // hash-matches the batch world
     "q_stream_hourly" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.types.LongType
       val out = graft.core.TempDirs.scratch("stream_hourly_out")
       val ckpt = graft.core.TempDirs.scratch("stream_hourly_ckpt")
-      // the file-stream source requires a DIRECTORY; the fixture is a
-      // single file — stage it into a scratch dir (a real deployment
-      // streams a landing directory to begin with)
-      val srcDir = graft.core.TempDirs.scratch("stream_hourly_src")
-      val hconf = s.sparkContext.hadoopConfiguration
-      val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-      val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
-      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
-        to.getFileSystem(hconf), to, false, hconf)
-      val rawSchema = s.read.parquet(srcDir).schema
-      val raw = s.readStream.schema(rawSchema).parquet(srcDir)
-      val fixed = rawSchema("ts").dataType match {
-        case LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
+      val fixed = eventsStream(s, stageEventsDir(s, d, "stream_hourly"))
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamingEvents.hourlyAggStream(fixed)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
       }
-      val q = graft.streaming.StreamingEvents.hourlyAggStream(fixed)
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
       s.read.parquet(out)
     }),
     // session windows under the same streaming-vs-oracle contract: the
@@ -220,28 +249,17 @@ object SparkEntry {
     // lag/gap construction and applies the same flush predicate
     "q_stream_sessions" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.types.LongType
       val out = graft.core.TempDirs.scratch("stream_sess_out")
       val ckpt = graft.core.TempDirs.scratch("stream_sess_ckpt")
-      val srcDir = graft.core.TempDirs.scratch("stream_sess_src")
-      val hconf = s.sparkContext.hadoopConfiguration
-      val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-      val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
-      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
-        to.getFileSystem(hconf), to, false, hconf)
-      val rawSchema = s.read.parquet(srcDir).schema
-      val raw = s.readStream.schema(rawSchema).parquet(srcDir)
-      val fixed = rawSchema("ts").dataType match {
-        case LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
+      val fixed = eventsStream(s, stageEventsDir(s, d, "stream_sess"))
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamingEvents.sessionWindowStream(fixed)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
       }
-      val q = graft.streaming.StreamingEvents.sessionWindowStream(fixed)
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
       s.read.parquet(out)
     }),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d))),
@@ -286,32 +304,21 @@ object SparkEntry {
     // fixture has no duplicate (user, ts) pairs
     "q_stream_state_sessions" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.types.LongType
       import s.implicits._
       val out = graft.core.TempDirs.scratch("stream_fmgs_out")
       val ckpt = graft.core.TempDirs.scratch("stream_fmgs_ckpt")
-      val srcDir = graft.core.TempDirs.scratch("stream_fmgs_src")
-      val hconf = s.sparkContext.hadoopConfiguration
-      val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-      val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
-      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
-        to.getFileSystem(hconf), to, false, hconf)
-      val rawSchema = s.read.parquet(srcDir).schema
-      val raw = s.readStream.schema(rawSchema).parquet(srcDir)
-      val fixed = rawSchema("ts").dataType match {
-        case LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
-      }
-      val typed = fixed.select(col("user_id"), col("ts"), col("value"))
+      val typed = eventsStream(s, stageEventsDir(s, d, "stream_fmgs"))
+        .select(col("user_id"), col("ts"), col("value"))
         .as[graft.streaming.StatefulSessions.Event]
-      val q = graft.streaming.StatefulSessions.sessionizeStream(typed)
-        .toDF()
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StatefulSessions.sessionizeStream(typed)
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
     }),
     // the streaming MDIO sink under the oracle: events stream through
@@ -319,25 +326,15 @@ object SparkEntry {
     // validation + sidecar per batch), then the RE-OPENED store aggregates
     // — gating the whole stream→store→open path against the batch world
     "q_stream_store" -> ((s, d) => {
-      import org.apache.spark.sql.types.LongType
       val store = graft.core.TempDirs.scratch("stream_store")
       val ckpt = graft.core.TempDirs.scratch("stream_store_ckpt")
-      val srcDir = graft.core.TempDirs.scratch("stream_store_src")
-      val hconf = s.sparkContext.hadoopConfiguration
-      val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-      val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
-      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
-        to.getFileSystem(hconf), to, false, hconf)
-      val rawSchema = s.read.parquet(srcDir).schema
-      val raw = s.readStream.schema(rawSchema).parquet(srcDir)
-      val fixed = (rawSchema("ts").dataType match {
-        case LongType =>
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case _ => raw
-      }).select("event_id", "user_id", "event_type", "value")
-      val q = graft.streaming.StreamingMdio.appendToStore(fixed, store,
-        checkpoint = Some(ckpt), dedupKey = Some("event_id"))
-      q.awaitTermination()
+      val fixed = eventsStream(s, stageEventsDir(s, d, "stream_store"))
+        .select("event_id", "user_id", "event_type", "value")
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamingMdio.appendToStore(fixed, store,
+          checkpoint = Some(ckpt), dedupKey = Some("event_id"))
+        q.awaitTermination()
+      }
       graft.storage.MdioDataset.open(s, store).df
         .groupBy(col("event_type"))
         .agg(count(lit(1)).cast("long").as("n"),
@@ -351,42 +348,31 @@ object SparkEntry {
     // q_range_join-style SQL
     "q_stream_join" -> ((s, d) => {
       import org.apache.spark.sql.streaming.Trigger
-      import org.apache.spark.sql.types.LongType
       val out = graft.core.TempDirs.scratch("stream_join_out")
       val ckpt = graft.core.TempDirs.scratch("stream_join_ckpt")
-      val srcDir = graft.core.TempDirs.scratch("stream_join_src")
-      val hconf = s.sparkContext.hadoopConfiguration
-      val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-      val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
-      org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
-        to.getFileSystem(hconf), to, false, hconf)
-      val rawSchema = s.read.parquet(srcDir).schema
-      def stream() = {
-        val raw = s.readStream.schema(rawSchema).parquet(srcDir)
-        rawSchema("ts").dataType match {
-          case LongType =>
-            raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-          case _ => raw
-        }
-      }
-      val clicks = stream().where(col("event_type") === "click")
+      val srcDir = stageEventsDir(s, d, "stream_join")
+      val clicks = eventsStream(s, srcDir)
+        .where(col("event_type") === "click")
         .select(col("event_id"), col("user_id"), col("ts").as("click_ts"))
         .withWatermark("click_ts", "2 hours")
-      val purchases = stream().where(col("event_type") === "purchase")
+      val purchases = eventsStream(s, srcDir)
+        .where(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
           col("event_id").as("purchase_id"))
         .withWatermark("p_ts", "2 hours")
-      val q = clicks.join(purchases,
-          col("user_id") === col("p_user_id") &&
-            col("click_ts") >= col("p_ts") &&
-            col("click_ts") <= col("p_ts") + expr("INTERVAL 2 HOURS"))
-        .select(col("event_id"), col("user_id"), col("click_ts"),
-          col("p_ts"), col("purchase_id"))
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", ckpt)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStatePartitions(s, 8) {
+        val q = clicks.join(purchases,
+            col("user_id") === col("p_user_id") &&
+              col("click_ts") >= col("p_ts") &&
+              col("click_ts") <= col("p_ts") + expr("INTERVAL 2 HOURS"))
+          .select(col("event_id"), col("user_id"), col("click_ts"),
+            col("p_ts"), col("purchase_id"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       s.read.parquet(out)
     }),
     // forward as-of: each click's NEXT purchase at or after it — the
