@@ -1055,6 +1055,18 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // per-group top-k WITHOUT the window sort: a k-bounded
+    // TypedImperativeAggregate combines map-side, so tasks ship top-k
+    // candidates per group instead of every row — rank ties total-ordered
+    // by (value DESC, id), oracled against the window formulation
+    "q_topk_group" -> ((s, d) =>
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.functions.TopKAgg.topK(col("l_extendedprice"),
+          col("l_orderkey") * 10 + col("l_linenumber"), 3).as("top"))
+        .select(col("l_returnflag"), posexplode(col("top")))
+        .select(col("l_returnflag"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.v").as("price"), col("col.id").as("id"))),
     // skew-proof salted join: the fact side scatters per-row to one of 8
     // salt buckets, the dim side replicates to all 8 — row-identical to
     // the plain join (oracle is exactly that), hot keys spread 8-wide
@@ -2296,6 +2308,15 @@ object SparkEntry {
       """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_partkey < 100""".stripMargin,
+    "q_topk_group" ->
+      """WITH t AS (SELECT l_returnflag, l_extendedprice AS price,
+        |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id
+        |  FROM lineitem),
+        |r AS (SELECT l_returnflag, price, id,
+        |    CAST(row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY price DESC, id) AS BIGINT) AS rank
+        |  FROM t)
+        |SELECT l_returnflag, rank, price, id FROM r WHERE rank <= 3""".stripMargin,
     "q_salted_join" ->
       """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
