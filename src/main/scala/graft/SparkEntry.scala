@@ -1055,6 +1055,20 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // count-min sketch: 4×64 deterministic md5-60 counters over the token
+    // stream; the exact top-10 terms' estimates ride the broadcast counter
+    // table — over-count-only error, bit-replayable in SQL
+    "q_cms_terms" -> ((s, d) => {
+      val toks = graft.core.Scratch.rebalance(documents(s, d))
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      val cnts = Cms.counters(toks, "term", d = 4, w = 64)
+      val top = toks.groupBy(col("term"))
+        .agg(count(lit(1)).cast("long").as("true_n"))
+        .orderBy(col("true_n").desc, col("term")).limit(10)
+      Cms.estimate(cnts, top, "term", d = 4, w = 64)
+        .join(top, "term")
+        .select(col("term"), col("true_n"), col("est_n"))
+    }),
     // per-group top-k WITHOUT the window sort: a k-bounded
     // TypedImperativeAggregate combines map-side, so tasks ship top-k
     // candidates per group instead of every row — rank ties total-ordered
@@ -2308,6 +2322,24 @@ object SparkEntry {
       """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_partkey < 100""".stripMargin,
+    "q_cms_terms" ->
+      s"""WITH tok AS (SELECT unnest(${OracleSqlGen.tokensSql("lower(text)")})
+         |    AS term FROM documents),
+         |is_ AS (SELECT unnest(range(0, 4)) AS i),
+         |cnts AS (SELECT i,
+         |    ${OracleSqlGen.h60("'cms' || i || ':' || term")} % 64 AS bucket,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM tok, is_ GROUP BY 1, 2),
+         |top AS (SELECT term, CAST(count(*) AS BIGINT) AS true_n
+         |  FROM tok GROUP BY 1 ORDER BY true_n DESC, term LIMIT 10),
+         |est AS (SELECT t.term, min(c.cnt) AS est_n
+         |  FROM top t, is_
+         |  JOIN cnts c ON c.i = is_.i
+         |    AND c.bucket =
+         |      ${OracleSqlGen.h60("'cms' || is_.i || ':' || t.term")} % 64
+         |  GROUP BY 1)
+         |SELECT t.term, t.true_n, e.est_n
+         |FROM top t JOIN est e USING (term)""".stripMargin,
     "q_topk_group" ->
       """WITH t AS (SELECT l_returnflag, l_extendedprice AS price,
         |    CAST(l_orderkey * 10 + l_linenumber AS BIGINT) AS id
