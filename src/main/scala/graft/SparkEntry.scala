@@ -1055,6 +1055,15 @@ object SparkEntry {
           max(col("l_orderkey")).as("max_ok"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
     }),
+    // HLL cardinality: 64 deterministic registers over the orderkey
+    // stream, raw estimate (no ln corrections — transcendental-free),
+    // emitted beside the exact distinct for the error story
+    "q_hll_distinct" -> ((s, d) => {
+      val keys = lineitem(s, d).select(col("l_orderkey").as("k"))
+      Hll.estimate(Hll.registers(keys, "k"))
+        .crossJoin(broadcast(
+          keys.agg(countDistinct(col("k")).as("true_n"))))
+    }),
     // count-min sketch: 4×64 deterministic md5-60 counters over the token
     // stream; the exact top-10 terms' estimates ride the broadcast counter
     // table — over-count-only error, bit-replayable in SQL
@@ -2322,6 +2331,28 @@ object SparkEntry {
       """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_partkey < 100""".stripMargin,
+    "q_hll_distinct" ->
+      s"""WITH k AS (SELECT l_orderkey AS k FROM lineitem),
+         |h AS (SELECT ${OracleSqlGen.h60("'hll:' || k")} AS hv FROM k),
+         |r AS (SELECT hv % 64 AS j,
+         |    CASE WHEN hv // 64 = 0 THEN 55
+         |         ELSE 55 - length(bin(hv // 64)) END AS rho
+         |  FROM h),
+         |occ AS (SELECT j, CAST(max(rho) AS BIGINT) AS m_j FROM r GROUP BY 1),
+         |allj AS (SELECT unnest(range(0, 64)) AS j),
+         |regs AS (SELECT allj.j, coalesce(occ.m_j, 0) AS m_j
+         |  FROM allj LEFT JOIN occ USING (j)),
+         |agg AS (SELECT
+         |    list_reduce(list(pow(2.0, -m_j) ORDER BY j),
+         |      (x, y) -> x + y) AS s,
+         |    CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_zero_registers
+         |  FROM regs)
+         |SELECT ${graft.llm.Hll.alpha * graft.llm.Hll.m * graft.llm.Hll.m} / s
+         |    AS est_n,
+         |  n_zero_registers,
+         |  (SELECT CAST(count(DISTINCT k) AS BIGINT) FROM k) AS true_n
+         |FROM agg""".stripMargin,
     "q_cms_terms" ->
       s"""WITH tok AS (SELECT unnest(${OracleSqlGen.tokensSql("lower(text)")})
          |    AS term FROM documents),
