@@ -263,6 +263,19 @@ object SparkEntry {
       s.read.parquet(out)
     }),
     "q_sessionize" -> ((s, d) => Events.sessionize(events(s, d))),
+    // ordered product funnel signup → click → purchase: per user the
+    // greedy-earliest strict-time chain (fold over the sorted event list,
+    // no joins); per-step user counts like every funnel dashboard
+    "q_funnel" -> ((s, d) =>
+      Events.funnel(events(s, d), Seq("signup", "click", "purchase"))),
+    // cohort retention matrix: users keyed by first-seen day, counted on
+    // each later active day (offset 0..7)
+    "q_retention" -> ((s, d) =>
+      Events.cohortRetention(events(s, d))
+        // comparator-safe: DATE cells type-compare differently across the
+        // two readers; the ISO string is unambiguous
+        .withColumn("cohort_day",
+          date_format(col("cohort_day"), "yyyy-MM-dd"))),
     // sliding (hopping) windows: 1-hour span every 15 minutes — each event
     // lands in 4 windows; the oracle replays the window math by explode
     "q_events_sliding" -> ((s, d) =>
@@ -1633,6 +1646,40 @@ object SparkEntry {
         |  CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error
         |FROM events GROUP BY 1""".stripMargin,
+    // greedy-earliest strict chain == min-after-min-after-min (the fold
+    // advances on the first qualifying event of each sorted list)
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CASE event_type WHEN 'signup' THEN 0 WHEN 'click' THEN 1
+        |      WHEN 'purchase' THEN 2 ELSE -1 END AS i
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')),
+        |u0 AS (SELECT user_id, min(t) AS t1 FROM e WHERE i = 0 GROUP BY 1),
+        |u1 AS (SELECT e.user_id, min(e.t) AS t2 FROM e
+        |  JOIN u0 ON e.user_id = u0.user_id
+        |  WHERE e.i = 1 AND e.t > u0.t1 GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
+        |  JOIN u1 ON e.user_id = u1.user_id
+        |  WHERE e.i = 2 AND e.t > u1.t2 GROUP BY 1)
+        |SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM u0) AS n_users
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM u1)
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase',
+        |  (SELECT CAST(count(*) AS BIGINT) FROM u2)""".stripMargin,
+    "q_retention" ->
+      """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT strftime(fs.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', fs.cohort_day, act.day) AS BIGINT)
+        |    AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act JOIN fs ON act.user_id = fs.user_id
+        |WHERE date_diff('day', fs.cohort_day, act.day) BETWEEN 0 AND 7
+        |GROUP BY 1, 2""".stripMargin,
     "q_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events
         |    WHERE event_type = 'click'),

@@ -38,4 +38,68 @@ object Events {
     df.withColumn("session_id", sum(isNew).over(byUser))
       .select(col("event_id"), col("user_id"), col("ts"), col("session_id"))
   }
+
+  /** Ordered funnel: how many users complete step 1 → step 2 → … in STRICT
+    * time order (each step strictly after the previous completion — the
+    * standard product-analytics funnel). Per user the earliest completion
+    * chain greedily advances: t₁ = min ts of step 1, tᵢ = min ts of step i
+    * after tᵢ₋₁ (greedy-earliest is optimal here: any later choice of tᵢ₋₁
+    * only shrinks the candidate set for tᵢ). Output: one row per step with
+    * the user count that reached it — shaped like every funnel dashboard.
+    *
+    * Scale: one shuffle on user_id; per user the steps fold over a sorted
+    * (ts, type) list — no joins, no cross products, state O(steps).
+    */
+  def funnel(df: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val sess = df.sparkSession
+    import sess.implicits._
+    // per user: the sorted (ts_micros, step_index) event list, folded
+    // greedily into the reached-step count
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    val perUser = df
+      .where(stepIdx >= 0)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col("ts")).as("t"), stepIdx.as("i")))).as("evs"))
+      .select(
+        aggregate(col("evs"),
+          struct(lit(0).as("reached"), lit(Long.MinValue).as("last_t")),
+          (st, e) =>
+            when(e.getField("i") === st.getField("reached") &&
+                 (st.getField("reached") === 0 ||
+                  e.getField("t") > st.getField("last_t")),
+              struct((st.getField("reached") + 1).as("reached"),
+                e.getField("t").as("last_t")))
+              .otherwise(st)
+        ).getField("reached").as("reached"))
+    val counts = perUser.groupBy(col("reached"))
+      .agg(count(lit(1)).as("n_users"))
+    // step i is reached by every user whose `reached` > i: suffix-sum
+    val stepsDf = steps.zipWithIndex
+      .map { case (s, i) => (i.toLong + 1, s) }.toDF("step", "event_type")
+    stepsDf.join(counts, counts("reached") >= stepsDf("step"), "left")
+      .groupBy(col("step"), col("event_type"))
+      .agg(coalesce(sum(col("n_users")), lit(0L)).cast("long").as("n_users"))
+  }
+
+  /** Cohort retention: users grouped by their FIRST-seen day (the cohort),
+    * counted again for each later day they return — the retention matrix
+    * (cohort_day, day_offset, n_users). Two grouped aggregations and one
+    * broadcast-joinable first-seen table; no windows over the full corpus.
+    */
+  def cohortRetention(df: DataFrame, maxOffsetDays: Int = 7): DataFrame = {
+    val firstSeen = df.groupBy(col("user_id"))
+      .agg(min(to_date(col("ts"))).as("cohort_day"))
+    df.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .join(firstSeen, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .where(col("day_offset").between(0, maxOffsetDays))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+  }
 }

@@ -341,4 +341,41 @@ class EventsSpec extends SparkSpec {
       .select("event_id", "session_id").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 1L), (2L, 1L), (3L, 2L), (4L, 1L)))
   }
+
+  test("funnel: strict time order, out-of-order steps don't count, " +
+       "same-timestamp steps don't advance") {
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def ts(min: Int) = new java.sql.Timestamp(base.getTime + min * 60000L)
+    val df = Seq(
+      // user 1 completes A→B→C in order
+      (1L, "A", ts(0)), (1L, "B", ts(1)), (1L, "C", ts(2)),
+      // user 2: B before A — only A counts (B must follow A)
+      (2L, "B", ts(0)), (2L, "A", ts(1)),
+      // user 3: A and B at the SAME instant — strict > doesn't advance
+      (3L, "A", ts(0)), (3L, "B", ts(0)),
+      // user 4: never enters
+      (4L, "C", ts(0)),
+      // user 5: A, early B (before A) then late B — late B counts
+      (5L, "B", ts(0)), (5L, "A", ts(1)), (5L, "B", ts(2)))
+      .map { case (u, t, x) => (u, t, x) }
+      .toDF("user_id", "event_type", "ts")
+    val got = Events.funnel(df, Seq("A", "B", "C"))
+      .select("step", "n_users").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 4L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("cohortRetention counts a user once per active day, offset-bounded") {
+    def ts(day: Int, h: Int) =
+      java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d $h%02d:00:00")
+    val df = Seq(
+      (1L, ts(0, 1)), (1L, ts(0, 5)), (1L, ts(2, 3)), // day 0 twice, day 2
+      (2L, ts(1, 0)), (2L, ts(9, 0)))                 // day 9 > offset 7: out
+      .toDF("user_id", "ts")
+    val got = Events.cohortRetention(df, maxOffsetDays = 7)
+      .select("cohort_day", "day_offset", "n_users")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("2024-01-01", 0L, 1L), ("2024-01-01", 2L, 1L),
+      ("2024-01-02", 0L, 1L)))
+  }
 }
