@@ -414,6 +414,20 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
             .as("sum_price"))),
+    // as-of with staleness tolerance: a purchase older than 1 hour doesn't
+    // qualify — matches null out, exactly like pandas merge_asof tolerance
+    "q_asof_tol" -> ((s, d) => {
+      val e = events(s, d)
+      val clicks = e.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts")
+      val purchases = e.where(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+      graft.operators.AsofJoin.asofJoin(clicks, purchases,
+        on = Seq("user_id"), valueCols = Seq("value"),
+        toleranceSeconds = Some(3600L))
+        .withColumn("asof_ts",
+          coalesce(col("asof_ts"), lit("1970-01-01 00:00:00").cast("timestamp")))
+    }),
     // bucketized point-in-interval range join: every click inside a 2-hour
     // post-purchase window, per user — equi-join on (user, time bucket)
     // instead of Spark's nested-loop BETWEEN plan
@@ -1610,6 +1624,26 @@ object SparkEntry {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
         |    AS sum_price
         |FROM lineitem GROUP BY 1""".stripMargin,
+    "q_asof_tol" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events
+        |    WHERE event_type = 'click'),
+        |r AS (SELECT user_id, ts, value FROM events
+        |    WHERE event_type = 'purchase'),
+        |j AS (SELECT l.event_id, l.user_id, l.ts, r.ts AS rts, r.value
+        |  FROM l ASOF LEFT JOIN r
+        |    ON l.user_id = r.user_id AND l.ts >= r.ts),
+        |t AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN rts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(rts) <= 3600000000
+        |      THEN rts END AS m_ts,
+        |    CASE WHEN rts IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(rts) <= 3600000000
+        |      THEN value END AS m_value
+        |  FROM j)
+        |SELECT event_id, user_id, ts,
+        |  coalesce(m_ts, TIMESTAMP '1970-01-01 00:00:00') AS asof_ts,
+        |  m_value AS asof_value
+        |FROM t""".stripMargin,
     "q_range_join" ->
       """WITH c AS (SELECT event_id, user_id, ts FROM events
         |    WHERE event_type = 'click'),

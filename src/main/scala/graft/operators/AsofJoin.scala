@@ -87,11 +87,14 @@ object AsofJoin {
     val carried = lPacked.unionByName(rWithNullL)
       .withColumn("_m", carry.over(w))
       .where(col("_l").isNotNull)
+    // exact micros, not cast("long") — that floors to SECONDS and shifts
+    // the tolerance boundary for sub-second event times
     val gap =
-      if (forward) col("_m._rts").cast("long") - col("_ets").cast("long")
-      else col("_ets").cast("long") - col("_m._rts").cast("long")
+      if (forward) unix_micros(col("_m._rts")) - unix_micros(col("_ets"))
+      else unix_micros(col("_ets")) - unix_micros(col("_m._rts"))
     val bounded = toleranceSeconds match {
-      case Some(tol) => carried.withColumn("_m", when(gap <= tol, col("_m")))
+      case Some(tol) =>
+        carried.withColumn("_m", when(gap <= tol * 1000000L, col("_m")))
       case None => carried
     }
     bounded.select(
