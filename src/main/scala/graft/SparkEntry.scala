@@ -1091,6 +1091,21 @@ object SparkEntry {
         .crossJoin(broadcast(
           keys.agg(countDistinct(col("k")).as("true_n"))))
     }),
+    // grouped HLL: distinct users per event type, one 64-register sketch
+    // per group beside the exact distinct
+    "q_hll_grouped" -> ((s, d) => {
+      val keys = events(s, d).select(col("event_type"), col("user_id").as("k"))
+      Hll.estimateByGroup(
+          Hll.registersByGroup(keys, "k", "event_type"), "event_type")
+        .join(keys.groupBy(col("event_type"))
+          .agg(countDistinct(col("k")).cast("long").as("true_n")),
+          "event_type")
+    }),
+    // deterministic per-source cap (anti-dominance gate): at most 10 docs
+    // per source, kept set stable across reruns/engines (md5-ranked)
+    "q_cap_group" -> ((s, d) =>
+      Sampling.capPerGroup(
+        documents(s, d).select("doc_id", "source"), "source", cap = 10)),
     // count-min sketch: 4×64 deterministic md5-60 counters over the token
     // stream; the exact top-10 terms' estimates ride the broadcast counter
     // table — over-count-only error, bit-replayable in SQL
@@ -2412,6 +2427,40 @@ object SparkEntry {
       """SELECT count(*) AS n, min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM lineitem WHERE l_partkey < 100""".stripMargin,
+    "q_hll_grouped" ->
+      s"""WITH k AS (SELECT event_type, user_id AS k FROM events),
+         |h AS (SELECT event_type, ${OracleSqlGen.h60("'hll:' || k")} AS hv
+         |  FROM k),
+         |r AS (SELECT event_type, hv % 64 AS j,
+         |    CASE WHEN hv // 64 = 0 THEN 55
+         |         ELSE 55 - length(bin(hv // 64)) END AS rho
+         |  FROM h),
+         |occ AS (SELECT event_type, j, CAST(max(rho) AS BIGINT) AS m_j
+         |  FROM r GROUP BY 1, 2),
+         |g AS (SELECT DISTINCT event_type FROM events),
+         |allj AS (SELECT unnest(range(0, 64)) AS j),
+         |regs AS (SELECT g.event_type, allj.j, coalesce(occ.m_j, 0) AS m_j
+         |  FROM g CROSS JOIN allj
+         |  LEFT JOIN occ ON occ.event_type = g.event_type
+         |    AND occ.j = allj.j),
+         |agg AS (SELECT event_type,
+         |    list_reduce(list(pow(2.0, -m_j) ORDER BY j),
+         |      (x, y) -> x + y) AS s,
+         |    CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_zero_registers
+         |  FROM regs GROUP BY 1),
+         |tr AS (SELECT event_type, CAST(count(DISTINCT k) AS BIGINT)
+         |    AS true_n FROM k GROUP BY 1)
+         |SELECT a.event_type,
+         |  ${graft.llm.Hll.alpha * graft.llm.Hll.m * graft.llm.Hll.m} / a.s
+         |    AS est_n,
+         |  a.n_zero_registers, tr.true_n
+         |FROM agg a JOIN tr USING (event_type)""".stripMargin,
+    "q_cap_group" ->
+      s"""SELECT doc_id, source FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY source
+         |  ORDER BY ${OracleSqlGen.h60("'cap:' || doc_id")}, doc_id)
+         |  <= 10""".stripMargin,
     "q_hll_distinct" ->
       s"""WITH k AS (SELECT l_orderkey AS k FROM lineitem),
          |h AS (SELECT ${OracleSqlGen.h60("'hll:' || k")} AS hv FROM k),

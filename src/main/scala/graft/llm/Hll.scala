@@ -50,6 +50,44 @@ object Hll {
       .select(col("j"), coalesce(col("m_j"), lit(0L)).as("m_j"))
   }
 
+  /** Grouped registers: one m-register sketch per `groupCol` value —
+    * "distinct users per slice" across a whole dimension in one pass.
+    * Empty registers materialize per group via the groups × all-j cross
+    * (groups table is the aggregation output — already small).
+    */
+  def registersByGroup(keys: DataFrame, keyCol: String,
+                       groupCol: String): DataFrame = {
+    val sess = keys.sparkSession
+    import sess.implicits._
+    val h = h60(concat(lit("hll:"), col(keyCol).cast("string")))
+    val rest = shiftright(h, 6)
+    val rho = when(rest === 0, lit(55))
+      .otherwise(lit(55) - length(bin(rest)))
+    val occupied = keys
+      .groupBy(col(groupCol), pmod(h, lit(m.toLong)).as("j"))
+      .agg(max(rho).cast("long").as("m_j"))
+    val groups = keys.select(col(groupCol)).distinct()
+    val allJ = (0L until m.toLong).toDF("j")
+    groups.crossJoin(broadcast(allJ))
+      .join(occupied, Seq(groupCol, "j"), "left")
+      .select(col(groupCol), col("j"),
+        coalesce(col("m_j"), lit(0L)).as("m_j"))
+  }
+
+  /** Per-group estimates from a [[registersByGroup]] table. */
+  def estimateByGroup(regs: DataFrame, groupCol: String): DataFrame =
+    regs
+      .groupBy(col(groupCol))
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("j"), col("m_j")))),
+            s => pow(lit(2.0), -s.getField("m_j").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("s"),
+        sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("n_zero_registers"))
+      .select(col(groupCol),
+        (lit(alpha * m * m) / col("s")).as("est_n"),
+        col("n_zero_registers"))
+
   /** One-row estimate from a register table: raw α·m²/Σ2^(−M_j), plus the
     * zero-register count a caller uses to decide the exact-count fallback.
     */

@@ -85,4 +85,25 @@ object Sampling {
         floor(col("rate") * lit(M.toDouble)).cast("long"))
       .select(col(idCol), col(srcCol), col("n_tokens"))
   }
+
+  /** Deterministic per-group cap — "at most N docs per domain/source", the
+    * standard anti-dominance gate in crawl pipelines: rows rank within
+    * their group by (md5-60("cap:id"), id) — a reproducible pseudo-random
+    * order, so the kept set is stable across reruns, retries and engines —
+    * and ranks above `cap` drop. One shuffle on the group key; groups
+    * bigger than a task's memory stream through the rank window fine
+    * (no collect, no array build).
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, cap: Int,
+                  idCol: String = "doc_id",
+                  salt: String = "cap"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val h = conv(substring(md5(concat(lit(salt + ":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(h, col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= cap)
+      .drop("_rk")
+  }
 }

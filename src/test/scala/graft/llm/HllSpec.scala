@@ -26,6 +26,35 @@ class HllSpec extends SparkSpec {
       direct.orderBy("j").collect().toSeq)
   }
 
+  test("grouped registers equal the per-group single sketches") {
+    val keys = (0 until 600).map(i => (s"g${i % 3}", s"k$i")).toDF("g", "k")
+    val grouped = Hll.registersByGroup(keys, "k", "g")
+    (0 until 3).foreach { gi =>
+      val single = Hll.registers(keys.where($"g" === s"g$gi"), "k")
+        .orderBy("j").collect().toSeq
+      val slice = grouped.where($"g" === s"g$gi")
+        .select("j", "m_j").orderBy("j").collect().toSeq
+      assert(slice == single, s"group g$gi registers diverge")
+    }
+    val est = Hll.estimateByGroup(grouped, "g").collect()
+    assert(est.length == 3)
+    est.foreach(r =>
+      assert(math.abs(r.getAs[Double]("est_n") - 200) / 200 < 0.5))
+  }
+
+  test("capPerGroup keeps at most cap rows per group, deterministically") {
+    val df = (0 until 500).map(i => (i.toLong, s"s${i % 4}"))
+      .toDF("doc_id", "source")
+    val a = Sampling.capPerGroup(df, "source", cap = 7)
+    val counts = a.groupBy($"source").count().as[(String, Long)]
+      .collect().toMap
+    assert(counts.values.forall(_ == 7L) && counts.size == 4)
+    // stable kept set across reruns and repartitioning
+    val b = Sampling.capPerGroup(df.repartition(13), "source", cap = 7)
+    assert(a.select("doc_id").as[Long].collect().sorted.toSeq ==
+      b.select("doc_id").as[Long].collect().sorted.toSeq)
+  }
+
   test("duplicate keys do not move the estimate; tiny sets flag the " +
        "exact-count fallback") {
     val once = (0 until 1000).map(i => s"k$i").toDF("k")
