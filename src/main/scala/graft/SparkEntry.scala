@@ -268,6 +268,10 @@ object SparkEntry {
     // no joins); per-step user counts like every funnel dashboard
     "q_funnel" -> ((s, d) =>
       Events.funnel(events(s, d), Seq("signup", "click", "purchase"))),
+    // time-to-convert for the funnel's completers: exact integer-micros
+    // durations, one final mean division
+    "q_funnel_latency" -> ((s, d) =>
+      Events.funnelLatency(events(s, d), Seq("signup", "click", "purchase"))),
     // cohort retention matrix: users keyed by first-seen day, counted on
     // each later active day (offset 0..7)
     "q_retention" -> ((s, d) =>
@@ -1718,6 +1722,25 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(3 AS BIGINT), 'purchase',
         |  (SELECT CAST(count(*) AS BIGINT) FROM u2)""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS t,
+        |    CASE event_type WHEN 'signup' THEN 0 WHEN 'click' THEN 1
+        |      WHEN 'purchase' THEN 2 ELSE -1 END AS i
+        |  FROM events
+        |  WHERE event_type IN ('signup', 'click', 'purchase')),
+        |u0 AS (SELECT user_id, min(t) AS t1 FROM e WHERE i = 0 GROUP BY 1),
+        |u1 AS (SELECT e.user_id, min(e.t) AS t2 FROM e
+        |  JOIN u0 ON e.user_id = u0.user_id
+        |  WHERE e.i = 1 AND e.t > u0.t1 GROUP BY 1),
+        |u2 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
+        |  JOIN u1 ON e.user_id = u1.user_id
+        |  WHERE e.i = 2 AND e.t > u1.t2 GROUP BY 1),
+        |dur AS (SELECT u2.t3 - u0.t1 AS dur_us FROM u2
+        |  JOIN u0 ON u2.user_id = u0.user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_completers,
+        |  CAST(sum(dur_us) AS BIGINT) AS total_us,
+        |  CAST(sum(dur_us) AS DOUBLE) / count(*) AS mean_us
+        |FROM dur""".stripMargin,
     "q_retention" ->
       """WITH fs AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
         |  FROM events GROUP BY 1),

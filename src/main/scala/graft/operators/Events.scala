@@ -87,6 +87,46 @@ object Events {
       .agg(coalesce(sum(col("n_users")), lit(0L)).cast("long").as("n_users"))
   }
 
+  /** Time-to-convert for funnel COMPLETERS: per user completing every
+    * step, the micros between the chain's first and last step (the same
+    * greedy-earliest chain as [[funnel]]); aggregated to (n_completers,
+    * total and mean duration). Integer micros summed exactly; the mean is
+    * one final division.
+    */
+  def funnelLatency(df: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.size >= 2, "a funnel needs at least two steps")
+    val stepIdx = steps.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (s, i)) =>
+        when(col("event_type") === s, lit(i)).otherwise(acc)
+      }
+    val st0 = struct(lit(0).as("reached"), lit(Long.MinValue).as("last_t"),
+      lit(0L).as("first_t"))
+    val folded = df
+      .where(stepIdx >= 0)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(
+        unix_micros(col("ts")).as("t"), stepIdx.as("i")))).as("evs"))
+      .select(
+        aggregate(col("evs"), st0,
+          (st, e) =>
+            when(e.getField("i") === st.getField("reached") &&
+                 (st.getField("reached") === 0 ||
+                  e.getField("t") > st.getField("last_t")),
+              struct((st.getField("reached") + 1).as("reached"),
+                e.getField("t").as("last_t"),
+                when(st.getField("reached") === 0, e.getField("t"))
+                  .otherwise(st.getField("first_t")).as("first_t")))
+              .otherwise(st)
+        ).as("f"))
+      .where(col("f.reached") === steps.size)
+      .select((col("f.last_t") - col("f.first_t")).as("dur_us"))
+    folded.agg(count(lit(1)).cast("long").as("n_completers"),
+      sum(col("dur_us")).cast("long").as("total_us"))
+      .select(col("n_completers"), col("total_us"),
+        (col("total_us").cast("double") / col("n_completers").cast("double"))
+          .as("mean_us"))
+  }
+
   /** Cohort retention: users grouped by their FIRST-seen day (the cohort),
     * counted again for each later day they return — the retention matrix
     * (cohort_day, day_offset, n_users). Two grouped aggregations and one

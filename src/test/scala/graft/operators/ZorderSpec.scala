@@ -33,6 +33,25 @@ class ZorderSpec extends SparkSpec {
     assert(got3s == Seq(morton(Seq(5L, 3L, 7L), 8), 0L))
   }
 
+  test("the interleave is a bijection on the full 16x16 grid") {
+    val grid = for (x <- 0L until 16L; y <- 0L until 16L) yield (x, y)
+    val keys = grid.map(t => morton(Seq(t._1, t._2), 4))
+    assert(keys.distinct.size == 256) // injective
+    assert(keys.min == 0L && keys.max == 255L) // onto [0, 2^8)
+    // de-interleave recovers the coordinates
+    def unmorton(z: Long, bits: Int): (Long, Long) = {
+      var (x, y) = (0L, 0L)
+      (0 until bits).foreach { i =>
+        x |= ((z >> (2 * i)) & 1L) << i
+        y |= ((z >> (2 * i + 1)) & 1L) << i
+      }
+      (x, y)
+    }
+    grid.foreach { case (x, y) =>
+      assert(unmorton(morton(Seq(x, y), 4), 4) == ((x, y)))
+    }
+  }
+
   test("z-order clusters: interleave of (1,1) sorts between (0,0) and (3,3)") {
     assert(morton(Seq(0L, 0L), 4) < morton(Seq(1L, 1L), 4))
     assert(morton(Seq(1L, 1L), 4) < morton(Seq(3L, 3L), 4))
