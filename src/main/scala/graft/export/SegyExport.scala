@@ -69,7 +69,7 @@ object SegyExport {
     sorted.foreach { case (f, c) =>
       if (f.byteOffset > pos)
         pieces += lit(Array.fill[Byte](f.byteOffset - pos)(0))
-      pieces += beBytes(col(c), f.bytes, f.name)
+      pieces += beBytes(col(c), f.bytes, f.name, f.unsigned)
       pos = f.byteOffset + f.bytes
     }
     if (pos <= 240) pieces += lit(Array.fill[Byte](241 - pos)(0))
@@ -82,20 +82,25 @@ object SegyExport {
     * overflow: a value outside the field's range would otherwise wrap
     * silently under the width mask (70000 in a 2-byte slot reads back as
     * 4464) — the one writer hazard no downstream check can catch. The
-    * accepted range spans both interpretations a reader may use,
-    * [−2^(8b−1), 2^(8b)−1]: signed for coordinates/scalars, unsigned for
-    * counts (mirroring [[graft.sources.SegyRead.HeaderField]]'s split).
+    * accepted range follows the field's declared signedness (mirroring
+    * [[graft.sources.SegyRead.HeaderField]]): signed fields get
+    * [−2^(8b−1), 2^(8b−1)−1], unsigned counts get [0, 2^(8b)−1] — a union
+    * range would let e.g. 40000 pass a signed 2-byte check and read back
+    * as −25536.
     */
-  private def beBytes(c: Column, bytes: Int, name: String): Column = {
-    val lo = -(1L << (bytes * 8 - 1))
-    val hi = (1L << (bytes * 8)) - 1
+  private def beBytes(c: Column, bytes: Int, name: String,
+                      unsigned: Boolean = false): Column = {
+    val lo = if (unsigned) 0L else -(1L << (bytes * 8 - 1))
+    val hi = if (unsigned) (1L << (bytes * 8)) - 1
+             else (1L << (bytes * 8 - 1)) - 1
+    val mask = (1L << (bytes * 8)) - 1
     val v = c.cast("bigint")
     val checked = when(
       assert_true(v.between(lo, hi),
         format_string(s"$name value %d overflows the $bytes-byte header field " +
           s"(range $lo..$hi)", v)).isNull, v)
     call_function("to_binary",
-      lpad(hex(checked.bitwiseAND(lit(hi))), bytes * 2, "0"), lit("hex"))
+      lpad(hex(checked.bitwiseAND(lit(mask))), bytes * 2, "0"), lit("hex"))
   }
 
   /** Integer sample payload (SEG-Y formats 2=int32, 3=int16, 8=int8): each

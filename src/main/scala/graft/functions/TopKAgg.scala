@@ -37,8 +37,13 @@ final class TopKBuffer(val k: Int, var vs: Array[Double], var ids: Array[Long],
   * candidates vs shuffling the corpus.
   *
   * Ranking is (value DESC, id ASC) — ties are totally ordered, so the
-  * result multiset is input-order independent. Output: array of
-  * `struct(v, id)` in rank order (posexplode downstream for rows).
+  * result multiset is input-order independent. NaN values are IGNORED
+  * (treated like null): Scala's total Double ordering ranks NaN worst
+  * while SQL `ORDER BY value DESC` (Spark and DuckDB) ranks it best, so
+  * admitting NaN would silently diverge from the window/oracle
+  * formulation — dropping it keeps both sides agreeing on real values.
+  * Output: array of `struct(v, id)` in rank order (posexplode downstream
+  * for rows).
   */
 case class TopKAgg(value: Expression, id: Expression, k: Int,
                    mutableAggBufferOffset: Int = 0,
@@ -61,10 +66,13 @@ case class TopKAgg(value: Expression, id: Expression, k: Int,
     val v = value.eval(input)
     val i = id.eval(input)
     if (v != null && i != null) {
-      if (b.size == b.vs.length) b.compact(b.k)
-      b.vs(b.size) = v.asInstanceOf[Number].doubleValue()
-      b.ids(b.size) = i.asInstanceOf[Number].longValue()
-      b.size += 1
+      val dv = v.asInstanceOf[Number].doubleValue()
+      if (!dv.isNaN) { // NaN policy: ignored, see class doc
+        if (b.size == b.vs.length) b.compact(b.k)
+        b.vs(b.size) = dv
+        b.ids(b.size) = i.asInstanceOf[Number].longValue()
+        b.size += 1
+      }
     }
     b
   }

@@ -40,13 +40,17 @@ object Cms {
 
   /** Point estimates for `queryKeys`: min over the key's d counter cells.
     * `cnts` is a [[counters]] frame (broadcast — it is at most d·w rows).
+    * Left join with a zero coalesce: a key whose (i, bucket) cells were
+    * never touched by the sketched stream has true count 0, and the min
+    * over its cells must come out 0 — an inner join would drop the key
+    * from the output entirely instead of estimating it.
     */
   def estimate(cnts: DataFrame, queryKeys: DataFrame, keyCol: String,
                d: Int, w: Int): DataFrame =
     queryKeys
       .withColumn("i", explode(array((0 until d).map(i => lit(i)): _*)))
       .withColumn("bucket", bucketOf(col(keyCol), col("i"), w))
-      .join(broadcast(cnts), Seq("i", "bucket"))
+      .join(broadcast(cnts), Seq("i", "bucket"), "left")
       .groupBy(col(keyCol))
-      .agg(min(col("cnt")).as("est_n"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_n"))
 }

@@ -62,6 +62,16 @@ object AsofJoin {
                forward: Boolean = false): DataFrame = {
     require(on.nonEmpty, "as-of join needs at least one equality key")
     require(valueCols.nonEmpty, "select at least one right value column")
+    // same guard RangeJoin.pointInInterval has: a left frame already
+    // carrying an internal staging name or a to-be-emitted asof_* output
+    // name would produce an ambiguous-column error or silently wrong
+    // unpacking from the packed struct
+    val internal = Set("_ets", "_side", "_r", "_l", "_m")
+    val outputs = (rightTs +: valueCols).map(c => s"asof_$c").toSet
+    val collide = left.columns.filter(c => internal(c) || outputs(c))
+    require(collide.isEmpty,
+      s"left columns collide with as-of join internal/output names: " +
+        collide.mkString(", "))
     val rStruct = struct(col(rightTs).as("_rts") +:
       valueCols.map(col): _*)
     // backward: right sorts BEFORE left at equal ts (match inclusive);

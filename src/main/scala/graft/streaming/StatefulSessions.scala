@@ -65,8 +65,11 @@ object StatefulSessions {
     }
     cur.foreach { s =>
       state.update(s)
-      // the timeout API is millisecond-precision: floor — the session can
-      // only time out at or after its true lastTs + gap
+      // the timeout API is millisecond-precision, so lastTs (micros) is
+      // FLOORED to millis: the timeout can fire up to 999µs EARLIER than
+      // the true lastTs + gap. That sub-millisecond early close is part of
+      // this operator's contract — the oracle mirrors the same floor
+      // (epoch_us // 1000) with a strict <, so both sides agree.
       state.setTimeoutTimestamp(s.lastTs / 1000L + gapMs)
     }
     closed.reverse.iterator
