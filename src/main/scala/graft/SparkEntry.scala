@@ -1359,6 +1359,26 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
+    "q_multimodal_png" -> ((s, d) => {
+      // REAL PNG end to end: synthesize a 5x3 PNG per doc JVM-side
+      // (ImageIO encode; pixels r = (doc_id + 10x) % 256, g = (doc_id +
+      // 100y) % 256, b = doc_id % 256), decode through the ImageIO batched
+      // stage, and emit exact channel means — PNG is lossless, so the
+      // oracle recomputes the means straight from the pixel formula
+      import s.implicits._
+      val w = 5; val h = 3
+      val payloads = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.pngFileJvm(w, h, (x, y) => (
+            ((id + 10 * x) % 256).toInt,
+            ((id + 100 * y) % 256).toInt,
+            (id % 256).toInt)))
+        }).toDF("doc_id", "payload")
+      Multimodal.decodeImageBatched(payloads)
+        .select(col("doc_id"), col("ok"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
   )
 
   // SQL shared between standalone entries and the q_corpus_prep combine
@@ -2578,6 +2598,19 @@ object SparkEntry {
         |px AS (SELECT d.doc_id, xs.x, ys.y FROM documents d, xs, ys)
         |SELECT doc_id, true AS ok,
         |  CAST(4 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+        |  avg(CAST((doc_id + 10 * x) % 256 AS DOUBLE)) AS mean_r,
+        |  avg(CAST((doc_id + 100 * y) % 256 AS DOUBLE)) AS mean_g,
+        |  avg(CAST(doc_id % 256 AS DOUBLE)) AS mean_b
+        |FROM px GROUP BY doc_id""".stripMargin,
+    // PNG is lossless: the ImageIO encode->decode roundtrip must reproduce
+    // the pixel formula's bytes exactly, so the oracle never parses PNG —
+    // it recomputes the channel means from the same formula (PPM pattern)
+    "q_multimodal_png" ->
+      """WITH xs AS (SELECT unnest(range(0, 5)) AS x),
+        |ys AS (SELECT unnest(range(0, 3)) AS y),
+        |px AS (SELECT d.doc_id, xs.x, ys.y FROM documents d, xs, ys)
+        |SELECT doc_id, true AS ok,
+        |  CAST(5 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
         |  avg(CAST((doc_id + 10 * x) % 256 AS DOUBLE)) AS mean_r,
         |  avg(CAST((doc_id + 100 * y) % 256 AS DOUBLE)) AS mean_g,
         |  avg(CAST(doc_id % 256 AS DOUBLE)) AS mean_b

@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus the decode/feature/frame-sample stages a
   * training pipeline runs over them.
   *
-  * The real decode (JPEG/PNG/audio codecs) is STUBBED — the container ships
-  * no media libraries — behind `fakeDecodeFeatures`, a deterministic
-  * hash-derived feature vector. Everything around the stub is real Spark
-  * plumbing: binary columns, metadata structs, batch-shaped partition logic,
-  * and codegen'd expressions, so swapping in a real codec is a one-function
-  * change.
+  * REAL decodes (no external dependency needed): PPM P6 (`decodePpmJvm`,
+  * byte arithmetic), RIFF/WAVE integer PCM (`decodeWavJvm`, byte
+  * arithmetic), and every raster codec the JDK ships via `javax.imageio` —
+  * PNG/BMP/GIF/JPEG (`decodeImageIoJvm`). Only formats with no JVM-builtin
+  * codec remain STUBBED behind `fakeDecodeFeatures` (video containers,
+  * compressed audio such as MP3/AAC/FLAC): a deterministic hash-derived
+  * feature vector standing in for the codec, with the Spark plumbing —
+  * binary columns, metadata structs, batch-shaped partition logic — real
+  * and identical to the non-stub paths, so swapping in a codec is a
+  * one-function change.
   */
 object Multimodal {
 
@@ -119,9 +123,9 @@ object Multimodal {
   /** REAL image decode for the one raster format that needs no codec
     * library: binary PPM (`P6`) is an ASCII header (`P6`, width, height,
     * maxval, '#' comments allowed) followed by raw RGB bytes — pure byte
-    * arithmetic, so this path is NOT a stub. JPEG/PNG/audio stay behind
-    * [[fakeDecodeFeatures]] until codecs exist in the runtime; a real
-    * pipeline swaps them into the same batched shape below.
+    * arithmetic, so this path is NOT a stub. PNG/BMP/GIF/JPEG decode for
+    * real via [[decodeImageIoJvm]] (JDK ImageIO); only codec-less formats
+    * (video, compressed audio) stay behind [[fakeDecodeFeatures]].
     */
   private[llm] def decodePpmJvm(bytes: Array[Byte]): Option[PpmImage] = {
     var i = 0
@@ -179,6 +183,93 @@ object Multimodal {
         rows.grouped(batchSize).flatMap { batch =>
           batch.iterator.map { case (id, bytes) =>
             decodePpmJvm(bytes) match {
+              case Some(img) => (id, true, Some(img.width), Some(img.height),
+                Some(img.meanR), Some(img.meanG), Some(img.meanB))
+              case None => (id, false, None, None, None, None, None)
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "ok", "width", "height", "mean_r", "mean_g", "mean_b")
+  }
+
+  // ------------------------------------------------- REAL decode: ImageIO
+
+  /** REAL image decode for every raster codec the JDK ships: `javax.imageio`
+    * reads PNG, BMP, GIF, JPEG (and WBMP/TIFF on modern JDKs) with zero
+    * external dependencies, so none of those formats needs the stub. Output
+    * reuses [[PpmImage]] — dimensions + exact per-channel means from integer
+    * pixel sums (for lossless formats the means are bit-deterministic;
+    * JPEG decodes real pixels but lossily, so only lossless formats are
+    * oracle-gated). Unreadable/unsupported payloads yield None, same
+    * mixed-corpus policy as [[decodePpmJvm]].
+    */
+  private[llm] def decodeImageIoJvm(bytes: Array[Byte]): Option[PpmImage] = {
+    if (bytes.length < 8) return None
+    val img =
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: java.io.IOException | _: RuntimeException => None }
+    img.flatMap { bi =>
+      val w = bi.getWidth; val h = bi.getHeight
+      if (w <= 0 || h <= 0) None
+      else {
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = bi.getRGB(x, y) // sRGB packed int, exact for 8-bit data
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val n = w.toLong * h
+        Some(PpmImage(w, h, sr.toDouble / n, sg.toDouble / n, sb.toDouble / n))
+      }
+    }
+  }
+
+  /** Synthesize a PNG (JVM side) — fixture-builder dual of
+    * [[decodeImageIoJvm]], pixels from a deterministic (x, y) → (r, g, b)
+    * formula. PNG is lossless, so a decode of this file must reproduce the
+    * formula's bytes exactly.
+    */
+  private[graft] def pngFileJvm(width: Int, height: Int,
+                                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val bi = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = pixel(x, y)
+        bi.setRGB(x, y, ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Batched REAL image decode over payload rows via ImageIO — same
+    * grouped-iterator shape and output schema as [[decodePpmBatched]];
+    * per-partition the ImageIO disk cache is disabled once (in-memory
+    * streams only — a spinning scratch-file cache per task would be the
+    * hidden serial I/O at scale).
+    */
+  def decodeImageBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits._
+    df.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            decodeImageIoJvm(bytes) match {
               case Some(img) => (id, true, Some(img.width), Some(img.height),
                 Some(img.meanR), Some(img.meanG), Some(img.meanB))
               case None => (id, false, None, None, None, None, None)

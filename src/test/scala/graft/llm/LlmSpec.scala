@@ -504,6 +504,40 @@ class BatchDecodeSpec extends graft.SparkSpec {
     assert(Multimodal.decodePpmJvm(deep).isEmpty) // 2 bytes/channel unsupported
   }
 
+  test("decodeImageIoJvm: REAL PNG/BMP decode via JDK ImageIO — exact " +
+       "channel means; garbage rejected") {
+    val png = Multimodal.pngFileJvm(4, 2, (x, y) => (10 * x, 100 * y, 7))
+    assert(new String(png.slice(1, 4), "US-ASCII") == "PNG") // real PNG magic
+    val img = Multimodal.decodeImageIoJvm(png).get
+    assert(img.width == 4 && img.height == 2)
+    assert(img.meanR == 15.0 && img.meanG == 50.0 && img.meanB == 7.0)
+    // same pixels through a second JDK codec (BMP): identical exact stats
+    val bi = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 2; x <- 0 until 4)
+      bi.setRGB(x, y, (10 * x << 16) | (100 * y << 8) | 7)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(bi, "bmp", bos)
+    val bmp = Multimodal.decodeImageIoJvm(bos.toByteArray).get
+    assert(bmp == img)
+    assert(Multimodal.decodeImageIoJvm("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeImageIoJvm(Array.emptyByteArray).isEmpty)
+  }
+
+  test("decodeImageBatched: mixed corpus — PNG rows decode, non-image " +
+       "rows flow through as ok=false") {
+    val png = Multimodal.pngFileJvm(3, 3, (x, y) => (x + y, x * y, 255))
+    val docs = Seq((1L, png), (2L, "plain text".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.decodeImageBatched(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("ok"))
+    assert(out(1L).getAs[Int]("width") == 3)
+    assert(out(1L).getAs[Double]("mean_b") == 255.0)
+    assert(!out(2L).getAs[Boolean]("ok"))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("width")))
+  }
+
   test("decodeWavBatched: REAL RIFF/PCM16 decode roundtrips wavFileJvm, " +
        "LIST chunks skipped; non-WAV rows flow through as ok=false") {
     val mono = Multimodal.wavFileJvm(Array[Short](100, -200, 300, -32768),
