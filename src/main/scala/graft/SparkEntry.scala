@@ -851,6 +851,36 @@ object SparkEntry {
           element_at(dec, 2).cast("long").as("s2"),
           element_at(dec, 3).cast("long").as("s3"))
     }),
+    // format-6 (rev-2 IEEE float64) standard roundtrip: three doubles per
+    // trace through the raw-bits encode (DoubleBits) and the native
+    // BeDoubleAt decode — bit-exact by construction, so the oracle just
+    // recomputes the sample formulas from lineitem (negatives and an exact
+    // /64 division exercise sign and mantissa bytes)
+    "q_segy_fmt6_roundtrip" -> ((s, d) => {
+      import graft.`export`.{SegyExport, SegyHeaders}
+      import graft.sources.SegyRead
+      import SegyRead.StandardFields.{Crossline, Inline}
+      val src = lineitem(s, d).select(
+        col("l_orderkey").cast("int").as("il"),
+        col("l_linenumber").cast("int").as("xl"),
+        array(col("l_extendedprice"),
+          -col("l_extendedprice"),
+          col("l_partkey").cast("double") / 64.0).as("v"))
+      val records = SegyExport.serializeStandardTraces(
+        src.orderBy("il", "xl")
+          .withColumn("samples", SegyExport.ieee64Payload(col("v"), 3)),
+        Seq(Inline -> "il", Crossline -> "xl"), "samples")
+      val f = graft.core.TempDirs.scratch("segy_fmt6_rt") + "/rt.sgy"
+      SegyExport.writeSegy(records, f,
+        SegyHeaders.sanitizeTextHeader(Seq("C 1 GRAFT FORMAT-6 ROUNDTRIP")),
+        SegyExport.standardBinaryHeader(nSamples = 3, sampleInterval = 2000,
+          formatCode = 6))
+      val dec = SegyRead.ieee64Samples(col("samples"), 3)
+      SegyRead.readStandardTraces(s, f, Seq(Inline, Crossline))
+        .select(col("inline").as("il"), col("crossline").as("xl"),
+          element_at(dec, 1).as("s1"), element_at(dec, 2).as("s2"),
+          element_at(dec, 3).as("s3"))
+    }),
     // the other two integer sample formats through the same write→read
     // identity: format 2 (int32, ±1e9 values exercise all four bytes) and
     // format 8 (signed int8), one file each, joined on the grid key
@@ -2330,6 +2360,16 @@ object SparkEntry {
         |  CAST(l_partkey % 20000 - 10000 AS BIGINT) AS s1,
         |  CAST(-(l_partkey % 20000) + 10000 AS BIGINT) AS s2,
         |  CAST(l_orderkey % 100 AS BIGINT) AS s3
+        |FROM lineitem""".stripMargin,
+    // float64 roundtrip is raw-bit exact (DoubleBits encode / BeDoubleAt
+    // decode), so the oracle recomputes the sample doubles directly; /64 is
+    // a power-of-two division — exact in IEEE on both engines
+    "q_segy_fmt6_roundtrip" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS il,
+        |  CAST(l_linenumber AS BIGINT) AS xl,
+        |  l_extendedprice AS s1,
+        |  -l_extendedprice AS s2,
+        |  CAST(l_partkey AS DOUBLE) / 64 AS s3
         |FROM lineitem""".stripMargin,
     "q_segy_fmt28_roundtrip" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS il,

@@ -127,6 +127,20 @@ object SegyExport {
         lit("hex"))
     }: _*)
 
+  /** Format-6 sample payload (SEG-Y rev-2 IEEE float64): each double's RAW
+    * bits ([[graft.functions.DoubleBits]] — NaN payloads survive) packed as
+    * an 8-byte big-endian word. `hex` of a long is already the full 64-bit
+    * two's-complement image, so no mask is needed; lpad covers the
+    * leading-zero case. Encode inverse of
+    * [[graft.sources.SegyRead.ieee64Samples]].
+    */
+  def ieee64Payload(samples: Column, nSamples: Int): Column =
+    concat((1 to nSamples).map { i =>
+      call_function("to_binary",
+        lpad(hex(graft.functions.DoubleBits(element_at(samples, i))), 16, "0"),
+        lit("hex"))
+    }: _*)
+
   /** The standard 400-byte binary header a real reader parses: sample
     * interval at bytes 17-18, samples per trace at 21-22, format code at
     * 25-26, revision word at 301-302 — the self-describing geometry

@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType}
+import org.apache.spark.sql.types.{BinaryType, DataType, DoubleType, IntegerType, LongType}
 
 /** Big-endian integer at a byte offset of a binary column — the word decode
   * of the SEG-Y byte reader ([[graft.sources.SegyRead]]), as a NATIVE
@@ -74,4 +75,84 @@ final case class BeIntAtExpr(bin: Expression, pos: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BeIntAtExpr =
     copy(bin = newLeft, pos = newRight)
+}
+
+/** Big-endian IEEE float64 at a byte offset of a binary column — the sample
+  * word of SEG-Y format 6 (rev-2 float64 data; reference delegates these to
+  * the `segy` package's format table, `segy/file.py:152-186`). Same native
+  * byte-array access as [[BeIntAtExpr]]: eight loads and shifts assemble
+  * the long, `longBitsToDouble` reinterprets — no transient strings, stays
+  * inside whole-stage codegen.
+  */
+object BeDoubleAt {
+  /** Scalar decode, shared by interpreted eval and tests. */
+  def decode(bytes: Array[Byte], off: Int): Double = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (bytes(off + i) & 0xffL); i += 1 }
+    java.lang.Double.longBitsToDouble(v)
+  }
+
+  def apply(bin: Column, pos: Column): Column =
+    ColumnBridge.column(BeDoubleAtExpr(
+      ColumnBridge.expression(bin), ColumnBridge.expression(pos)))
+}
+
+final case class BeDoubleAtExpr(bin: Expression, pos: Expression)
+    extends BinaryExpression with Serializable {
+
+  override def left: Expression = bin
+  override def right: Expression = pos
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (bin.dataType == BinaryType && pos.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"be_double_at expects (binary, int), got (${bin.dataType}, ${pos.dataType})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "be_double_at"
+
+  override protected def nullSafeEval(b: Any, p: Any): Any =
+    BeDoubleAt.decode(b.asInstanceOf[Array[Byte]], p.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, p) => {
+      val bits = ctx.freshName("bits")
+      val assemble = (0 until 8).map(i =>
+        s"((long)($b[$p + $i] & 0xff) << ${8 * (7 - i)})").mkString(" | ")
+      s"""long $bits = $assemble;
+         |${ev.value} = java.lang.Double.longBitsToDouble($bits);""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): BeDoubleAtExpr =
+    copy(bin = newLeft, pos = newRight)
+}
+
+/** `Double.doubleToRawLongBits` as a native expression — the encode dual of
+  * [[BeDoubleAtExpr]] (raw bits, so even NaN payloads round-trip
+  * bit-exactly); the caller packs the long big-endian (hex/lpad, same
+  * shape as the IBM32 encode path).
+  */
+object DoubleBits {
+  def apply(c: Column): Column =
+    ColumnBridge.column(DoubleBitsExpr(ColumnBridge.expression(c)))
+}
+
+final case class DoubleBitsExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "double_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Double.doubleToRawLongBits(input.asInstanceOf[Double])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, d =>
+      s"${ev.value} = java.lang.Double.doubleToRawLongBits($d);")
+
+  override protected def withNewChildInternal(newChild: Expression): DoubleBitsExpr =
+    copy(child = newChild)
 }

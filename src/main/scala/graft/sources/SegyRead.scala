@@ -198,6 +198,15 @@ object SegyRead {
     transform(sequence(lit(0), lit(nSamples - 1)),
       i => graft.functions.IeeeFloat32Decode(beInt(payload, i)))
 
+  /** Decode a big-endian IEEE float64 payload (SEG-Y sample format 6,
+    * rev-2) to `array<double>` with the native
+    * [[graft.functions.BeDoubleAt]] kernel — eight-byte words, raw-bit
+    * exact (NaN payloads included).
+    */
+  def ieee64Samples(payload: Column, nSamples: Int): Column =
+    transform(sequence(lit(0), lit(nSamples - 1)),
+      i => graft.functions.BeDoubleAt(payload, (i * 8).cast("int")))
+
   /** Decode an integer sample payload (SEG-Y formats 2=int32, 3=int16,
     * 8=int8) to `array<int>` — signed big-endian words read natively by
     * [[graft.functions.BeIntAt]], one codegen'd array index per sample.
@@ -213,17 +222,23 @@ object SegyRead {
   }
 
   /** Decode any supported sample format to its natural element type:
-    * `array<float>` for 1 (IBM32) and 5 (IEEE32), `array<int>` for
-    * 2/3/8 — the per-format dispatch a standard-layout open path needs
-    * once [[standardInfo]] has read the format code.
+    * `array<float>` for 1 (IBM32) and 5 (IEEE32), `array<double>` for 6
+    * (IEEE64), `array<int>` for 2/3/8 — the per-format dispatch a
+    * standard-layout open path needs once [[standardInfo]] has read the
+    * format code.
     */
   def decodeSamples(payload: Column, nSamples: Int, formatCode: Int): Column =
     formatCode match {
       case 1 => ibmSamples(payload, nSamples)
       case 5 => ieeeSamples(payload, nSamples)
+      case 6 => ieee64Samples(payload, nSamples)
       case 2 | 3 | 8 => intSamples(payload, nSamples, formatCode)
+      case 4 => throw new IllegalArgumentException(
+        "SEG-Y sample format 4 (obsolete fixed-point with gain code) is not " +
+          "supported — re-export the file as format 1 (IBM32), 5 (IEEE32) " +
+          "or 6 (IEEE64)")
       case c => throw new IllegalArgumentException(
-        s"unsupported SEG-Y sample format code $c (supported: 1, 2, 3, 5, 8)")
+        s"unsupported SEG-Y sample format code $c (supported: 1, 2, 3, 5, 6, 8)")
     }
 
   /** Signed big-endian 32-bit word `i` (0-based) of a binary column —
@@ -275,14 +290,19 @@ object SegyRead {
   }
 
   /** Bytes per sample for the standard binary-header format code
-    * (1=IBM32, 2=int32, 3=int16, 5=IEEE32, 8=int8).
+    * (1=IBM32, 2=int32, 3=int16, 5=IEEE32, 6=IEEE64, 8=int8).
     */
   def bytesPerSample(formatCode: Int): Int = formatCode match {
     case 1 | 2 | 5 => 4
     case 3 => 2
+    case 6 => 8
     case 8 => 1
+    case 4 => throw new IllegalArgumentException(
+      "SEG-Y sample format 4 (obsolete fixed-point with gain code) is not " +
+        "supported — re-export the file as format 1 (IBM32), 5 (IEEE32) " +
+        "or 6 (IEEE64)")
     case c => throw new IllegalArgumentException(
-      s"unsupported SEG-Y sample format code $c (supported: 1, 2, 3, 5, 8)")
+      s"unsupported SEG-Y sample format code $c (supported: 1, 2, 3, 5, 6, 8)")
   }
 
   /** Self-describing file info for a STANDARD-layout file: samples per

@@ -40,4 +40,39 @@ class BinSliceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("width"))
   }
+
+  test("DoubleBits -> big-endian pack -> BeDoubleAt round-trips raw bits, " +
+       "NaN payload and negative zero included") {
+    val vals = Seq(0.0, -0.0, 1.5, -12345.6789, Double.MinPositiveValue,
+      Double.MaxValue, Double.NegativeInfinity,
+      java.lang.Double.longBitsToDouble(0x7ff8000000c0ffeeL)) // NaN payload
+    val packed = vals.map { d =>
+      val bits = java.lang.Double.doubleToRawLongBits(d)
+      (0 until 8).map(i => ((bits >>> (8 * (7 - i))) & 0xff).toByte).toArray
+    }
+    packed.zip(vals).foreach { case (bytes, d) =>
+      assert(java.lang.Double.doubleToRawLongBits(BeDoubleAt.decode(bytes, 0)) ==
+        java.lang.Double.doubleToRawLongBits(d))
+    }
+    // the column pair under codegen: encode via DoubleBits + hex pack,
+    // decode via BeDoubleAt — identity on raw bits
+    val df = vals.map(d => Tuple1(d)).toDF("d")
+    val enc = df.select(col("d"),
+      call_function("to_binary",
+        lpad(hex(DoubleBits(col("d"))), 16, "0"), lit("hex")).as("b"))
+    val got = enc.select(col("d"), BeDoubleAt(col("b"), lit(0)).as("rt")).collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("format 4 fails with an actionable message; format 6 is 8 bytes") {
+    assert(graft.sources.SegyRead.bytesPerSample(6) == 8)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.SegyRead.bytesPerSample(4)
+    }
+    assert(e.getMessage.contains("format 4"))
+    assert(e.getMessage.contains("re-export"))
+  }
 }
