@@ -993,21 +993,37 @@ object SparkEntry {
         decodeSamples = p => graft.functions.BeIntAt(p, lit(0), 4).cast("long"),
         sparsityError = 1e9)
       val ds = MdioDataset.open(s, path)
-      val chk = ds.df.agg(count(lit(1)).as("n"), max(col("trace")).as("m"),
-        sum(col("cents")).as("s")).first()
-      def dimStats(dim: String): (Long, Long, Long) = {
-        val row = s.read.parquet(s"$path/dims/$dim")
-          .agg(count(lit(1)), min(col("dim_value").cast("long")),
-            max(col("dim_value").cast("long"))).first()
-        (row.getLong(0), row.getLong(1), row.getLong(2))
-      }
-      val (ilCard, ilMin, ilMax) = dimStats("il")
-      val (xlCard, xlMin, xlMax) = dimStats("xl")
-      Seq((r.nTraces, r.nCells, chk.getLong(1), chk.getLong(0), r.stats.sum,
-        chk.getLong(2), ilCard, ilMin, ilMax, xlCard, xlMin, xlMax))
-        .toDF("n_rows", "n_cells", "trace_max", "store_rows", "sum_val",
-          "store_sum", "il_card", "il_min", "il_max", "xl_card", "xl_min",
-          "xl_max")
+      // all post-ingest checks in ONE action: store agg × two dim-table
+      // aggs as 1-row cross joins (broadcast — each side is a single row),
+      // dim reads with the known explicit schema so no inference jobs run;
+      // this folded 8 driver-sequential jobs into one
+      val chkDf = ds.df.agg(
+        lit(r.nTraces).as("n_rows"), lit(r.nCells).as("n_cells"),
+        max(col("trace")).cast("long").as("trace_max"),
+        count(lit(1)).as("store_rows"),
+        lit(r.stats.sum).as("sum_val"),
+        sum(col("cents")).cast("long").as("store_sum"))
+      // both dim tables in ONE scan (sibling dirs, same schema), tagged by
+      // file path, grouped per dim, then pivoted into the single stats row;
+      // the explicit schema (the store's own dim type) skips the
+      // footer-inference job a bare read would run
+      val dimDt = ds.df.schema("il").dataType.sql
+      val byDim = s.read.schema(s"dim_value $dimDt")
+        .parquet(s"$path/dims/il", s"$path/dims/xl")
+        .select(when(input_file_name().contains("/dims/il/"), lit("il"))
+          .otherwise(lit("xl")).as("dim"), col("dim_value"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("card"),
+          min(col("dim_value").cast("long")).as("mn"),
+          max(col("dim_value").cast("long")).as("mx"))
+      val dimRow = byDim.agg(
+        max(when(col("dim") === "il", col("card"))).as("il_card"),
+        max(when(col("dim") === "il", col("mn"))).as("il_min"),
+        max(when(col("dim") === "il", col("mx"))).as("il_max"),
+        max(when(col("dim") === "xl", col("card"))).as("xl_card"),
+        max(when(col("dim") === "xl", col("mn"))).as("xl_min"),
+        max(when(col("dim") === "xl", col("mx"))).as("xl_max"))
+      chkDf.crossJoin(broadcast(dimRow))
     }),
     // the ingest-tail dim tables through the OVER-THE-GATE branch: the
     // cardinality gate drops to 1 so every dim skips the driver collect_set

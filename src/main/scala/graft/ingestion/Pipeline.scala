@@ -131,7 +131,9 @@ object IngestPipeline {
         // feeds both the QC reduction and the coordinate tables)
         val perCellSrc =
           if (foldable.isEmpty) perCell
-          else graft.core.Scratch.stage(perCell, "ingest_qc")
+          else withDesc(spark, "QC per-cell stage") {
+            graft.core.Scratch.stage(perCell, "ingest_qc")
+          }
         // Cardinality guard: the value sets are SLICED to maxVals+1 inside
         // the aggregate (sorted, so the truncation is deterministic) — the
         // driver row stays bounded no matter how pathological a dim is. A
@@ -146,7 +148,9 @@ object IngestPipeline {
             max(col("_cnt")).as("__max_cnt")) ++
           cells.map(d => slice(sort_array(collect_set(col(d))), 1, maxVals + 1)
             .as(s"__v_$d"))
-        val row = perCellSrc.agg(aggs.head, aggs.drop(1): _*).collect().head
+        val row = withDesc(spark, "QC reduce") {
+          perCellSrc.agg(aggs.head, aggs.drop(1): _*).collect().head
+        }
         def g(name: String): Long =
           if (row.isNullAt(row.fieldIndex(name))) 0L else row.getAs[Long](name)
         val vals: Map[String, Seq[Any]] =
@@ -163,7 +167,9 @@ object IngestPipeline {
           if (overGate.isEmpty) Map.empty
           else {
             val cdAggs = overGate.map(d => countDistinct(col(d)).as(s"__nd_$d"))
-            val r = perCellSrc.agg(cdAggs.head, cdAggs.drop(1): _*).collect().head
+            val r = withDesc(spark, "over-gate distincts") {
+              perCellSrc.agg(cdAggs.head, cdAggs.drop(1): _*).collect().head
+            }
             overGate.map(d => d -> r.getAs[Long](s"__nd_$d")).toMap
           }
         val cards = cells.map(d => d ->
@@ -178,7 +184,9 @@ object IngestPipeline {
           Seq(count(lit(1)).as("n_rows"),
               countDistinct(dcols.head, dcols.drop(1): _*).as("n_cells")) ++
             gridDims.map(d => countDistinct(col(d)).as(s"__n_$d"))
-        val check = transformed.agg(checkAggs.head, checkAggs.drop(1): _*).collect().head
+        val check = withDesc(spark, "grid QC") {
+          transformed.agg(checkAggs.head, checkAggs.drop(1): _*).collect().head
+        }
         (check.getAs[Long]("n_rows"), check.getAs[Long]("n_cells"),
           gridDims.map(d => d -> check.getAs[Long](s"__n_$d")).toMap,
           None, None)
@@ -246,7 +254,9 @@ object IngestPipeline {
 
     // the write IS the stats scan — observation resolves once it completes
     // (clustering already applied above, so no sortDims here)
-    MdioDataset.write(observed, path, schemaWith(None))
+    withDesc(spark, "store write") {
+      MdioDataset.write(observed, path, schemaWith(None))
+    }
     val m = obs.get
     val stats = SummaryStatistics(
       count = m("n").asInstanceOf[Long],
@@ -269,25 +279,34 @@ object IngestPipeline {
     val stored = MdioDataset.open(spark, path).df
     val maxDimVals = driverMaxDimValues(spark)
     val tailWrites: Seq[() => Unit] = (dimValues match {
-      case Some(vals) => gridDims.map(d => () =>
+      case Some(vals) => gridDims.map(d => () => withDesc(spark, s"dim table $d") {
         if (vals.contains(d))
           writeDimVector(spark, stored.schema(d).dataType, vals(d), path, d)
         else if (counterDims.contains(d))
           // counter labels are 1..max by construction — generate distributed
-          spark.range(1, cardinalities(d) + 1)
+          // (one slice: the vector is gate-bounded, and default parallelism
+          // would burn a job per empty slice coalesce)
+          spark.range(1, cardinalities(d) + 1, 1, numPartitions = 1)
             .select(col("id").cast(stored.schema(d).dataType).as("dim_value"))
             .write.mode("overwrite").parquet(s"$path/dims/$d")
-        else writeDimDistributed(stored, d, path))
-      case None => Seq(() =>
-        writeDimTables(spark, stored, gridDims, path, cardinalities, maxDimVals))
+        else writeDimDistributed(stored, d, path)
+      })
+      case None => Seq(() => withDesc(spark, "dim tables") {
+        writeDimTables(spark, stored, gridDims, path, cardinalities, maxDimVals)
+      })
     }) ++ (foldedCoords match {
       case Some((perCellSrc, names)) => Seq(
-        () => writeCoordinateTables(perCellSrc, resolved, orderKey = "__ok", path,
-          only = names),
-        () => writeCoordinateTables(stored, resolved, orderKey = ordinal.head, path,
-          exclude = names))
-      case None => Seq(() =>
-        writeCoordinateTables(stored, resolved, orderKey = ordinal.head, path))
+        () => withDesc(spark, "coord tables (folded)") {
+          writeCoordinateTables(perCellSrc, resolved, orderKey = "__ok", path,
+            only = names)
+        },
+        () => withDesc(spark, "coord tables (store)") {
+          writeCoordinateTables(stored, resolved, orderKey = ordinal.head, path,
+            exclude = names)
+        })
+      case None => Seq(() => withDesc(spark, "coord tables") {
+        writeCoordinateTables(stored, resolved, orderKey = ordinal.head, path)
+      })
     })
     awaitAll(tailWrites)
 
@@ -301,6 +320,17 @@ object IngestPipeline {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     Await.result(Future.sequence(work.map(w => Future(w()))), Duration.Inf)
+  }
+
+  /** Label the jobs an ingest stage submits (ProfileQuery prints these) —
+    * description is a thread-local Spark property, so the try/finally
+    * restores the caller's label even inside [[awaitAll]] pool threads.
+    */
+  private def withDesc[T](spark: SparkSession, s: String)(f: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(s"ingest: $s")
+    try f finally sc.setJobDescription(prev)
   }
 
   /** Dim-vector cardinality gate (`graft.dims.driverMaxValues`, default
@@ -348,16 +378,40 @@ object IngestPipeline {
       .write.mode("overwrite").parquet(s"$path/dims/$d")
 
   /** Write one dim table (`dims/<d>`: sorted `dim_value`) from an in-driver
-    * value vector. */
+    * value vector. The sort happens DRIVER-SIDE (the vector is already
+    * in-driver and gate-bounded): an `.orderBy` here plans a range exchange
+    * whose sampling pass is an extra Spark job per dim table — 3 jobs per
+    * dim became 1 after moving the sort off the cluster.
+    */
   private def writeDimVector(spark: SparkSession,
                              dt: org.apache.spark.sql.types.DataType,
                              values: Seq[Any], path: String, d: String): Unit =
     spark.createDataFrame(
-        spark.sparkContext.parallelize(values.map(org.apache.spark.sql.Row(_)), 1),
+        spark.sparkContext.parallelize(
+          sortDriverSide(dt, values).map(org.apache.spark.sql.Row(_)), 1),
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("dim_value", dt))))
-      .orderBy(col("dim_value"))
       .write.mode("overwrite").parquet(s"$path/dims/$d")
+
+  /** Ascending sort of an in-driver dim vector, matching Spark's ORDER BY
+    * for the dim types a grid can carry (integral, fractional, string,
+    * date/time carried as their underlying numeric/comparable).
+    */
+  private[ingestion] def sortDriverSide(
+      dt: org.apache.spark.sql.types.DataType, values: Seq[Any]): Seq[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        values.sortBy(_.asInstanceOf[Number].longValue())
+      case FloatType | DoubleType =>
+        values.sortBy(_.asInstanceOf[Number].doubleValue())
+      case _: DecimalType =>
+        values.sortBy(_.asInstanceOf[java.math.BigDecimal])(
+          Ordering.ordered[java.math.BigDecimal])
+      case StringType => values.sortBy(_.asInstanceOf[String])
+      case _ => values.sortBy(_.toString) // defensive: unknown dim type
+    }
+  }
 
   /** C1/C2 ingest tail: coordinates sharing a cell-dim set are reduced in
     * ONE groupBy pass (multiple min_by aggregates); each coordinate table is

@@ -20,13 +20,20 @@ object ProfileQuery {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.scheduler._
-    val jobTimes = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
-    val starts = scala.collection.mutable.Map[Int, Long]()
+    val jobTimes = scala.collection.mutable.ArrayBuffer[(Int, Long, String)]()
+    val starts = scala.collection.mutable.Map[Int, (Long, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
-        starts(js.jobId) = System.nanoTime()
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val site = Option(js.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(js.stageInfos.lastOption.map(si =>
+            s"${si.name} (${js.stageInfos.size} stages)"))
+          .getOrElse("?")
+        starts(js.jobId) = (System.nanoTime(), site)
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
-        starts.get(je.jobId).foreach(t0 => jobTimes += ((je.jobId, System.nanoTime() - t0)))
+        starts.get(je.jobId).foreach { case (t0, site) =>
+          jobTimes += ((je.jobId, System.nanoTime() - t0, site)) }
     })
     // warm the footer/file caches
     spark.read.parquet(s"$sfDir/lineitem.parquet").foreach(_ => ())
@@ -38,7 +45,8 @@ object ProfileQuery {
         jobTimes.clear()
         fn(spark, sfDir).count()
         println(f"[$name/$tag] total ${(System.nanoTime() - t0) / 1e9}%.2f s, ${jobTimes.size} jobs")
-        jobTimes.foreach { case (id, ns) => println(f"  job $id%4d ${ns / 1e9}%6.2f s") }
+        jobTimes.foreach { case (id, ns, site) =>
+          println(f"  job $id%4d ${ns / 1e9}%6.2f s  $site") }
       }
       run("cold"); run("warm")
     }
