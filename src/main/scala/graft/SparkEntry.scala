@@ -45,12 +45,15 @@ object SparkEntry {
     */
   private def eventsStream(s: SparkSession, srcDir: String)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types.LongType
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val rawSchema = s.read.parquet(srcDir).schema
     val raw = s.readStream.schema(rawSchema).parquet(srcDir)
     rawSchema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        // watermarks reject TIMESTAMP_NTZ; session tz is UTC, matching DuckDB
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case _ => raw
     }
   }

@@ -286,7 +286,9 @@ class SegyReadSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       SegyRead.standardInfo(spark, out)
     }
-    assert(e.getMessage.contains("format code 4"))
+    // actionable: names the format AND the supported re-export targets
+    assert(e.getMessage.contains("sample format 4"))
+    assert(e.getMessage.contains("re-export"))
   }
 
   test("ASCII text headers auto-detect (a file not written by this engine)") {
