@@ -205,9 +205,10 @@ object IngestPipeline {
     // non-zero mask lives inside each aggregate; sums accumulate in DECIMAL
     // (exact, order-independent).
     import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.types.{ArrayType, DecimalType}
     val x = col(valueCol)
-    val masked = when(x.isNotNull && x =!= 0.0, x)
-    val xd = masked.cast(org.apache.spark.sql.types.DecimalType(18, 2))
+    val valueIsArray =
+      transformed.schema(valueCol).dataType.isInstanceOf[ArrayType]
     val obs = Observation()
     // Range-partition + sort FIRST, observe ABOVE it: repartitionByRange
     // runs a sampling job over its child, and an observation below the
@@ -221,20 +222,54 @@ object IngestPipeline {
         transformed.sortWithinPartitions(gridDims.map(col): _*)
       else transformed.repartitionByRange(gridDims.map(col): _*)
         .sortWithinPartitions(gridDims.map(col): _*)
-    val observed = clustered.observe(obs,
-      count(masked).as("n"),
-      // cast: min/max keep the value column's native type, and an integer
-      // valueCol (e.g. int sample formats) must still land in the sidecar's
-      // double stats
-      min(masked).cast("double").as("min_val"),
-      max(masked).cast("double").as("max_val"),
-      sum(xd).cast("string").cast("double").as("sum_val"),
-      sum(xd * xd).cast("string").cast("double").as("sumsq_val"))
+    val observed = {
+      if (!valueIsArray) {
+        val masked = when(x.isNotNull && x =!= 0.0, x)
+        val xd = masked.cast(DecimalType(18, 2))
+        clustered.observe(obs,
+          count(masked).as("n"),
+          // cast: min/max keep the value column's native type, and an integer
+          // valueCol (e.g. int sample formats) must still land in the
+          // sidecar's double stats
+          min(masked).cast("double").as("min_val"),
+          max(masked).cast("double").as("max_val"),
+          sum(xd).cast("string").cast("double").as("sum_val"),
+          sum(xd * xd).cast("string").cast("double").as("sumsq_val"))
+      } else {
+        // multi-sample traces (the CLI's standard-SEG-Y import): the value
+        // column is the decoded sample ARRAY; stats cover every non-zero
+        // sample, exactly like the reference's per-sample ingest stats
+        // (`segy/_workers.py:179-194`). All element work stays inside
+        // higher-order functions — no explode, no extra shuffle; sums
+        // accumulate in DECIMAL per trace then per partition (exact,
+        // order-independent).
+        val elems = filter(x, e => e.isNotNull && e =!= 0.0f)
+        val zero = lit(0).cast(DecimalType(28, 6))
+        // re-cast the accumulator each step: decimal + widens (29,6) and the
+        // higher-order aggregate requires the lambda to return the zero type
+        def decSum(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+          aggregate(elems, zero,
+            (acc, e) => (acc + f(e.cast(DecimalType(28, 6)))).cast(DecimalType(28, 6)))
+        clustered.observe(obs,
+          sum(coalesce(size(elems), lit(0)).cast("long")).as("n"),
+          min(array_min(elems)).cast("double").as("min_val"),
+          max(array_max(elems)).cast("double").as("max_val"),
+          sum(decSum(identity)).cast("string").cast("double").as("sum_val"),
+          sum(decSum(e => e * e)).cast("string").cast("double").as("sumsq_val"),
+          // trace length (zeros included) = the vertical dimension's size,
+          // recorded in the sidecar so export knows nSamples without a scan
+          max(size(x)).cast("long").as("n_samples"))
+      }
+    }
 
-    // 7: dim sizes come from the same invariant pass above
-    val dimSizes: Seq[NamedDimension] =
-      gridDims.map(d => NamedDimension(d, cardinalities(d)))
-    def schemaWith(statsOpt: Option[SummaryStatistics]): MdioSchema = MdioSchema(
+    // 7: dim sizes come from the same invariant pass above; the vertical
+    // (sample) dimension's size arrives with the write-pass observation for
+    // array-valued ingests, so the stats patch below adds it
+    def dimSizes(verticalSize: Option[Long]): Seq[NamedDimension] =
+      gridDims.map(d => NamedDimension(d, cardinalities(d))) ++
+        verticalSize.map(NamedDimension(resolved.dimensions.last, _))
+    def schemaWith(statsOpt: Option[SummaryStatistics],
+                   verticalSize: Option[Long] = None): MdioSchema = MdioSchema(
       variables = Seq(Variable(
         name = valueCol,
         dimensions = resolved.dimensions,
@@ -250,7 +285,7 @@ object IngestPipeline {
       metadata = DatasetMetadata(resolved.name, "1.0.0",
         java.time.Instant.now().toString,
         attributes = overrides.toLegacyMap), // grid-override provenance (ingestion/metadata.py:12-19)
-      dimensions = dimSizes)
+      dimensions = dimSizes(verticalSize))
 
     // the write IS the stats scan — observation resolves once it completes
     // (clustering already applied above, so no sortDims here)
@@ -265,7 +300,11 @@ object IngestPipeline {
       min = m("min_val").asInstanceOf[Double],
       max = m("max_val").asInstanceOf[Double])
     // patch stats into the sidecar, like the reference's post-write attr patch
-    MdioDataset.writeSidecar(spark, path, schemaWith(Some(stats)))
+    val verticalSize: Option[Long] =
+      if (valueIsArray)
+        Option(m("n_samples")).map(_.asInstanceOf[Number].longValue).filter(_ > 0)
+      else None
+    MdioDataset.writeSidecar(spark, path, schemaWith(Some(stats), verticalSize))
 
     // C2/C1: dimension + coordinate tables derive from the STORE just
     // written (column-pruned parquet reads), not from `transformed` — which

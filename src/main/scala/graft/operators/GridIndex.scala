@@ -55,19 +55,42 @@ object GridIndex {
       df.select(col(dim)).where(col(dim).isNotNull).distinct(),
       Seq(dim), out = s"${dim}_idx")
 
-  /** J1: annotate each row with per-dim ordinals. Dims whose caller-known
-    * cardinality exceeds the gate take the distributed branch and a
-    * sort-merge join; everything else (including dims with UNKNOWN
-    * cardinality — dim vectors are metadata-sized by design) broadcasts.
+  /** J1: annotate each row with per-dim ordinals. Dims whose cardinality
+    * exceeds the gate take the distributed branch and a sort-merge join;
+    * everything else broadcasts a [[dimIndex]] table.
+    *
+    * Cardinality comes from the caller when known (the ingest tail knows it
+    * from the invariant pass — exact, no extra scan). Dims with UNKNOWN
+    * cardinality are pre-checked with ONE `approx_count_distinct` aggregate
+    * over all of them together (a single column-pruned scan) so a
+    * pathological 10⁷-value dim can never reach the single-partition
+    * `row_number` window. The measured estimate carries HLL error (~2%), so
+    * it routes through the distributed branch from 80% of the gate — the
+    * distributed branch is merely slower for small dims, never wrong,
+    * making under-estimation the only dangerous direction. Set
+    * `graft.dims.precheck=false` to restore the scan-free lazy plan when
+    * the caller is certain every dim is metadata-sized.
     */
   def withDimIndices(df: DataFrame, dims: Seq[String],
                      cardinalities: Map[String, Long] = Map.empty): DataFrame = {
     val gate = dimGate(df)
+    val precheck = df.sparkSession.conf
+      .getOption("graft.dims.precheck").forall(_.toBoolean)
+    val unknown = dims.filterNot(cardinalities.contains)
+    val measured: Map[String, Long] =
+      if (!precheck || unknown.isEmpty) Map.empty
+      else {
+        val aggs = unknown.map(d => approx_count_distinct(col(d)).as(d))
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        unknown.zipWithIndex.map { case (d, i) => d -> row.getLong(i) }.toMap
+      }
     dims.foldLeft(df) { (acc, d) =>
-      if (cardinalities.getOrElse(d, 0L) > gate)
-        acc.join(dimIndexDistributed(df, d), Seq(d))
-      else
-        acc.join(broadcast(dimIndex(df, d)), Seq(d))
+      val overGate = cardinalities.get(d) match {
+        case Some(exact) => exact > gate
+        case None        => measured.getOrElse(d, 0L) > gate * 4 / 5
+      }
+      if (overGate) acc.join(dimIndexDistributed(df, d), Seq(d))
+      else acc.join(broadcast(dimIndex(df, d)), Seq(d))
     }
   }
 

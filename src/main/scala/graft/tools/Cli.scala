@@ -1,0 +1,338 @@
+package graft.tools
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Mdio
+import graft.ingestion.GridOverrides
+import graft.schema.{DatasetTemplate, ScalarType}
+import graft.sources.SegyRead
+
+/** End-user CLI mirroring the reference's click commands
+  * (`commands/segy.py:62-389`, `commands/copy.py:11-78`,
+  * `commands/info.py:20-66`) verb-for-verb and flag-for-flag over the
+  * [[graft.Mdio]] facade:
+  *
+  * {{{
+  * graft.tools.Cli segy import <segy-path> <mdio-path>
+  *     --header-locations 189,193 [--header-names inline,crossline]
+  *     [--header-types int32,int32] [--chunk-size 64,64,64]
+  *     [--lossless true] [--compression-tolerance 0.01]
+  *     [--grid-overrides AutoChannelWrap=true,...] [--overwrite]
+  * graft.tools.Cli segy export <mdio-file> <segy-path>
+  *     [--access-pattern 012] [--endian big]
+  * graft.tools.Cli copy <source> <target>
+  *     [--with-traces] [--with-headers] [--overwrite]
+  * graft.tools.Cli info <mdio-path> [--output-format pretty|json]
+  *     [--access-pattern 012]
+  * }}}
+  *
+  * Documented divergences from the reference flags:
+  *  - `--lossless false` maps to the engine's quantize-then-zstd lossy
+  *    approximation of ZFP fixed-accuracy mode (SURVEY §7.3) at
+  *    `--compression-tolerance`.
+  *  - export `--endian little` is rejected with an actionable message —
+  *    the writer emits the rev-1 default big-endian only.
+  *  - cloud `--storage-options-*` JSON is not needed: Hadoop FS configs
+  *    carry credentials for every scheme Spark can reach.
+  */
+object Cli {
+
+  final case class CliError(message: String) extends RuntimeException(message)
+
+  // ---------------------------------------------------------------- parsing
+
+  /** Flags that take no value (click `is_flag`). */
+  private val BoolFlags = Set("--overwrite", "--with-traces", "--with-headers")
+  /** Short aliases, exactly the reference's (`-loc`, `-types`, ...). */
+  private val Aliases = Map(
+    "-loc" -> "--header-locations", "-types" -> "--header-types",
+    "-names" -> "--header-names", "-chunks" -> "--chunk-size",
+    "-lossless" -> "--lossless", "-tolerance" -> "--compression-tolerance",
+    "-overwrite" -> "--overwrite", "-grid-overrides" -> "--grid-overrides",
+    "-access" -> "--access-pattern", "-endian" -> "--endian",
+    "-format" -> "--output-format", "-traces" -> "--with-traces",
+    "-headers" -> "--with-headers")
+
+  /** Positionals + option map. Unknown `--flag`s are errors, like click. */
+  def parse(args: Seq[String], known: Set[String])
+      : (Seq[String], Map[String, String]) = {
+    val canon = args.map(a => Aliases.getOrElse(a, a))
+    val pos = Vector.newBuilder[String]
+    var opts = Map.empty[String, String]
+    var i = 0
+    while (i < canon.length) {
+      val a = canon(i)
+      if (a.startsWith("--")) {
+        if (!known.contains(a)) throw CliError(s"unknown option $a")
+        if (BoolFlags.contains(a)) { opts += a -> "true"; i += 1 }
+        else {
+          if (i + 1 >= canon.length) throw CliError(s"$a requires a value")
+          opts += a -> canon(i + 1); i += 2
+        }
+      } else { pos += a; i += 1 }
+    }
+    (pos.result(), opts)
+  }
+
+  private def intList(s: String, flag: String): Seq[Int] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { v =>
+      try v.toInt
+      catch { case _: NumberFormatException =>
+        throw CliError(s"$flag: '$v' is not an integer") }
+    }
+
+  /** Header type alphabet of the reference's specs: int sizes + signedness. */
+  private[tools] def fieldFor(name: String, loc: Int, tpe: String)
+      : SegyRead.HeaderField = tpe match {
+    case "int32"  => SegyRead.HeaderField(name, loc, 4)
+    case "int16"  => SegyRead.HeaderField(name, loc, 2)
+    case "uint32" => SegyRead.HeaderField(name, loc, 4, unsigned = true)
+    case "uint16" => SegyRead.HeaderField(name, loc, 2, unsigned = true)
+    case other => throw CliError(
+      s"header type '$other' not supported (int32|int16|uint32|uint16)")
+  }
+
+  /** The reference's legacy CamelCase grid-override dict, parsed from
+    * `Key=value` pairs (`segy/geometry.py:29-105`). */
+  private[tools] def parseOverrides(s: String): GridOverrides = {
+    val kv = s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { p =>
+      p.split("=", 2) match {
+        case Array(k, v) => k -> v
+        case _ => throw CliError(s"--grid-overrides: '$p' is not Key=value")
+      }
+    }.toMap
+    val unknown = kv.keySet -- Set("AutoChannelWrap", "AutoShotWrap",
+      "CalculateShotIndex", "NonBinned", "HasDuplicates", "chunksize",
+      "non_binned_dims")
+    if (unknown.nonEmpty)
+      throw CliError(s"unknown grid overrides: ${unknown.mkString(", ")}")
+    def b(k: String) = kv.get(k).exists(_.toBoolean)
+    GridOverrides(
+      autoChannelWrap = b("AutoChannelWrap"),
+      autoShotWrap = b("AutoShotWrap"),
+      calculateShotIndex = b("CalculateShotIndex"),
+      nonBinned = b("NonBinned"),
+      hasDuplicates = b("HasDuplicates"),
+      chunksize = kv.get("chunksize").map(_.toInt),
+      nonBinnedDims = kv.get("non_binned_dims").toSeq.flatMap(_.split(";")).filter(_.nonEmpty))
+  }
+
+  // ------------------------------------------------------------------ verbs
+
+  private def segyImport(spark: SparkSession, pos: Seq[String],
+                         opts: Map[String, String]): Unit = {
+    val Seq(segyPath, mdioPath) = pos match {
+      case s if s.length == 2 => s
+      case _ => throw CliError("segy import needs <segy-path> <mdio-path>")
+    }
+    val locs = intList(opts.getOrElse("--header-locations",
+      throw CliError("--header-locations is required")), "--header-locations")
+    val names = opts.get("--header-names")
+      .map(_.split(",").toSeq.map(_.trim))
+      .getOrElse(locs.indices.map(i => s"dim_$i"))
+    val types = opts.get("--header-types")
+      .map(_.split(",").toSeq.map(_.trim))
+      .getOrElse(Seq.fill(locs.length)("int32"))
+    if (names.length != locs.length || types.length != locs.length)
+      throw CliError("--header-names/--header-types must match --header-locations in length")
+    val fields = (names, locs, types).zipped.map(fieldFor)
+    val lossless = opts.get("--lossless").forall(_.toBoolean)
+    val tolerance = opts.get("--compression-tolerance").map(_.toDouble).getOrElse(0.01)
+    val overrides = opts.get("--grid-overrides").map(parseOverrides).getOrElse(GridOverrides())
+
+    val outPath = new org.apache.hadoop.fs.Path(mdioPath)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath)) {
+      if (!opts.contains("--overwrite"))
+        throw CliError(s"$mdioPath exists; pass --overwrite to replace it")
+      fs.delete(outPath, true)
+    }
+
+    val info = SegyRead.standardInfo(spark, segyPath)
+    val vertical = "time"
+    val chunks = opts.get("--chunk-size").map(intList(_, "--chunk-size"))
+      .getOrElse(Seq.fill(names.length)(64) :+ 512)
+    if (chunks.length != names.length + 1)
+      throw CliError(s"--chunk-size needs ${names.length + 1} entries (dims + $vertical)")
+    val tmpl = DatasetTemplate("SegyImport", vertical,
+      names :+ vertical, chunks)
+    val traces = SegyRead.readStandardTraces(spark, segyPath, fields)
+      .withColumn("amplitude",
+        SegyRead.decodeSamples(col("samples"), info.nSamples, info.formatCode))
+    val r = graft.ingestion.IngestPipeline.ingest(spark, traces, tmpl,
+      overrides, mdioPath, ordinal = Seq("trace_index"),
+      valueCol = "amplitude", sparsityError = 1e9)
+    if (!lossless) {
+      val handle = Mdio.openMdio(spark, mdioPath)
+      Mdio.optimizeAccessPatterns(handle, names.take(1), "amplitude", tolerance)
+    }
+    println(s"ingested ${r.nTraces} traces into $mdioPath " +
+      s"(grid cells ${r.nCells}, format ${info.formatCode}, " +
+      s"${info.nSamples} samples @ ${info.sampleInterval} us)")
+  }
+
+  private def segyExport(spark: SparkSession, pos: Seq[String],
+                         opts: Map[String, String]): Unit = {
+    val Seq(mdioFile, segyPath) = pos match {
+      case s if s.length == 2 => s
+      case _ => throw CliError("segy export needs <mdio-file> <segy-path>")
+    }
+    val access = opts.getOrElse("--access-pattern", "012")
+    if (!access.forall(_.isDigit))
+      throw CliError(s"--access-pattern must be digits, got '$access'")
+    opts.get("--endian").foreach {
+      case "big" => ()
+      case "little" => throw CliError(
+        "--endian little is not supported: the writer emits the SEG-Y rev-1 " +
+        "default big-endian; re-run with --endian big (or omit the flag)")
+      case other => throw CliError(s"--endian must be big|little, got '$other'")
+    }
+    val handle = Mdio.openMdio(spark, mdioFile)
+    val dims = handle.schema.dimensions.map(_.name)
+      .filter(handle.df.columns.contains)
+    if (dims.isEmpty) throw CliError(s"$mdioFile has no dimension columns")
+    // the data variable: full-rank array/scalar amplitude written at import
+    val dataVar = handle.schema.variables
+      .find(v => v.dataType != Left(ScalarType.Bytes240) &&
+        handle.df.columns.contains(v.name) && !dims.contains(v.name))
+      .getOrElse(throw CliError(s"$mdioFile has no data variable to export"))
+    val vertical = handle.schema.dimensions.map(_.name)
+      .filterNot(handle.df.columns.contains).lastOption
+    val nSamples = vertical
+      .flatMap(v => handle.schema.dimensions.find(_.name == v))
+      .map(_.size.toInt).getOrElse(1)
+    // header slots: known standard names keep their spec bytes; the rest
+    // take sequential free 4-byte words
+    val byName: Map[String, SegyRead.HeaderField] = Seq(
+      SegyRead.StandardFields.Inline, SegyRead.StandardFields.Crossline,
+      SegyRead.StandardFields.SourcePoint, SegyRead.StandardFields.Offset,
+      SegyRead.StandardFields.FieldRecord, SegyRead.StandardFields.TraceField,
+      SegyRead.StandardFields.CdpEnsemble).map(f => f.name -> f).toMap
+    val taken = dims.flatMap(byName.get).map(_.byteOffset).toSet
+    val free = Iterator.from(0).map(1 + _ * 4)
+      .filter(o => !taken.contains(o) && o + 3 <= 240)
+    val fieldCols = dims.map { d =>
+      byName.get(d).getOrElse(SegyRead.HeaderField(d, free.next(), 4)) -> d
+    }
+    val samples: Column =
+      if (handle.df.schema(dataVar.name).dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        col(dataVar.name).cast("array<float>")
+      else array(col(dataVar.name).cast("float"))
+    val staged = handle.df.withColumn("__samples", samples)
+    Mdio.mdioToStandardSegy(
+      handle.copy(df = staged), segyPath, mask = lit(true), dims = dims,
+      fieldCols = fieldCols, orderKeys = dims, samplesCol = "__samples",
+      nSamples = nSamples, sampleInterval = 4000,
+      textHeader = graft.`export`.SegyHeaders.sanitizeTextHeader(
+        Seq(s"C 1 EXPORTED FROM ${dataVar.name.toUpperCase}")))
+    println(s"exported $mdioFile to $segyPath ($nSamples samples/trace)")
+  }
+
+  private def copyVerb(spark: SparkSession, pos: Seq[String],
+                       opts: Map[String, String]): Unit = {
+    val Seq(src, dst) = pos match {
+      case s if s.length == 2 => s
+      case _ => throw CliError("copy needs <source-mdio-path> <target-mdio-path>")
+    }
+    val dstPath = new org.apache.hadoop.fs.Path(dst)
+    val fs = dstPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dstPath)) {
+      if (!opts.contains("--overwrite"))
+        throw CliError(s"$dst exists; pass --overwrite to replace it")
+      fs.delete(dstPath, true)
+    }
+    val handle = Mdio.openMdio(spark, src)
+    val dims = handle.schema.dimensions.map(_.name).toSet
+    // reference semantics (`commands/copy.py:49-78`): grid + metadata always
+    // copy; trace data only with --with-traces, raw headers only with
+    // --with-headers
+    val exclude = handle.schema.variables.collect {
+      case v if v.dataType == Left(ScalarType.Bytes240) &&
+        !opts.contains("--with-headers") => v.name
+      case v if v.dataType != Left(ScalarType.Bytes240) &&
+        !dims.contains(v.name) && !opts.contains("--with-traces") => v.name
+    }
+    Mdio.copyMdio(spark, src, dst, exclude)
+    println(s"copied $src to $dst" +
+      (if (exclude.nonEmpty) s" (excluded: ${exclude.mkString(", ")})" else ""))
+  }
+
+  private def infoVerb(spark: SparkSession, pos: Seq[String],
+                       opts: Map[String, String]): Unit = {
+    val mdioPath = pos match {
+      case Seq(p) => p
+      case _ => throw CliError("info needs <mdio-path>")
+    }
+    val fmt = opts.getOrElse("--output-format", "pretty")
+    if (fmt != "pretty" && fmt != "json")
+      throw CliError(s"--output-format must be pretty|json, got '$fmt'")
+    val handle = Mdio.openMdio(spark, mdioPath)
+    // info() is ONE row of <dim>_min/<dim>_max/<dim>_n columns (S8 shape)
+    val row = handle.info().collect().head
+    val dims = handle.schema.dimensions.map(_.name)
+      .filter(d => row.schema.fieldNames.contains(s"${d}_min"))
+    def cell(d: String, suffix: String) = row.get(row.fieldIndex(s"$d$suffix"))
+    if (fmt == "json") {
+      val grid = dims.map { d =>
+        s""""$d":{"min":${cell(d, "_min")},"max":${cell(d, "_max")},"size":${cell(d, "_n")}}"""
+      }.mkString("{", ",", "}")
+      println(s"""{"path":"$mdioPath","name":"${handle.schema.metadata.name}",""" +
+        s""""apiVersion":"${handle.schema.metadata.apiVersion}","grid":$grid}""")
+    } else {
+      println(s"${handle.schema.metadata.name} (api ${handle.schema.metadata.apiVersion})")
+      dims.foreach(d => println(f"  $d%-16s min=${cell(d, "_min")} " +
+        f"max=${cell(d, "_max")} size=${cell(d, "_n")}"))
+    }
+  }
+
+  // ------------------------------------------------------------------- main
+
+  /** Dispatch; returns a process exit code (testable without System.exit). */
+  def run(args: Seq[String], spark: SparkSession): Int =
+    try {
+      args.toList match {
+        case "segy" :: "import" :: rest =>
+          val (pos, opts) = parse(rest, Set("--header-locations",
+            "--header-names", "--header-types", "--chunk-size", "--lossless",
+            "--compression-tolerance", "--grid-overrides", "--overwrite"))
+          segyImport(spark, pos, opts); 0
+        case "segy" :: "export" :: rest =>
+          val (pos, opts) = parse(rest, Set("--access-pattern", "--endian"))
+          segyExport(spark, pos, opts); 0
+        case "copy" :: rest =>
+          val (pos, opts) = parse(rest,
+            Set("--with-traces", "--with-headers", "--overwrite"))
+          copyVerb(spark, pos, opts); 0
+        case "info" :: rest =>
+          val (pos, opts) = parse(rest, Set("--output-format", "--access-pattern"))
+          infoVerb(spark, pos, opts); 0
+        case other =>
+          System.err.println(
+            s"""unknown command: ${other.mkString(" ")}
+               |usage:
+               |  segy import <segy-path> <mdio-path> --header-locations ... [options]
+               |  segy export <mdio-file> <segy-path> [--access-pattern 012] [--endian big]
+               |  copy <source> <target> [--with-traces] [--with-headers] [--overwrite]
+               |  info <mdio-path> [--output-format pretty|json]""".stripMargin)
+          2
+      }
+    } catch {
+      case CliError(msg) => System.err.println(s"error: $msg"); 2
+    }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val rc = run(args.toSeq, spark)
+    spark.stop()
+    if (rc != 0) sys.exit(rc)
+  }
+}

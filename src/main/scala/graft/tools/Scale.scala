@@ -1,0 +1,100 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.lang.management.ManagementFactory
+import scala.jdk.CollectionConverters._
+
+/** Scaling-measurement main behind SCALING.md: times registered queries
+  * cold + warm on SPARK_GRAFT_SF_DIR and records the driver-JVM heap
+  * high-water per query (peak-usage across heap pools, reset before each
+  * run). Two runs of this — one per fixture scale — give per-query scaling
+  * exponents; a driver heap that grows with data size flags a hidden
+  * collect.
+  *
+  * `runMain graft.tools.Scale [query ...]` (default: the SCALING.md set).
+  * Output: one JSON line per query on stdout, and the full array at
+  * SPARK_GRAFT_SCALE_OUT (default scale_out.json).
+  */
+object Scale {
+  /** The measured set: the most expensive query per family, biased toward
+    * anything whose cost could plausibly hide a super-linear term (pair
+    * generation, global sorts, index builds, multi-job ingest chains).
+    */
+  val DefaultSet: Seq[String] = Seq(
+    "q_segy_std_roundtrip", // SEG-Y export+ingest round trip (file I/O)
+    "q_segy_file_ingest",   // end-to-end segy_to_mdio composition
+    "q_ingest_e2e",         // blocked ingest + stats
+    "q_access_fast",        // optimize_access_patterns materialization
+    "q_store_compact",      // MDIO store write + compaction
+    "q_grid_map",           // dim-join C-order ordinal
+    "q_dims_distributed",   // distributed dim numbering
+    "q_export_order",       // global multi-key ordered output
+    "q_dedup_exact",        // hash dedup
+    "q_neardup_lsh",        // MinHash+LSH banded pairs
+    "q_jaccard_blocked",    // inverted-index Jaccard pairs
+    "q_winnow_pairs",       // winnowing partial overlap
+    "q_semantic_dedup",     // IVF-cell blocked SemDeDup
+    "q_bm25",               // BM25 scoring (corpus scan + postings)
+    "q_gram_lm",            // n-gram LM aggregate
+    "q_bpe_train1",         // BPE pair-count round
+    "q_vocab",              // vocabulary aggregate
+    "q_ann_ivf",            // IVF ANN (build + probe)
+    "q_ann_recall",         // five-arm recall QC
+    "q_sessionize",         // per-user session windows
+    "q_events_hourly",      // windowed event aggregate
+    "q_quantize",           // quantized fast-copy materialization
+  )
+
+  private def peakHeapMb(): Double = {
+    ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      .map(_.getPeakUsage.getUsed).sum / 1e6
+  }
+  private def resetPeaks(): Unit = {
+    System.gc()
+    ManagementFactory.getMemoryPoolMXBeans.asScala.foreach(_.resetPeakUsage())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    graft.core.Tables.all.foreach { t =>
+      try spark.read.parquet(s"$sfDir/$t.parquet").foreach(_ => ())
+      catch { case _: Throwable => () }
+    }
+
+    val names = if (args.nonEmpty) args.toSeq else DefaultSet
+    val lines = names.map { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+      def once(): (Double, Long) = {
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      resetPeaks()
+      val (cold, rows) =
+        try once() catch { case e: Throwable =>
+          System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
+          (-1.0, -1L)
+        }
+      val (warm, _) = if (cold >= 0) once() else (-1.0, -1L)
+      val mb = peakHeapMb()
+      val line = f"""{"q":"$name","cold_s":$cold%.3f,"warm_s":$warm%.3f,"rows":$rows,"driver_peak_mb":$mb%.0f}"""
+      println(line)
+      line
+    }
+    val out = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "scale_out.json")
+    val json = s"""{"sf":"$sfDir","cpus":$cpus,"queries":[${lines.mkString(",")}]}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    spark.stop()
+  }
+}

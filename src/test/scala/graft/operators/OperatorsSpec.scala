@@ -159,6 +159,37 @@ class GridIndexSpec extends SparkSpec {
       spark.conf.set("graft.dims.driverMaxValues", v))
   }
 
+  test("UNKNOWN-cardinality dims are pre-checked and an over-gate one never " +
+       "plans an unpartitioned window") {
+    // stands in for the pathological 10⁷-value dim: gate lowered so the
+    // approx_count_distinct pre-check (not the caller) must route `il`
+    // through the distributed branch — no cardinalities passed at all
+    val path = java.nio.file.Files.createTempDirectory("gridpre").toString + "/t"
+    (1 to 5000).map(i => (i, i % 25)).toDF("il", "xl").write.parquet(path)
+    val src = spark.read.parquet(path)
+    val prev = spark.conf.getOption("graft.dims.driverMaxValues")
+    spark.conf.set("graft.dims.driverMaxValues", "1000") // il's 5000 > gate
+    try {
+      // the small dim (xl, 25 values) still numbers through its tiny
+      // broadcast window — only the big dim must route around it
+      val q = GridIndex.withDimIndices(src, Seq("il"))
+      assert(!q.queryExecution.executedPlan.toString.contains("Window"),
+        "the pre-check must keep a high-cardinality dim out of the window branch")
+      // ordinals still correct: il is 1..5000 → idx = il-1
+      val got = q.where($"il" <= 3).select("il", "il_idx")
+        .as[(Int, Long)].collect().toSet
+      assert(got == Set((1, 0L), (2, 1L), (3, 2L)))
+      // ... and disabling the pre-check restores the scan-free broadcast plan
+      spark.conf.set("graft.dims.precheck", "false")
+      val lazyQ = GridIndex.withDimIndices(src, Seq("il"))
+      assert(lazyQ.queryExecution.executedPlan.toString.contains("Window"))
+    } finally {
+      spark.conf.unset("graft.dims.precheck")
+      prev.fold(spark.conf.unset("graft.dims.driverMaxValues"))(v =>
+        spark.conf.set("graft.dims.driverMaxValues", v))
+    }
+  }
+
   test("liveTraceCheck detects duplicate dim tuples") {
     val unique = Seq((1, 1), (1, 2)).toDF("a", "b")
     val dup = Seq((1, 1), (1, 1)).toDF("a", "b")

@@ -1,0 +1,146 @@
+package graft.tools
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.`export`.{SegyExport, SegyHeaders}
+import graft.sources.SegyRead
+
+/** CLI parity (`commands/segy.py`, `commands/copy.py`, `commands/info.py`):
+  * flag parsing matches the reference's click surface, and each verb drives
+  * the Mdio facade end to end on a real byte file.
+  */
+class CliSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- parse unit
+
+  test("parse splits positionals from options and resolves short aliases") {
+    val (pos, opts) = Cli.parse(
+      Seq("in.sgy", "out.mdio", "-loc", "189,193", "--header-names",
+        "inline,crossline", "-overwrite"),
+      Set("--header-locations", "--header-names", "--overwrite"))
+    assert(pos == Seq("in.sgy", "out.mdio"))
+    assert(opts("--header-locations") == "189,193")
+    assert(opts("--header-names") == "inline,crossline")
+    assert(opts("--overwrite") == "true")
+  }
+
+  test("unknown options and missing values are CliErrors, like click") {
+    intercept[Cli.CliError] {
+      Cli.parse(Seq("--no-such-flag", "x"), Set("--header-locations"))
+    }
+    intercept[Cli.CliError] {
+      Cli.parse(Seq("--header-locations"), Set("--header-locations"))
+    }
+  }
+
+  test("header types map to sized/signed fields; bad types fail actionably") {
+    assert(Cli.fieldFor("il", 189, "int32") ==
+      SegyRead.HeaderField("il", 189, 4))
+    assert(Cli.fieldFor("ns", 115, "uint16") ==
+      SegyRead.HeaderField("ns", 115, 2, unsigned = true))
+    val e = intercept[Cli.CliError](Cli.fieldFor("x", 1, "float32"))
+    assert(e.getMessage.contains("float32"))
+  }
+
+  test("grid overrides parse the reference's legacy CamelCase keys") {
+    val o = Cli.parseOverrides("HasDuplicates=true,AutoChannelWrap=true")
+    assert(o.hasDuplicates && o.autoChannelWrap && !o.nonBinned)
+    val e = intercept[Cli.CliError](Cli.parseOverrides("Bogus=1"))
+    assert(e.getMessage.contains("Bogus"))
+    // NonBinned still enforces its parameter contract through the case class
+    intercept[IllegalArgumentException](Cli.parseOverrides("NonBinned=true"))
+  }
+
+  test("run returns 2 on an unknown verb and on verb-level errors") {
+    assert(Cli.run(Seq("frobnicate"), spark) == 2)
+    assert(Cli.run(Seq("segy", "import", "only-one-positional"), spark) == 2)
+    assert(Cli.run(Seq("info"), spark) == 2)
+  }
+
+  // ------------------------------------------------------- end-to-end cycle
+
+  /** A 3×2-grid standard SEG-Y, 2 IBM32 samples per trace. */
+  private def writeFixture(): String = {
+    val src = Seq(
+      (1, 10, Array(1.5f, 2.5f)), (1, 11, Array(3.0f, 4.0f)),
+      (2, 10, Array(5.0f, 6.0f)), (2, 11, Array(7.5f, 8.5f)),
+      (3, 10, Array(9.0f, 10.0f)), (3, 11, Array(11.5f, 12.5f)),
+    ).toDF("il", "xl", "v")
+    val records = SegyExport.serializeStandardTraces(
+      src.orderBy("il", "xl")
+        .withColumn("samples", SegyExport.ibmPayload(col("v"), 2)),
+      Seq(SegyRead.StandardFields.Inline -> "il",
+        SegyRead.StandardFields.Crossline -> "xl"), "samples")
+    val f = Files.createTempDirectory("clispec").toString + "/in.sgy"
+    SegyExport.writeSegy(records, f,
+      SegyHeaders.sanitizeTextHeader(Seq("C 1 CLI SPEC")),
+      SegyExport.standardBinaryHeader(nSamples = 2, sampleInterval = 4000,
+        formatCode = 1))
+    f
+  }
+
+  test("segy import → info → export → copy drive the facade end to end") {
+    val segy = writeFixture()
+    val dir = Files.createTempDirectory("clistore").toString
+    val store = s"$dir/cli.mdio"
+
+    // import with the reference's flag shapes (std inline/crossline bytes)
+    assert(Cli.run(Seq("segy", "import", segy, store,
+      "--header-locations", "189,193",
+      "--header-names", "inline,crossline",
+      "--header-types", "int32,int32",
+      "--chunk-size", "2,2,2"), spark) == 0)
+    // re-import without --overwrite refuses; with it succeeds
+    assert(Cli.run(Seq("segy", "import", segy, store,
+      "--header-locations", "189,193"), spark) == 2)
+    assert(Cli.run(Seq("segy", "import", segy, store,
+      "--header-locations", "189,193",
+      "--header-names", "inline,crossline", "--overwrite"), spark) == 0)
+
+    // the store holds the decoded per-trace sample arrays
+    val handle = graft.Mdio.openMdio(spark, store)
+    assert(handle.df.count() == 6)
+    val sums = handle.df.select(sum(aggregate(col("amplitude"),
+      lit(0.0), (a, e) => a + e))).as[Double].head()
+    assert(math.abs(sums - 81.0) < 1e-6) // sum of all 12 samples
+    // array-valued ingest stats made it into the sidecar
+    val stats = handle.schema.variable("amplitude")
+      .flatMap(_.metadata).flatMap(_.statsV1).get
+    assert(stats.count == 12 && math.abs(stats.sum - 81.0) < 1e-6)
+    assert(stats.min == 1.5 && stats.max == 12.5)
+
+    // info: json shape carries the grid
+    assert(Cli.run(Seq("info", store, "--output-format", "json"), spark) == 0)
+    assert(Cli.run(Seq("info", store), spark) == 0)
+
+    // export back to SEG-Y and re-read: same grid, same samples
+    val out = s"$dir/out.sgy"
+    assert(Cli.run(Seq("segy", "export", store, out), spark) == 0)
+    val back = SegyRead.readStandardTraces(spark, out,
+      Seq(SegyRead.StandardFields.Inline, SegyRead.StandardFields.Crossline))
+      .select(col("inline"), col("crossline"),
+        SegyRead.ibmSamples(col("samples"), 2).as("v"))
+      .as[(Long, Long, Seq[Float])].collect().toSet
+    assert(back == Set(
+      (1L, 10L, Seq(1.5f, 2.5f)), (1L, 11L, Seq(3.0f, 4.0f)),
+      (2L, 10L, Seq(5.0f, 6.0f)), (2L, 11L, Seq(7.5f, 8.5f)),
+      (3L, 10L, Seq(9.0f, 10.0f)), (3L, 11L, Seq(11.5f, 12.5f))))
+    // endian little is an actionable refusal, not silent little-endian bytes
+    assert(Cli.run(Seq("segy", "export", store, out,
+      "--endian", "little"), spark) == 2)
+
+    // copy: metadata-only by default (traces excluded), full with the flag
+    val metaCopy = s"$dir/meta.mdio"
+    assert(Cli.run(Seq("copy", store, metaCopy), spark) == 0)
+    val meta = graft.Mdio.openMdio(spark, metaCopy)
+    assert(!meta.df.columns.contains("amplitude"))
+    val fullCopy = s"$dir/full.mdio"
+    assert(Cli.run(Seq("copy", store, fullCopy, "--with-traces"), spark) == 0)
+    val full = graft.Mdio.openMdio(spark, fullCopy)
+    assert(full.df.columns.contains("amplitude") && full.df.count() == 6)
+  }
+}
