@@ -232,6 +232,10 @@ object MdioDataset {
 /** Runtime handle: lazy DataFrame + schema; the `sel` surface (P3). */
 final case class MdioDatasetHandle(df: DataFrame, schema: MdioSchema, path: String) {
 
+  /** Notebook HTML repr (`builder/formatting_html.py:186-253`) — rendered
+    * from the sidecar alone; no Spark job runs. */
+  def reprHtml: String = graft.schema.FormattingHtml.datasetReprHtml(schema)
+
   /** Labeled selection across all variables at once (xarray `sel`). */
   def sel(sels: (String, Selection.Sel)*): DataFrame =
     Selection.sel(df, sels.toMap)
