@@ -35,6 +35,24 @@ class MdioV2Spec extends SparkSpec {
     assert(q.count() == 5)
   }
 
+  test("format(mdio) pushes count/min/max aggregates into the parquet footers " +
+       "when spark.sql.parquet.aggregatePushDown is on") {
+    // the delegated builtin Parquet scan answers these from row-group
+    // statistics without materializing a single data page — at 100 TB a
+    // store-wide MIN/MAX/COUNT QC touches only footers
+    val path = Files.createTempDirectory("mdio-v2agg").toString
+    MdioDataset.write(df, path, schema, sortDims = Seq("il", "xl"))
+    spark.conf.set("spark.sql.parquet.aggregatePushDown", "true")
+    try {
+      val q = spark.read.format("mdio").load(path)
+        .agg(count(lit(1)).as("n"), min("xl").as("lo"), max("xl").as("hi"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation"),
+        s"aggregates not pushed in:\n$plan")
+      assert(q.as[(Long, Int, Int)].head() == ((40L, 1, 40)))
+    } finally spark.conf.unset("spark.sql.parquet.aggregatePushDown")
+  }
+
   test("format(mdio) on a partitioned store keeps the recorded column types") {
     val path = Files.createTempDirectory("mdio-v2part").toString
     MdioDataset.write(df, path, schema, sortDims = Seq("il", "xl"),
