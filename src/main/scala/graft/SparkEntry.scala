@@ -26,19 +26,27 @@ object SparkEntry {
   private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
   private def embeddings(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
-  /** Stage the single-file events fixture into a scratch DIRECTORY (the
+  /** Stage a single-file fixture table into a scratch DIRECTORY (the
     * file-stream source requires one; a real deployment streams a landing
     * dir to begin with) and return it. One copy per streaming query run.
     */
-  private def stageEventsDir(s: SparkSession, d: String, tag: String): String = {
+  private def stageTableDir(s: SparkSession, d: String, table: String,
+                            tag: String): String = {
     val srcDir = graft.core.TempDirs.scratch(s"${tag}_src")
     val hconf = s.sparkContext.hadoopConfiguration
-    val from = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
-    val to = new org.apache.hadoop.fs.Path(s"$srcDir/events_0.parquet")
+    val from = new org.apache.hadoop.fs.Path(s"$d/$table.parquet")
+    val to = new org.apache.hadoop.fs.Path(s"$srcDir/${table}_0.parquet")
     org.apache.hadoop.fs.FileUtil.copy(from.getFileSystem(hconf), from,
       to.getFileSystem(hconf), to, false, hconf)
     srcDir
   }
+
+  private def stageEventsDir(s: SparkSession, d: String, tag: String): String =
+    stageTableDir(s, d, "events", tag)
+
+  /** File stream over a staged fixture dir (schema read from the files). */
+  private def tableStream(s: SparkSession, srcDir: String): DataFrame =
+    s.readStream.schema(s.read.parquet(srcDir).schema).parquet(srcDir)
 
   /** File stream over a staged events dir, with the same nanos→micros ts
     * fix the batch `Tables.events` applies.
@@ -360,6 +368,75 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double")
             .as("sum_value"))
+    }),
+    // in-stream EXACT dedup under the oracle: documents replayed as a file
+    // stream through dropDuplicates-on-fingerprint — the state store drops
+    // every re-arrival of a seen md5 ACROSS micro-batches. Which arrival
+    // survives is arrival-order (racey across 32 threads), but duplicates
+    // share their text byte-for-byte, so projecting only text-derived
+    // columns makes the survivor set deterministic == batch DISTINCT-by-hash
+    "q_stream_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out = graft.core.TempDirs.scratch("stream_dedup_out")
+      val ckpt = graft.core.TempDirs.scratch("stream_dedup_ckpt")
+      val raw = tableStream(s, stageTableDir(s, d, "documents", "stream_dedup"))
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamingCorpus.dedupedStream(raw)
+          .select(md5(col("text")).as("h"),
+            length(col("text")).cast("long").as("n_chars_c"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+    // in-stream NEAR-dup flagging under the oracle: each arriving document
+    // explodes to its LSH band buckets; flatMapGroupsWithState keyed by
+    // (band, band_hash) compares it against ONLY its bucket's stored
+    // signatures (state rides the checkpoint — a paraphrase arriving days
+    // later still flags). A pair sharing several bands emits once per
+    // shared bucket; est_jaccard is computed from the full signatures, so
+    // the distinct-at-rest pair set equals the batch banded q_neardup_lsh
+    // plan — the bucket-state cap is pinned to the batch bucket cap so
+    // neither side trips it at fixture scale
+    "q_stream_neardup" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out = graft.core.TempDirs.scratch("stream_neardup_out")
+      val ckpt = graft.core.TempDirs.scratch("stream_neardup_ckpt")
+      val raw = tableStream(s, stageTableDir(s, d, "documents", "stream_neardup"))
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamingCorpus
+          .nearDupFlaggedStream(raw, maxBucketState = 10000)
+          .toDF()
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out).distinct()
+    }),
+    // streaming BM25 index maintenance under the oracle: the index is BUILT
+    // on the even-id half of the corpus, the odd-id half arrives as a
+    // stream whose postings append between triggers — and because dfs and
+    // avgdl derive at query time from the accumulated sums, the ranking
+    // over the final index is EXACT: top-k equals the batch full-corpus
+    // q_bm25 oracle, proving appends lose nothing
+    "q_stream_bm25" -> ((s, d) => {
+      val idx = graft.core.TempDirs.scratch("stream_bm25_idx")
+      val ckpt = graft.core.TempDirs.scratch("stream_bm25_ckpt")
+      val srcDir = graft.core.TempDirs.scratch("stream_bm25_src")
+      val docs = documents(s, d)
+      Retrieval.buildIndex(docs.where(col("doc_id") % 2 === 0), idx)
+      docs.where(col("doc_id") % 2 === 1).write.parquet(srcDir)
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamingRetrieval.appendPostings(
+          tableStream(s, srcDir), idx, checkpoint = Some(ckpt))
+        q.awaitTermination()
+      }
+      Retrieval.bm25TopKFromIndex(s, idx, bm25Queries, k = 10)
     }),
     // stream-stream interval join under the oracle: clicks and purchases
     // as two watermarked streams, inner-joined on user within the 2-hour
@@ -1685,6 +1762,15 @@ object SparkEntry {
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin,
+    // duplicates share text byte-for-byte, so the survivor projection is
+    // one row per distinct content hash regardless of which arrival won
+    "q_stream_dedup" ->
+      """SELECT md5(text) AS h, CAST(length(text) AS BIGINT) AS n_chars_c
+        |FROM documents GROUP BY 1, 2""".stripMargin,
+    // the streaming flag set distincts to exactly the batch banded pair set
+    "q_stream_neardup" -> OracleSqlGen.nearDupLshSql(),
+    // half-built half-streamed index, EXACT ranking == full-corpus BM25
+    "q_stream_bm25" -> OracleSqlGen.bm25Sql(bm25Queries, k = 10),
     "q_stream_join" ->
       """WITH c AS (SELECT event_id, user_id, ts AS click_ts FROM events
         |    WHERE event_type = 'click'),
