@@ -563,6 +563,11 @@ object SparkEntry {
       Dedup.dedupExactBest(
         TextAnalysis.qualityScore(documents(s, d)), "quality")),
     "q_neardup_lsh" -> ((s, d) => Dedup.nearDupPairs(documents(s, d))),
+    // ExactSubstr-style span dedup: maximal cross-doc duplicated 8-gram
+    // runs, reported as per-doc token spans (the removal policy composes
+    // downstream)
+    "q_dup_ngram_spans" -> ((s, d) =>
+      Dedup.duplicateNgramSpans(documents(s, d))),
     // paragraph-granular exact dedup (boilerplate removal). The fixture has
     // no newlines, so the query first re-paragraphs each doc into 3-token
     // groups (deterministic narrow map, mirrored in the oracle) — at that
@@ -2004,6 +2009,7 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_jaccard_blocked" -> OracleSqlGen.blockedJaccardSql(),
     "q_neardup_lsh" -> OracleSqlGen.nearDupLshSql(),
+    "q_dup_ngram_spans" -> OracleSqlGen.dupNgramSpansSql(),
     "q_para_dedup" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks

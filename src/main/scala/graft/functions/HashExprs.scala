@@ -29,6 +29,16 @@ object CrossHashExprs {
   def shingleHashes(tokens: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashExpr(ColumnBridge.expression(tokens), n))
 
+  /** array<string> tokens → array<long>: md5-60 hashes of the space-joined
+    * word n-grams at EVERY position, in order and without dedup — index i
+    * is the gram starting at token i (strict: a doc shorter than n tokens
+    * has no grams). The positional sibling of [[shingleHashes]], for
+    * span-level operators that need to map a duplicated gram back to where
+    * it sits in the document.
+    */
+  def gramHashes(tokens: Column, n: Int): Column =
+    ColumnBridge.column(GramHashExpr(ColumnBridge.expression(tokens), n))
+
   /** array<long> shingle hashes → k-long minhash signature. */
   def minhashSig(c: Column, k: Int): Column =
     ColumnBridge.column(MinhashSigExpr(ColumnBridge.expression(c), k))
@@ -88,6 +98,43 @@ final case class Md5H60Array(child: Expression)
   * space, deduplicated by first occurrence. Dedup is on the hash value,
   * which the md5-collision-free assumption makes identical to string dedup.
   */
+final case class GramHashExpr(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  require(n >= 1, "gram size must be >= 1")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gram_hashes"
+
+  def kernel(in: ArrayData): ArrayData = {
+    val m = in.numElements()
+    val starts = math.max(m - n + 1, 0)
+    val out = new Array[Long](starts)
+    var i = 0
+    while (i < starts) {
+      val sb = new java.lang.StringBuilder
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(in.getUTF8String(j).toString)
+        j += 1
+      }
+      out(i) = CrossHash.md5h60(sb.toString.getBytes("UTF-8"))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("gramself", this, classOf[GramHashExpr].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.kernel($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GramHashExpr =
+    copy(child = newChild)
+}
+
 final case class ShingleHashExpr(child: Expression, n: Int)
     extends UnaryExpression with Serializable {
   require(n >= 1, "shingle size must be >= 1")

@@ -817,4 +817,58 @@ object Dedup {
         size(parts).cast("long").as("n_lines"),
         (size(parts) - size(bset)).cast("long").as("n_kept"))
   }
+
+  // ----------------------------------------------- exact substring spans
+
+  /** Cross-document EXACT duplicated-substring spans at token-n-gram
+    * granularity — the span-level tier below document/paragraph dedup
+    * (after Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better": a substring long enough to repeat VERBATIM across
+    * documents is near-always boilerplate or copied text, and removing the
+    * span beats dropping either whole document).
+    *
+    * Instead of a distributed suffix array, duplication is detected at
+    * n-token granularity: every position's n-gram is md5-60 hashed
+    * ([[CrossHashExprs.gramHashes]] — one positional kernel per row); a
+    * gram appearing in >= `minDocs` DISTINCT documents marks all its
+    * occurrences as duplicated; per document, marked positions closer than
+    * `n` tokens merge (gaps-and-islands over a per-doc window) into maximal
+    * spans `[span_start, span_end]` (0-based token indices, inclusive).
+    * Every maximal duplicated run of m >= n tokens is recovered exactly:
+    * its m-n+1 gram starts are all marked and chain into one island.
+    *
+    * Scale: the gram explode is corpus-token-count rows of (hash, id, pos)
+    * longs — text never shuffles; doc-frequency is a two-stage hash
+    * aggregate on the gram hash; the island window partitions by doc_id
+    * (bounded by document length, never corpus-wide). The span report
+    * composes with [[dedupParagraphs]]-style rewriting or masking at the
+    * caller's policy layer.
+    */
+  def duplicateNgramSpans(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", n: Int = 8,
+                          minDocs: Int = 2): DataFrame = {
+    require(n >= 2, s"span gram size must be at least 2, got $n")
+    require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
+    val toks = graft.llm.TextAnalysis.tokens(lower(col(textCol)))
+    val grams = docs.select(col(idCol),
+      posexplode(CrossHashExprs.gramHashes(toks, n)).as(Seq("pos", "_gh")))
+    val dup = grams.select(col("_gh"), col(idCol)).distinct()
+      .groupBy("_gh").agg(count(lit(1)).as("_df"))
+      .where(col("_df") >= minDocs).select("_gh")
+    val dupPos = grams.join(dup, "_gh").select(col(idCol), col("pos"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val prev = lag(col("pos"), 1).over(byDoc)
+    // two marked positions <= n apart belong to one duplicated run
+    // (overlapping or back-to-back grams) — merge; island id = running
+    // count of break points
+    val isNew = when(prev.isNull || col("pos") - prev > n, 1L).otherwise(0L)
+    dupPos.withColumn("_island", sum(isNew).over(byDoc))
+      .groupBy(col(idCol), col("_island"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        (max(col("pos")) + (n - 1)).cast("long").as("span_end"))
+      .withColumn("span_tokens", col("span_end") - col("span_start") + 1L)
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_tokens"))
+  }
 }
