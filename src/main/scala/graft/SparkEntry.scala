@@ -907,6 +907,31 @@ object SparkEntry {
           element_at(SegyRead.ibmSamples(col("samples"), 1), 1)
             .cast("long").as("pk"))
     }),
+    // the same standard write read back through the DSv2 TABLE surface
+    // (spark.read.format("segy")): schema from the binary header, samples
+    // decoded in the reader, column pruning + split planning at the byte
+    // layer — proves the idiomatic-Spark face answers identically
+    "q_segy_dsv2_roundtrip" -> ((s, d) => {
+      import graft.`export`.{SegyExport, SegyHeaders}
+      import graft.sources.SegyRead
+      import SegyRead.StandardFields.{Crossline, Inline}
+      val src = lineitem(s, d).select(
+        col("l_orderkey").cast("int").as("il"),
+        col("l_linenumber").cast("int").as("xl"),
+        array(col("l_partkey").cast("float")).as("v"))
+      val records = SegyExport.serializeStandardTraces(
+        src.orderBy("il", "xl")
+          .withColumn("samples", SegyExport.ibmPayload(col("v"), 1)),
+        Seq(Inline -> "il", Crossline -> "xl"), "samples")
+      val f = graft.core.TempDirs.scratch("segy_dsv2_rt") + "/rt.sgy"
+      SegyExport.writeSegy(records, f,
+        SegyHeaders.sanitizeTextHeader(Seq("C 1 GRAFT DSV2 ROUNDTRIP")),
+        SegyExport.standardBinaryHeader(nSamples = 1, sampleInterval = 2000,
+          formatCode = 1))
+      s.read.format("segy").option("fields", "inline,crossline").load(f)
+        .select(col("inline").as("il"), col("crossline").as("xl"),
+          element_at(col("samples"), 1).cast("long").as("pk"))
+    }),
     // format-3 (int16) standard roundtrip — what real field data ships:
     // three signed int16 samples per trace packed/decoded by the native
     // BeIntAt kernel family, negatives included, overflow-checked on write
@@ -2459,6 +2484,12 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     // the standard-layout stack must reproduce the same projection
     "q_segy_std_roundtrip" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS il,
+        |  CAST(l_linenumber AS BIGINT) AS xl,
+        |  CAST(l_partkey AS BIGINT) AS pk
+        |FROM lineitem""".stripMargin,
+    // ... and so must the DSv2 table surface over the same bytes
+    "q_segy_dsv2_roundtrip" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS il,
         |  CAST(l_linenumber AS BIGINT) AS xl,
         |  CAST(l_partkey AS BIGINT) AS pk

@@ -1,0 +1,378 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter, EqualTo, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import SegyRead.{HeaderField, StandardFields}
+
+/** DataSourceV2 for STANDARD-layout (rev-1) SEG-Y files:
+  * `spark.read.format("segy").load(path)` — the idiomatic-Spark face of
+  * [[SegyRead.readStandardTraces]], mirroring how the reference opens a
+  * file before planning workers (`segy/file.py:152-186` reads the binary
+  * header for geometry; `ingestion/segy/reader.py` fans ranges out).
+  *
+  * The scan is **self-describing**: samples-per-trace, sample interval and
+  * format code parse from the file's binary header, and the `samples`
+  * column types itself per the format code (array<float> for IBM32/IEEE32,
+  * array<double> for IEEE64, array<int> for 2/3/8) — or stays raw binary
+  * with `option("raw", true)`.
+  *
+  * What makes this worth a DSv2 instead of the function API:
+  *  - **column pruning reaches the byte layer.** A projection without
+  *    `samples` never reads payload bytes (the reader seeks over them), and
+  *    header fields absent from the projection are never decoded — the
+  *    DSv2 `pruneColumns` contract decides this at plan time.
+  *  - **trace_index range filters prune SPLITS.** `trace_index >= a AND
+  *    trace_index < b` clips the planned trace ranges before tasks launch
+  *    (the SEG-Y record length makes index→byte-offset exact), so a
+  *    windowed read of a 100-TB file schedules only its window's tasks.
+  *    Filters are still re-evaluated by Spark above the scan (reported
+  *    pushed, not removed) — pruning is an optimization, never a
+  *    correctness dependence.
+  *  - **limit pushdown** caps the planned range the same way.
+  *
+  * Options: `fields` (comma-separated [[StandardFields]] names; default =
+  * the full catalog), `raw` (keep samples as binary), `tracesPerSplit`
+  * (default sizes splits to ~128 MB).
+  */
+class SegyDataSourceV2 extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "segy"
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def filePath(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "segy format requires a file path: spark.read.format(\"segy\").load(path)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SegyDataSourceV2.table(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    SegyDataSourceV2.table(new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] object SegyDataSourceV2 {
+
+  val Catalog: Seq[HeaderField] = Seq(
+    StandardFields.TraceSeqLine, StandardFields.FieldRecord,
+    StandardFields.TraceField, StandardFields.SourcePoint,
+    StandardFields.CdpEnsemble, StandardFields.TraceIdCode,
+    StandardFields.Offset, StandardFields.CoordScalar,
+    StandardFields.SourceX, StandardFields.SourceY,
+    StandardFields.GroupX, StandardFields.GroupY,
+    StandardFields.NSamples, StandardFields.SampleInterval,
+    StandardFields.CdpX, StandardFields.CdpY,
+    StandardFields.Inline, StandardFields.Crossline)
+
+  def sampleType(formatCode: Int, raw: Boolean): DataType =
+    if (raw) BinaryType
+    else formatCode match {
+      case 1 | 5     => ArrayType(FloatType, containsNull = false)
+      case 6         => ArrayType(DoubleType, containsNull = false)
+      case 2 | 3 | 8 => ArrayType(IntegerType, containsNull = false)
+      case c => throw new IllegalArgumentException(
+        s"unsupported SEG-Y sample format code $c (supported: 1, 2, 3, 5, 6, 8)")
+    }
+
+  def table(options: CaseInsensitiveStringMap): SegyTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "segy format requires a file path: spark.read.format(\"segy\").load(path)"))
+    val fields: Seq[HeaderField] =
+      Option(options.get("fields")).filter(_.nonEmpty) match {
+        case None => Catalog
+        case Some(csv) =>
+          val byName = Catalog.map(f => f.name -> f).toMap
+          csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(n =>
+            byName.getOrElse(n, throw new IllegalArgumentException(
+              s"unknown segy field '$n' (known: ${Catalog.map(_.name).mkString(", ")})")))
+      }
+    val raw = Option(options.get("raw")).exists(_.equalsIgnoreCase("true"))
+    val perSplit = Option(options.get("tracesPerSplit")).map(_.toLong).getOrElse(0L)
+    val info = SegyRead.standardInfo(SparkSession.active, path)
+    new SegyTable(path, info, fields, raw, perSplit)
+  }
+}
+
+private[sources] class SegyTable(path: String, info: SegyRead.StandardInfo,
+                                 fields: Seq[HeaderField], raw: Boolean,
+                                 tracesPerSplit: Long)
+  extends Table with SupportsRead {
+
+  override def name(): String = s"segy $path"
+
+  override def schema(): StructType = StructType(
+    StructField("trace_index", LongType, nullable = false) +:
+      fields.map(f => StructField(f.name, LongType, nullable = false)) :+
+      StructField("samples",
+        SegyDataSourceV2.sampleType(info.formatCode, raw), nullable = false))
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SegyScanBuilder(path, info, fields, raw, tracesPerSplit, schema())
+}
+
+private[sources] class SegyScanBuilder(path: String,
+                                       info: SegyRead.StandardInfo,
+                                       fields: Seq[HeaderField], raw: Boolean,
+                                       tracesPerSplit: Long,
+                                       fullSchema: StructType)
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters with SupportsPushDownLimit {
+
+  private var required: StructType = fullSchema
+  private var lo: Long = 0L // inclusive trace_index lower bound
+  private var hi: Long = info.base.nTraces // exclusive upper bound
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // an empty projection (count(*)) still needs row COUNT; keep the struct
+    // empty — the reader emits empty rows without touching bytes
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = filters.filter {
+      case EqualTo("trace_index", _: Long | _: Int) => true
+      case GreaterThan("trace_index", _: Long | _: Int) => true
+      case GreaterThanOrEqual("trace_index", _: Long | _: Int) => true
+      case LessThan("trace_index", _: Long | _: Int) => true
+      case LessThanOrEqual("trace_index", _: Long | _: Int) => true
+      case _ => false
+    }
+    def num(v: Any): Long = v match {
+      case l: Long => l
+      case i: Int  => i.toLong
+    }
+    usable.foreach {
+      case EqualTo(_, v) =>
+        lo = math.max(lo, num(v)); hi = math.min(hi, num(v) + 1)
+      case GreaterThan(_, v)        => lo = math.max(lo, num(v) + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, num(v))
+      case LessThan(_, v)           => hi = math.min(hi, num(v))
+      case LessThanOrEqual(_, v)    => hi = math.min(hi, num(v) + 1)
+      case _                        => ()
+    }
+    pushed = usable
+    // every filter (pushed included) is returned for Spark-side
+    // re-evaluation: range clipping prunes work, it does not claim
+    // exactness for combined/duplicated predicates
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    false // partial: tasks still cap rows Spark-side
+  }
+
+  override def build(): Scan =
+    new SegyScan(path, info, fields, raw, tracesPerSplit, required,
+      math.max(lo, 0L), math.min(hi, info.base.nTraces))
+}
+
+private[sources] case class SegyInputPartition(start: Long, end: Long)
+  extends InputPartition
+
+private[sources] class SegyScan(path: String, info: SegyRead.StandardInfo,
+                                fields: Seq[HeaderField], raw: Boolean,
+                                tracesPerSplit: Long, required: StructType,
+                                lo: Long, hi: Long)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def description(): String = {
+    val cols = required.fieldNames.mkString(",")
+    s"segy $path traces [$lo,$hi) cols [$cols] format ${info.formatCode}"
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (hi <= lo) return Array.empty
+    val sampleBytes = info.nSamples.toLong *
+      SegyRead.bytesPerSample(info.formatCode)
+    val recordLen = 240L + sampleBytes
+    val perSplit =
+      if (tracesPerSplit > 0) tracesPerSplit
+      else math.max(1L, (128L << 20) / recordLen)
+    val n = hi - lo
+    val nSplits = ((n + perSplit - 1) / perSplit).toInt
+    Array.tabulate(nSplits) { i =>
+      val s = lo + i.toLong * perSplit
+      SegyInputPartition(s, math.min(s + perSplit, hi))
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(
+      new org.apache.hadoop.conf.Configuration(
+        SparkSession.active.sparkContext.hadoopConfiguration))
+    // per required column: decode plan resolved once at plan time
+    val byName = fields.map(f => f.name -> f).toMap
+    val cols: Array[SegyColDecode] = required.fields.map { sf =>
+      sf.name match {
+        case "trace_index" => SegyColDecode(-1, 0, unsigned = false, kind = 0)
+        case "samples"     => SegyColDecode(-1, 0, unsigned = false, kind = 2)
+        case n =>
+          val f = byName.getOrElse(n, throw new IllegalArgumentException(
+            s"segy scan asked for unknown column $n"))
+          SegyColDecode(f.byteOffset - 1, f.bytes, f.unsigned, kind = 1)
+      }
+    }
+    new SegyReaderFactory(path, conf, info.nSamples, info.formatCode, raw, cols)
+  }
+}
+
+/** kind: 0 = trace_index, 1 = header int, 2 = samples payload. */
+private[sources] case class SegyColDecode(off: Int, bytes: Int,
+                                          unsigned: Boolean, kind: Int)
+
+private[sources] class SegyReaderFactory(path: String,
+                                         conf: SerializableConfiguration,
+                                         nSamples: Int, formatCode: Int,
+                                         raw: Boolean,
+                                         cols: Array[SegyColDecode])
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val sp = p.asInstanceOf[SegyInputPartition]
+    new SegyPartitionReader(path, conf, nSamples, formatCode, raw, cols,
+      sp.start, sp.end)
+  }
+}
+
+private[sources] class SegyPartitionReader(path: String,
+                                           conf: SerializableConfiguration,
+                                           nSamples: Int, formatCode: Int,
+                                           raw: Boolean,
+                                           cols: Array[SegyColDecode],
+                                           start: Long, end: Long)
+  extends PartitionReader[InternalRow] {
+
+  private val sampleWidth = SegyRead.bytesPerSample(formatCode)
+  private val sampleBytes = nSamples.toLong * sampleWidth
+  private val recordLen = 240L + sampleBytes
+  private val needSamples = cols.exists(_.kind == 2)
+  private val needHeader = cols.exists(_.kind == 1)
+
+  private val hp = new org.apache.hadoop.fs.Path(path)
+  private val in = hp.getFileSystem(conf.value).open(hp)
+  // task-completion close (limit/take may not drain; see
+  // SegyRead.registerStreamClose for the rationale)
+  private val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  locally {
+    Option(org.apache.spark.TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+    in.seek(3600L + start * recordLen)
+  }
+
+  // read only the bytes the projection needs: header always 240 when any
+  // header/trace column shows, payload only when samples are projected —
+  // otherwise the reader SEEKS over it (a headers-only scan of a 100-TB
+  // file reads 240 bytes per trace, not the trace)
+  private val headBuf = new Array[Byte](240)
+  private val payBuf = if (needSamples) new Array[Byte](sampleBytes.toInt) else null
+
+  private var i = start - 1
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    i += 1
+    if (i >= end) return false
+    if (needSamples) {
+      in.readFully(headBuf)
+      in.readFully(payBuf)
+    } else if (needHeader) {
+      in.readFully(headBuf)
+      in.seek(3600L + (i + 1) * recordLen)
+    } else {
+      // projection needs at most trace_index: no bytes at all
+      if (i == start) in.seek(3600L + end * recordLen)
+    }
+    val vals = new Array[Any](cols.length)
+    var c = 0
+    while (c < cols.length) {
+      val col = cols(c)
+      vals(c) = col.kind match {
+        case 0 => i
+        case 1 =>
+          var v = 0L
+          var b = 0
+          while (b < col.bytes) {
+            v = (v << 8) | (headBuf(col.off + b) & 0xffL)
+            b += 1
+          }
+          if (!col.unsigned) { // sign-extend from the field's width
+            val shift = 64 - col.bytes * 8
+            v = (v << shift) >> shift
+          }
+          v
+        case 2 => decodeSamples()
+      }
+      c += 1
+    }
+    row = new GenericInternalRow(vals)
+    true
+  }
+
+  private def decodeSamples(): Any =
+    if (raw) java.util.Arrays.copyOf(payBuf, payBuf.length)
+    else formatCode match {
+      case 1 | 5 =>
+        val out = new Array[Float](nSamples)
+        var s = 0
+        while (s < nSamples) {
+          val o = s * 4
+          val bits = ((payBuf(o) & 0xff) << 24) | ((payBuf(o + 1) & 0xff) << 16) |
+            ((payBuf(o + 2) & 0xff) << 8) | (payBuf(o + 3) & 0xff)
+          out(s) =
+            if (formatCode == 1) graft.functions.IbmFloatDecode.decode(bits)
+            else java.lang.Float.intBitsToFloat(bits)
+          s += 1
+        }
+        new GenericArrayData(out)
+      case 6 =>
+        val out = new Array[Double](nSamples)
+        var s = 0
+        while (s < nSamples) {
+          var bits = 0L
+          var b = 0
+          while (b < 8) { bits = (bits << 8) | (payBuf(s * 8 + b) & 0xffL); b += 1 }
+          out(s) = java.lang.Double.longBitsToDouble(bits)
+          s += 1
+        }
+        new GenericArrayData(out)
+      case 2 | 3 | 8 =>
+        val out = new Array[Int](nSamples)
+        var s = 0
+        while (s < nSamples) {
+          var v = 0
+          var b = 0
+          while (b < sampleWidth) { v = (v << 8) | (payBuf(s * sampleWidth + b) & 0xff); b += 1 }
+          val shift = 32 - sampleWidth * 8
+          out(s) = (v << shift) >> shift
+          s += 1
+        }
+        new GenericArrayData(out)
+    }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit =
+    if (closed.compareAndSet(false, true)) in.close()
+}
