@@ -867,9 +867,8 @@ object SparkEntry {
         col("l_linenumber").cast("int").as("xl"),
         col("l_partkey").cast("int").as("pk"))
       val withPay = src.withColumn("samples",
-        call_function("to_binary",
-          lpad(hex(col("pk").cast("bigint").bitwiseAND(0xFFFFFFFFL)), 8, "0"),
-          lit("hex")))
+        graft.functions.BeBytesPack(col("pk").cast("bigint"), 4, "pk",
+          checked = false))
       val records = SegyExport.serializeTraces(
         withPay.orderBy("il", "xl"), Seq("il", "xl"), "samples")
       val f = graft.core.TempDirs.scratch("segy_rt") + "/rt.sgy"
@@ -1084,9 +1083,8 @@ object SparkEntry {
         col("l_linenumber").cast("int").as("ln"),
         cents.cast("int").as("cents"))
       val withPay = src.withColumn("samples",
-        call_function("to_binary",
-          lpad(hex(col("cents").cast("bigint").bitwiseAND(0xFFFFFFFFL)), 8, "0"),
-          lit("hex")))
+        graft.functions.BeBytesPack(col("cents").cast("bigint"), 4, "cents",
+          checked = false))
       val records = SegyExport.serializeTraces(
         withPay.orderBy("il", "xl", "ok", "ln"), Seq("il", "xl", "ok", "ln"),
         "samples")

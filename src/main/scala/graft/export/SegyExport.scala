@@ -34,12 +34,12 @@ object SegyExport {
     */
   def serializeTraces(df: DataFrame, headerFields: Seq[String],
                       samplesCol: String): DataFrame = {
-    // fixed 4-byte big-endian two's complement: mask to 32 bits, left-pad the
-    // hex to 8 chars (hex() drops leading zeros)
+    // fixed 4-byte big-endian two's complement: the native pack writes the
+    // low 32 bits directly (the documented mask semantics of this raw
+    // layout), no hex-string round trip
     val headerBytes: Seq[Column] = headerFields.map(f =>
-      call_function("to_binary",
-        lpad(hex(col(f).cast("bigint").bitwiseAND(0xFFFFFFFFL)), 8, "0"),
-        lit("hex")))
+      graft.functions.BeBytesPack(col(f).cast("bigint"), 4, f,
+        checked = false))
     val payload = col(samplesCol).cast("binary")
     df.withColumn("trace_record", concat((headerBytes :+ payload): _*))
       .withColumn("record_len", octet_length(col("trace_record")).cast("long"))
@@ -89,19 +89,9 @@ object SegyExport {
     * as −25536.
     */
   private def beBytes(c: Column, bytes: Int, name: String,
-                      unsigned: Boolean = false): Column = {
-    val lo = if (unsigned) 0L else -(1L << (bytes * 8 - 1))
-    val hi = if (unsigned) (1L << (bytes * 8)) - 1
-             else (1L << (bytes * 8 - 1)) - 1
-    val mask = (1L << (bytes * 8)) - 1
-    val v = c.cast("bigint")
-    val checked = when(
-      assert_true(v.between(lo, hi),
-        format_string(s"$name value %d overflows the $bytes-byte header field " +
-          s"(range $lo..$hi)", v)).isNull, v)
-    call_function("to_binary",
-      lpad(hex(checked.bitwiseAND(lit(mask))), bytes * 2, "0"), lit("hex"))
-  }
+                      unsigned: Boolean = false): Column =
+    graft.functions.BeBytesPack(c.cast("bigint"), bytes, name,
+      unsigned = unsigned, checked = true)
 
   /** Integer sample payload (SEG-Y formats 2=int32, 3=int16, 8=int8): each
     * sample packed big-endian at its width, overflow-checked — the encode
@@ -111,8 +101,8 @@ object SegyExport {
     require(formatCode == 2 || formatCode == 3 || formatCode == 8,
       s"intPayload packs formats 2/3/8, got $formatCode (use ibmPayload for 1)")
     val w = graft.sources.SegyRead.bytesPerSample(formatCode)
-    concat((1 to nSamples).map(i =>
-      beBytes(element_at(samples, i), w, s"sample_$i")): _*)
+    graft.functions.BeIntArrayPack(samples.cast("array<int>"), w, nSamples,
+      s"format-$formatCode sample", checked = true)
   }
 
   /** Format-1 sample payload: each float IBM32-encoded by the native
@@ -120,12 +110,9 @@ object SegyExport {
     * `nSamples` is fixed per file, so the concat is a literal-width plan.
     */
   def ibmPayload(samples: Column, nSamples: Int): Column =
-    concat((1 to nSamples).map { i =>
-      call_function("to_binary",
-        lpad(hex(graft.functions.IbmFloatEncode(element_at(samples, i))
-          .cast("bigint").bitwiseAND(0xFFFFFFFFL)), 8, "0"),
-        lit("hex"))
-    }: _*)
+    graft.functions.BeIntArrayPack(
+      transform(samples, s => graft.functions.IbmFloatEncode(s)),
+      4, nSamples, "ibm32 sample", checked = false)
 
   /** Format-6 sample payload (SEG-Y rev-2 IEEE float64): each double's RAW
     * bits ([[graft.functions.DoubleBits]] — NaN payloads survive) packed as
@@ -136,9 +123,9 @@ object SegyExport {
     */
   def ieee64Payload(samples: Column, nSamples: Int): Column =
     concat((1 to nSamples).map { i =>
-      call_function("to_binary",
-        lpad(hex(graft.functions.DoubleBits(element_at(samples, i))), 16, "0"),
-        lit("hex"))
+      graft.functions.BeBytesPack(
+        graft.functions.DoubleBits(element_at(samples, i)), 8,
+        s"ieee64 sample_$i", checked = false)
     }: _*)
 
   /** The standard 400-byte binary header a real reader parses: sample

@@ -156,3 +156,142 @@ final case class DoubleBitsExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): DoubleBitsExpr =
     copy(child = newChild)
 }
+
+/** Big-endian byte packing of a long — the NATIVE encode dual of
+  * [[BeIntAtExpr]]. The export paths previously rendered every word
+  * through `to_binary(lpad(hex(x)))` — three transient strings per value,
+  * measured as the dominant job of the SEG-Y round-trips; this expression
+  * writes the bytes directly inside the generated loop.
+  *
+  * `checked = true` enforces the field's declared range (signed or
+  * unsigned at `width` bytes) and fails LOUDLY with the field name —
+  * identical contract to the writer's overflow rule (a 70000 in a 2-byte
+  * slot must never wrap to 4464). `checked = false` packs the low bytes
+  * (the raw-header path's documented mask semantics).
+  */
+object BeBytesPack {
+  def encode(v: Long, width: Int, unsigned: Boolean, checked: Boolean,
+             name: String): Array[Byte] = {
+    if (checked) {
+      val lo = if (unsigned) 0L else -(1L << (width * 8 - 1))
+      val hi = if (unsigned) (if (width == 8) -1L else (1L << (width * 8)) - 1)
+               else (1L << (width * 8 - 1)) - 1
+      if (v < lo || v > hi)
+        throw new IllegalArgumentException(
+          s"$name value $v overflows the $width-byte header field (range $lo..$hi)")
+    }
+    val out = new Array[Byte](width)
+    var i = 0
+    while (i < width) {
+      out(i) = ((v >>> (8 * (width - 1 - i))) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def apply(c: Column, width: Int, name: String, unsigned: Boolean = false,
+            checked: Boolean = true): Column =
+    ColumnBridge.column(BeBytesPackExpr(
+      ColumnBridge.expression(c), width, unsigned, checked, name))
+}
+
+final case class BeBytesPackExpr(child: Expression, width: Int,
+                                 unsigned: Boolean, checked: Boolean,
+                                 name: String)
+    extends UnaryExpression with Serializable {
+  require(width == 1 || width == 2 || width == 4 || width == 8,
+    s"big-endian pack width must be 1, 2, 4 or 8 bytes, got $width")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"be_bytes_pack expects bigint, got ${child.dataType}")
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "be_bytes_pack"
+
+  def kernel(v: Long): Array[Byte] =
+    BeBytesPack.encode(v, width, unsigned, checked, name)
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bepackself", this, classOf[BeBytesPackExpr].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $ref.kernel($v);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BeBytesPackExpr =
+    copy(child = newChild)
+}
+
+/** An `array<int>` sample vector packed big-endian at `width` bytes per
+  * element in ONE kernel — the payload encoder of the SEG-Y export sink
+  * (formats 2/3/8 directly; format 1/5/6 feed it the encoded words).
+  * Enforces the file's fixed sample count (`expectLen`; SEG-Y records are
+  * fixed-length, a ragged array must fail at encode, not corrupt the
+  * file), and per-element range when `checked` (widths below 4 bytes).
+  */
+object BeIntArrayPack {
+  def apply(c: Column, width: Int, expectLen: Int, name: String,
+            checked: Boolean = true): Column =
+    ColumnBridge.column(BeIntArrayPackExpr(
+      ColumnBridge.expression(c), width, expectLen, checked, name))
+}
+
+final case class BeIntArrayPackExpr(child: Expression, width: Int,
+                                    expectLen: Int, checked: Boolean,
+                                    name: String)
+    extends UnaryExpression with Serializable {
+  require(width == 1 || width == 2 || width == 4,
+    s"sample width must be 1, 2 or 4 bytes, got $width")
+  require(expectLen >= 1, s"expectLen must be >= 1, got $expectLen")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"be_int_array_pack expects array<int>, got $t")
+    }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "be_int_array_pack"
+
+  def kernel(in: org.apache.spark.sql.catalyst.util.ArrayData): Array[Byte] = {
+    val n = in.numElements()
+    if (n != expectLen)
+      throw new IllegalArgumentException(
+        s"$name: expected $expectLen samples per trace, got $n " +
+          "(SEG-Y records are fixed-length)")
+    val lo = -(1L << (width * 8 - 1))
+    val hi = (1L << (width * 8 - 1)) - 1
+    val out = new Array[Byte](n * width)
+    var i = 0
+    while (i < n) {
+      val v = in.getInt(i)
+      if (checked && width < 4 && (v < lo || v > hi))
+        throw new IllegalArgumentException(
+          s"$name value $v overflows the $width-byte sample (range $lo..$hi)")
+      var b = 0
+      while (b < width) {
+        out(i * width + b) = ((v >>> (8 * (width - 1 - b))) & 0xff).toByte
+        b += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("beapackself", this, classOf[BeIntArrayPackExpr].getName)
+    nullSafeCodeGen(ctx, ev, in => s"${ev.value} = $ref.kernel($in);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BeIntArrayPackExpr =
+    copy(child = newChild)
+}

@@ -47,14 +47,13 @@ object Sources {
     * two's-complement int in spec order, zero-padded to 240 bytes — the
     * `raw_headers` ingest path (`ingestion/segy/raw_headers.py:32-64` keeps
     * the undecoded header block as a V240 variable beside the parsed
-    * fields). Pure column expressions (mask → hex → to_binary), no UDF.
+    * fields). Native byte pack ([[graft.functions.BeBytesPack]]), no UDF
+    * and no hex-string round trip.
     */
   def packRawHeader(fields: Seq[String]): Column = {
     require(fields.size * 4 <= RawHeaderBytes, "too many fields for 240 bytes")
     val packed: Seq[Column] = fields.map(f =>
-      call_function("to_binary",
-        lpad(hex(col(f).cast("bigint").bitwiseAND(0xFFFFFFFFL)), 8, "0"),
-        lit("hex")))
+      graft.functions.BeBytesPack(col(f).cast("bigint"), 4, f, checked = false))
     val pad = lit(Array.fill[Byte](RawHeaderBytes - fields.size * 4)(0))
     concat((packed :+ pad): _*)
   }
@@ -69,8 +68,6 @@ object Sources {
     * 4 bytes big-endian → signed 32-bit value as a long. Inverse of
     * [[packRawHeader]] — round-trip asserted in RawHeaderSpec.
     */
-  def parseRawHeaderField(raw: Column, i: Int): Column = {
-    val u = conv(hex(substring(raw, i * 4 + 1, 4)), 16, 10).cast("long")
-    when(u > Int.MaxValue.toLong, u - 0x100000000L).otherwise(u)
-  }
+  def parseRawHeaderField(raw: Column, i: Int): Column =
+    graft.functions.BeIntAt(raw, lit(i * 4).cast("int"), 4).cast("long")
 }
