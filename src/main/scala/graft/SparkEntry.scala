@@ -616,6 +616,10 @@ object SparkEntry {
       TextAnalysis.languageId(documents(s, d))
         .select("doc_id", "score_en", "score_de", "score_es", "score_fr",
                 "n_cjk", "pred_lang")),
+    // the Gopher / MassiveText rule set — five famous keep/drop heuristics
+    // as one integer-exact projection
+    "q_gopher_rules" -> ((s, d) =>
+      TextAnalysis.gopherRules(documents(s, d))),
     "q_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(documents(s, d)).select("doc_id", "quality", "keep")),
     "q_fingerprint" -> ((s, d) =>
@@ -1160,6 +1164,32 @@ object SparkEntry {
         .reduce(_ unionAll _)
     }),
     // --- S4/S5: MDIO store write→open→sel round-trip --------------------
+    // S7 under the oracle: write store -> MDIO->MDIO copy (sidecar,
+    // layout and data travel; excludeColumns drops a variable like the
+    // reference's copy --exclude) -> select + aggregate over the COPY
+    "q_store_copy" -> ((s, d) => {
+      import graft.schema._
+      import graft.storage.MdioDataset
+      val path = graft.core.TempDirs.scratch("store_copy_src")
+      val dst = graft.core.TempDirs.scratch("store_copy_dst")
+      val li = lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_quantity",
+          "l_extendedprice")
+      val schema = MdioSchema(
+        variables = Seq(Variable("l_quantity", Seq("l_orderkey", "l_linenumber"),
+          Left(ScalarType.Float64), compressor = Some(Blosc()))),
+        metadata = DatasetMetadata("lineitem-slice", "1.0.0", "2026-01-01T00:00:00Z"))
+      MdioDataset.write(li, path, schema, sortDims = Seq("l_suppkey"))
+      Mdio.copyMdio(s, path, dst, excludeColumns = Seq("l_extendedprice"))
+      val copied = MdioDataset.open(s, dst)
+      require(!copied.df.columns.contains("l_extendedprice"),
+        "copy must drop excluded columns")
+      copied
+        .sel("l_suppkey" -> Selection.Point(7L))
+        .groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+    }),
     "q_store_roundtrip" -> ((s, d) => {
       import graft.schema._
       import graft.storage.MdioDataset
@@ -2171,6 +2201,47 @@ object SparkEntry {
         |    ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / len(toks)
         |    AS stopword_ratio
         |FROM t""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), w -> w != '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+        |      AS BIGINT) AS sum_tok_len,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_symbol,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(toks, w -> lower(w)), s)))
+        |      AS BIGINT) AS n_req_stop
+        |  FROM t),
+        |r AS (SELECT *,
+        |    CASE WHEN n_tokens > 0
+        |      THEN CAST(sum_tok_len AS DOUBLE) / n_tokens ELSE 0.0 END
+        |      AS mean_tok_len,
+        |    CASE WHEN n_tokens > 0
+        |      THEN CAST(n_symbol AS DOUBLE) / n_tokens ELSE 0.0 END
+        |      AS symbol_ratio,
+        |    CASE WHEN n_tokens > 0
+        |      THEN CAST(n_alpha AS DOUBLE) / n_tokens ELSE 0.0 END
+        |      AS alpha_frac
+        |  FROM m),
+        |b AS (SELECT *,
+        |    n_tokens BETWEEN 50 AND 100000 AS r_len,
+        |    n_tokens > 0 AND mean_tok_len BETWEEN 3.0 AND 10.0 AS r_mean,
+        |    n_tokens > 0 AND symbol_ratio <= 0.1 AS r_symbol,
+        |    n_tokens > 0 AND alpha_frac >= 0.8 AS r_alpha,
+        |    n_req_stop >= 2 AS r_stop
+        |  FROM r)
+        |SELECT doc_id, n_tokens, sum_tok_len, n_symbol, n_alpha, n_req_stop,
+        |  mean_tok_len, symbol_ratio, alpha_frac,
+        |  r_len, r_mean, r_symbol, r_alpha, r_stop,
+        |  r_len AND r_mean AND r_symbol AND r_alpha AND r_stop AS keep
+        |FROM b""".stripMargin,
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks,
@@ -2579,6 +2650,10 @@ object SparkEntry {
         |  (SELECT max(n) FROM (SELECT count(*) AS n FROM lineitem
         |     GROUP BY l_suppkey, l_partkey)))) AS BIGINT)""".stripMargin,
     "q_store_roundtrip" ->
+      """SELECT l_linenumber, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem WHERE l_suppkey = 7 GROUP BY 1""".stripMargin,
+    "q_store_copy" ->
       """SELECT l_linenumber, count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_suppkey = 7 GROUP BY 1""".stripMargin,

@@ -65,6 +65,68 @@ object TextAnalysis {
       .withColumn("keep", col("quality") >= 0.6)
   }
 
+  /** The Gopher rule set's required stopwords (Rae et al. 2021, §A1.1 —
+    * "contains at least 2 of ..."). Distinct from [[stopwords]] (a ratio
+    * denominatorset); this is a PRESENCE test list.
+    */
+  val gopherStopwords: Seq[String] = Seq(
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality rule set (Rae et al. 2021, §A1.1 — the
+    * MassiveText heuristics nearly every LLM corpus pipeline since has
+    * copied), as one codegen'd projection of integer-exact counts and IEEE
+    * ratios:
+    *  - r_len:     minTokens <= n_tokens <= maxTokens (paper: 50..100k)
+    *  - r_mean:    3 <= mean token length <= 10
+    *  - r_symbol:  ('#' + '...' occurrences) / n_tokens <= 0.1
+    *  - r_alpha:   >= 80% of tokens contain an alphabetic character
+    *  - r_stop:    >= 2 distinct [[gopherStopwords]] present
+    * `keep` = all five. Counts stay integers until the final divisions,
+    * so the DuckDB oracle reproduces every bit; token-less docs fail all
+    * rules without dividing (ANSI mode).
+    */
+  def gopherRules(df: DataFrame, textCol: String = "text",
+                  minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+    val toks = tokens(col(textCol))
+    val lowered = transform(toks, w => lower(w))
+    val nSymbol =
+      (length(col(textCol)) - length(regexp_replace(col(textCol), "#", ""))) +
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "\\.\\.\\.", ""))) / 3
+    df.select(col("doc_id"), col(textCol))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("sum_tok_len",
+        aggregate(toks, lit(0L), (acc, w) => acc + length(w).cast("long")))
+      .withColumn("n_symbol", nSymbol.cast("long"))
+      .withColumn("n_alpha",
+        size(filter(toks, w => w.rlike("[A-Za-z]"))).cast("long"))
+      .withColumn("n_req_stop",
+        size(filter(array(gopherStopwords.map(lit): _*),
+          s => array_contains(lowered, s))).cast("long"))
+      .withColumn("mean_tok_len",
+        when(col("n_tokens") > 0,
+          col("sum_tok_len").cast("double") / col("n_tokens")).otherwise(0.0))
+      .withColumn("symbol_ratio",
+        when(col("n_tokens") > 0,
+          col("n_symbol").cast("double") / col("n_tokens")).otherwise(0.0))
+      .withColumn("alpha_frac",
+        when(col("n_tokens") > 0,
+          col("n_alpha").cast("double") / col("n_tokens")).otherwise(0.0))
+      .withColumn("r_len",
+        col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("r_mean",
+        col("n_tokens") > 0 && col("mean_tok_len").between(3.0, 10.0))
+      .withColumn("r_symbol",
+        col("n_tokens") > 0 && col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha",
+        col("n_tokens") > 0 && col("alpha_frac") >= 0.8)
+      .withColumn("r_stop", col("n_req_stop") >= 2)
+      .withColumn("keep",
+        col("r_len") && col("r_mean") && col("r_symbol") &&
+          col("r_alpha") && col("r_stop"))
+      .drop(textCol)
+  }
+
   /** Language-ID marker words (tiny n-gram/stopword heuristic). */
   val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "is", "a"),
