@@ -753,6 +753,28 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(embeddings(s, d), (0L until 10L), k = 10,
         bits = 4, tables = 8)),
+    // streaming ANN maintenance under the oracle: plane-LSH hyperplanes
+    // are a pure function of (table, bits, dim), so signatures built on
+    // the even-id half + stream-appended odd half are IDENTICAL to a
+    // batch build over the union — the search equals the q_ann_lsh oracle
+    // with zero recall decay (contrast: fixed-quantizer IVF appends)
+    "q_stream_ann_lsh" -> ((s, d) => {
+      val sigDir = graft.core.TempDirs.scratch("stream_lsh_sig")
+      val ckpt = graft.core.TempDirs.scratch("stream_lsh_ckpt")
+      val srcDir = graft.core.TempDirs.scratch("stream_lsh_src")
+      val e = embeddings(s, d)
+      Similarity.lshSignatures(e.where(col("vec_id") % 2 === 0),
+        bits = 4, tables = 8, dim = 64).write.parquet(sigDir)
+      e.where(col("vec_id") % 2 === 1).write.parquet(srcDir)
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamingAnn.appendSignatures(
+          tableStream(s, srcDir), sigDir, bits = 4, tables = 8, dim = 64,
+          checkpoint = Some(ckpt))
+        q.awaitTermination()
+      }
+      Similarity.lshTopKFromSignatures(s.read.parquet(sigDir),
+        (0L until 10L), k = 10)
+    }),
     "q_ann_ivf" -> ((s, d) =>
       Ivf.ivfTopK(embeddings(s, d), (0L until 10L), k = 10)),
     // the SCALE path of the same search, oracle-gated: the kernel gate drops
@@ -1543,6 +1565,24 @@ object SparkEntry {
           col("height").cast("long").as("height"),
           col("mean_r"), col("mean_g"), col("mean_b"))
     }),
+    // the same real-decode gate through a BMP container: uncompressed
+    // device-independent bitmap, ImageIO-written and read back through the
+    // identical container-agnostic decode stage as PNG
+    "q_multimodal_bmp" -> ((s, d) => {
+      import s.implicits._
+      val w = 4; val h = 2
+      val payloads = documents(s, d).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map { id =>
+          (id, Multimodal.imageFileJvm(w, h, "bmp", (x, y) => (
+            ((id + 10 * x) % 256).toInt,
+            ((id + 100 * y) % 256).toInt,
+            (id % 256).toInt)))
+        }).toDF("doc_id", "payload")
+      Multimodal.decodeImageBatched(payloads)
+        .select(col("doc_id"), col("ok"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"))
+    }),
     "q_multimodal_png" -> ((s, d) => {
       // REAL PNG end to end: synthesize a 5x3 PNG per doc JVM-side
       // (ImageIO encode; pixels r = (doc_id + 10x) % 256, g = (doc_id +
@@ -2144,6 +2184,9 @@ object SparkEntry {
     "q_neardup_simhash" -> OracleSqlGen.simhashNearDupSql(),
     "q_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8, dim = 64,
       nQueries = 10, k = 10),
+    // identical table after appends ⇒ identical search ⇒ same oracle
+    "q_stream_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8,
+      dim = 64, nQueries = 10, k = 10),
     "q_ann_ivf" -> OracleSqlGen.annIvfSql(nProbe = 4, dim = 64,
       nQueries = 10, k = 10),
     "q_ann_ivf_2l" -> OracleSqlGen.annIvfSql(nProbe = 4, dim = 64,
@@ -2860,6 +2903,18 @@ object SparkEntry {
     // PNG is lossless: the ImageIO encode->decode roundtrip must reproduce
     // the pixel formula's bytes exactly, so the oracle never parses PNG —
     // it recomputes the channel means from the same formula (PPM pattern)
+    // BMP through the same container-agnostic ImageIO stage (different
+    // geometry so a png/bmp mixup cannot silently pass)
+    "q_multimodal_bmp" ->
+      """WITH xs AS (SELECT unnest(range(0, 4)) AS x),
+        |ys AS (SELECT unnest(range(0, 2)) AS y),
+        |px AS (SELECT d.doc_id, xs.x, ys.y FROM documents d, xs, ys)
+        |SELECT doc_id, true AS ok,
+        |  CAST(4 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+        |  avg(CAST((doc_id + 10 * x) % 256 AS DOUBLE)) AS mean_r,
+        |  avg(CAST((doc_id + 100 * y) % 256 AS DOUBLE)) AS mean_g,
+        |  avg(CAST(doc_id % 256 AS DOUBLE)) AS mean_b
+        |FROM px GROUP BY doc_id""".stripMargin,
     "q_multimodal_png" ->
       """WITH xs AS (SELECT unnest(range(0, 5)) AS x),
         |ys AS (SELECT unnest(range(0, 3)) AS y),

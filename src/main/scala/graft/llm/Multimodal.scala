@@ -236,7 +236,16 @@ object Multimodal {
     * formula's bytes exactly.
     */
   private[graft] def pngFileJvm(width: Int, height: Int,
-                                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+                                pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] =
+    imageFileJvm(width, height, "png", pixel)
+
+  /** Synthesize an RGB image in any lossless ImageIO-writable container
+    * ("png", "bmp", "gif" for paletted-safe content) — the fixture side of
+    * the real-decode gates; [[decodeImageIoJvm]] reads them all through
+    * the same container-agnostic path.
+    */
+  private[graft] def imageFileJvm(width: Int, height: Int, format: String,
+                                  pixel: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
     val bi = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -250,7 +259,8 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(bi, "png", bos)
+    require(javax.imageio.ImageIO.write(bi, format, bos),
+      s"no ImageIO writer for format '$format'")
     bos.toByteArray
   }
 

@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.llm.{Ivf, Pq, Sq}
+import graft.llm.{Ivf, Pq, Similarity, Sq}
 
 /** Streaming ANN index maintenance: an arriving embedding stream appends to
   * the persisted IVF and/or PQ indexes between triggers, so searches see
@@ -45,6 +45,35 @@ object StreamingAnn {
         ivfPath.foreach(p => Ivf.appendToIndex(batch, p, idCol, vecCol))
         pqPath.foreach(p => Pq.appendToIndex(batch, p, idCol, vecCol))
         sqPath.foreach(p => Sq.appendToIndex(batch, p, idCol, vecCol))
+      }
+      .start()
+  }
+
+  /** Append an embedding stream's plane-LSH signatures to a persisted
+    * signature table ([[Similarity.lshSignatures]] layout). Unlike the
+    * fixed-quantizer IVF/PQ appends, the hyperplanes are a pure function
+    * of (table, bits, dim) — bucket assignment never depends on the data
+    * the index was built from — so the accumulated table after any append
+    * sequence is IDENTICAL to a batch build over the union, and searches
+    * stay exactly as good as a full rebuild (no add-after-train decay;
+    * the q_stream_ann_lsh oracle row pins this). Same at-least-once
+    * `dedupKey` guard as [[appendToIndexes]].
+    */
+  def appendSignatures(stream: DataFrame, sigPath: String,
+                       bits: Int, tables: Int, dim: Int,
+                       checkpoint: Option[String] = None,
+                       dedupKey: Option[String] = Some("vec_id"),
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding",
+                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val deduped = dedupKey.fold(stream)(k => stream.dropDuplicates(k))
+    val ckpt = checkpoint.getOrElse(s"$sigPath/_stream_checkpoint")
+    deduped.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.lshSignatures(batch, bits, tables, dim, idCol, vecCol)
+          .write.mode("append").parquet(sigPath)
       }
       .start()
   }
