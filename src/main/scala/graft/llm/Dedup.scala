@@ -846,12 +846,18 @@ object Dedup {
     */
   def duplicateNgramSpans(docs: DataFrame, textCol: String = "text",
                           idCol: String = "doc_id", n: Int = 8,
-                          minDocs: Int = 2): DataFrame = {
+                          minDocs: Int = 2,
+                          scratchPath: Option[String] = None): DataFrame = {
     require(n >= 2, s"span gram size must be at least 2, got $n")
     require(minDocs >= 2, s"minDocs must be at least 2, got $minDocs")
     val toks = graft.llm.TextAnalysis.tokens(lower(col(textCol)))
-    val grams = docs.select(col(idCol),
-      posexplode(CrossHashExprs.gramHashes(toks, n)).as(Seq("pos", "_gh")))
+    // the gram table feeds BOTH the doc-frequency aggregate and the
+    // position join; staged once so the corpus tokenize+hash pass runs
+    // once, and both consumers read (id, pos, hash) longs
+    val grams = Scratch.stage(
+      docs.select(col(idCol),
+        posexplode(CrossHashExprs.gramHashes(toks, n)).as(Seq("pos", "_gh"))),
+      "dup_gram", scratchPath)
     val dup = grams.select(col("_gh"), col(idCol)).distinct()
       .groupBy("_gh").agg(count(lit(1)).as("_df"))
       .where(col("_df") >= minDocs).select("_gh")
