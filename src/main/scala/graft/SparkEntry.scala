@@ -620,6 +620,30 @@ object SparkEntry {
     // as one integer-exact projection
     "q_gopher_rules" -> ((s, d) =>
       TextAnalysis.gopherRules(documents(s, d))),
+    // the LLM-side end-to-end composition (the q_segy_file_ingest analog):
+    // quality gate (Gopher rules, fixture-relaxed token floor) → exact
+    // dedup survivors (min id per content hash) → near-dup LSH greedy drop
+    // (higher id of every pair) → per-source corpus stats. Every stage is
+    // the registered operator, chained the way a production prep job
+    // chains them; one oracle hash pins the whole pipeline
+    "q_llm_prep_e2e" -> ((s, d) => {
+      val docs = documents(s, d)
+      // fixture-relaxed thresholds (token floor 10, one required stopword
+      // — the synthetic corpus is short and stopword-sparse); thresholds
+      // are explicit on BOTH engines, the pipeline shape is the point
+      val kept = docs.join(
+        TextAnalysis.gopherRules(docs, minTokens = 10, minReqStopwords = 1)
+          .where(col("keep")).select("doc_id", "n_tokens"), "doc_id")
+      val exact = kept.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val exactKept = kept.join(exact.select("doc_id"), "doc_id")
+      val dropped = Dedup.nearDupPairs(exactKept)
+        .select(col("id_b").cast("long").as("doc_id")).distinct()
+      exactKept.join(dropped, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("n_tokens"))
+    }),
     "q_quality" -> ((s, d) =>
       TextAnalysis.qualityScore(documents(s, d)).select("doc_id", "quality", "keep")),
     "q_fingerprint" -> ((s, d) =>
@@ -2285,6 +2309,43 @@ object SparkEntry {
         |  r_len, r_mean, r_symbol, r_alpha, r_stop,
         |  r_len AND r_mean AND r_symbol AND r_alpha AND r_stop AS keep
         |FROM b""".stripMargin,
+    "q_llm_prep_e2e" -> {
+      val lsh = OracleSqlGen.nearDupLshSql(docsFrom = "ke")
+      s"""WITH t0 AS (SELECT doc_id, text, source,
+        |    list_filter(string_split_regex(text, '\\s+'), w -> w != '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
+        |      AS BIGINT) AS sum_tok_len,
+        |    CAST(length(text) - length(replace(text, '#', ''))
+        |      + (length(text) - length(replace(text, '...', ''))) // 3
+        |      AS BIGINT) AS n_symbol,
+        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(
+        |      ['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(toks, w -> lower(w)), s)))
+        |      AS BIGINT) AS n_req_stop
+        |  FROM t0),
+        |keepg AS (SELECT doc_id, n_tokens FROM g
+        |  WHERE n_tokens BETWEEN 10 AND 100000
+        |    AND CAST(sum_tok_len AS DOUBLE) / n_tokens BETWEEN 3.0 AND 10.0
+        |    AND CAST(n_symbol AS DOUBLE) / n_tokens <= 0.1
+        |    AND CAST(n_alpha AS DOUBLE) / n_tokens >= 0.8
+        |    AND n_req_stop >= 1),
+        |kq AS (SELECT t0.doc_id, t0.text, t0.source, keepg.n_tokens
+        |  FROM t0 JOIN keepg USING (doc_id)),
+        |ex AS (SELECT min(doc_id) AS doc_id FROM kq GROUP BY md5(text)),
+        |ke AS (SELECT kq.* FROM kq JOIN ex USING (doc_id)),
+        |pairs AS ($lsh),
+        |dropped AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        |FROM ke
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |GROUP BY 1""".stripMargin
+    },
     "q_lang_id" ->
       """WITH t AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(text), '\s+'), x -> x != '') AS toks,

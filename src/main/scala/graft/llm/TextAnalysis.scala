@@ -86,7 +86,8 @@ object TextAnalysis {
     * rules without dividing (ANSI mode).
     */
   def gopherRules(df: DataFrame, textCol: String = "text",
-                  minTokens: Int = 50, maxTokens: Int = 100000): DataFrame = {
+                  minTokens: Int = 50, maxTokens: Int = 100000,
+                  minReqStopwords: Int = 2): DataFrame = {
     val toks = tokens(col(textCol))
     val lowered = transform(toks, w => lower(w))
     val nSymbol =
@@ -120,7 +121,7 @@ object TextAnalysis {
         col("n_tokens") > 0 && col("symbol_ratio") <= 0.1)
       .withColumn("r_alpha",
         col("n_tokens") > 0 && col("alpha_frac") >= 0.8)
-      .withColumn("r_stop", col("n_req_stop") >= 2)
+      .withColumn("r_stop", col("n_req_stop") >= minReqStopwords)
       .withColumn("keep",
         col("r_len") && col("r_mean") && col("r_symbol") &&
           col("r_alpha") && col("r_stop"))
