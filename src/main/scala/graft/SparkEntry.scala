@@ -956,27 +956,20 @@ object SparkEntry {
           element_at(SegyRead.ibmSamples(col("samples"), 1), 1)
             .cast("long").as("pk"))
     }),
-    // the same standard write read back through the DSv2 TABLE surface
-    // (spark.read.format("segy")): schema from the binary header, samples
-    // decoded in the reader, column pruning + split planning at the byte
-    // layer — proves the idiomatic-Spark face answers identically
+    // the fully SYMMETRIC DSv2 table surface: df.write.format("segy")
+    // (V1-fallback into the one serialization + ordered parallel
+    // positioned-write path) then spark.read.format("segy") (schema from
+    // the binary header, samples decoded in the reader, byte-layer
+    // pruning) — both directions of the idiomatic-Spark face under one
+    // oracle hash
     "q_segy_dsv2_roundtrip" -> ((s, d) => {
-      import graft.`export`.{SegyExport, SegyHeaders}
-      import graft.sources.SegyRead
-      import SegyRead.StandardFields.{Crossline, Inline}
-      val src = lineitem(s, d).select(
-        col("l_orderkey").cast("int").as("il"),
-        col("l_linenumber").cast("int").as("xl"),
-        array(col("l_partkey").cast("float")).as("v"))
-      val records = SegyExport.serializeStandardTraces(
-        src.orderBy("il", "xl")
-          .withColumn("samples", SegyExport.ibmPayload(col("v"), 1)),
-        Seq(Inline -> "il", Crossline -> "xl"), "samples")
       val f = graft.core.TempDirs.scratch("segy_dsv2_rt") + "/rt.sgy"
-      SegyExport.writeSegy(records, f,
-        SegyHeaders.sanitizeTextHeader(Seq("C 1 GRAFT DSV2 ROUNDTRIP")),
-        SegyExport.standardBinaryHeader(nSamples = 1, sampleInterval = 2000,
-          formatCode = 1))
+      lineitem(s, d).select(
+          col("l_orderkey").cast("int").as("inline"),
+          col("l_linenumber").cast("int").as("crossline"),
+          array(col("l_partkey").cast("float")).as("samples"))
+        .write.format("segy").option("fields", "inline,crossline")
+        .mode("overwrite").save(f)
       s.read.format("segy").option("fields", "inline,crossline").load(f)
         .select(col("inline").as("il"), col("crossline").as("xl"),
           element_at(col("samples"), 1).cast("long").as("pk"))

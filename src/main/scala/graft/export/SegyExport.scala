@@ -121,6 +121,16 @@ object SegyExport {
     * leading-zero case. Encode inverse of
     * [[graft.sources.SegyRead.ieee64Samples]].
     */
+  /** Format-5 sample payload (IEEE float32): each float's RAW bits
+    * ([[graft.functions.FloatBits]] — NaN payloads survive) packed
+    * big-endian by the array kernel. Encode inverse of
+    * [[graft.sources.SegyRead.ieeeSamples]].
+    */
+  def ieee32Payload(samples: Column, nSamples: Int): Column =
+    graft.functions.BeIntArrayPack(
+      transform(samples, s => graft.functions.FloatBits(s)),
+      4, nSamples, "ieee32 sample", checked = false)
+
   def ieee64Payload(samples: Column, nSamples: Int): Column =
     concat((1 to nSamples).map { i =>
       graft.functions.BeBytesPack(

@@ -295,3 +295,29 @@ final case class BeIntArrayPackExpr(child: Expression, width: Int,
   override protected def withNewChildInternal(newChild: Expression): BeIntArrayPackExpr =
     copy(child = newChild)
 }
+
+/** `Float.floatToRawIntBits` as a native expression — the encode dual of
+  * [[IeeeFloat32]] (raw bits, NaN payloads included); the caller packs the
+  * int big-endian ([[BeIntArrayPack]]).
+  */
+object FloatBits {
+  def apply(c: Column): Column =
+    ColumnBridge.column(FloatBitsExpr(ColumnBridge.expression(c)))
+}
+
+final case class FloatBitsExpr(child: Expression)
+    extends UnaryExpression with Serializable {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "float_bits"
+
+  override protected def nullSafeEval(input: Any): Any =
+    java.lang.Float.floatToRawIntBits(input.asInstanceOf[Float])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, f =>
+      s"${ev.value} = java.lang.Float.floatToRawIntBits($f);")
+
+  override protected def withNewChildInternal(newChild: Expression): FloatBitsExpr =
+    copy(child = newChild)
+}

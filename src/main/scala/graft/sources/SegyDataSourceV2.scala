@@ -49,18 +49,17 @@ import SegyRead.{HeaderField, StandardFields}
 class SegyDataSourceV2 extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "segy"
-  override def supportsExternalMetadata(): Boolean = false
-
-  private def filePath(options: CaseInsensitiveStringMap): String =
-    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
-      "segy format requires a file path: spark.read.format(\"segy\").load(path)"))
+  // writes pass the DataFrame's schema straight through (the file may not
+  // exist yet); reads without a user schema still go through inferSchema
+  override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SegyDataSourceV2.table(options).schema()
+    SegyDataSourceV2.table(options, providedSchema = None).schema()
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    SegyDataSourceV2.table(new CaseInsensitiveStringMap(properties))
+    SegyDataSourceV2.table(new CaseInsensitiveStringMap(properties),
+      providedSchema = Option(schema))
 }
 
 private[sources] object SegyDataSourceV2 {
@@ -86,44 +85,138 @@ private[sources] object SegyDataSourceV2 {
         s"unsupported SEG-Y sample format code $c (supported: 1, 2, 3, 5, 6, 8)")
     }
 
-  def table(options: CaseInsensitiveStringMap): SegyTable = {
+  def resolveFields(csvOpt: Option[String]): Seq[HeaderField] =
+    csvOpt.filter(_.nonEmpty) match {
+      case None => Catalog
+      case Some(csv) =>
+        val byName = Catalog.map(f => f.name -> f).toMap
+        csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(n =>
+          byName.getOrElse(n, throw new IllegalArgumentException(
+            s"unknown segy field '$n' (known: ${Catalog.map(_.name).mkString(", ")})")))
+    }
+
+  def table(options: CaseInsensitiveStringMap,
+            providedSchema: Option[StructType]): SegyTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "segy format requires a file path: spark.read.format(\"segy\").load(path)"))
-    val fields: Seq[HeaderField] =
-      Option(options.get("fields")).filter(_.nonEmpty) match {
-        case None => Catalog
-        case Some(csv) =>
-          val byName = Catalog.map(f => f.name -> f).toMap
-          csv.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map(n =>
-            byName.getOrElse(n, throw new IllegalArgumentException(
-              s"unknown segy field '$n' (known: ${Catalog.map(_.name).mkString(", ")})")))
-      }
+    val fields = resolveFields(Option(options.get("fields")))
     val raw = Option(options.get("raw")).exists(_.equalsIgnoreCase("true"))
     val perSplit = Option(options.get("tracesPerSplit")).map(_.toLong).getOrElse(0L)
-    val info = SegyRead.standardInfo(SparkSession.active, path)
-    new SegyTable(path, info, fields, raw, perSplit)
+    new SegyTable(path, fields, raw, perSplit, providedSchema)
   }
 }
 
-private[sources] class SegyTable(path: String, info: SegyRead.StandardInfo,
+private[sources] class SegyTable(path: String,
                                  fields: Seq[HeaderField], raw: Boolean,
-                                 tracesPerSplit: Long)
-  extends Table with SupportsRead {
+                                 tracesPerSplit: Long,
+                                 providedSchema: Option[StructType])
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"segy $path"
 
-  override def schema(): StructType = StructType(
+  /** Read geometry parses lazily from the binary header — a WRITE to a
+    * not-yet-existing file must never touch the file system here. */
+  private lazy val info: SegyRead.StandardInfo =
+    SegyRead.standardInfo(SparkSession.active, path)
+
+  override def schema(): StructType = providedSchema.getOrElse(StructType(
     StructField("trace_index", LongType, nullable = false) +:
       fields.map(f => StructField(f.name, LongType, nullable = false)) :+
       StructField("samples",
-        SegyDataSourceV2.sampleType(info.formatCode, raw), nullable = false))
+        SegyDataSourceV2.sampleType(info.formatCode, raw), nullable = false)))
 
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SegyScanBuilder(path, info, fields, raw, tracesPerSplit, schema())
+    new SegyScanBuilder(path, info, fields, raw, tracesPerSplit, StructType(
+      StructField("trace_index", LongType, nullable = false) +:
+        fields.map(f => StructField(f.name, LongType, nullable = false)) :+
+        StructField("samples",
+          SegyDataSourceV2.sampleType(info.formatCode, raw), nullable = false)))
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new SegyWriteBuilder(path, info)
+}
+
+/** DSv2 write: `df.write.format("segy").option("fields", "inline,crossline")
+  * .mode("overwrite").save(path)` — the export sink behind a symmetric
+  * table surface (the mdio DSv2 pattern: V1 fallback so the write runs
+  * through [[graft.export.SegyExport]]'s one serialization + ordered
+  * parallel-positioned-write path).
+  *
+  * Contract: the frame carries one int-typed column PER named standard
+  * field (column name == field name) and a `samples` array column typed
+  * for `formatCode` (float for 1/5, double for 6, int for 2/3/8). Rows
+  * are globally ordered by the field list before serialization. Options:
+  * `fields` (required), `formatCode` (default 1), `sampleInterval`
+  * (default 2000), `nSamples` (default: measured from the first row),
+  * `samplesCol` (default "samples"), `text` (one text-header line).
+  * SEG-Y files are single immutable artifacts: mode("append") to an
+  * existing file fails loudly; mode("overwrite") rewrites.
+  */
+private class SegyWriteBuilder(
+    path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwriteRequested = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwriteRequested = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        (data: org.apache.spark.sql.DataFrame, overwriteFlag: Boolean) => {
+          import org.apache.spark.sql.functions.{col, size}
+          import graft.`export`.{SegyExport, SegyHeaders}
+          val opts = info.options
+          val overwrite = overwriteRequested || overwriteFlag
+          val fields = SegyDataSourceV2.resolveFields(
+            Option(opts.get("fields")).orElse(throw new IllegalArgumentException(
+              "segy write requires option(\"fields\", \"inline,crossline,...\")")))
+          val fmt = Option(opts.get("formatCode")).map(_.toInt).getOrElse(1)
+          val interval = Option(opts.get("sampleInterval")).map(_.toInt).getOrElse(2000)
+          val samplesCol = Option(opts.get("samplesCol")).getOrElse("samples")
+          val textLine = Option(opts.get("text")).getOrElse("C 1 GRAFT SEGY DSV2 EXPORT")
+          val hconf = data.sparkSession.sparkContext.hadoopConfiguration
+          val p = new org.apache.hadoop.fs.Path(path)
+          if (!overwrite && p.getFileSystem(hconf).exists(p))
+            throw new IllegalArgumentException(
+              s"$path exists and SEG-Y files are immutable artifacts - " +
+                "use mode(\"overwrite\") to rewrite")
+          val nSamples = Option(opts.get("nSamples")).map(_.toInt).getOrElse {
+            val head = data.select(size(col(samplesCol))).head()
+            require(!head.isNullAt(0), s"cannot measure $samplesCol length")
+            head.getInt(0)
+          }
+          val payload = fmt match {
+            case 1         => SegyExport.ibmPayload(col(samplesCol), nSamples)
+            case 5         => SegyExport.ieee32Payload(col(samplesCol), nSamples)
+            case 6         => SegyExport.ieee64Payload(col(samplesCol), nSamples)
+            case 2 | 3 | 8 => SegyExport.intPayload(col(samplesCol), nSamples, fmt)
+            case c => throw new IllegalArgumentException(
+              s"unsupported SEG-Y sample format code $c (supported: 1, 2, 3, 5, 6, 8)")
+          }
+          val records = SegyExport.serializeStandardTraces(
+            data.orderBy(fields.map(f => col(f.name)): _*)
+              .withColumn("_segy_payload", payload),
+            fields.map(f => f -> f.name), "_segy_payload")
+          SegyExport.writeSegy(records, path,
+            SegyHeaders.sanitizeTextHeader(Seq(textLine)),
+            SegyExport.standardBinaryHeader(nSamples, interval, fmt))
+        }
+    }
 }
 
 private[sources] class SegyScanBuilder(path: String,

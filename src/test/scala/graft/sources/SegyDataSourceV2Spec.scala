@@ -115,6 +115,53 @@ class SegyDataSourceV2Spec extends SparkSpec {
     assert(r0 == Seq(-1000, 1000, 0))
   }
 
+  test("DSv2 WRITE -> DSv2 READ round-trips bit-exactly (format 5 IEEE32)") {
+    val out = Files.createTempDirectory("segydsv2w").toString + "/w5.sgy"
+    val df = (0 until 6).map { i =>
+      (200 + i, 300 + i, Seq(1.5f + i, -2.25f * i, Float.MinPositiveValue))
+    }.toDF("inline", "crossline", "samples")
+    df.write.format("segy")
+      .option("fields", "inline,crossline").option("formatCode", "5")
+      .mode("overwrite").save(out)
+    val info = SegyRead.standardInfo(spark, out)
+    assert(info.formatCode == 5 && info.nSamples == 3 && info.base.nTraces == 6)
+    val back = spark.read.format("segy").option("fields", "inline,crossline")
+      .load(out)
+      .select("inline", "crossline", "samples")
+      .orderBy("inline")
+      .as[(Long, Long, Seq[Float])].collect()
+    back.zipWithIndex.foreach { case ((il, xl, v), i) =>
+      assert(il == 200L + i && xl == 300L + i)
+      assert(v == Seq(1.5f + i, -2.25f * i, Float.MinPositiveValue))
+    }
+  }
+
+  test("DSv2 write refuses to clobber without overwrite; append mode fails loudly") {
+    val out = Files.createTempDirectory("segydsv2c").toString + "/c.sgy"
+    val df = Seq((1, 1, Seq(1.0f))).toDF("inline", "crossline", "samples")
+    def write(mode: String) = df.write.format("segy")
+      .option("fields", "inline,crossline").mode(mode).save(out)
+    write("overwrite")
+    val e = intercept[Exception](write("append"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("immutable")))
+    write("overwrite") // rewrite allowed
+    assert(spark.read.format("segy").load(out).count() == 1)
+  }
+
+  test("DSv2 write orders rows globally by the field list") {
+    val out = Files.createTempDirectory("segydsv2o").toString + "/o.sgy"
+    Seq((5, 1, Seq(5.0f)), (2, 1, Seq(2.0f)), (9, 1, Seq(9.0f)))
+      .toDF("inline", "crossline", "samples")
+      .write.format("segy").option("fields", "inline,crossline")
+      .mode("overwrite").save(out)
+    val got = spark.read.format("segy").option("fields", "inline").load(out)
+      .orderBy("trace_index")
+      .select("inline").as[Long].collect().toSeq
+    assert(got == Seq(2L, 5L, 9L)) // file order IS field order
+  }
+
   test("unknown field name fails with the catalog in the message") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("segy").option("fields", "bogus").load(fmt1File)
