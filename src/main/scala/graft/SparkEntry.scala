@@ -956,6 +956,32 @@ object SparkEntry {
           element_at(SegyRead.ibmSamples(col("samples"), 1), 1)
             .cast("long").as("pk"))
     }),
+    // format 5 (IEEE float32) end to end through the symmetric DSv2
+    // surface — completes the oracle-gated sample-format matrix
+    // (1 std/ibm, 2/8 fmt28, 3 fmt3, 6 fmt6, 5 here)
+    "q_segy_fmt5_roundtrip" -> ((s, d) => {
+      val f = graft.core.TempDirs.scratch("segy_fmt5_rt") + "/rt.sgy"
+      lineitem(s, d).select(
+          col("l_orderkey").cast("int").as("inline"),
+          col("l_linenumber").cast("int").as("crossline"),
+          array(col("l_partkey").cast("float"),
+            (-col("l_partkey")).cast("float")).as("samples"))
+        .write.format("segy").option("fields", "inline,crossline")
+        .option("formatCode", "5").mode("overwrite").save(f)
+      s.read.format("segy").option("fields", "inline,crossline").load(f)
+        .select(col("inline").as("il"), col("crossline").as("xl"),
+          element_at(col("samples"), 1).cast("long").as("s1"),
+          element_at(col("samples"), 2).cast("long").as("s2"))
+    }),
+    // E5 masked export under the oracle: mask → bbox trim → projection →
+    // global ordered seq, the composition a masked SEG-Y export drives
+    "q_masked_export" -> ((s, d) =>
+      graft.`export`.SegyExport.maskedExport(
+        lineitem(s, d),
+        mask = col("l_quantity") > 25,
+        dims = Seq("l_suppkey", "l_partkey"),
+        headerFields = Seq("l_suppkey", "l_orderkey", "l_linenumber"),
+        orderKeys = Seq("l_suppkey", "l_orderkey", "l_linenumber"))),
     // the fully SYMMETRIC DSv2 table surface: df.write.format("segy")
     // (V1-fallback into the one serialization + ordered parallel
     // positioned-write path) then spark.read.format("segy") (schema from
@@ -2660,6 +2686,22 @@ object SparkEntry {
         |  CAST(l_linenumber AS BIGINT) AS xl,
         |  CAST(l_partkey AS BIGINT) AS pk
         |FROM lineitem""".stripMargin,
+    // float32 keeps sub-2^24 ints exact, so the long casts are lossless
+    "q_segy_fmt5_roundtrip" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS il,
+        |  CAST(l_linenumber AS BIGINT) AS xl,
+        |  CAST(l_partkey AS BIGINT) AS s1,
+        |  CAST(-l_partkey AS BIGINT) AS s2
+        |FROM lineitem""".stripMargin,
+    // bbox trims on the mask's own rows are no-ops by construction, so
+    // the export set is exactly the masked filter
+    "q_masked_export" ->
+      """WITH m AS (SELECT l_suppkey, l_orderkey, l_linenumber
+        |  FROM lineitem WHERE l_quantity > 25)
+        |SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(row_number() OVER (ORDER BY l_suppkey, l_orderkey, l_linenumber) - 1
+        |    AS BIGINT) AS seq
+        |FROM m""".stripMargin,
     // int16 samples survive the pack->file->decode path exactly, sign bit
     // included
     "q_segy_fmt3_roundtrip" ->
