@@ -287,6 +287,69 @@ object Cli {
     }
   }
 
+  // ----------------------------------------------------------- prep verbs
+
+  /** Corpus-prep verbs over parquet document tables — the LLM-pipeline
+    * face of the CLI, same operators the registered queries gate:
+    *
+    * {{{
+    * prep quality <in.parquet> <out.parquet> [--min-tokens 50]
+    *     [--min-stopwords 2] [--overwrite]          # Gopher rule gate
+    * prep dedup <in.parquet> <out.parquet> [--mode exact|near|spans]
+    *     [--ngram 8] [--overwrite]                  # survivors / span report
+    * prep pipeline <in.parquet> <out.parquet> [--min-tokens 10]
+    *     [--min-stopwords 1] [--overwrite]          # quality→exact→near chain
+    * }}}
+    */
+  private def prepVerb(spark: SparkSession, verb: String, pos: Seq[String],
+                       opts: Map[String, String]): Unit = {
+    val Seq(in, out) = pos match {
+      case s if s.length == 2 => s
+      case _ => throw CliError(s"prep $verb needs <in.parquet> <out.parquet>")
+    }
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(outPath) && !opts.contains("--overwrite"))
+      throw CliError(s"$out exists; pass --overwrite to replace it")
+    val docs = spark.read.parquet(in)
+    if (!docs.columns.contains("doc_id") || !docs.columns.contains("text"))
+      throw CliError(s"$in must carry doc_id and text columns")
+    val minTokens = opts.get("--min-tokens").map(_.toInt)
+      .getOrElse(if (verb == "pipeline") 10 else 50)
+    val minStop = opts.get("--min-stopwords").map(_.toInt)
+      .getOrElse(if (verb == "pipeline") 1 else 2)
+
+    def qualityKept = docs.join(
+      graft.llm.TextAnalysis.gopherRules(docs,
+          minTokens = minTokens, minReqStopwords = minStop)
+        .where(col("keep")).select("doc_id"), "doc_id")
+    def exactSurvivors(d: org.apache.spark.sql.DataFrame) =
+      d.join(d.groupBy(md5(col("text")).as("_h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id"), "doc_id")
+    def nearSurvivors(d: org.apache.spark.sql.DataFrame) =
+      d.join(graft.llm.Dedup.nearDupPairs(d)
+          .select(col("id_b").cast("long").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+
+    val result = verb match {
+      case "quality" => qualityKept
+      case "dedup" => opts.getOrElse("--mode", "exact") match {
+        case "exact" => exactSurvivors(docs)
+        case "near"  => nearSurvivors(exactSurvivors(docs))
+        case "spans" =>
+          val n = opts.get("--ngram").map(_.toInt).getOrElse(8)
+          graft.llm.Dedup.duplicateNgramSpans(docs, n = n)
+        case other => throw CliError(
+          s"--mode must be exact|near|spans, got '$other'")
+      }
+      case "pipeline" => nearSurvivors(exactSurvivors(qualityKept))
+      case other => throw CliError(s"unknown prep verb '$other'")
+    }
+    result.write.mode("overwrite").parquet(out)
+    val n = spark.read.parquet(out).count()
+    println(s"prep $verb: ${docs.count()} docs in, $n rows out -> $out")
+  }
+
   // ------------------------------------------------------------------- main
 
   /** Dispatch; returns a process exit code (testable without System.exit). */
@@ -308,6 +371,10 @@ object Cli {
         case "info" :: rest =>
           val (pos, opts) = parse(rest, Set("--output-format", "--access-pattern"))
           infoVerb(spark, pos, opts); 0
+        case "prep" :: verb :: rest if Set("quality", "dedup", "pipeline")(verb) =>
+          val (pos, opts) = parse(rest, Set("--min-tokens", "--min-stopwords",
+            "--mode", "--ngram", "--overwrite"))
+          prepVerb(spark, verb, pos, opts); 0
         case other =>
           System.err.println(
             s"""unknown command: ${other.mkString(" ")}
@@ -315,7 +382,8 @@ object Cli {
                |  segy import <segy-path> <mdio-path> --header-locations ... [options]
                |  segy export <mdio-file> <segy-path> [--access-pattern 012] [--endian big]
                |  copy <source> <target> [--with-traces] [--with-headers] [--overwrite]
-               |  info <mdio-path> [--output-format pretty|json]""".stripMargin)
+               |  info <mdio-path> [--output-format pretty|json]
+               |  prep quality|dedup|pipeline <in.parquet> <out.parquet> [options]""".stripMargin)
           2
       }
     } catch {

@@ -143,4 +143,59 @@ class CliSpec extends SparkSpec {
     val full = graft.Mdio.openMdio(spark, fullCopy)
     assert(full.df.columns.contains("amplitude") && full.df.count() == 6)
   }
+
+  test("prep verbs drive the corpus pipeline over parquet tables") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("cliprep").toString
+    val in = s"$dir/docs.parquet"
+    // two exact dups, one near-dup paraphrase, one junk doc (no stopwords,
+    // non-alpha), one clean singleton — each prep stage has work to do
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    Seq(
+      (1L, base, "web"),
+      (2L, base, "web"), // exact dup of 1
+      (3L, base + " tonight", "web"), // near-dup of 1
+      (4L, "### 123 456 789 ###", "junk"),
+      (5L, "completely different and clean text about the spark engine runtime", "web"))
+      .toDF("doc_id", "text", "source").write.parquet(in)
+
+    // quality: junk doc drops (alpha fraction + stopwords), others keep
+    val q = s"$dir/q.parquet"
+    assert(Cli.run(Seq("prep", "quality", in, q,
+      "--min-tokens", "5", "--min-stopwords", "1"), spark) == 0)
+    assert(spark.read.parquet(q).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 2L, 3L, 5L))
+
+    // dedup exact: min-id survivor per content hash
+    val de = s"$dir/de.parquet"
+    assert(Cli.run(Seq("prep", "dedup", in, de), spark) == 0)
+    assert(spark.read.parquet(de).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 4L, 5L))
+
+    // dedup near: the paraphrase (higher id of the pair) also drops
+    val dn = s"$dir/dn.parquet"
+    assert(Cli.run(Seq("prep", "dedup", in, dn, "--mode", "near"), spark) == 0)
+    assert(spark.read.parquet(dn).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 4L, 5L))
+
+    // spans: the shared run reports per-doc token spans
+    val sp = s"$dir/sp.parquet"
+    assert(Cli.run(Seq("prep", "dedup", in, sp, "--mode", "spans",
+      "--ngram", "4"), spark) == 0)
+    val spanDocs = spark.read.parquet(sp).select("doc_id").as[Long]
+      .collect().toSet
+    assert(Set(1L, 2L, 3L).subsetOf(spanDocs) && !spanDocs.contains(4L))
+
+    // pipeline: quality -> exact -> near in one verb
+    val pl = s"$dir/pl.parquet"
+    assert(Cli.run(Seq("prep", "pipeline", in, pl,
+      "--min-tokens", "5", "--min-stopwords", "1"), spark) == 0)
+    assert(spark.read.parquet(pl).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 5L))
+
+    // guard rails: existing output needs --overwrite; bad mode is loud
+    assert(Cli.run(Seq("prep", "quality", in, q), spark) == 2)
+    assert(Cli.run(Seq("prep", "dedup", in, s"$dir/x.parquet",
+      "--mode", "bogus"), spark) == 2)
+  }
 }
