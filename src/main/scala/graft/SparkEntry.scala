@@ -956,6 +956,26 @@ object SparkEntry {
           element_at(SegyRead.ibmSamples(col("samples"), 1), 1)
             .cast("long").as("pk"))
     }),
+    // a DIRECTORY of shot files as ONE table — the 100-TB reality (a
+    // survey is thousands of files under a prefix): two DSv2-written
+    // member files, unioned by the directory load with per-file split
+    // planning; the union projection equals the single-file oracle
+    "q_segy_dir_roundtrip" -> ((s, d) => {
+      val dir = graft.core.TempDirs.scratch("segy_dir_rt")
+      val src = lineitem(s, d).select(
+        col("l_orderkey").cast("int").as("inline"),
+        col("l_linenumber").cast("int").as("crossline"),
+        array(col("l_partkey").cast("float")).as("samples"))
+      src.where(col("inline") % 2 === 0)
+        .write.format("segy").option("fields", "inline,crossline")
+        .mode("overwrite").save(s"$dir/shot_even.sgy")
+      src.where(col("inline") % 2 === 1)
+        .write.format("segy").option("fields", "inline,crossline")
+        .mode("overwrite").save(s"$dir/shot_odd.sgy")
+      s.read.format("segy").option("fields", "inline,crossline").load(dir)
+        .select(col("inline").as("il"), col("crossline").as("xl"),
+          element_at(col("samples"), 1).cast("long").as("pk"))
+    }),
     // format 5 (IEEE float32) end to end through the symmetric DSv2
     // surface — completes the oracle-gated sample-format matrix
     // (1 std/ibm, 2/8 fmt28, 3 fmt3, 6 fmt6, 5 here)
@@ -2682,6 +2702,12 @@ object SparkEntry {
         |FROM lineitem""".stripMargin,
     // ... and so must the DSv2 table surface over the same bytes
     "q_segy_dsv2_roundtrip" ->
+      """SELECT CAST(l_orderkey AS BIGINT) AS il,
+        |  CAST(l_linenumber AS BIGINT) AS xl,
+        |  CAST(l_partkey AS BIGINT) AS pk
+        |FROM lineitem""".stripMargin,
+    // the directory union covers exactly the parity-split whole
+    "q_segy_dir_roundtrip" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS il,
         |  CAST(l_linenumber AS BIGINT) AS xl,
         |  CAST(l_partkey AS BIGINT) AS pk

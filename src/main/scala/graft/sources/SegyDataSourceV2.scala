@@ -105,6 +105,27 @@ private[sources] object SegyDataSourceV2 {
     val perSplit = Option(options.get("tracesPerSplit")).map(_.toLong).getOrElse(0L)
     new SegyTable(path, fields, raw, perSplit, providedSchema)
   }
+
+  /** A load path resolves to its SEG-Y member files: a directory lists its
+    * `.sgy`/`.segy` entries name-sorted (a real survey is thousands of shot
+    * files in one prefix — at 100 TB the DIRECTORY is the dataset); a plain
+    * file is itself. Returns (isDirectory, files).
+    */
+  def resolveFiles(spark: SparkSession, path: String): (Boolean, Seq[String]) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory) {
+      val members = fs.listStatus(p).toSeq
+        .filter(s => s.isFile && {
+          val n = s.getPath.getName.toLowerCase
+          n.endsWith(".sgy") || n.endsWith(".segy")
+        })
+        .map(_.getPath.toString).sorted
+      if (members.isEmpty) throw new IllegalArgumentException(
+        s"$path is a directory with no .sgy/.segy files")
+      (true, members)
+    } else (false, Seq(path))
+  }
 }
 
 private[sources] class SegyTable(path: String,
@@ -116,27 +137,46 @@ private[sources] class SegyTable(path: String,
 
   override def name(): String = s"segy $path"
 
-  /** Read geometry parses lazily from the binary header — a WRITE to a
-    * not-yet-existing file must never touch the file system here. */
-  private lazy val info: SegyRead.StandardInfo =
-    SegyRead.standardInfo(SparkSession.active, path)
+  /** Member resolution + geometry parse happen lazily — a WRITE to a
+    * not-yet-existing file must never touch the file system here. A
+    * directory load becomes a MULTI-FILE table: every member's geometry
+    * must agree (one survey, many shot files), trace_index is per-file,
+    * and a `source_file` column names the member.
+    */
+  private lazy val (isDir: Boolean, memberInfos: Seq[(String, SegyRead.StandardInfo)]) = {
+    val (dir, files) = SegyDataSourceV2.resolveFiles(SparkSession.active, path)
+    val infos = files.map(f => f -> SegyRead.standardInfo(SparkSession.active, f))
+    val (f0, i0) = infos.head
+    infos.foreach { case (f, i) =>
+      require(i.nSamples == i0.nSamples && i.formatCode == i0.formatCode,
+        s"$f geometry (ns=${i.nSamples}, format=${i.formatCode}) differs " +
+          s"from $f0 (ns=${i0.nSamples}, format=${i0.formatCode}) - a segy " +
+          "directory table needs uniform geometry")
+    }
+    (dir, infos)
+  }
 
-  override def schema(): StructType = providedSchema.getOrElse(StructType(
-    StructField("trace_index", LongType, nullable = false) +:
-      fields.map(f => StructField(f.name, LongType, nullable = false)) :+
-      StructField("samples",
-        SegyDataSourceV2.sampleType(info.formatCode, raw), nullable = false)))
+  private def info: SegyRead.StandardInfo = memberInfos.head._2
+
+  private def readSchema0: StructType = {
+    val base =
+      StructField("trace_index", LongType, nullable = false) +:
+        fields.map(f => StructField(f.name, LongType, nullable = false)) :+
+        StructField("samples",
+          SegyDataSourceV2.sampleType(info.formatCode, raw), nullable = false)
+    StructType(
+      if (isDir) base :+ StructField("source_file", StringType, nullable = false)
+      else base)
+  }
+
+  override def schema(): StructType = providedSchema.getOrElse(readSchema0)
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SegyScanBuilder(path, info, fields, raw, tracesPerSplit, StructType(
-      StructField("trace_index", LongType, nullable = false) +:
-        fields.map(f => StructField(f.name, LongType, nullable = false)) :+
-        StructField("samples",
-          SegyDataSourceV2.sampleType(info.formatCode, raw), nullable = false)))
+    new SegyScanBuilder(memberInfos, fields, raw, tracesPerSplit, readSchema0)
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -219,17 +259,17 @@ private class SegyWriteBuilder(
     }
 }
 
-private[sources] class SegyScanBuilder(path: String,
-                                       info: SegyRead.StandardInfo,
+private[sources] class SegyScanBuilder(members: Seq[(String, SegyRead.StandardInfo)],
                                        fields: Seq[HeaderField], raw: Boolean,
                                        tracesPerSplit: Long,
                                        fullSchema: StructType)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters with SupportsPushDownLimit {
 
+  private val maxTraces = members.map(_._2.base.nTraces).max
   private var required: StructType = fullSchema
-  private var lo: Long = 0L // inclusive trace_index lower bound
-  private var hi: Long = info.base.nTraces // exclusive upper bound
+  private var lo: Long = 0L // inclusive PER-FILE trace_index lower bound
+  private var hi: Long = maxTraces // exclusive upper bound
   private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -274,25 +314,29 @@ private[sources] class SegyScanBuilder(path: String,
   }
 
   override def build(): Scan =
-    new SegyScan(path, info, fields, raw, tracesPerSplit, required,
-      math.max(lo, 0L), math.min(hi, info.base.nTraces))
+    new SegyScan(members, fields, raw, tracesPerSplit, required,
+      math.max(lo, 0L), math.min(hi, maxTraces))
 }
 
-private[sources] case class SegyInputPartition(start: Long, end: Long)
-  extends InputPartition
+private[sources] case class SegyInputPartition(path: String, start: Long,
+                                               end: Long) extends InputPartition
 
-private[sources] class SegyScan(path: String, info: SegyRead.StandardInfo,
+private[sources] class SegyScan(members: Seq[(String, SegyRead.StandardInfo)],
                                 fields: Seq[HeaderField], raw: Boolean,
                                 tracesPerSplit: Long, required: StructType,
                                 lo: Long, hi: Long)
   extends Scan with Batch {
+
+  private def info: SegyRead.StandardInfo = members.head._2
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def description(): String = {
     val cols = required.fieldNames.mkString(",")
-    s"segy $path traces [$lo,$hi) cols [$cols] format ${info.formatCode}"
+    val src = if (members.size == 1) members.head._1
+              else s"${members.size} files"
+    s"segy $src traces [$lo,$hi) cols [$cols] format ${info.formatCode}"
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -303,11 +347,18 @@ private[sources] class SegyScan(path: String, info: SegyRead.StandardInfo,
     val perSplit =
       if (tracesPerSplit > 0) tracesPerSplit
       else math.max(1L, (128L << 20) / recordLen)
-    val n = hi - lo
-    val nSplits = ((n + perSplit - 1) / perSplit).toInt
-    Array.tabulate(nSplits) { i =>
-      val s = lo + i.toLong * perSplit
-      SegyInputPartition(s, math.min(s + perSplit, hi))
+    members.toArray.flatMap { case (file, fi) =>
+      // trace_index is per-file: each member clips the pushed range to its
+      // own trace count
+      val fHi = math.min(hi, fi.base.nTraces)
+      if (fHi <= lo) Array.empty[InputPartition]
+      else {
+        val nSplits = ((fHi - lo + perSplit - 1) / perSplit).toInt
+        Array.tabulate[InputPartition](nSplits) { i =>
+          val s = lo + i.toLong * perSplit
+          SegyInputPartition(file, s, math.min(s + perSplit, fHi))
+        }
+      }
     }
   }
 
@@ -321,22 +372,23 @@ private[sources] class SegyScan(path: String, info: SegyRead.StandardInfo,
       sf.name match {
         case "trace_index" => SegyColDecode(-1, 0, unsigned = false, kind = 0)
         case "samples"     => SegyColDecode(-1, 0, unsigned = false, kind = 2)
+        case "source_file" => SegyColDecode(-1, 0, unsigned = false, kind = 3)
         case n =>
           val f = byName.getOrElse(n, throw new IllegalArgumentException(
             s"segy scan asked for unknown column $n"))
           SegyColDecode(f.byteOffset - 1, f.bytes, f.unsigned, kind = 1)
       }
     }
-    new SegyReaderFactory(path, conf, info.nSamples, info.formatCode, raw, cols)
+    new SegyReaderFactory(conf, info.nSamples, info.formatCode, raw, cols)
   }
 }
 
-/** kind: 0 = trace_index, 1 = header int, 2 = samples payload. */
+/** kind: 0 = trace_index, 1 = header int, 2 = samples payload,
+  * 3 = source_file (directory tables). */
 private[sources] case class SegyColDecode(off: Int, bytes: Int,
                                           unsigned: Boolean, kind: Int)
 
-private[sources] class SegyReaderFactory(path: String,
-                                         conf: SerializableConfiguration,
+private[sources] class SegyReaderFactory(conf: SerializableConfiguration,
                                          nSamples: Int, formatCode: Int,
                                          raw: Boolean,
                                          cols: Array[SegyColDecode])
@@ -344,7 +396,7 @@ private[sources] class SegyReaderFactory(path: String,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SegyInputPartition]
-    new SegyPartitionReader(path, conf, nSamples, formatCode, raw, cols,
+    new SegyPartitionReader(sp.path, conf, nSamples, formatCode, raw, cols,
       sp.start, sp.end)
   }
 }
@@ -363,6 +415,8 @@ private[sources] class SegyPartitionReader(path: String,
   private val needSamples = cols.exists(_.kind == 2)
   private val needHeader = cols.exists(_.kind == 1)
 
+  private val pathUtf8 =
+    org.apache.spark.unsafe.types.UTF8String.fromString(path)
   private val hp = new org.apache.hadoop.fs.Path(path)
   private val in = hp.getFileSystem(conf.value).open(hp)
   // task-completion close (limit/take may not drain; see
@@ -403,6 +457,7 @@ private[sources] class SegyPartitionReader(path: String,
       val col = cols(c)
       vals(c) = col.kind match {
         case 0 => i
+        case 3 => pathUtf8
         case 1 =>
           var v = 0L
           var b = 0

@@ -162,6 +162,51 @@ class SegyDataSourceV2Spec extends SparkSpec {
     assert(got == Seq(2L, 5L, 9L)) // file order IS field order
   }
 
+  test("a DIRECTORY load unions its member files with a source_file column") {
+    val dir = Files.createTempDirectory("segydsv2dir").toString
+    Seq((100, 1, Seq(1.0f)), (101, 1, Seq(2.0f)))
+      .toDF("inline", "crossline", "samples")
+      .write.format("segy").option("fields", "inline,crossline")
+      .mode("overwrite").save(s"$dir/shot_a.sgy")
+    Seq((200, 1, Seq(3.0f)), (201, 1, Seq(4.0f)), (202, 1, Seq(5.0f)))
+      .toDF("inline", "crossline", "samples")
+      .write.format("segy").option("fields", "inline,crossline")
+      .mode("overwrite").save(s"$dir/shot_b.sgy")
+    val df = spark.read.format("segy").option("fields", "inline").load(dir)
+    assert(df.schema.fieldNames.contains("source_file"))
+    assert(df.count() == 5)
+    val bySrc = df.groupBy(regexp_extract(col("source_file"),
+        "([^/]+)\\.sgy$", 1).as("f"))
+      .count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("shot_a" -> 2L, "shot_b" -> 3L))
+    // trace_index is per-file: a range filter clips EVERY member
+    val clipped = spark.read.format("segy").option("fields", "inline")
+      .load(dir).where(col("trace_index") === 0)
+      .select("inline").as[Long].collect().sorted
+    assert(clipped.toSeq == Seq(100L, 200L))
+    // single-file loads keep the original schema (no source_file)
+    assert(!spark.read.format("segy").load(s"$dir/shot_a.sgy")
+      .schema.fieldNames.contains("source_file"))
+  }
+
+  test("a directory with mixed geometry fails with both files named") {
+    val dir = Files.createTempDirectory("segydsv2mix").toString
+    Seq((1, 1, Seq(1.0f)))
+      .toDF("inline", "crossline", "samples")
+      .write.format("segy").option("fields", "inline,crossline")
+      .mode("overwrite").save(s"$dir/one.sgy")
+    Seq((1, 1, Seq(1.0f, 2.0f)))
+      .toDF("inline", "crossline", "samples")
+      .write.format("segy").option("fields", "inline,crossline")
+      .mode("overwrite").save(s"$dir/two.sgy")
+    val e = intercept[Exception] {
+      spark.read.format("segy").load(dir).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("uniform geometry")))
+  }
+
   test("unknown field name fails with the catalog in the message") {
     val e = intercept[IllegalArgumentException] {
       spark.read.format("segy").option("fields", "bogus").load(fmt1File)
