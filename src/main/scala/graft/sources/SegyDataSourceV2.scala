@@ -264,13 +264,39 @@ private[sources] class SegyScanBuilder(members: Seq[(String, SegyRead.StandardIn
                                        tracesPerSplit: Long,
                                        fullSchema: StructType)
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters with SupportsPushDownLimit {
+  with SupportsPushDownFilters with SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private val maxTraces = members.map(_._2.base.nTraces).max
   private var required: StructType = fullSchema
   private var lo: Long = 0L // inclusive PER-FILE trace_index lower bound
   private var hi: Long = maxTraces // exclusive upper bound
   private var pushed: Array[Filter] = Array.empty
+  private var pushedCount = false
+
+  // ungrouped COUNT(*) is pure metadata: trace counts come from the file
+  // sizes the binary headers already validated — the scan never opens a
+  // trace. Spark only attempts aggregate pushdown when no residual filter
+  // sits between the aggregate and the scan (this source always keeps
+  // filters residual), and the untouched-bounds guard makes that explicit.
+  private def countStarOnly(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions.isEmpty && lo == 0L && hi == maxTraces &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = countStarOnly(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    pushedCount = countStarOnly(agg)
+    pushedCount
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // an empty projection (count(*)) still needs row COUNT; keep the struct
@@ -314,8 +340,43 @@ private[sources] class SegyScanBuilder(members: Seq[(String, SegyRead.StandardIn
   }
 
   override def build(): Scan =
-    new SegyScan(members, fields, raw, tracesPerSplit, required,
-      math.max(lo, 0L), math.min(hi, maxTraces))
+    if (pushedCount)
+      new SegyCountScan(members.map(_._2.base.nTraces).sum, members.size)
+    else
+      new SegyScan(members, fields, raw, tracesPerSplit, required,
+        math.max(lo, 0L), math.min(hi, maxTraces))
+}
+
+/** The metadata-answered COUNT(*) scan: one partition, one row, zero trace
+  * bytes read (complete pushdown — Spark takes the row as the result). */
+private[sources] class SegyCountScan(total: Long, nFiles: Int)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"segy metadata count(*) = $total over $nFiles file(s)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SegyInputPartition("", 0L, 1L))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SegyCountReaderFactory(total) // local copy: the factory must not
+                                      // capture this non-serializable Scan
+}
+
+private[sources] class SegyCountReaderFactory(total: Long)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean =
+        if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](total))
+      override def close(): Unit = ()
+    }
 }
 
 private[sources] case class SegyInputPartition(path: String, start: Long,

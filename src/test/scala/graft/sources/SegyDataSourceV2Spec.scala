@@ -96,6 +96,19 @@ class SegyDataSourceV2Spec extends SparkSpec {
       .groupBy().count().as[Long].head() == 10L)
   }
 
+  test("ungrouped count(*) is answered from file metadata, not a trace scan") {
+    val df = spark.read.format("segy").load(fmt1File).groupBy().count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata count(*)"), s"no pushed count in:\n$plan")
+    assert(df.as[Long].head() == 10L)
+    // a filtered count keeps the real scan (filters stay residual here)
+    val filtered = spark.read.format("segy").load(fmt1File)
+      .where(col("trace_index") >= 5).groupBy().count()
+    assert(!filtered.queryExecution.executedPlan.toString
+      .contains("metadata count(*)"))
+    assert(filtered.as[Long].head() == 5L)
+  }
+
   test("format 3 (int16) types samples as array<int> and decodes signed") {
     val df = (0 until 4).map { i =>
       (i, i, Seq(-1000 + i, 1000 - i, i))
