@@ -72,6 +72,33 @@ object Mdio {
       rawHeaderFields)
   }
 
+  /** The DIRECTORY entry point — a real survey is thousands of shot files
+    * under one prefix, ingested as ONE dataset. Members arrive through the
+    * segy DSv2 table (uniform-geometry validated, split planning per
+    * (file, trace-range), `source_file` carried), samples decode per the
+    * self-described format code, and the union feeds the same ingest
+    * pipeline a single file would. `fields` are standard rev-1 names (the
+    * DSv2 catalog); the per-file `trace_index` + `source_file` pair is the
+    * ordinal, so duplicate in-file indexes across members stay distinct.
+    */
+  def segyDirToMdio(spark: SparkSession, segyDir: String,
+                    fields: Seq[String],
+                    template: DatasetTemplate, overrides: GridOverrides,
+                    path: String, valueCol: String,
+                    sparsityWarn: Double = 2.0, sparsityError: Double = 10.0,
+                    ignoreChecks: Boolean = false): IngestPipeline.IngestResult = {
+    val traces = spark.read.format("segy")
+      .option("fields", fields.mkString(","))
+      .load(segyDir)
+      .withColumnRenamed("samples", valueCol)
+    require(traces.columns.contains("source_file"),
+      s"$segyDir is not a directory of SEG-Y files (single-file loads " +
+        "carry no source_file; use segyFileToMdio)")
+    IngestPipeline.ingest(spark, traces, template, overrides, path,
+      ordinal = Seq("source_file", "trace_index"), valueCol = valueCol,
+      sparsityWarn, sparsityError, ignoreChecks)
+  }
+
   /** E1–E5: masked, globally ordered SEG-Y export of an open store. The
     * samples column must survive the header projection, so it rides the
     * `headerFields` of the masked select and is then serialized as the

@@ -956,6 +956,41 @@ object SparkEntry {
           element_at(SegyRead.ibmSamples(col("samples"), 1), 1)
             .cast("long").as("pk"))
     }),
+    // the DIRECTORY ingest composition: parity-split shot files (int32
+    // samples — exact cents) written through the DSv2 sink, ingested as
+    // ONE store via segyDirToMdio (uniform-geometry union, per-file
+    // ordinal, duplicate-cell counters), re-opened and aggregated — the
+    // multi-file sibling of q_segy_file_ingest
+    "q_segy_dir_ingest" -> ((s, d) => {
+      import graft.ingestion.GridOverrides
+      import graft.schema.DatasetTemplate
+      import graft.storage.MdioDataset
+      val dir = graft.core.TempDirs.scratch("segy_dir_ingest")
+      val cents = (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+        .cast("long")
+      val src = lineitem(s, d).select(
+        col("l_suppkey").cast("int").as("inline"),
+        col("l_partkey").cast("int").as("crossline"),
+        col("l_orderkey").as("ok"),
+        array(cents.cast("int")).as("samples"))
+      Seq(0, 1).foreach { par =>
+        src.where(col("ok") % 2 === par).drop("ok")
+          .write.format("segy").option("fields", "inline,crossline")
+          .option("formatCode", "2")
+          .mode("overwrite").save(s"$dir/shot_$par.sgy")
+      }
+      val tmpl = DatasetTemplate("SegyDirGrid", "time",
+        Seq("inline", "crossline", "time"), Seq(8, 8, 512))
+      val store = graft.core.TempDirs.scratch("segy_dir_ingest_store")
+      val r = Mdio.segyDirToMdio(s, dir, Seq("inline", "crossline"),
+        tmpl, GridOverrides(hasDuplicates = true), store,
+        valueCol = "amplitude", sparsityError = 1e9)
+      MdioDataset.open(s, store).df.agg(
+        lit(r.nTraces).as("n_traces"),
+        count(lit(1)).cast("long").as("n_rows"),
+        sum(element_at(col("amplitude"), 1).cast("long")).cast("long")
+          .as("sum_cents"))
+    }),
     // a DIRECTORY of shot files as ONE table — the 100-TB reality (a
     // survey is thousands of files under a prefix): two DSv2-written
     // member files, unioned by the directory load with per-file split
@@ -2705,6 +2740,12 @@ object SparkEntry {
       """SELECT CAST(l_orderkey AS BIGINT) AS il,
         |  CAST(l_linenumber AS BIGINT) AS xl,
         |  CAST(l_partkey AS BIGINT) AS pk
+        |FROM lineitem""".stripMargin,
+    "q_segy_dir_ingest" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_traces,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |    AS BIGINT) AS sum_cents
         |FROM lineitem""".stripMargin,
     // the directory union covers exactly the parity-split whole
     "q_segy_dir_roundtrip" ->

@@ -99,6 +99,44 @@ class MdioFacadeSpec extends SparkSpec {
       (il.toLong, xl.toLong, (il * 100 + xl).toDouble) }.toSet)
   }
 
+  test("segyDirToMdio ingests a DIRECTORY of shot files as one dataset") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("facade-dir").toString
+    // two shot files sharing the (inline, crossline) grid halves
+    def shot(ils: Range, name: String): Unit =
+      (for (il <- ils; xl <- 1 to 5) yield (il, xl))
+        .map { case (il, xl) =>
+          (il, xl, Seq((il * 100 + xl).toFloat)) }
+        .toDF("inline", "crossline", "samples")
+        .write.format("segy").option("fields", "inline,crossline")
+        .mode("overwrite").save(s"$dir/$name.sgy")
+    shot(1 to 2, "shot_a")
+    shot(3 to 4, "shot_b")
+
+    val store = Files.createTempDirectory("facade-dir-store").toString
+    val r = Mdio.segyDirToMdio(spark, dir,
+      fields = Seq("inline", "crossline"),
+      TemplateRegistry.instance.get("PostStack3DTime"), GridOverrides(),
+      store, valueCol = "amplitude")
+    assert(r.nTraces == 20)
+    val got = Mdio.openMdio(spark, store).df
+      .withColumn("amp", element_at(col("amplitude"), 1))
+      .select("inline", "crossline", "amp").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getFloat(2))).toSet
+    assert(got == (for (il <- 1 to 4; xl <- 1 to 5)
+      yield (il.toLong, xl.toLong, (il * 100 + xl).toFloat)).toSet)
+
+    // a single FILE through the directory entry point is an actionable no
+    val e = intercept[IllegalArgumentException] {
+      Mdio.segyDirToMdio(spark, s"$dir/shot_a.sgy",
+        fields = Seq("inline", "crossline"),
+        TemplateRegistry.instance.get("PostStack3DTime"), GridOverrides(),
+        Files.createTempDirectory("facade-dir-x").toString,
+        valueCol = "amplitude")
+    }
+    assert(e.getMessage.contains("segyFileToMdio"))
+  }
+
   test("mdioToStandardSegy emits a spec-compliant file any reader opens") {
     import graft.sources.SegyRead
     import SegyRead.StandardFields._
