@@ -62,7 +62,7 @@ class SegyDataSourceV2 extends TableProvider with DataSourceRegister {
       providedSchema = Option(schema))
 }
 
-private[sources] object SegyDataSourceV2 {
+private[graft] object SegyDataSourceV2 {
 
   val Catalog: Seq[HeaderField] = Seq(
     StandardFields.TraceSeqLine, StandardFields.FieldRecord,

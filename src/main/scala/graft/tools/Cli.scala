@@ -126,15 +126,22 @@ object Cli {
       case s if s.length == 2 => s
       case _ => throw CliError("segy import needs <segy-path> <mdio-path>")
     }
-    val locs = intList(opts.getOrElse("--header-locations",
-      throw CliError("--header-locations is required")), "--header-locations")
+    // directory imports resolve fields by catalog NAME (--header-names
+    // alone suffices); single-file imports need the byte locations
+    val locs = opts.get("--header-locations")
+      .map(intList(_, "--header-locations"))
+      .getOrElse {
+        if (opts.contains("--header-names")) Nil
+        else throw CliError("--header-locations is required")
+      }
     val names = opts.get("--header-names")
       .map(_.split(",").toSeq.map(_.trim))
       .getOrElse(locs.indices.map(i => s"dim_$i"))
     val types = opts.get("--header-types")
       .map(_.split(",").toSeq.map(_.trim))
       .getOrElse(Seq.fill(locs.length)("int32"))
-    if (names.length != locs.length || types.length != locs.length)
+    if (locs.nonEmpty &&
+        (names.length != locs.length || types.length != locs.length))
       throw CliError("--header-names/--header-types must match --header-locations in length")
     val fields = (names, locs, types).zipped.map(fieldFor)
     val lossless = opts.get("--lossless").forall(_.toBoolean)
@@ -149,7 +156,6 @@ object Cli {
       fs.delete(outPath, true)
     }
 
-    val info = SegyRead.standardInfo(spark, segyPath)
     val vertical = "time"
     val chunks = opts.get("--chunk-size").map(intList(_, "--chunk-size"))
       .getOrElse(Seq.fill(names.length)(64) :+ 512)
@@ -157,12 +163,37 @@ object Cli {
       throw CliError(s"--chunk-size needs ${names.length + 1} entries (dims + $vertical)")
     val tmpl = DatasetTemplate("SegyImport", vertical,
       names :+ vertical, chunks)
-    val traces = SegyRead.readStandardTraces(spark, segyPath, fields)
-      .withColumn("amplitude",
-        SegyRead.decodeSamples(col("samples"), info.nSamples, info.formatCode))
-    val r = graft.ingestion.IngestPipeline.ingest(spark, traces, tmpl,
-      overrides, mdioPath, ordinal = Seq("trace_index"),
-      valueCol = "amplitude", sparsityError = 1e9)
+    val srcPath = new org.apache.hadoop.fs.Path(segyPath)
+    val srcIsDir = srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(srcPath).isDirectory
+    val (r, info) = if (srcIsDir) {
+      // a directory of shot files ingests as ONE dataset through the segy
+      // DSv2 union ([[graft.Mdio.segyDirToMdio]]); member fields resolve
+      // by CATALOG name, so custom byte locations don't apply here
+      val catalog = graft.sources.SegyDataSourceV2.Catalog.map(_.name).toSet
+      val unknown = names.filterNot(catalog)
+      if (unknown.nonEmpty || opts.contains("--header-types") ||
+          opts.contains("--header-locations"))
+        throw CliError(
+          s"directory import resolves fields by standard catalog name " +
+            s"(unknown: ${unknown.mkString(", ")}); custom " +
+            "--header-locations/--header-types apply to single files only")
+      val res = graft.Mdio.segyDirToMdio(spark, segyPath, names, tmpl,
+        overrides, mdioPath, valueCol = "amplitude", sparsityError = 1e9)
+      val (_, members) = graft.sources.SegyDataSourceV2
+        .resolveFiles(spark, segyPath)
+      (res, SegyRead.standardInfo(spark, members.head))
+    } else {
+      if (fields.isEmpty)
+        throw CliError("single-file import needs --header-locations")
+      val fi = SegyRead.standardInfo(spark, segyPath)
+      val traces = SegyRead.readStandardTraces(spark, segyPath, fields)
+        .withColumn("amplitude",
+          SegyRead.decodeSamples(col("samples"), fi.nSamples, fi.formatCode))
+      (graft.ingestion.IngestPipeline.ingest(spark, traces, tmpl,
+        overrides, mdioPath, ordinal = Seq("trace_index"),
+        valueCol = "amplitude", sparsityError = 1e9), fi)
+    }
     if (!lossless) {
       val handle = Mdio.openMdio(spark, mdioPath)
       Mdio.optimizeAccessPatterns(handle, names.take(1), "amplitude", tolerance)

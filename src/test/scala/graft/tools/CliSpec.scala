@@ -144,6 +144,31 @@ class CliSpec extends SparkSpec {
     assert(full.df.columns.contains("amplitude") && full.df.count() == 6)
   }
 
+  test("segy import over a DIRECTORY ingests all member shot files") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("clidir").toString
+    def shot(ils: Range, name: String): Unit =
+      (for (il <- ils; xl <- 1 to 3) yield (il, xl))
+        .map { case (il, xl) => (il, xl, Seq((il * 10 + xl).toFloat)) }
+        .toDF("inline", "crossline", "samples")
+        .write.format("segy").option("fields", "inline,crossline")
+        .mode("overwrite").save(s"$dir/$name.sgy")
+    shot(1 to 2, "a")
+    shot(3 to 3, "b")
+    val store = s"$dir/out.mdio"
+    assert(Cli.run(Seq("segy", "import", dir, store,
+      "--header-names", "inline,crossline"), spark) == 0)
+    val df = graft.Mdio.openMdio(spark, store).df
+    assert(df.count() == 9)
+    assert(df.select(sum(element_at(col("amplitude"), 1)).cast("long"))
+      .as[Long].head() ==
+      (for (il <- 1 to 3; xl <- 1 to 3) yield il * 10 + xl).sum.toLong)
+    // custom byte locations don't apply to directory imports
+    assert(Cli.run(Seq("segy", "import", dir, s"$dir/x.mdio",
+      "--header-locations", "189,193",
+      "--header-names", "inline,crossline"), spark) == 2)
+  }
+
   test("prep verbs drive the corpus pipeline over parquet tables") {
     import spark.implicits._
     val dir = Files.createTempDirectory("cliprep").toString
