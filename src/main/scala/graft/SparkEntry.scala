@@ -392,6 +392,54 @@ object SparkEntry {
       }
       s.read.parquet(out)
     }),
+    // the quality gate as a CONTINUOUS stage: gopherRules is a pure narrow
+    // projection, so the same expressions run unchanged inside the
+    // streaming plan — arriving documents land already quality-scored
+    "q_stream_quality" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out = graft.core.TempDirs.scratch("stream_quality_out")
+      val ckpt = graft.core.TempDirs.scratch("stream_quality_ckpt")
+      val raw = tableStream(s, stageTableDir(s, d, "documents", "stream_quality"))
+      withStatePartitions(s, 8) {
+        val q = TextAnalysis.gopherRules(raw)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+    // the BOUNDED-state exact dedup tier: dropDuplicatesWithinWatermark
+    // evicts fingerprints older than the event-time watermark — mandatory
+    // stream-forever (unbounded seen-state cannot scale); with a
+    // deterministic synthetic event time and a delay covering the fixture
+    // span, nothing evicts and the survivor set equals the batch world,
+    // gating the bounded plumbing (watermark wiring, state TTL) exactly
+    "q_stream_dedup_wm" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out = graft.core.TempDirs.scratch("stream_dedupwm_out")
+      val ckpt = graft.core.TempDirs.scratch("stream_dedupwm_ckpt")
+      // synthetic deterministic event time, offset WELL past epoch zero:
+      // the state store's timestamp arithmetic treats values at/below the
+      // initial watermark (0) as droppable-late — a real stream never
+      // carries 1970 event times, the fixture must not either
+      val raw = tableStream(s, stageTableDir(s, d, "documents", "stream_dedupwm"))
+        .withColumn("ts",
+          timestamp_micros((col("doc_id") + 86400000L) * 1000000L))
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamingCorpus
+          .dedupedStream(raw, watermark = Some(("ts", "365 days")))
+          .select(md5(col("text")).as("h"),
+            length(col("text")).cast("long").as("n_chars_c"))
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
     // in-stream NEAR-dup flagging under the oracle: each arriving document
     // explodes to its LSH band buckets; flatMapGroupsWithState keyed by
     // (band, band_hash) compares it against ONLY its bucket's stored
@@ -1963,6 +2011,10 @@ object SparkEntry {
     "q_stream_dedup" ->
       """SELECT md5(text) AS h, CAST(length(text) AS BIGINT) AS n_chars_c
         |FROM documents GROUP BY 1, 2""".stripMargin,
+    // delay covers the fixture span ⇒ no eviction ⇒ batch-equal survivors
+    "q_stream_dedup_wm" ->
+      """SELECT md5(text) AS h, CAST(length(text) AS BIGINT) AS n_chars_c
+        |FROM documents GROUP BY 1, 2""".stripMargin,
     // the streaming flag set distincts to exactly the batch banded pair set
     "q_stream_neardup" -> OracleSqlGen.nearDupLshSql(),
     // half-built half-streamed index, EXACT ranking == full-corpus BM25
@@ -2342,47 +2394,9 @@ object SparkEntry {
         |    ('the','a','an','and','or','of','to','in','is','it'))) AS DOUBLE) / len(toks)
         |    AS stopword_ratio
         |FROM t""".stripMargin,
-    "q_gopher_rules" ->
-      """WITH t AS (SELECT doc_id, text,
-        |    list_filter(string_split_regex(text, '\s+'), w -> w != '') AS toks
-        |  FROM documents),
-        |m AS (SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS n_tokens,
-        |    CAST(coalesce(list_sum(list_transform(toks, w -> length(w))), 0)
-        |      AS BIGINT) AS sum_tok_len,
-        |    CAST(length(text) - length(replace(text, '#', ''))
-        |      + (length(text) - length(replace(text, '...', ''))) // 3
-        |      AS BIGINT) AS n_symbol,
-        |    CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]')))
-        |      AS BIGINT) AS n_alpha,
-        |    CAST(len(list_filter(
-        |      ['the','be','to','of','and','that','have','with'],
-        |      s -> list_contains(list_transform(toks, w -> lower(w)), s)))
-        |      AS BIGINT) AS n_req_stop
-        |  FROM t),
-        |r AS (SELECT *,
-        |    CASE WHEN n_tokens > 0
-        |      THEN CAST(sum_tok_len AS DOUBLE) / n_tokens ELSE 0.0 END
-        |      AS mean_tok_len,
-        |    CASE WHEN n_tokens > 0
-        |      THEN CAST(n_symbol AS DOUBLE) / n_tokens ELSE 0.0 END
-        |      AS symbol_ratio,
-        |    CASE WHEN n_tokens > 0
-        |      THEN CAST(n_alpha AS DOUBLE) / n_tokens ELSE 0.0 END
-        |      AS alpha_frac
-        |  FROM m),
-        |b AS (SELECT *,
-        |    n_tokens BETWEEN 50 AND 100000 AS r_len,
-        |    n_tokens > 0 AND mean_tok_len BETWEEN 3.0 AND 10.0 AS r_mean,
-        |    n_tokens > 0 AND symbol_ratio <= 0.1 AS r_symbol,
-        |    n_tokens > 0 AND alpha_frac >= 0.8 AS r_alpha,
-        |    n_req_stop >= 2 AS r_stop
-        |  FROM r)
-        |SELECT doc_id, n_tokens, sum_tok_len, n_symbol, n_alpha, n_req_stop,
-        |  mean_tok_len, symbol_ratio, alpha_frac,
-        |  r_len, r_mean, r_symbol, r_alpha, r_stop,
-        |  r_len AND r_mean AND r_symbol AND r_alpha AND r_stop AS keep
-        |FROM b""".stripMargin,
+    "q_gopher_rules" -> OracleSqlGen.gopherRulesSql(),
+    // the same projection in-stream is the same table
+    "q_stream_quality" -> OracleSqlGen.gopherRulesSql(),
     "q_llm_prep_e2e" -> {
       val lsh = OracleSqlGen.nearDupLshSql(docsFrom = "ke")
       s"""WITH t0 AS (SELECT doc_id, text, source,
