@@ -1059,6 +1059,24 @@ object SparkEntry {
         .select(col("inline").as("il"), col("crossline").as("xl"),
           element_at(col("samples"), 1).cast("long").as("pk"))
     }),
+    // per-trace seismic conditioning: AGC (sliding-window RMS gain) and
+    // top mute over 4-sample traces — IEEE-deterministic folds + sqrt, so
+    // the oracle replays every sample bit-for-bit
+    "q_trace_agc" -> ((s, d) => {
+      val df = lineitem(s, d).select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        array(col("l_partkey").cast("double"),
+          (col("l_linenumber") * 1000).cast("double"),
+          (col("l_orderkey") % 5000).cast("double"),
+          lit(250.0)).as("v"))
+      val g = TraceOps.agc(col("v"), nSamples = 4, window = 3)
+      val m = TraceOps.muteTop(col("v"), nSamples = 4, firstLive = 3)
+      df.select(col("ok"), col("ln"),
+        element_at(g, 1).as("g1"), element_at(g, 2).as("g2"),
+        element_at(g, 3).as("g3"), element_at(g, 4).as("g4"),
+        element_at(m, 1).as("m1"), element_at(m, 2).as("m2"),
+        element_at(m, 3).as("m3"), element_at(m, 4).as("m4"))
+    }),
     // format 5 (IEEE float32) end to end through the symmetric DSv2
     // surface — completes the oracle-gated sample-format matrix
     // (1 std/ibm, 2/8 fmt28, 3 fmt3, 6 fmt6, 5 here)
@@ -2761,6 +2779,28 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
         |    AS BIGINT) AS sum_cents
         |FROM lineitem""".stripMargin,
+    // window-3 AGC over 4 samples, spelled per position (edge windows
+    // clip); left-to-right squares fold == Spark's aggregate fold
+    "q_trace_agc" ->
+      """WITH t AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(l_partkey AS DOUBLE) AS v1,
+        |    CAST(l_linenumber * 1000 AS DOUBLE) AS v2,
+        |    CAST(l_orderkey % 5000 AS DOUBLE) AS v3,
+        |    CAST(250.0 AS DOUBLE) AS v4
+        |  FROM lineitem),
+        |r AS (SELECT *,
+        |    sqrt((v1*v1 + v2*v2) / 2.0) AS rms1,
+        |    sqrt((v1*v1 + v2*v2 + v3*v3) / 3.0) AS rms2,
+        |    sqrt((v2*v2 + v3*v3 + v4*v4) / 3.0) AS rms3,
+        |    sqrt((v3*v3 + v4*v4) / 2.0) AS rms4
+        |  FROM t)
+        |SELECT ok, ln,
+        |  CASE WHEN rms1 > 0.0 THEN v1 / rms1 ELSE 0.0 END AS g1,
+        |  CASE WHEN rms2 > 0.0 THEN v2 / rms2 ELSE 0.0 END AS g2,
+        |  CASE WHEN rms3 > 0.0 THEN v3 / rms3 ELSE 0.0 END AS g3,
+        |  CASE WHEN rms4 > 0.0 THEN v4 / rms4 ELSE 0.0 END AS g4,
+        |  0.0 AS m1, 0.0 AS m2, v3 AS m3, v4 AS m4
+        |FROM r""".stripMargin,
     // the directory union covers exactly the parity-split whole
     "q_segy_dir_roundtrip" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS il,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Per-trace sample processing — the classic post-ingest seismic
+  * conditioning steps a user of the reference stack runs right after
+  * `segy_to_mdio` (the reference itself stops at storage; these are the
+  * first operations every workflow applies to the stored amplitude
+  * arrays). All pure column expressions over the `array<double>` sample
+  * column: embarrassingly parallel, no shuffle, and every arithmetic step
+  * is IEEE-deterministic (left-to-right folds, correctly-rounded sqrt),
+  * so the DuckDB oracle replays them bit-for-bit.
+  */
+object TraceOps {
+
+  /** Automatic gain control: each sample is divided by the RMS of a
+    * sliding window centered on it (window length `window`, odd; clipped
+    * at trace edges) — the standard amplitude-balancing step that
+    * equalizes weak deep reflections against strong shallow ones. Dead
+    * windows (RMS 0) output 0 rather than dividing.
+    *
+    * `nSamples` is fixed per file (SEG-Y records are fixed-length), so
+    * window bounds are plan-time literals and the whole transform is one
+    * projection.
+    */
+  def agc(samples: Column, nSamples: Int, window: Int): Column = {
+    require(window >= 1 && window % 2 == 1, s"AGC window must be odd, got $window")
+    require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+    val half = window / 2
+    val out = (1 to nSamples).map { i => // 1-based sample position
+      val lo = math.max(1, i - half)
+      val hi = math.min(nSamples, i + half)
+      val win = slice(samples, lo, hi - lo + 1)
+      val sumSq = aggregate(win, lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val rms = sqrt(sumSq / lit((hi - lo + 1).toDouble))
+      when(rms > 0.0, element_at(samples, i).cast("double") / rms)
+        .otherwise(0.0)
+    }
+    array(out: _*)
+  }
+
+  /** Top mute: samples STRICTLY BEFORE 1-based position `firstLive` are
+    * zeroed (the direct-arrival / water-column kill every marine workflow
+    * applies before stacking); the rest pass through unchanged.
+    */
+  def muteTop(samples: Column, nSamples: Int, firstLive: Int): Column = {
+    require(firstLive >= 1 && firstLive <= nSamples + 1,
+      s"firstLive must be in 1..${nSamples + 1}, got $firstLive")
+    val out = (1 to nSamples).map { i =>
+      if (i < firstLive) lit(0.0)
+      else element_at(samples, i).cast("double")
+    }
+    array(out: _*)
+  }
+}

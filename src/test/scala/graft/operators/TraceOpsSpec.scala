@@ -1,0 +1,48 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** [[TraceOps]]: AGC window clipping at trace edges, dead-window zeroing,
+  * mute bounds — the per-sample arithmetic against hand-computed values.
+  */
+class TraceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(v: Seq[Double], f: org.apache.spark.sql.Column): Seq[Double] =
+    Seq(Tuple1(v)).toDF("v").select(f.as("o"))
+      .as[Seq[Double]].head()
+
+  test("AGC divides each sample by its clipped-window RMS") {
+    val v = Seq(3.0, 4.0, 0.0, -12.0)
+    val got = run(v, TraceOps.agc(col("v"), 4, 3))
+    val rms = Seq(
+      math.sqrt((9.0 + 16.0) / 2),
+      math.sqrt((9.0 + 16.0 + 0.0) / 3),
+      math.sqrt((16.0 + 0.0 + 144.0) / 3),
+      math.sqrt((0.0 + 144.0) / 2))
+    got.zip(v.zip(rms)).foreach { case (g, (x, r)) => assert(g == x / r) }
+  }
+
+  test("a dead window outputs 0 instead of dividing") {
+    assert(run(Seq(0.0, 0.0, 0.0), TraceOps.agc(col("v"), 3, 3)) ==
+      Seq(0.0, 0.0, 0.0))
+  }
+
+  test("window 1 is pure sign normalization (|x|/x magnitude 1)") {
+    assert(run(Seq(5.0, -2.0, 0.0), TraceOps.agc(col("v"), 3, 1)) ==
+      Seq(1.0, -1.0, 0.0))
+  }
+
+  test("muteTop zeroes strictly before firstLive and passes the rest") {
+    assert(run(Seq(1.0, 2.0, 3.0, 4.0), TraceOps.muteTop(col("v"), 4, 3)) ==
+      Seq(0.0, 0.0, 3.0, 4.0))
+    assert(run(Seq(1.0, 2.0), TraceOps.muteTop(col("v"), 2, 1)) ==
+      Seq(1.0, 2.0)) // firstLive 1 = no-op
+  }
+
+  test("even windows and out-of-range mutes are rejected") {
+    intercept[IllegalArgumentException](TraceOps.agc(col("v"), 4, 2))
+    intercept[IllegalArgumentException](TraceOps.muteTop(col("v"), 4, 6))
+  }
+}
