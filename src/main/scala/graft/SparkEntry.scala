@@ -1077,6 +1077,24 @@ object SparkEntry {
         element_at(m, 1).as("m1"), element_at(m, 2).as("m2"),
         element_at(m, 3).as("m3"), element_at(m, 4).as("m4"))
     }),
+    // the CDP STACK: traces sharing a cell average element-wise —
+    // DECIMAL-exact partial sums make the parallel stack bit-equal to the
+    // serial oracle
+    "q_trace_stack" -> ((s, d) => {
+      val df = lineitem(s, d).select(
+        col("l_suppkey").as("cell"),
+        // integer-valued doubles: the double→DECIMAL re-cast inside the
+        // exact aggregation is lossless in BOTH engines only for values
+        // with short decimal expansions
+        array(col("l_partkey").cast("double"),
+          (col("l_linenumber") * 7).cast("double"),
+          (col("l_orderkey") % 1000).cast("double")).as("v"))
+      TraceOps.stack(df, Seq("cell"), "v", nSamples = 3)
+        .select(col("cell"), col("n_traces"),
+          element_at(col("stack"), 1).as("s1"),
+          element_at(col("stack"), 2).as("s2"),
+          element_at(col("stack"), 3).as("s3"))
+    }),
     // format 5 (IEEE float32) end to end through the symmetric DSv2
     // surface — completes the oracle-gated sample-format matrix
     // (1 std/ibm, 2/8 fmt28, 3 fmt3, 6 fmt6, 5 here)
@@ -2779,6 +2797,15 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
         |    AS BIGINT) AS sum_cents
         |FROM lineitem""".stripMargin,
+    "q_trace_stack" ->
+      """SELECT l_suppkey AS cell, CAST(count(*) AS BIGINT) AS n_traces,
+        |  CAST(sum(CAST(CAST(l_partkey AS DOUBLE) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / count(*) AS s1,
+        |  CAST(sum(CAST(CAST(l_linenumber * 7 AS DOUBLE) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / count(*) AS s2,
+        |  CAST(sum(CAST(CAST(l_orderkey % 1000 AS DOUBLE) AS DECIMAL(28,10)))
+        |    AS DOUBLE) / count(*) AS s3
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // window-3 AGC over 4 samples, spelled per position (edge windows
     // clip); left-to-right squares fold == Spark's aggregate fold
     "q_trace_agc" ->

@@ -54,4 +54,31 @@ object TraceOps {
     }
     array(out: _*)
   }
+
+  /** CDP stack — THE seismic reduce: traces sharing a cell average
+    * element-wise into one stacked trace. Per-position sums accumulate in
+    * DECIMAL (the house exact-aggregation pattern), so the parallel stack
+    * is order-independent and bit-identical to the serial oracle; one
+    * double division per position at the end. Emits `keys`, `n_traces`,
+    * and `stack` (array<double>, length `nSamples`).
+    *
+    * Scale: one shuffle on the cell keys; map-side partial decimal sums
+    * combine, the shuffle carries nSamples decimals + a count per cell —
+    * never the traces.
+    */
+  def stack(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+            samplesCol: String, nSamples: Int): org.apache.spark.sql.DataFrame = {
+    require(keys.nonEmpty, "stack needs at least one cell key")
+    require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
+    val sums = (1 to nSamples).map(i =>
+      sum(element_at(col(samplesCol), i).cast(dec)).as(s"_s$i"))
+    val n = count(lit(1)).as("n_traces")
+    df.groupBy(keys.map(col): _*)
+      .agg(sums.head, (sums.tail :+ n): _*)
+      .select((keys.map(col) :+ col("n_traces") :+
+        array((1 to nSamples).map(i =>
+          col(s"_s$i").cast("double") / col("n_traces").cast("double")): _*)
+          .as("stack")): _*)
+  }
 }

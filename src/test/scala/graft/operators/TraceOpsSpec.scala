@@ -45,4 +45,16 @@ class TraceOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](TraceOps.agc(col("v"), 4, 2))
     intercept[IllegalArgumentException](TraceOps.muteTop(col("v"), 4, 6))
   }
+
+  test("stack averages traces element-wise per cell (exact decimal sums)") {
+    val df = Seq(
+      (1, Seq(1.0, 10.0)), (1, Seq(3.0, 30.0)),
+      (2, Seq(5.0, 7.0))).toDF("cell", "v")
+    val got = TraceOps.stack(df, Seq("cell"), "v", 2)
+      .select("cell", "n_traces", "stack")
+      .as[(Int, Long, Seq[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1) == ((2L, Seq(2.0, 20.0))))
+    assert(got(2) == ((1L, Seq(5.0, 7.0))))
+  }
 }
