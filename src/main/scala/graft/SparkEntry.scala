@@ -1077,6 +1077,21 @@ object SparkEntry {
         element_at(m, 1).as("m1"), element_at(m, 2).as("m2"),
         element_at(m, 3).as("m3"), element_at(m, 4).as("m4"))
     }),
+    // fractional static shift (the statics/NMO primitive): per-trace
+    // half-sample shift via linear interpolation, zero beyond the trace
+    "q_trace_shift" -> ((s, d) => {
+      val df = lineitem(s, d).select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        array(col("l_partkey").cast("double"),
+          (col("l_orderkey") % 997).cast("double"),
+          (col("l_linenumber") * 11).cast("double")).as("v"),
+        // deterministic per-trace shift in [0, 1): k/8 quarters-of-a-sample
+        ((col("l_orderkey") % 8).cast("double") / 8.0).as("sh"))
+      val r = TraceOps.shiftResample(col("v"), nSamples = 3, col("sh"))
+      df.select(col("ok"), col("ln"), col("sh"),
+        element_at(r, 1).as("r1"), element_at(r, 2).as("r2"),
+        element_at(r, 3).as("r3"))
+    }),
     // the CDP STACK: traces sharing a cell average element-wise —
     // DECIMAL-exact partial sums make the parallel stack bit-equal to the
     // serial oracle
@@ -2797,6 +2812,20 @@ object SparkEntry {
         |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT))
         |    AS BIGINT) AS sum_cents
         |FROM lineitem""".stripMargin,
+    // eighth-sample shifts are dyadic ⇒ pos − floor(pos) recovers sh
+    // EXACTLY, and the lerp spells in the same operation order
+    "q_trace_shift" ->
+      """WITH t AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(l_partkey AS DOUBLE) AS v1,
+        |    CAST(l_orderkey % 997 AS DOUBLE) AS v2,
+        |    CAST(l_linenumber * 11 AS DOUBLE) AS v3,
+        |    CAST(l_orderkey % 8 AS DOUBLE) / 8.0 AS sh
+        |  FROM lineitem)
+        |SELECT ok, ln, sh,
+        |  v1 + (v2 - v1) * sh AS r1,
+        |  v2 + (v3 - v2) * sh AS r2,
+        |  v3 + (0.0 - v3) * sh AS r3
+        |FROM t""".stripMargin,
     "q_trace_stack" ->
       """SELECT l_suppkey AS cell, CAST(count(*) AS BIGINT) AS n_traces,
         |  CAST(sum(CAST(CAST(l_partkey AS DOUBLE) AS DECIMAL(28,10)))

@@ -55,6 +55,29 @@ object TraceOps {
     array(out: _*)
   }
 
+  /** Fractional static shift — the statics/NMO primitive: the trace is
+    * resampled at positions `i + shift` (1-based, `shift` in samples, may
+    * be fractional and per-trace) by LINEAR interpolation; positions
+    * outside the trace read 0 (the mute convention). The lerp
+    * `v0 + (v1 - v0) * f` is evaluated with the identical operation order
+    * in the oracle, so outputs are bit-deterministic.
+    */
+  def shiftResample(samples: Column, nSamples: Int, shift: Column): Column = {
+    require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+    val out = (1 to nSamples).map { i =>
+      val pos = lit(i.toDouble) + shift.cast("double")
+      val i0 = floor(pos).cast("int")
+      val f = pos - i0.cast("double")
+      def at(j: Column): Column =
+        when(j.between(1, nSamples), element_at(samples, j).cast("double"))
+          .otherwise(0.0)
+      val v0 = at(i0)
+      val v1 = at(i0 + 1)
+      v0 + (v1 - v0) * f
+    }
+    array(out: _*)
+  }
+
   /** CDP stack — THE seismic reduce: traces sharing a cell average
     * element-wise into one stacked trace. Per-position sums accumulate in
     * DECIMAL (the house exact-aggregation pattern), so the parallel stack

@@ -57,4 +57,19 @@ class TraceOpsSpec extends SparkSpec {
     assert(got(1) == ((2L, Seq(2.0, 20.0))))
     assert(got(2) == ((1L, Seq(5.0, 7.0))))
   }
+
+  test("shiftResample lerps at fractional positions and zeros beyond the trace") {
+    val df = Seq((Seq(10.0, 20.0, 40.0), 0.5)).toDF("v", "sh")
+    val got = df.select(TraceOps.shiftResample(col("v"), 3, col("sh")).as("o"))
+      .as[Seq[Double]].head()
+    assert(got == Seq(15.0, 30.0, 20.0)) // last window reads [40, 0]
+    val whole = Seq((Seq(10.0, 20.0, 40.0), 1.0)).toDF("v", "sh")
+      .select(TraceOps.shiftResample(col("v"), 3, col("sh")).as("o"))
+      .as[Seq[Double]].head()
+    assert(whole == Seq(20.0, 40.0, 0.0)) // integer shift = plain slide
+    val none = Seq((Seq(10.0, 20.0, 40.0), 0.0)).toDF("v", "sh")
+      .select(TraceOps.shiftResample(col("v"), 3, col("sh")).as("o"))
+      .as[Seq[Double]].head()
+    assert(none == Seq(10.0, 20.0, 40.0))
+  }
 }
