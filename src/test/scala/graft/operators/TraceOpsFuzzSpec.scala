@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Differential fuzzing for [[TraceOps]]: random traces (negatives, zeros,
+  * dead runs, sub-sample magnitudes) through the column expressions vs a
+  * direct scala reference computing THE SAME IEEE operation order — the
+  * expressions must be bit-identical, not approximately equal, because the
+  * DuckDB oracle replays them bit-for-bit.
+  */
+class TraceOpsFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], count: Int, seed0: Long): Seq[A] =
+    (0 until count).flatMap(i => g.apply(Gen.Parameters.default, Seed(seed0 + i)))
+
+  private val valGen: Gen[Double] = Gen.oneOf(
+    Gen.chooseNum(-1000, 1000).map(_.toDouble),
+    Gen.const(0.0),
+    Gen.chooseNum(-16, 16).map(_ / 8.0)) // dyadic sub-sample values
+
+  private val traceGen: Gen[(List[Double], Int)] = for {
+    n <- Gen.chooseNum(1, 9)
+    v <- Gen.listOfN(n, valGen)
+    w <- Gen.oneOf(1, 3, 5)
+  } yield (v, w)
+
+  private def agcRef(v: Seq[Double], w: Int): Seq[Double] = {
+    val n = v.length
+    val half = w / 2
+    (1 to n).map { i =>
+      val lo = math.max(1, i - half)
+      val hi = math.min(n, i + half)
+      var acc = 0.0
+      (lo to hi).foreach(j => acc = acc + v(j - 1) * v(j - 1))
+      val rms = math.sqrt(acc / (hi - lo + 1).toDouble)
+      if (rms > 0.0) v(i - 1) / rms else 0.0
+    }
+  }
+
+  private def shiftRef(v: Seq[Double], sh: Double): Seq[Double] = {
+    val n = v.length
+    def at(j: Int): Double = if (j >= 1 && j <= n) v(j - 1) else 0.0
+    (1 to n).map { i =>
+      val pos = i.toDouble + sh
+      val i0 = math.floor(pos).toInt
+      val f = pos - i0.toDouble
+      val v0 = at(i0)
+      val v1 = at(i0 + 1)
+      v0 + (v1 - v0) * f
+    }
+  }
+
+  test("AGC expression is bit-identical to the scala reference on 150 traces") {
+    samples(traceGen, 150, seed0 = 0xA6C).zipWithIndex.foreach {
+      case ((v, w), i) =>
+        val got = Seq(Tuple1(v)).toDF("v")
+          .select(TraceOps.agc(col("v"), v.length, w).as("o"))
+          .as[Seq[Double]].head()
+        assert(got == agcRef(v, w), s"case $i: v=$v w=$w")
+    }
+  }
+
+  test("shiftResample is bit-identical to the scala reference on 150 traces") {
+    val gen = for {
+      (v, _) <- traceGen
+      k <- Gen.chooseNum(-20, 20) // shifts in [-2.5, 2.5] sample eighths
+    } yield (v, k / 8.0)
+    samples(gen, 150, seed0 = 0x5417).zipWithIndex.foreach {
+      case ((v, sh), i) =>
+        val got = Seq(Tuple1(v)).toDF("v")
+          .select(TraceOps.shiftResample(col("v"), v.length, lit(sh)).as("o"))
+          .as[Seq[Double]].head()
+        assert(got == shiftRef(v, sh), s"case $i: v=$v sh=$sh")
+    }
+  }
+
+  test("stack equals the exact rational mean on grouped random traces") {
+    val corpGen = for {
+      nCells <- Gen.chooseNum(1, 4)
+      n <- Gen.chooseNum(1, 4)
+      rows <- Gen.listOfN(12, for {
+        c <- Gen.chooseNum(1, nCells)
+        v <- Gen.listOfN(n, Gen.chooseNum(-10000, 10000).map(_ / 4.0))
+      } yield (c, v))
+    } yield (rows, n)
+    samples(corpGen, 40, seed0 = 0x57AC).zipWithIndex.foreach {
+      case ((rows, n), i) =>
+        val got = TraceOps.stack(rows.toDF("cell", "v"), Seq("cell"), "v", n)
+          .select("cell", "n_traces", "stack")
+          .as[(Int, Long, Seq[Double])].collect()
+          .map(r => r._1 -> ((r._2, r._3))).toMap
+        rows.groupBy(_._1).foreach { case (c, rs) =>
+          val (cnt, st) = got(c)
+          assert(cnt == rs.size, s"case $i cell $c count")
+          (0 until n).foreach { j =>
+            // quarters sum exactly in BigDecimal; mean = exact-sum double / n
+            val exact = rs.map(r => BigDecimal(r._2(j))).sum
+            assert(st(j) == (exact.toDouble / cnt), s"case $i cell $c pos $j")
+          }
+        }
+    }
+  }
+}
