@@ -1092,6 +1092,19 @@ object SparkEntry {
         element_at(r, 1).as("r1"), element_at(r, 2).as("r2"),
         element_at(r, 3).as("r3"))
     }),
+    // linear moveout scan (velocity analysis miniature): candidate shifts
+    // × per-trace offset → stack → max coherent energy per cell; dyadic
+    // quarter-sample candidates keep every lerp exact
+    "q_moveout_scan" -> ((s, d) => {
+      val df = lineitem(s, d).select(
+        col("l_suppkey").as("cell"),
+        (col("l_linenumber") - 1).cast("double").as("off"),
+        array(col("l_partkey").cast("double"),
+          (col("l_orderkey") % 997).cast("double"),
+          (col("l_partkey") % 733).cast("double")).as("v"))
+      TraceOps.moveoutScan(df, Seq("cell"), "v", nSamples = 3,
+        offsetCol = "off", candidates = Seq(0.0, 0.25, 0.5, 0.75))
+    }),
     // the CDP STACK: traces sharing a cell average element-wise —
     // DECIMAL-exact partial sums make the parallel stack bit-equal to the
     // serial oracle
@@ -2826,6 +2839,40 @@ object SparkEntry {
         |  v2 + (v3 - v2) * sh AS r2,
         |  v3 + (0.0 - v3) * sh AS r3
         |FROM t""".stripMargin,
+    // the scan replayed candidate-by-candidate: dyadic shifts keep the
+    // lerp exact, decimal sums make stacks order-free, fixed-order energy
+    "q_moveout_scan" -> {
+      def rExpr(i: Int): String = {
+        val i0 = s"CAST(floor($i + sh) AS BIGINT)"
+        s"""(coalesce(l[$i0], 0.0)
+           |    + (coalesce(l[$i0 + 1], 0.0) - coalesce(l[$i0], 0.0))
+           |      * ($i + sh - floor($i + sh)))""".stripMargin
+      }
+      def eExpr(i: Int): String =
+        s"CAST(sum(CAST(r$i AS DECIMAL(28,10))) AS DOUBLE) / count(*)"
+      s"""WITH t AS (SELECT l_suppkey AS cell,
+        |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
+        |    [CAST(l_partkey AS DOUBLE), CAST(l_orderkey % 997 AS DOUBLE),
+        |     CAST(l_partkey % 733 AS DOUBLE)] AS l
+        |  FROM lineitem),
+        |c AS (SELECT unnest([0.0, 0.25, 0.5, 0.75]) AS s),
+        |x AS (SELECT cell, s, l, s * off AS sh FROM t, c),
+        |r AS (SELECT cell, s,
+        |    ${rExpr(1)} AS r1,
+        |    ${rExpr(2)} AS r2,
+        |    ${rExpr(3)} AS r3
+        |  FROM x),
+        |stk AS (SELECT cell, s, CAST(count(*) AS BIGINT) AS n,
+        |    ${eExpr(1)} AS e1, ${eExpr(2)} AS e2, ${eExpr(3)} AS e3
+        |  FROM r GROUP BY 1, 2),
+        |nrg AS (SELECT cell, s, n,
+        |    e1 * e1 + e2 * e2 + e3 * e3 AS energy,
+        |    row_number() OVER (PARTITION BY cell
+        |      ORDER BY e1 * e1 + e2 * e2 + e3 * e3 DESC, s) AS rn
+        |  FROM stk)
+        |SELECT cell, s AS best_shift, n AS n_traces, energy
+        |FROM nrg WHERE rn = 1""".stripMargin
+    },
     "q_trace_stack" ->
       """SELECT l_suppkey AS cell, CAST(count(*) AS BIGINT) AS n_traces,
         |  CAST(sum(CAST(CAST(l_partkey AS DOUBLE) AS DECIMAL(28,10)))

@@ -78,6 +78,45 @@ object TraceOps {
     array(out: _*)
   }
 
+  /** Velocity-analysis miniature — the LINEAR MOVEOUT SCAN: for each
+    * candidate moveout `s`, every trace shifts by `s × offset`
+    * ([[shiftResample]]), the cell stacks ([[stack]]), and the candidate
+    * whose stacked trace carries the most energy wins (coherent energy
+    * grows when the moveout is right — the flatten-and-stack principle
+    * behind every semblance scan). Emits one row per cell:
+    * (`keys…`, best_shift, n_traces, energy).
+    *
+    * Determinism: stacks are DECIMAL-exact, energy is a fixed-order
+    * product-sum of those exact means, and candidate ties resolve to the
+    * smallest shift — the oracle replays the scan bit-for-bit.
+    * Scale: candidates explode the trace table ×|candidates| (a plan-time
+    * constant), then the one stack shuffle; the argmax window partitions
+    * by cell (bounded by |candidates| rows per cell).
+    */
+  def moveoutScan(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                  samplesCol: String, nSamples: Int, offsetCol: String,
+                  candidates: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    require(candidates.nonEmpty, "moveoutScan needs at least one candidate")
+    val cand = explode(array(candidates.map(lit): _*)).as("_cand")
+    val shifted = df.select((keys.map(col) :+ col(samplesCol) :+
+        col(offsetCol) :+ cand): _*)
+      .withColumn("_shifted", shiftResample(col(samplesCol), nSamples,
+        col("_cand") * col(offsetCol).cast("double")))
+    val stacked = stack(shifted.withColumnRenamed("_shifted", "_sv"),
+      keys :+ "_cand", "_sv", nSamples)
+    val energy = (1 to nSamples).map(i =>
+        element_at(col("stack"), i) * element_at(col("stack"), i))
+      .reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_energy").desc, col("_cand"))
+    stacked.withColumn("_energy", energy)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1)
+      .select((keys.map(col) :+ col("_cand").as("best_shift") :+
+        col("n_traces") :+ col("_energy").as("energy")): _*)
+  }
+
   /** CDP stack — THE seismic reduce: traces sharing a cell average
     * element-wise into one stacked trace. Per-position sums accumulate in
     * DECIMAL (the house exact-aggregation pattern), so the parallel stack
