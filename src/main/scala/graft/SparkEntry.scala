@@ -616,6 +616,25 @@ object SparkEntry {
     // downstream)
     "q_dup_ngram_spans" -> ((s, d) =>
       Dedup.duplicateNgramSpans(documents(s, d))),
+    // the headline span-dedup metric: duplicated-token fraction per
+    // source (what fraction of each slice's tokens sit inside a
+    // cross-doc duplicated run) — the number a corpus report leads with
+    "q_dup_token_frac" -> ((s, d) => {
+      val docs = documents(s, d)
+      val spans = Dedup.duplicateNgramSpans(docs)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("span_tokens")).as("_dup"))
+      docs
+        .withColumn("_n", size(TextAnalysis.tokens(lower(col("text"))))
+          .cast("long"))
+        .join(spans, Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("_n")).cast("long").as("n_tokens"),
+          coalesce(sum(col("_dup")), lit(0L)).cast("long").as("n_dup_tokens"))
+        .withColumn("dup_frac",
+          col("n_dup_tokens").cast("double") / col("n_tokens"))
+    }),
     // paragraph-granular exact dedup (boilerplate removal). The fixture has
     // no newlines, so the query first re-paragraphs each doc into 3-token
     // groups (deterministic narrow map, mirrored in the oracle) — at that
@@ -2317,6 +2336,19 @@ object SparkEntry {
     "q_jaccard_blocked" -> OracleSqlGen.blockedJaccardSql(),
     "q_neardup_lsh" -> OracleSqlGen.nearDupLshSql(),
     "q_dup_ngram_spans" -> OracleSqlGen.dupNgramSpansSql(),
+    "q_dup_token_frac" ->
+      s"""WITH sp0 AS (${OracleSqlGen.dupNgramSpansSql()}),
+        |sp AS (SELECT doc_id, sum(span_tokens) AS dup FROM sp0 GROUP BY 1),
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+        |      w -> w != '')) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(sum(sp.dup), 0) AS BIGINT) AS n_dup_tokens,
+        |  CAST(coalesce(sum(sp.dup), 0) AS DOUBLE) / sum(n) AS dup_frac
+        |FROM d LEFT JOIN sp USING (doc_id)
+        |GROUP BY 1""".stripMargin,
     "q_para_dedup" ->
       """WITH tok AS (SELECT doc_id,
         |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks
