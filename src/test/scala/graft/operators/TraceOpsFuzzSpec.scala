@@ -104,4 +104,35 @@ class TraceOpsFuzzSpec extends SparkSpec {
         }
     }
   }
+
+  test("moveoutScan picks the brute-force argmax on 30 random gathers") {
+    val gen = for {
+      nCells <- Gen.chooseNum(1, 3)
+      n <- Gen.chooseNum(2, 4)
+      rows <- Gen.listOfN(10, for {
+        c <- Gen.chooseNum(1, nCells)
+        off <- Gen.chooseNum(0, 3)
+        v <- Gen.listOfN(n, Gen.chooseNum(-400, 400).map(_ / 4.0))
+      } yield (c, off.toDouble, v))
+    } yield (rows, n)
+    val cands = Seq(0.0, 0.25, 0.5)
+    samples(gen, 30, seed0 = 0x3007).zipWithIndex.foreach {
+      case ((rows, n), i) =>
+        val got = TraceOps.moveoutScan(rows.toDF("cell", "off", "v"),
+            Seq("cell"), "v", n, "off", cands)
+          .select("cell", "best_shift")
+          .as[(Int, Double)].collect().toMap
+        // brute: shift (same lerp order), exact mean, fixed-order energy
+        rows.groupBy(_._1).foreach { case (c, rs) =>
+          val best = cands.map { s =>
+            val shifted = rs.map(r => shiftRef(r._3, s * r._2))
+            val means = (0 until n).map { j =>
+              shifted.map(t => BigDecimal(t(j))).sum.toDouble / rs.size
+            }
+            s -> means.map(m => m * m).reduce(_ + _)
+          }.sortBy { case (s, e) => (-e, s) }.head._1
+          assert(got(c) == best, s"case $i cell $c")
+        }
+    }
+  }
 }
