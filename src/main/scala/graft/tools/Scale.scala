@@ -43,6 +43,13 @@ object Scale {
     "q_sessionize",         // per-user session windows
     "q_events_hourly",      // windowed event aggregate
     "q_quantize",           // quantized fast-copy materialization
+    // round-12 headliners (measured individually in SCALING.md; kept in
+    // the default set so future sweeps track them automatically)
+    "q_segy_dir_ingest",    // multi-file survey -> one store
+    "q_llm_prep_e2e",       // chained corpus-prep pipeline
+    "q_dup_ngram_spans",    // positional gram explode + islands
+    "q_stream_neardup",     // LSH bucket state across micro-batches
+    "q_moveout_scan",       // candidate explode + stack + argmax
   )
 
   private def peakHeapMb(): Double = {
