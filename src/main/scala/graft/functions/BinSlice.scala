@@ -172,9 +172,13 @@ final case class DoubleBitsExpr(child: Expression)
 object BeBytesPack {
   def encode(v: Long, width: Int, unsigned: Boolean, checked: Boolean,
              name: String): Array[Byte] = {
-    if (checked) {
+    // width-8 unsigned admits every 64-bit pattern (the long IS the
+    // unsigned value's bit image), so there is nothing to check - a signed
+    // comparison against the 2^64-1 sentinel (-1L) would wrongly reject
+    // every value
+    if (checked && !(unsigned && width == 8)) {
       val lo = if (unsigned) 0L else -(1L << (width * 8 - 1))
-      val hi = if (unsigned) (if (width == 8) -1L else (1L << (width * 8)) - 1)
+      val hi = if (unsigned) (1L << (width * 8)) - 1
                else (1L << (width * 8 - 1)) - 1
       if (v < lo || v > hi)
         throw new IllegalArgumentException(

@@ -236,9 +236,14 @@ private class SegyWriteBuilder(
               s"$path exists and SEG-Y files are immutable artifacts - " +
                 "use mode(\"overwrite\") to rewrite")
           val nSamples = Option(opts.get("nSamples")).map(_.toInt).getOrElse {
-            val head = data.select(size(col(samplesCol))).head()
-            require(!head.isNullAt(0), s"cannot measure $samplesCol length")
-            head.getInt(0)
+            // take(1), not head(): an empty frame must fail with a real
+            // message, not a bare NoSuchElementException from head()
+            val first = data.select(size(col(samplesCol))).take(1)
+            require(first.nonEmpty,
+              "cannot write an empty DataFrame as SEG-Y (or pass option " +
+                "\"nSamples\" to declare the trace length explicitly)")
+            require(!first(0).isNullAt(0), s"cannot measure $samplesCol length")
+            first(0).getInt(0)
           }
           val payload = fmt match {
             case 1         => SegyExport.ibmPayload(col(samplesCol), nSamples)

@@ -173,11 +173,18 @@ object Cli {
       val catalog = graft.sources.SegyDataSourceV2.Catalog.map(_.name).toSet
       val unknown = names.filterNot(catalog)
       if (unknown.nonEmpty || opts.contains("--header-types") ||
-          opts.contains("--header-locations"))
+          opts.contains("--header-locations")) {
+        // name the ACTUAL trigger: custom locations/types on a directory,
+        // or non-catalog names - "(unknown: )" with an empty list would
+        // misattribute the failure
+        val why =
+          if (unknown.nonEmpty)
+            s"unknown names: ${unknown.mkString(", ")}"
+          else "custom --header-locations/--header-types were supplied"
         throw CliError(
-          s"directory import resolves fields by standard catalog name " +
-            s"(unknown: ${unknown.mkString(", ")}); custom " +
-            "--header-locations/--header-types apply to single files only")
+          s"directory import resolves fields by standard catalog name ($why); " +
+            "custom --header-locations/--header-types apply to single files only")
+      }
       val res = graft.Mdio.segyDirToMdio(spark, segyPath, names, tmpl,
         overrides, mdioPath, valueCol = "amplitude", sparsityError = 1e9)
       val (_, members) = graft.sources.SegyDataSourceV2

@@ -75,4 +75,29 @@ class BinSliceSpec extends SparkSpec {
     assert(e.getMessage.contains("format 4"))
     assert(e.getMessage.contains("re-export"))
   }
+
+  test("BeBytesPack checked bounds: width-8 unsigned admits every long " +
+      "(2^64-1 rides as -1L); narrower widths still reject overflow") {
+    // every 64-bit pattern is a valid unsigned value at width 8 - the
+    // old signed compare against the -1L sentinel rejected ALL values
+    for (v <- Seq(0L, 1L, Long.MaxValue, -1L, Long.MinValue)) {
+      val b = BeBytesPack.encode(v, 8, unsigned = true, checked = true, "f")
+      var got = 0L
+      b.foreach(x => got = (got << 8) | (x & 0xffL))
+      assert(got == v)
+    }
+    // signed width-8 checked also passes every long (the full range)
+    assert(BeBytesPack.encode(-1L, 8, unsigned = false, checked = true, "f")
+      .forall(_ == -1.toByte))
+    // narrower widths keep failing loudly
+    intercept[IllegalArgumentException] {
+      BeBytesPack.encode(1L << 16, 2, unsigned = true, checked = true, "f")
+    }
+    intercept[IllegalArgumentException] {
+      BeBytesPack.encode(-1L, 4, unsigned = true, checked = true, "f")
+    }
+    intercept[IllegalArgumentException] {
+      BeBytesPack.encode(70000L, 2, unsigned = false, checked = true, "f")
+    }
+  }
 }
