@@ -112,19 +112,33 @@ private[graft] object SegyDataSourceV2 {
     * file is itself. Returns (isDirectory, files).
     */
   def resolveFiles(spark: SparkSession, path: String): (Boolean, Seq[String]) = {
+    val (dir, members) = resolveMembers(spark, path)
+    (dir, members.map(_.path))
+  }
+
+  /** [[resolveFiles]] with the stat fields the planning cache keys on —
+    * size and mtime come from the SAME `listStatus` round-trip, so
+    * signature computation adds zero FS calls.
+    */
+  def resolveMembers(spark: SparkSession, path: String)
+      : (Boolean, Seq[SegyDirManifest.Member]) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.getFileStatus(p).isDirectory) {
+    val root = fs.getFileStatus(p)
+    if (root.isDirectory) {
       val members = fs.listStatus(p).toSeq
         .filter(s => s.isFile && {
           val n = s.getPath.getName.toLowerCase
           n.endsWith(".sgy") || n.endsWith(".segy")
         })
-        .map(_.getPath.toString).sorted
+        .map(s => SegyDirManifest.Member(
+          s.getPath.toString, s.getLen, s.getModificationTime))
+        .sortBy(_.path)
       if (members.isEmpty) throw new IllegalArgumentException(
         s"$path is a directory with no .sgy/.segy files")
       (true, members)
-    } else (false, Seq(path))
+    } else (false,
+      Seq(SegyDirManifest.Member(path, root.getLen, root.getModificationTime)))
   }
 }
 
@@ -144,8 +158,14 @@ private[sources] class SegyTable(path: String,
     * and a `source_file` column names the member.
     */
   private lazy val (isDir: Boolean, memberInfos: Seq[(String, SegyRead.StandardInfo)]) = {
-    val (dir, files) = SegyDataSourceV2.resolveFiles(SparkSession.active, path)
-    val infos = files.map(f => f -> SegyRead.standardInfo(SparkSession.active, f))
+    val spark = SparkSession.active
+    val (dir, members) = SegyDataSourceV2.resolveMembers(spark, path)
+    // directory members gather through the manifest (fanned out + cached
+    // across re-opens - NEVER one serial driver read per member); a
+    // single file is one 3600-byte driver read, same as before
+    val infos =
+      if (dir) SegyDirManifest.memberInfos(spark, path, members)
+      else members.map(m => m.path -> SegyRead.standardInfo(spark, m.path))
     val (f0, i0) = infos.head
     infos.foreach { case (f, i) =>
       require(i.nSamples == i0.nSamples && i.formatCode == i0.formatCode,

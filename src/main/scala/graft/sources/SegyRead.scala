@@ -314,16 +314,21 @@ object SegyRead {
   final case class StandardInfo(
       base: SegyFileInfo, nSamples: Int, sampleInterval: Int, formatCode: Int)
 
-  def standardInfo(spark: SparkSession, path: String): StandardInfo = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
-    val size = fs.getFileStatus(p).getLen
-    require(size >= DataOffset,
-      s"$path is ${size}B — smaller than the $DataOffset-byte SEG-Y headers")
-    val head = new Array[Byte](DataOffset.toInt)
-    val in = fs.open(p)
-    try in.readFully(0L, head) finally in.close()
+  /** Driver-side [[standardInfo]] call counter — observable evidence for
+    * specs that PLANNING paths (directory-table resolution) never fall
+    * back to one serial driver read per member. Test instrumentation
+    * only; never read by the engine.
+    */
+  val driverHeaderReads = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Pure parse of the two fixed headers — the serialization-free core of
+    * [[standardInfo]], callable from EXECUTOR tasks (directory planning
+    * fans one header read per member file out as a Spark job, so the
+    * parse must not touch driver state). `path` is for error text only.
+    */
+  def parseStandardInfo(path: String, size: Long, head: Array[Byte]): StandardInfo = {
+    require(head.length == DataOffset.toInt,
+      s"$path: standard info needs the $DataOffset-byte fixed headers, got ${head.length}B")
     def beShort(off: Int): Int = // 1-based offset within the binary header
       ((head(TextHeaderBytes + off - 1) & 0xff) << 8) |
         (head(TextHeaderBytes + off) & 0xff)
@@ -342,6 +347,30 @@ object SegyRead {
     StandardInfo(
       SegyFileInfo(size, (size - DataOffset) / recordLen, text, bin, rev),
       ns, interval, fmt)
+  }
+
+  /** Read the fixed 3600-byte header block of `path` with `conf`'s file
+    * system — the one I/O [[parseStandardInfo]] needs; shared by the
+    * driver wrapper and the distributed planning tasks.
+    */
+  def readHead(conf: org.apache.hadoop.conf.Configuration,
+               path: String, size: Long): Array[Byte] = {
+    require(size >= DataOffset,
+      s"$path is ${size}B — smaller than the $DataOffset-byte SEG-Y headers")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val head = new Array[Byte](DataOffset.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, head) finally in.close()
+    head
+  }
+
+  def standardInfo(spark: SparkSession, path: String): StandardInfo = {
+    driverHeaderReads.incrementAndGet()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val size = p.getFileSystem(conf).getFileStatus(p).getLen
+    parseStandardInfo(path, size, readHead(conf, path, size))
   }
 
   /** Parse a STANDARD-layout file: 240-byte trace headers decoded at the
