@@ -1142,6 +1142,37 @@ object SparkEntry {
           element_at(col("stack"), 2).as("s2"),
           element_at(col("stack"), 3).as("s3"))
     }),
+    // AGC at a REAL trace length (1000 samples, 121 window — the PostStack
+    // regime the round-12 verdict flagged): the native kernel's O(1)-size
+    // plan under oracle; integer-valued samples keep every window
+    // sum-of-squares exact in BOTH engines regardless of fold order, so
+    // the probed gains replay bit-for-bit
+    "q_trace_agc_long" -> ((s, d) => {
+      val df = lineitem(s, d).select(
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+        transform(sequence(lit(1L), lit(1000L)),
+          i => ((col("l_orderkey") * i + col("l_linenumber")) % 1000)
+            .cast("double")).as("v"))
+      val g = TraceOps.agc(col("v"), nSamples = 1000, window = 121)
+      df.select(col("ok"), col("ln"),
+        element_at(g, 1).as("g1"), element_at(g, 2).as("g2"),
+        element_at(g, 61).as("g61"), element_at(g, 500).as("g500"),
+        element_at(g, 940).as("g940"), element_at(g, 1000).as("g1000"))
+    }),
+    // the CDP stack at 1000 samples: ONE StackAgg buffer per cell instead
+    // of 1000 decimal agg columns — probed positions replay exactly
+    "q_trace_stack_long" -> ((s, d) => {
+      val df = lineitem(s, d).select(
+        col("l_suppkey").as("cell"),
+        transform(sequence(lit(1L), lit(1000L)),
+          i => ((col("l_orderkey") * i + col("l_linenumber")) % 1000)
+            .cast("double")).as("v"))
+      TraceOps.stack(df, Seq("cell"), "v", nSamples = 1000)
+        .select(col("cell"), col("n_traces"),
+          element_at(col("stack"), 1).as("s1"),
+          element_at(col("stack"), 500).as("s500"),
+          element_at(col("stack"), 1000).as("s1000"))
+    }),
     // format 5 (IEEE float32) end to end through the symmetric DSv2
     // surface — completes the oracle-gated sample-format matrix
     // (1 std/ibm, 2/8 fmt28, 3 fmt3, 6 fmt6, 5 here)
@@ -2936,6 +2967,35 @@ object SparkEntry {
         |  CASE WHEN rms4 > 0.0 THEN v4 / rms4 ELSE 0.0 END AS g4,
         |  0.0 AS m1, 0.0 AS m2, v3 AS m3, v4 AS m4
         |FROM r""".stripMargin,
+    // window-121 AGC at 1000 samples, probed at the edge/boundary/interior
+    // positions: the oracle computes ONLY the probed windows via list
+    // slices — integer-valued samples make list_sum exact in any order
+    "q_trace_agc_long" -> {
+      // 1-based probe p with half-window 60 → slice [lo:hi], count hi-lo+1
+      def rms(p: Int): String = {
+        val lo = math.max(1, p - 60); val hi = math.min(1000, p + 60)
+        s"sqrt(list_sum(list_transform(v[$lo:$hi], x -> x*x)) / ${(hi - lo + 1).toDouble})"
+      }
+      def g(p: Int): String =
+        s"CASE WHEN ${rms(p)} > 0.0 THEN v[$p] / ${rms(p)} ELSE 0.0 END AS g$p"
+      s"""WITH t AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    list_transform(range(1, 1001),
+        |      i -> CAST((l_orderkey * i + l_linenumber) % 1000 AS DOUBLE)) AS v
+        |  FROM lineitem)
+        |SELECT ok, ln,
+        |  ${g(1)}, ${g(2)}, ${g(61)}, ${g(500)}, ${g(940)}, ${g(1000)}
+        |FROM t""".stripMargin
+    },
+    // 1000-sample stack probed at 1/500/1000: per-probe exact decimal sum
+    // — the oracle never builds the array at all
+    "q_trace_stack_long" -> {
+      def s(p: Int): String =
+        s"CAST(sum(CAST(CAST((l_orderkey * $p + l_linenumber) % 1000 AS DOUBLE) " +
+          s"AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS s$p"
+      s"""SELECT l_suppkey AS cell, CAST(count(*) AS BIGINT) AS n_traces,
+        |  ${s(1)}, ${s(500)}, ${s(1000)}
+        |FROM lineitem GROUP BY 1""".stripMargin
+    },
     // the directory union covers exactly the parity-split whole
     "q_segy_dir_roundtrip" ->
       """SELECT CAST(l_orderkey AS BIGINT) AS il,

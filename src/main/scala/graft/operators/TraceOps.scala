@@ -7,10 +7,14 @@ import org.apache.spark.sql.functions._
   * conditioning steps a user of the reference stack runs right after
   * `segy_to_mdio` (the reference itself stops at storage; these are the
   * first operations every workflow applies to the stored amplitude
-  * arrays). All pure column expressions over the `array<double>` sample
-  * column: embarrassingly parallel, no shuffle, and every arithmetic step
-  * is IEEE-deterministic (left-to-right folds, correctly-rounded sqrt),
-  * so the DuckDB oracle replays them bit-for-bit.
+  * arrays). All single-node native kernels ([[graft.functions.TraceExprs]])
+  * over the `array<double|float>` sample column: embarrassingly parallel,
+  * no shuffle, O(1)-size expression trees at ANY trace length (a real
+  * PostStack trace is ~1500 samples — per-sample expression trees at that
+  * length meant ~1500 interpreted HOF folds per row and Janino-limit
+  * risk), and every arithmetic step is IEEE-deterministic (left-to-right
+  * folds, correctly-rounded sqrt), so the DuckDB oracle replays them
+  * bit-for-bit.
   */
 object TraceOps {
 
@@ -25,20 +29,8 @@ object TraceOps {
     * projection.
     */
   def agc(samples: Column, nSamples: Int, window: Int): Column = {
-    require(window >= 1 && window % 2 == 1, s"AGC window must be odd, got $window")
     require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
-    val half = window / 2
-    val out = (1 to nSamples).map { i => // 1-based sample position
-      val lo = math.max(1, i - half)
-      val hi = math.min(nSamples, i + half)
-      val win = slice(samples, lo, hi - lo + 1)
-      val sumSq = aggregate(win, lit(0.0),
-        (acc, x) => acc + x.cast("double") * x.cast("double"))
-      val rms = sqrt(sumSq / lit((hi - lo + 1).toDouble))
-      when(rms > 0.0, element_at(samples, i).cast("double") / rms)
-        .otherwise(0.0)
-    }
-    array(out: _*)
+    graft.functions.TraceExprs.agc(samples, window)
   }
 
   /** Top mute: samples STRICTLY BEFORE 1-based position `firstLive` are
@@ -48,11 +40,7 @@ object TraceOps {
   def muteTop(samples: Column, nSamples: Int, firstLive: Int): Column = {
     require(firstLive >= 1 && firstLive <= nSamples + 1,
       s"firstLive must be in 1..${nSamples + 1}, got $firstLive")
-    val out = (1 to nSamples).map { i =>
-      if (i < firstLive) lit(0.0)
-      else element_at(samples, i).cast("double")
-    }
-    array(out: _*)
+    graft.functions.TraceExprs.muteTop(samples, firstLive)
   }
 
   /** Fractional static shift — the statics/NMO primitive: the trace is
@@ -64,18 +52,7 @@ object TraceOps {
     */
   def shiftResample(samples: Column, nSamples: Int, shift: Column): Column = {
     require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
-    val out = (1 to nSamples).map { i =>
-      val pos = lit(i.toDouble) + shift.cast("double")
-      val i0 = floor(pos).cast("int")
-      val f = pos - i0.cast("double")
-      def at(j: Column): Column =
-        when(j.between(1, nSamples), element_at(samples, j).cast("double"))
-          .otherwise(0.0)
-      val v0 = at(i0)
-      val v1 = at(i0 + 1)
-      v0 + (v1 - v0) * f
-    }
-    array(out: _*)
+    graft.functions.TraceExprs.shiftResample(samples, shift.cast("double"))
   }
 
   /** Velocity-analysis miniature — the LINEAR MOVEOUT SCAN: for each
@@ -104,9 +81,8 @@ object TraceOps {
         col("_cand") * col(offsetCol).cast("double")))
     val stacked = stack(shifted.withColumnRenamed("_shifted", "_sv"),
       keys :+ "_cand", "_sv", nSamples)
-    val energy = (1 to nSamples).map(i =>
-        element_at(col("stack"), i) * element_at(col("stack"), i))
-      .reduce(_ + _)
+    // left-fold sum of squares == the spelled-out e1²+e2²+… reduction
+    val energy = graft.functions.VecExprs.dot(col("stack"), col("stack"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_energy").desc, col("_cand"))
@@ -118,29 +94,24 @@ object TraceOps {
   }
 
   /** CDP stack — THE seismic reduce: traces sharing a cell average
-    * element-wise into one stacked trace. Per-position sums accumulate in
-    * DECIMAL (the house exact-aggregation pattern), so the parallel stack
-    * is order-independent and bit-identical to the serial oracle; one
-    * double division per position at the end. Emits `keys`, `n_traces`,
+    * element-wise into one stacked trace, as ONE
+    * [[graft.functions.StackAgg]] aggregate whose buffer holds the
+    * per-position exact DECIMAL(·,10) sums (the house exact-aggregation
+    * pattern) — order-independent and bit-identical to the serial oracle;
+    * one double division per position at eval. Emits `keys`, `n_traces`,
     * and `stack` (array<double>, length `nSamples`).
     *
-    * Scale: one shuffle on the cell keys; map-side partial decimal sums
+    * Scale: one shuffle on the cell keys; map-side partial buffers
     * combine, the shuffle carries nSamples decimals + a count per cell —
-    * never the traces.
+    * never the traces, and never an nSamples-wide aggregate column list.
     */
   def stack(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
             samplesCol: String, nSamples: Int): org.apache.spark.sql.DataFrame = {
     require(keys.nonEmpty, "stack needs at least one cell key")
     require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
-    val dec = org.apache.spark.sql.types.DecimalType(28, 10)
-    val sums = (1 to nSamples).map(i =>
-      sum(element_at(col(samplesCol), i).cast(dec)).as(s"_s$i"))
-    val n = count(lit(1)).as("n_traces")
     df.groupBy(keys.map(col): _*)
-      .agg(sums.head, (sums.tail :+ n): _*)
-      .select((keys.map(col) :+ col("n_traces") :+
-        array((1 to nSamples).map(i =>
-          col(s"_s$i").cast("double") / col("n_traces").cast("double")): _*)
-          .as("stack")): _*)
+      .agg(graft.functions.TraceExprs.stack(col(samplesCol)).as("_st"))
+      .select((keys.map(col) :+ col("_st.n_traces").as("n_traces") :+
+        col("_st.stack").as("stack")): _*)
   }
 }

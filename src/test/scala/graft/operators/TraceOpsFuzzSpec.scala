@@ -105,6 +105,45 @@ class TraceOpsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("AGC + shift + stack stay bit-identical at REAL trace lengths " +
+      "(800-1600 samples, windows 61/121)") {
+    // the verdict-flagged regime: per-sample expression trees choked here;
+    // the kernels must match the scala reference bit-for-bit regardless
+    val gen = for {
+      n <- Gen.chooseNum(800, 1600)
+      w <- Gen.oneOf(61, 121)
+      v <- Gen.listOfN(n, valGen)
+      sh <- Gen.chooseNum(-20, 20).map(_ / 8.0)
+    } yield (v, w, sh)
+    samples(gen, 12, seed0 = 0x10D6).zipWithIndex.foreach { case ((v, w, sh), i) =>
+      val df = Seq(Tuple1(v)).toDF("v")
+      val gotAgc = df.select(TraceOps.agc(col("v"), v.length, w).as("o"))
+        .as[Seq[Double]].head()
+      assert(gotAgc == agcRef(v, w), s"long case $i agc (n=${v.length}, w=$w)")
+      val gotShift = df.select(
+          TraceOps.shiftResample(col("v"), v.length, lit(sh)).as("o"))
+        .as[Seq[Double]].head()
+      assert(gotShift == shiftRef(v, sh), s"long case $i shift")
+    }
+    // long-trace stack: 30 traces x 1200 samples in 3 cells, exact means
+    val n = 1200
+    val rows = (0 until 30).map { r =>
+      (r % 3, (0 until n).map(j => ((r * 31 + j * 7) % 2000 - 1000).toDouble))
+    }
+    val got = TraceOps.stack(rows.toDF("cell", "v"), Seq("cell"), "v", n)
+      .select("cell", "n_traces", "stack")
+      .as[(Int, Long, Seq[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.groupBy(_._1).foreach { case (c, rs) =>
+      val (cnt, st) = got(c)
+      assert(cnt == rs.size)
+      (0 until n).foreach { j =>
+        val exact = rs.map(r => BigDecimal(r._2(j))).sum
+        assert(st(j) == (exact.toDouble / cnt), s"cell $c pos $j")
+      }
+    }
+  }
+
   test("moveoutScan picks the brute-force argmax on 30 random gathers") {
     val gen = for {
       nCells <- Gen.chooseNum(1, 3)
