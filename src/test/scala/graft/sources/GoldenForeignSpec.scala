@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Foreign-produced golden SEG-Y fixture (round-13 ask #3): every other
+  * byte-level check in the repo reads files the engine's own writer
+  * produced, so complementary encode/decode bugs are invisible to
+  * self-roundtrips. `src/test/resources/golden/foreign_rev1_ibm.sgy` was
+  * written by `tools/gen_golden_segy.py` — an INDEPENDENT Python
+  * implementation of the public rev-1 layout (stdlib cp037 EBCDIC,
+  * exact-rational IBM32 encoding) — and this spec inlines its expected
+  * text cards, binary-header fields, trace headers and sample values.
+  * The engine's reader must reproduce them EXACTLY, and the engine's
+  * IBM32 encoder must re-produce the foreign file's payload bytes.
+  *
+  * The reference anchors its integration tests the same way: golden
+  * headers from an independently-written real survey
+  * (`tests/integration/test_segy_roundtrip_teapot.py:55-137`).
+  */
+class GoldenForeignSpec extends SparkSpec {
+  import SegyRead.StandardFields._
+
+  private val golden = "src/test/resources/golden/foreign_rev1_ibm.sgy"
+
+  // the generator's two sample banks (all exactly representable in IBM32)
+  private val base = Array(0.0f, 1.0f, -1.0f, 118.625f, -0.15625f, 4096.0f,
+    1.52587890625e-05f, -1048576.0f)
+  private val extra = Array(0.5f, -0.25f, 16.0f, -256.0f, 0.0009765625f,
+    3.5f, -0.6875f, 2097152.0f)
+  private def expectedSamples(i: Int): Seq[Float] = {
+    val pool = if (i % 2 == 0) base else extra
+    (0 until 8).map(j => pool((j + i) % 8))
+  }
+
+  test("file info: geometry, revision and EBCDIC text decode exactly") {
+    val info = SegyRead.standardInfo(spark, golden)
+    assert(info.nSamples == 8)
+    assert(info.sampleInterval == 4000)
+    assert(info.formatCode == 1)
+    assert(info.base.nTraces == 25)
+    assert(info.base.revision == ((1, 0)))
+    val text = info.base.textHeader
+    assert(text.length == 40)
+    assert(text(0).trim ==
+      "C 1 FOREIGN GOLDEN FIXTURE - WRITTEN BY AN INDEPENDENT PYTHON ENCODER")
+    assert(text(2).trim ==
+      "C 3 25 TRACES, 8 SAMPLES/TRACE, FORMAT 1 (IBM FLOAT), 4 MS")
+    assert(text(4).trim == "C 5 COORD SCALAR -100 AT BYTES 71-72")
+    assert(text(39).trim == "C40 END EBCDIC")
+    // binary-header job id / line number at their spec offsets
+    val bin = info.base.binaryHeader
+    def beInt(off0: Int): Int =
+      ((bin(off0) & 0xff) << 24) | ((bin(off0 + 1) & 0xff) << 16) |
+        ((bin(off0 + 2) & 0xff) << 8) | (bin(off0 + 3) & 0xff)
+    assert(beInt(0) == 7001 && beInt(4) == 7)
+  }
+
+  test("trace headers and IBM32 samples decode to the inlined golden values") {
+    val df = spark.read.format("segy")
+      .option("fields",
+        "field_record,trace_field,source_point,offset,coord_scalar," +
+          "source_x,source_y,inline,crossline")
+      .load(golden)
+      .orderBy("trace_index")
+    val rows = df.collect()
+    assert(rows.length == 25)
+    for (i <- Seq(0, 1, 7, 12, 24)) {
+      val r = rows(i)
+      assert(r.getAs[Long]("field_record") == 9000L + i, s"trace $i field_record")
+      assert(r.getAs[Long]("trace_field") == i % 5 + 1)
+      assert(r.getAs[Long]("source_point") == 300L + i / 5)
+      assert(r.getAs[Long]("offset") == 25L * (i % 5))
+      assert(r.getAs[Long]("coord_scalar") == -100L, s"trace $i coord_scalar")
+      assert(r.getAs[Long]("source_x") == -6200000L - i)
+      assert(r.getAs[Long]("source_y") == 5300000L + 2 * i)
+      assert(r.getAs[Long]("inline") == 1700L + i / 5)
+      assert(r.getAs[Long]("crossline") == 880L + i % 5)
+      val got = r.getAs[scala.collection.Seq[Float]]("samples")
+      assert(got == expectedSamples(i),
+        s"trace $i samples: got $got expected ${expectedSamples(i)}")
+    }
+  }
+
+  test("the engine's IBM32 encoder reproduces the foreign payload bytes " +
+      "(complementary-bug check)") {
+    import graft.`export`.SegyExport
+    // decode with the engine, re-encode with the engine, compare against
+    // the FOREIGN bytes: if encode and decode were wrong the same way,
+    // this is the check that catches it
+    val raw = spark.read.format("segy").option("raw", "true")
+      .option("fields", "inline").load(golden)
+      .select(col("trace_index"), col("samples").as("raw_payload"))
+    val decoded = spark.read.format("segy").option("fields", "inline")
+      .load(golden)
+      .select(col("trace_index"),
+        SegyExport.ibmPayload(col("samples"), 8).as("reencoded"))
+    val joined = raw.join(decoded, "trace_index").collect()
+    assert(joined.length == 25)
+    joined.foreach { r =>
+      val a = r.getAs[Array[Byte]]("raw_payload")
+      val b = r.getAs[Array[Byte]]("reencoded")
+      assert(java.util.Arrays.equals(a, b),
+        s"trace ${r.getAs[Long]("trace_index")}: engine re-encode differs " +
+          "from the foreign encoder's bytes")
+    }
+  }
+
+  test("n_samples/sample_interval trace fields read UNSIGNED per catalog") {
+    val df = spark.read.format("segy")
+      .option("fields", "n_samples,sample_interval").load(golden)
+    val r = df.select("n_samples", "sample_interval").distinct().collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 8L && r(0).getLong(1) == 4000L)
+  }
+}
