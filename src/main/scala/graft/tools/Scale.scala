@@ -80,6 +80,10 @@ object Scale {
     }
 
     val names = if (args.nonEmpty) args.toSeq else DefaultSet
+    // state-store observability: the limiting metric for stream-forever
+    // queries is STATE size, not wall time — capture each run's
+    // stateOperators peaks (rows held, memory) alongside the timings
+    val stateListener = graft.streaming.StateMetrics.attach(spark)
     val lines = names.map { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
       def once(): (Double, Long) = {
@@ -88,6 +92,7 @@ object Scale {
         ((System.nanoTime() - t0) / 1e9, n)
       }
       resetPeaks()
+      stateListener.drain()
       val (cold, rows) =
         try once() catch { case e: Throwable =>
           System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
@@ -95,7 +100,15 @@ object Scale {
         }
       val (warm, _) = if (cold >= 0) once() else (-1.0, -1L)
       val mb = peakHeapMb()
-      val line = f"""{"q":"$name","cold_s":$cold%.3f,"warm_s":$warm%.3f,"rows":$rows,"driver_peak_mb":$mb%.0f}"""
+      // listener events are async; let the final progress land before draining
+      spark.streams.active.foreach(_.awaitTermination())
+      Thread.sleep(200)
+      val (stRows, stMem) = stateListener.drain()
+      val stateJson =
+        if (stRows > 0 || stMem > 0)
+          f""","state_rows_total":$stRows,"state_mem_mb":${stMem / 1e6}%.1f"""
+        else ""
+      val line = f"""{"q":"$name","cold_s":$cold%.3f,"warm_s":$warm%.3f,"rows":$rows,"driver_peak_mb":$mb%.0f$stateJson}"""
       println(line)
       line
     }

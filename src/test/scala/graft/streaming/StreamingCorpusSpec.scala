@@ -114,4 +114,39 @@ class StreamingCorpusSpec extends SparkSpec {
         s"distinct doc must not be flagged: $out")
     } finally q.stop()
   }
+
+  test("hot-bucket flood: state stays BOUNDED at maxBucketState — asserted " +
+      "on the stateOperators metrics, not argued from the cap parameter") {
+    implicit val sqlCtx = spark.sqlContext
+    val listener = StateMetrics.attach(spark)
+    try {
+      val input = MemoryStream[(Long, String)]
+      // 500 identical docs: every band's bucket goes hot (the boilerplate
+      // flood the streaming near-dup gate exists to survive)
+      val text = "same boilerplate notice repeated across the entire corpus " +
+        "by an aggressive crawler every single day"
+      input.addData((1L to 500L).map(i => (i, text)): _*)
+      val q = StreamingCorpus.nearDupFlaggedStream(
+          input.toDF().toDF("doc_id", "text"), maxBucketState = 8)
+        .writeStream.format("memory").queryName("hotbucket_flood")
+        .outputMode("append").start()
+      q.processAllAvailable()
+      q.stop()
+      // listener events are async: poll until the progress lands
+      var peak = listener.drain()
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (peak._1 == 0 && System.nanoTime() < deadline) {
+        Thread.sleep(100); peak = listener.drain()
+      }
+      val (stateRows, stateMem) = peak
+      // identical signatures → exactly one bucket key per band (8 bands),
+      // independent of the 500 arrivals; per-bucket payload capped at 8
+      assert(stateRows > 0 && stateRows <= 8,
+        s"state keys must be the band buckets, got $stateRows")
+      assert(stateMem > 0 && stateMem < 10L * 1024 * 1024,
+        s"flood state must stay capped, got $stateMem bytes")
+      // overflow arrivals still flagged against the stored prefix
+      assert(spark.table("hotbucket_flood").count() > 0)
+    } finally spark.streams.removeListener(listener)
+  }
 }
