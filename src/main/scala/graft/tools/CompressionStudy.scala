@@ -35,10 +35,12 @@ object CompressionStudy {
     fs.getContentSummary(p).getLength
   }
 
-  /** max|x − quantize(x)| measured on the data — must be ≤ tolerance. */
+  /** max|x − quantize(x)| over the sample arrays — must be ≤ tolerance. */
   private def maxErr(df: DataFrame, tol: Double): Double =
-    df.select(max(abs(col("amplitude") -
-      graft.operators.AccessPatterns.quantize(col("amplitude"), tol))))
+    df.select(max(aggregate(
+      transform(col("samples"), x =>
+        abs(x - graft.operators.AccessPatterns.quantize(x, tol))),
+      lit(0.0), (acc, e) => greatest(acc, e))))
       .head().getDouble(0)
 
   def main(args: Array[String]): Unit = {
@@ -51,34 +53,43 @@ object CompressionStudy {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // seismic-ish float32 amplitudes: reflectivity-like structure along
-    // the trace axis + noise with full mantissa entropy (hash-derived
-    // uniform in [-0.5, 0.5)), scaled to std ~1000 like real field data
+    // seismic-ish float32 TRACES (the real store layout: one row per
+    // trace, array<float> samples — the file is amplitude-dominated, so
+    // ratios measure the VALUE payload, not flat-key overhead):
+    // reflectivity-like structure along the trace + noise with full
+    // mantissa entropy (hash-derived), scaled to std ~1000 like field data
+    val nSamples = 128
     val amp = spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .select(col("l_orderkey").as("trace"), col("l_linenumber").as("pos"),
-        ((sin(col("l_orderkey") / 50.0) * 800.0 +
-          cos(col("l_orderkey") / 7.0 + col("l_linenumber")) * 400.0 +
-          (hash(col("l_orderkey"), col("l_linenumber")).cast("double") / 4294967296.0) * 300.0)
-          .cast("float")).as("amplitude"))
+      .select(col("l_orderkey").as("trace"))
+      .distinct()
+      .select(col("trace"),
+        transform(sequence(lit(1), lit(nSamples)), i =>
+          (sin(col("trace") / 50.0 + i / 9.0) * 800.0 +
+            cos(col("trace") / 7.0 + i) * 400.0 +
+            (hash(col("trace"), i).cast("double") / 4294967296.0) * 300.0)
+            .cast("float")).as("samples"))
       .cache()
-    val n = amp.count()
-    val std = amp.select(stddev(col("amplitude"))).head().getDouble(0)
+    val nTraces = amp.count()
+    val n = nTraces * nSamples
+    val std = amp.select(explode(col("samples")).as("x"))
+      .agg(stddev(col("x"))).head().getDouble(0)
 
     val base = graft.core.TempDirs.scratch("compstudy")
     val lossless = s"$base/lossless"
     amp.write.mode("overwrite").option("compression", "zstd").parquet(lossless)
     val losslessBytes = dirSize(spark, lossless)
-    val rawBytes = n * (8 + 4 + 4) // schema payload: long + int + float
+    val rawBytes = n * 4 // the amplitude payload: float32 per sample
 
-    println(s"rows=$n std=$std lossless_zstd=${losslessBytes}B raw=${rawBytes}B")
+    println(s"traces=$nTraces samples=$n std=$std " +
+      s"lossless_zstd=${losslessBytes}B raw=${rawBytes}B")
     println("| quality | tolerance = q·std | size (B) | vs lossless | vs raw | max abs err |")
     println("|---|---|---|---|---|---|")
     val rows = Qualities.map { q =>
       val tol = q * std
       val path = s"$base/q_$q"
-      amp.withColumn("amplitude",
-          graft.operators.AccessPatterns.quantize(col("amplitude"), tol)
-            .cast("float"))
+      amp.withColumn("samples",
+          transform(col("samples"), x =>
+            graft.operators.AccessPatterns.quantize(x, tol).cast("float")))
         .write.mode("overwrite").option("compression", "zstd").parquet(path)
       val bytes = dirSize(spark, path)
       val err = maxErr(amp, tol)
@@ -91,7 +102,8 @@ object CompressionStudy {
     }
     val out = sys.env.getOrElse("SPARK_GRAFT_COMP_OUT", "bench/compression_ratios.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      s"""{"sf":"$sfDir","rows":$n,"std":$std,"lossless_zstd_bytes":$losslessBytes,""" +
+      s"""{"sf":"$sfDir","traces":$nTraces,"samples":$n,"std":$std,""" +
+        s""""lossless_zstd_bytes":$losslessBytes,""" +
         s""""raw_bytes":$rawBytes,"tiers":[${rows.mkString(",")}]}""" + "\n")
     spark.stop()
   }
