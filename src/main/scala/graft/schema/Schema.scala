@@ -23,7 +23,15 @@ object ScalarType extends Enumeration {
   val Complex256 = Value("complex256")
   val Bytes240 = Value("V240") // fixed 240-byte raw trace-header blob
 
-  /** Spark SQL mapping (SURVEY §1.2): unsigned ints widen, sentinels → NULL. */
+  /** Spark SQL mapping (SURVEY §1.2): unsigned ints widen, sentinels → NULL.
+    * Complex values (`dtype.py:16-35` declares them; the reference's
+    * ingestion never produces them, but a schema carrying them must still
+    * resolve) map to the natural Spark shape — a two-field struct, the
+    * layout numpy itself uses (contiguous re, im). float128 and complex256
+    * stay LOUD errors: the JVM and Parquet have no 128-bit float
+    * representation, so any mapping would silently truncate precision the
+    * schema promised.
+    */
   def toSparkDdl(t: ScalarType): String = t match {
     case Bool => "boolean"
     case Int8 => "tinyint"; case Int16 => "smallint"
@@ -32,9 +40,14 @@ object ScalarType extends Enumeration {
     case UInt32 => "bigint";  case UInt64 => "decimal(20,0)"
     case Float16 | Float32 => "float"
     case Float64 => "double"
+    case Complex64 => "struct<re:float,im:float>"
+    case Complex128 => "struct<re:double,im:double>"
     case Bytes240 => "binary"
-    case other => throw new IllegalArgumentException(
-      s"$other is declared by the reference but never produced by ingestion")
+    case Float128 | Complex256 => throw new IllegalArgumentException(
+      s"$t has no faithful JVM/Parquet representation (no 128-bit float) — " +
+        "the reference declares it but its ingestion never produces it; " +
+        "re-declare the variable as float64/complex128 or keep it out of " +
+        "the Spark-resolved surface")
   }
 }
 

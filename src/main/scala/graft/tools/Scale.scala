@@ -50,6 +50,9 @@ object Scale {
     "q_dup_ngram_spans",    // positional gram explode + islands
     "q_stream_neardup",     // LSH bucket state across micro-batches
     "q_moveout_scan",       // candidate explode + stack + argmax
+    // round-13: the conditioning kernels at REAL trace length
+    "q_trace_agc_long",     // native AGC, 1000 samples x 121 window
+    "q_trace_stack_long",   // one StackAgg buffer vs 1000 agg columns
   )
 
   private def peakHeapMb(): Double = {

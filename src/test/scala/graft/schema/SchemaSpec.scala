@@ -32,6 +32,28 @@ class SchemaJsonSpec extends AnyFunSuite {
     assert(SchemaJson.fromJson(json) == schema)
   }
 
+  test("every declared scalar dtype survives the JSON round-trip; Spark " +
+      "DDL maps complex as structs and refuses the unrepresentable loudly") {
+    // dtype.py:16-35 declares the full set; a schema CARRYING any of them
+    // must round-trip even when ingestion never produces the value
+    ScalarType.values.foreach { t =>
+      val s = schema.copy(variables = Seq(
+        Variable("v", Seq("inline"), Left(t))))
+      assert(SchemaJson.fromJson(SchemaJson.toJson(s)) == s, s"dtype $t")
+    }
+    assert(ScalarType.toSparkDdl(ScalarType.Complex64) == "struct<re:float,im:float>")
+    assert(ScalarType.toSparkDdl(ScalarType.Complex128) == "struct<re:double,im:double>")
+    assert(ScalarType.toSparkDdl(ScalarType.UInt64) == "decimal(20,0)")
+    // the struct DDLs are real Spark types, not just strings
+    assert(org.apache.spark.sql.types.DataType.fromDDL(
+      ScalarType.toSparkDdl(ScalarType.Complex128)).simpleString ==
+      "struct<re:double,im:double>")
+    for (bad <- Seq(ScalarType.Float128, ScalarType.Complex256)) {
+      val e = intercept[IllegalArgumentException](ScalarType.toSparkDdl(bad))
+      assert(e.getMessage.contains("no faithful JVM/Parquet representation"))
+    }
+  }
+
   test("JSON uses camelCase field names") {
     val json = SchemaJson.toJson(schema)
     assert(json.contains("\"apiVersion\"") && json.contains("\"createdOn\""))
