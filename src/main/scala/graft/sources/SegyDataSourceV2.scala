@@ -404,8 +404,14 @@ private[sources] class SegyCountReaderFactory(total: Long)
     }
 }
 
+/** `dataOffset` is per-member: rev-1 extended text headers (bytes
+  * 3505-3506) shift the first trace byte by 3200 per record, and members
+  * of one directory table may legally differ.
+  */
 private[sources] case class SegyInputPartition(path: String, start: Long,
-                                               end: Long) extends InputPartition
+                                               end: Long,
+                                               dataOffset: Long = SegyRead.DataOffset)
+  extends InputPartition
 
 private[sources] class SegyScan(members: Seq[(String, SegyRead.StandardInfo)],
                                 fields: Seq[HeaderField], raw: Boolean,
@@ -442,7 +448,8 @@ private[sources] class SegyScan(members: Seq[(String, SegyRead.StandardInfo)],
         val nSplits = ((fHi - lo + perSplit - 1) / perSplit).toInt
         Array.tabulate[InputPartition](nSplits) { i =>
           val s = lo + i.toLong * perSplit
-          SegyInputPartition(file, s, math.min(s + perSplit, fHi))
+          SegyInputPartition(file, s, math.min(s + perSplit, fHi),
+            fi.dataOffset)
         }
       }
     }
@@ -483,7 +490,7 @@ private[sources] class SegyReaderFactory(conf: SerializableConfiguration,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val sp = p.asInstanceOf[SegyInputPartition]
     new SegyPartitionReader(sp.path, conf, nSamples, formatCode, raw, cols,
-      sp.start, sp.end)
+      sp.start, sp.end, sp.dataOffset)
   }
 }
 
@@ -492,7 +499,8 @@ private[sources] class SegyPartitionReader(path: String,
                                            nSamples: Int, formatCode: Int,
                                            raw: Boolean,
                                            cols: Array[SegyColDecode],
-                                           start: Long, end: Long)
+                                           start: Long, end: Long,
+                                           dataOffset: Long)
   extends PartitionReader[InternalRow] {
 
   private val sampleWidth = SegyRead.bytesPerSample(formatCode)
@@ -511,7 +519,7 @@ private[sources] class SegyPartitionReader(path: String,
   locally {
     Option(org.apache.spark.TaskContext.get())
       .foreach(_.addTaskCompletionListener[Unit](_ => close()))
-    in.seek(3600L + start * recordLen)
+    in.seek(dataOffset + start * recordLen)
   }
 
   // read only the bytes the projection needs: header always 240 when any
@@ -532,10 +540,10 @@ private[sources] class SegyPartitionReader(path: String,
       in.readFully(payBuf)
     } else if (needHeader) {
       in.readFully(headBuf)
-      in.seek(3600L + (i + 1) * recordLen)
+      in.seek(dataOffset + (i + 1) * recordLen)
     } else {
       // projection needs at most trace_index: no bytes at all
-      if (i == start) in.seek(3600L + end * recordLen)
+      if (i == start) in.seek(dataOffset + end * recordLen)
     }
     val vals = new Array[Any](cols.length)
     var c = 0

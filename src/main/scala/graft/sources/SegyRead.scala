@@ -312,7 +312,15 @@ object SegyRead {
     * same before planning workers (`segy/file.py:152-186`).
     */
   final case class StandardInfo(
-      base: SegyFileInfo, nSamples: Int, sampleInterval: Int, formatCode: Int)
+      base: SegyFileInfo, nSamples: Int, sampleInterval: Int, formatCode: Int,
+      nExtendedTextHeaders: Int = 0) {
+    /** First trace byte: the fixed 3600 plus one 3200-byte record per
+      * rev-1 extended textual header (bytes 3505-3506 declare the count —
+      * the reference's file info carries the same field,
+      * `num_extended_text_headers` in its golden header dict).
+      */
+    def dataOffset: Long = DataOffset + 3200L * nExtendedTextHeaders
+  }
 
   /** Driver-side [[standardInfo]] call counter — observable evidence for
     * specs that PLANNING paths (directory-table resolution) never fall
@@ -335,18 +343,31 @@ object SegyRead {
     val interval = beShort(17)
     val ns = beShort(21)
     val fmt = beShort(25)
+    // bytes 3505-3506: SIGNED count of 3200-byte extended textual headers
+    // (-1 means "variable, scan for EndText" — rev-2 streams; fail loudly
+    // rather than misalign every trace record)
+    val nExt = beShort(305).toShort.toInt
+    require(nExt >= 0,
+      s"$path declares a variable extended-text-header count ($nExt); " +
+        "EndText-delimited extended headers are not supported — rewrite " +
+        "the file with an explicit count")
     require(ns > 0, s"$path declares $ns samples per trace")
     val recordLen = 240L + ns.toLong * bytesPerSample(fmt)
-    require((size - DataOffset) % recordLen == 0,
-      s"$path data section ${size - DataOffset}B is not a multiple of the " +
-        s"$recordLen-byte standard record (ns=$ns, format=$fmt)")
+    val dataOffset = DataOffset + 3200L * nExt
+    require(size >= dataOffset,
+      s"$path is ${size}B — smaller than its declared headers " +
+        s"(3600 + $nExt x 3200 extended)")
+    require((size - dataOffset) % recordLen == 0,
+      s"$path data section ${size - dataOffset}B is not a multiple of the " +
+        s"$recordLen-byte standard record (ns=$ns, format=$fmt, " +
+        s"extTextHeaders=$nExt)")
     val text = decodeTextHeader(java.util.Arrays.copyOfRange(head, 0, TextHeaderBytes))
     val bin = java.util.Arrays.copyOfRange(head, TextHeaderBytes, DataOffset.toInt)
     val rev = SegyHeaders.decodeRevision(
       ((bin(300) & 0xff) << 8) | (bin(301) & 0xff))
     StandardInfo(
-      SegyFileInfo(size, (size - DataOffset) / recordLen, text, bin, rev),
-      ns, interval, fmt)
+      SegyFileInfo(size, (size - dataOffset) / recordLen, text, bin, rev),
+      ns, interval, fmt, nExt)
   }
 
   /** Read the fixed 3600-byte header block of `path` with `conf`'s file
@@ -400,6 +421,7 @@ object SegyRead {
       new org.apache.hadoop.conf.Configuration(
         spark.sparkContext.hadoopConfiguration))
 
+    val dataOffset = info.dataOffset
     val schema = StructType(
       StructField("trace_index", LongType, nullable = false) +:
         fields.map(f => StructField(f.name, LongType, nullable = false)) :+
@@ -413,7 +435,7 @@ object SegyRead {
         val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(confSer.value)
         val in = fs.open(new org.apache.hadoop.fs.Path(path))
         val close = registerStreamClose(in)
-        in.seek(DataOffset + start * recordLen)
+        in.seek(dataOffset + start * recordLen)
         val buf = new Array[Byte](recordLen.toInt)
         new Iterator[Row] {
           private var i = start

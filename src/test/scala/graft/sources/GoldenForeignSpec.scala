@@ -107,6 +107,51 @@ class GoldenForeignSpec extends SparkSpec {
     }
   }
 
+  test("rev-1 EXTENDED text headers shift the trace section: count parses " +
+      "from bytes 3505-3506 and readers seek past N x 3200") {
+    val ext = "src/test/resources/golden/foreign_rev1_ext.sgy"
+    val info = SegyRead.standardInfo(spark, ext)
+    assert(info.nExtendedTextHeaders == 2)
+    assert(info.dataOffset == 3600L + 2 * 3200L)
+    assert(info.nSamples == 4 && info.formatCode == 5)
+    assert(info.base.nTraces == 10)
+    // DSv2 read: trace values decode from the SHIFTED offset exactly
+    val df = spark.read.format("segy")
+      .option("fields", "inline,crossline").load(ext).orderBy("trace_index")
+    val rows = df.collect()
+    assert(rows.length == 10)
+    for (i <- Seq(0, 3, 9)) {
+      assert(rows(i).getAs[Long]("inline") == 4000L + i)
+      assert(rows(i).getAs[Long]("crossline") == 70L + i)
+      val s = rows(i).getAs[scala.collection.Seq[Float]]("samples")
+      assert(s == (0 until 4).map(j => 100.0f * i + j + 0.25f), s"trace $i: $s")
+    }
+    // headers-only projection (the seek-over-payload path) also lands on
+    // the shifted record boundaries
+    val inls = spark.read.format("segy").option("fields", "inline").load(ext)
+      .select("inline").orderBy("inline").collect().map(_.getLong(0)).toSeq
+    assert(inls == (4000L to 4009L))
+    // function-API reader agrees
+    val fn = SegyRead.readStandardTraces(spark, ext,
+      Seq(SegyRead.StandardFields.Inline))
+    assert(fn.count() == 10)
+    assert(fn.agg(org.apache.spark.sql.functions.sum("inline")).head().getLong(0) ==
+      (4000L to 4009L).sum)
+  }
+
+  test("a NEGATIVE extended-header count (variable/EndText) fails loudly") {
+    // patch the committed ext fixture's count to -1 in a temp copy
+    val src = java.nio.file.Paths.get("src/test/resources/golden/foreign_rev1_ext.sgy")
+    val bytes = java.nio.file.Files.readAllBytes(src)
+    bytes(3504) = 0xff.toByte; bytes(3505) = 0xff.toByte
+    val tmp = java.nio.file.Files.createTempFile("segy_varext", ".sgy")
+    java.nio.file.Files.write(tmp, bytes)
+    val e = intercept[IllegalArgumentException] {
+      SegyRead.standardInfo(spark, tmp.toString)
+    }
+    assert(e.getMessage.contains("variable extended-text-header count"))
+  }
+
   test("n_samples/sample_interval trace fields read UNSIGNED per catalog") {
     val df = spark.read.format("segy")
       .option("fields", "n_samples,sample_interval").load(golden)

@@ -114,6 +114,36 @@ with open(OUT, "wb") as f:
     f.write(records)
 
 print(f"wrote {OUT}: {3600 + len(records)} bytes, 25 traces x {NS} IBM32 samples")
+
+# ------------------------------------------------- extended-header fixture
+# A second foreign file exercising rev-1 EXTENDED textual headers (bytes
+# 3505-3506 declare N additional 3200-byte records before the first
+# trace): format 5 (IEEE32), 2 extended headers, 10 traces x 4 samples.
+OUT_EXT = "src/test/resources/golden/foreign_rev1_ext.sgy"
+NS_E, FMT_E, N_EXT = 4, 5, 2
+bin_e = bytearray(400)
+struct.pack_into(">H", bin_e, 16, 2000)     # sample interval
+struct.pack_into(">H", bin_e, 20, NS_E)     # samples per trace
+struct.pack_into(">H", bin_e, 24, FMT_E)    # format 5 = IEEE float32
+struct.pack_into(">h", bin_e, 304, N_EXT)   # extended text headers (3505-06)
+struct.pack_into(">H", bin_e, 300, 0x0100)  # rev 1.0
+ext_cards = ["C 1 EXTENDED HEADER STANZA %d OF 2 - MUST BE SKIPPED BY READERS" % k
+             for k in (1, 2)]
+with open(OUT_EXT, "wb") as f:
+    f.write(text_hdr)  # reuse the EBCDIC primary header
+    f.write(bin_e)
+    for card in ext_cards:
+        f.write("".join(c.ljust(80)[:80] for c in
+                        [card] + [""] * 39).encode("cp037"))
+    for i in range(10):
+        th = bytearray(240)
+        struct.pack_into(">i", th, 188, 4000 + i)   # inline
+        struct.pack_into(">i", th, 192, 70 + i)     # crossline
+        f.write(th)
+        for j in range(NS_E):
+            f.write(struct.pack(">f", float(100 * i + j) + 0.25))
+print(f"wrote {OUT_EXT}: {3600 + N_EXT * 3200 + 10 * (240 + NS_E * 4)} bytes, "
+      f"{N_EXT} extended headers, 10 traces x {NS_E} IEEE32 samples")
 # quick self-checks of the independent encoder against known constants
 assert ibm32(1.0) == bytes.fromhex("41100000")
 assert ibm32(-1.0) == bytes.fromhex("c1100000")
