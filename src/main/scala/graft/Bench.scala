@@ -14,6 +14,21 @@ import org.apache.spark.sql.SparkSession
   * re-bench); the recorded file is only written for full runs.
   */
 object Bench {
+
+  /** Execute a query's FULL result and return its row count.
+    *
+    * `df.count()` — the action rounds 1–12 timed — lets Catalyst prune
+    * every column the count doesn't need, so a pure-projection query
+    * (q_proj, the trace-conditioning family, decode paths) timed as a
+    * near-no-op: q_trace_agc_long "ran" in 0.12 s while its real work is
+    * ~10¹¹ multiply-adds. Running the query's own optimized plan to
+    * InternalRows (`queryExecution.toRdd`) keeps the projection as the
+    * plan root — nothing above it to prune through — and adds no
+    * shuffle, sink or row conversion, so aggregate/join queries time the
+    * same as before and projection queries finally time their work.
+    */
+  def fullCount(df: org.apache.spark.sql.DataFrame): Long =
+    df.queryExecution.toRdd.count()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -50,7 +65,7 @@ object Bench {
       case (name, fn) =>
         val t0 = System.nanoTime()
         val r =
-          try { val n = fn(spark, sfDir).count(); R((System.nanoTime() - t0) / 1e9, ok = true, n) }
+          try { val n = fullCount(fn(spark, sfDir)); R((System.nanoTime() - t0) / 1e9, ok = true, n) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             R((System.nanoTime() - t0) / 1e9, ok = false, -1L)

@@ -1148,11 +1148,24 @@ object SparkEntry {
     // sum-of-squares exact in BOTH engines regardless of fold order, so
     // the probed gains replay bit-for-bit
     "q_trace_agc_long" -> ((s, d) => {
-      val df = lineitem(s, d).select(
-        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
-        transform(sequence(lit(1L), lit(1000L)),
-          i => ((col("l_orderkey") * i + col("l_linenumber")) % 1000)
-            .cast("double")).as("v"))
+      // samples v[i] = ((ok+1)*i + ln) % 1000 for i=1..1000, built
+      // NATIVELY: arithmetic sequence (codegen) + one elementwise-mod
+      // kernel node — the transform() HOF this replaces was interpreted
+      // per element and cost ~150 s at sf0.1, drowning the operator under
+      // test; ok+1 keeps the sequence step positive (orderkey 0 exists)
+      // the conditioning work is ~240k flops per ROW while the input is
+      // ~16 B per row: a small parquet (one split) would run the whole
+      // compute on one task, so spread the narrow chain first — a 10 MB
+      // round-robin shuffle buys full-cluster parallelism for the kernels
+      // (at real scale the file splits provide this for free)
+      val df = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("ok"), col("ln"),
+        graft.functions.TraceExprs.longModToDouble(
+          sequence(col("ok") + 1L + col("ln"),
+            (col("ok") + 1L) * 1000L + col("ln"),
+            col("ok") + 1L), 1000L).as("v"))
       val g = TraceOps.agc(col("v"), nSamples = 1000, window = 121)
       df.select(col("ok"), col("ln"),
         element_at(g, 1).as("g1"), element_at(g, 2).as("g2"),
@@ -1162,11 +1175,15 @@ object SparkEntry {
     // the CDP stack at 1000 samples: ONE StackAgg buffer per cell instead
     // of 1000 decimal agg columns — probed positions replay exactly
     "q_trace_stack_long" -> ((s, d) => {
-      val df = lineitem(s, d).select(
-        col("l_suppkey").as("cell"),
-        transform(sequence(lit(1L), lit(1000L)),
-          i => ((col("l_orderkey") * i + col("l_linenumber")) % 1000)
-            .cast("double")).as("v"))
+      val df = lineitem(s, d)
+        .select(col("l_suppkey").as("cell"), col("l_orderkey").as("ok"),
+          col("l_linenumber").as("ln"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("cell"),
+          graft.functions.TraceExprs.longModToDouble(
+            sequence(col("ok") + 1L + col("ln"),
+              (col("ok") + 1L) * 1000L + col("ln"),
+              col("ok") + 1L), 1000L).as("v"))
       TraceOps.stack(df, Seq("cell"), "v", nSamples = 1000)
         .select(col("cell"), col("n_traces"),
           element_at(col("stack"), 1).as("s1"),
@@ -2980,7 +2997,7 @@ object SparkEntry {
         s"CASE WHEN ${rms(p)} > 0.0 THEN v[$p] / ${rms(p)} ELSE 0.0 END AS g$p"
       s"""WITH t AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
         |    list_transform(range(1, 1001),
-        |      i -> CAST((l_orderkey * i + l_linenumber) % 1000 AS DOUBLE)) AS v
+        |      i -> CAST(((l_orderkey + 1) * i + l_linenumber) % 1000 AS DOUBLE)) AS v
         |  FROM lineitem)
         |SELECT ok, ln,
         |  ${g(1)}, ${g(2)}, ${g(61)}, ${g(500)}, ${g(940)}, ${g(1000)}
@@ -2990,7 +3007,7 @@ object SparkEntry {
     // — the oracle never builds the array at all
     "q_trace_stack_long" -> {
       def s(p: Int): String =
-        s"CAST(sum(CAST(CAST((l_orderkey * $p + l_linenumber) % 1000 AS DOUBLE) " +
+        s"CAST(sum(CAST(CAST(((l_orderkey + 1) * $p + l_linenumber) % 1000 AS DOUBLE) " +
           s"AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS s$p"
       s"""SELECT l_suppkey AS cell, CAST(count(*) AS BIGINT) AS n_traces,
         |  ${s(1)}, ${s(500)}, ${s(1000)}

@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.trees.UnaryLike
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 
@@ -49,6 +50,17 @@ object TraceExprs {
     ColumnBridge.column(
       StackAgg(ColumnBridge.expression(samples)).toAggregateExpression())
 
+  /** Elementwise `(x % m).toDouble` over an `array<bigint>` — ONE node.
+    * The `transform(arr, x => (x % m).cast(double))` HOF it replaces is
+    * interpreted per ELEMENT (Spark HOFs don't codegen): over a
+    * 1000-sample trace table that lambda dominated the whole query
+    * (~150 s of a 153 s run at sf0.1). Generic modular binning; also the
+    * honest way to build bounded synthetic traces from an arithmetic
+    * `sequence()` without paying an interpreted fold per sample.
+    */
+  def longModToDouble(arr: Column, m: Long): Column =
+    ColumnBridge.column(LongModToDoubleExpr(ColumnBridge.expression(arr), m))
+
   /** Fail-loud element read: a null sample inside a trace is data
     * corruption for the conditioning kernels, not a maskable value.
     */
@@ -59,6 +71,47 @@ object TraceExprs {
         "need dense traces (mask dead traces upstream)")
     VecExprs.elem(a, i, isFloat)
   }
+}
+
+/** See [[TraceExprs.longModToDouble]]. Elements must be non-null longs. */
+final case class LongModToDoubleExpr(child: Expression, m: Long)
+    extends UnaryExpression with Serializable {
+  require(m > 0, s"modulus must be positive, got $m")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "long_mod_to_double"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<bigint>, got $t")
+    }
+
+  def kernel(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"$prettyName: null element at position ${i + 1}")
+      out(i) = (a.getLong(i) % m).toDouble
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("modself", this, classOf[LongModToDoubleExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): LongModToDoubleExpr =
+    copy(child = c)
 }
 
 /** Automatic gain control, one node: out[i] = v[i] / rms(window centered
@@ -99,7 +152,7 @@ final case class AgcExpr(child: Expression, window: Int)
       out(i) = if (rms > 0.0) v(i) / rms else 0.0
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override protected def nullSafeEval(a: Any): Any =
@@ -136,7 +189,7 @@ final case class MuteTopExpr(child: Expression, firstLive: Int)
         else TraceExprs.elemStrict(prettyName, a, i, isFloat)
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override protected def nullSafeEval(a: Any): Any =
@@ -191,7 +244,7 @@ final case class ShiftResampleExpr(left: Expression, right: Expression)
       out(i) = v0 + (v1 - v0) * f
       i += 1
     }
-    new GenericArrayData(out)
+    UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   override protected def nullSafeEval(a: Any, s: Any): Any =
@@ -207,11 +260,32 @@ final case class ShiftResampleExpr(left: Expression, right: Expression)
 }
 
 /** Mutable buffer for [[StackAgg]]: trace count + per-position exact
-  * DECIMAL(·,10) sums. `sums` is null until the first trace fixes the
-  * length.
+  * sums. Two regimes, switched per BUFFER, never per position:
+  *  - `decSums == null` → LONG mode: every value seen so far was
+  *    integer-valued with |x| ≤ 2⁴⁰ and fewer than 4M rows accumulated,
+  *    so the per-position sums are exact signed longs (no allocation,
+  *    no BigDecimal churn — 3 allocations/sample in the all-decimal
+  *    first cut made a 600 M-sample stack spend its time in GC);
+  *  - `decSums != null` → DECIMAL mode: the general exact path at
+  *    scale 10. Promotion (long→decimal) is exact: an integer sum s
+  *    IS the decimal s.0000000000.
+  * Arrays are null until the first trace fixes the length.
   */
-final class StackBuffer(var n: Long, var sums: Array[JBigDecimal])
-    extends Serializable
+final class StackBuffer(var n: Long, var longSums: Array[Long],
+                        var decSums: Array[JBigDecimal])
+    extends Serializable {
+  def length: Int =
+    if (decSums != null) decSums.length
+    else if (longSums != null) longSums.length else -1
+
+  /** Exact long→decimal promotion (no-op in decimal mode). */
+  def promote(): Unit = if (decSums == null) {
+    decSums =
+      if (longSums == null) null
+      else longSums.map(v => JBigDecimal.valueOf(v).setScale(10))
+    longSums = null
+  }
+}
 
 /** The CDP stack as ONE aggregate: traces sharing a group average
   * element-wise. Per-position sums accumulate in BigDecimal at scale 10
@@ -236,20 +310,47 @@ case class StackAgg(child: Expression,
 
   @transient private lazy val isFloat = VecExprs.isFloatArray(child)
 
-  override def createAggregationBuffer(): StackBuffer = new StackBuffer(0L, null)
+  override def createAggregationBuffer(): StackBuffer =
+    new StackBuffer(0L, null, null)
+
+  // LONG-mode acceptance: integer-valued, |x| ≤ 2⁴⁰, and < 4M rows in the
+  // buffer — then every per-position sum stays < 2⁶², overflow-free
+  private val MaxLongAbs = 1L << 40
+  private val MaxLongRows = 4L * 1000 * 1000
 
   override def update(b: StackBuffer, input: InternalRow): StackBuffer = {
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()
-      if (b.sums == null) b.sums = Array.fill(n)(JBigDecimal.ZERO)
-      else require(b.sums.length == n,
-        s"stack: trace lengths differ within a group (${b.sums.length} vs $n)")
+      require(b.length < 0 || b.length == n,
+        s"stack: trace lengths differ within a group (${b.length} vs $n)")
+      if (b.decSums == null) {
+        // still in (or entering) long mode: scan the row for conformance
+        var ok = b.n < MaxLongRows
+        var i = 0
+        while (ok && i < n) {
+          val x = TraceExprs.elemStrict("trace_stack", a, i, isFloat)
+          ok = x == math.rint(x) && math.abs(x) <= MaxLongAbs
+          i += 1
+        }
+        if (ok) {
+          if (b.longSums == null) b.longSums = new Array[Long](n)
+          i = 0
+          while (i < n) {
+            b.longSums(i) += TraceExprs.elemStrict("trace_stack", a, i, isFloat).toLong
+            i += 1
+          }
+          b.n += 1
+          return b
+        }
+        b.promote()
+        if (b.decSums == null) b.decSums = Array.fill(n)(JBigDecimal.ZERO)
+      }
       var i = 0
       while (i < n) {
         val x = TraceExprs.elemStrict("trace_stack", a, i, isFloat)
-        b.sums(i) = b.sums(i).add(
+        b.decSums(i) = b.decSums(i).add(
           JBigDecimal.valueOf(x).setScale(10, RoundingMode.HALF_UP))
         i += 1
       }
@@ -259,36 +360,57 @@ case class StackAgg(child: Expression,
   }
 
   override def merge(b: StackBuffer, o: StackBuffer): StackBuffer = {
-    if (o.sums != null) {
-      if (b.sums == null) { b.sums = o.sums; b.n = o.n; return b }
-      require(b.sums.length == o.sums.length,
-        s"stack: trace lengths differ across partitions (${b.sums.length} vs ${o.sums.length})")
-      var i = 0
-      while (i < b.sums.length) { b.sums(i) = b.sums(i).add(o.sums(i)); i += 1 }
-      b.n += o.n
+    if (o.length < 0) return b
+    if (b.length < 0) {
+      b.longSums = o.longSums; b.decSums = o.decSums; b.n = o.n
+      return b
     }
+    require(b.length == o.length,
+      s"stack: trace lengths differ across partitions (${b.length} vs ${o.length})")
+    if (b.decSums == null && o.decSums == null && b.n + o.n <= MaxLongRows) {
+      var i = 0
+      while (i < b.longSums.length) { b.longSums(i) += o.longSums(i); i += 1 }
+    } else {
+      b.promote(); o.promote()
+      var i = 0
+      while (i < b.decSums.length) {
+        b.decSums(i) = b.decSums(i).add(o.decSums(i)); i += 1
+      }
+    }
+    b.n += o.n
     b
   }
 
   override def eval(b: StackBuffer): Any = {
-    val sums = if (b.sums == null) Array.empty[JBigDecimal] else b.sums
-    val out = new Array[Double](sums.length)
+    val len = math.max(0, b.length)
+    val out = new Array[Double](len)
     var i = 0
-    while (i < sums.length) {
-      // decimal→double via string parse (correctly rounded, the house
-      // pattern) then the double-by-double division of the column plan
-      out(i) = java.lang.Double.parseDouble(sums(i).toPlainString) / b.n.toDouble
+    while (i < len) {
+      // sum→double correctly rounded (long.toDouble == parseDouble of the
+      // decimal's plain string for integer sums), then the double-by-
+      // double division of the column plan
+      val sumD =
+        if (b.decSums != null)
+          java.lang.Double.parseDouble(b.decSums(i).toPlainString)
+        else b.longSums(i).toDouble
+      out(i) = sumD / b.n.toDouble
       i += 1
     }
-    InternalRow(b.n, new GenericArrayData(out))
+    InternalRow(b.n, UnsafeArrayData.fromPrimitiveArray(out))
   }
 
   override def serialize(b: StackBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeLong(b.n)
-    out.writeInt(if (b.sums == null) -1 else b.sums.length)
-    if (b.sums != null) b.sums.foreach(d => out.writeUTF(d.toPlainString))
+    out.writeInt(b.length)
+    if (b.decSums != null) {
+      out.writeByte(1)
+      b.decSums.foreach(d => out.writeUTF(d.toPlainString))
+    } else if (b.longSums != null) {
+      out.writeByte(0)
+      b.longSums.foreach(out.writeLong)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -297,8 +419,10 @@ case class StackAgg(child: Expression,
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val n = in.readLong()
     val len = in.readInt()
-    val sums = if (len < 0) null else Array.fill(len)(new JBigDecimal(in.readUTF()))
-    new StackBuffer(n, sums)
+    if (len < 0) new StackBuffer(n, null, null)
+    else if (in.readByte() == 1)
+      new StackBuffer(n, null, Array.fill(len)(new JBigDecimal(in.readUTF())))
+    else new StackBuffer(n, Array.fill(len)(in.readLong()), null)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): StackAgg =

@@ -91,7 +91,7 @@ object Scale {
       val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
+        val n = graft.Bench.fullCount(fn(spark, sfDir))
         ((System.nanoTime() - t0) / 1e9, n)
       }
       resetPeaks()
