@@ -35,6 +35,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split small files down to ~128 KB so narrow compute-heavy chains
+      // parallelize even over MB-scale fixtures: the default 4 MB
+      // open-cost makes an 11 MB table ~3 splits, serializing per-row
+      // kernels on 2% of the machine (at real scale the files split
+      // naturally; this knob only matters for small inputs)
+      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

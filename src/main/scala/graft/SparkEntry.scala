@@ -1153,11 +1153,12 @@ object SparkEntry {
       // kernel node — the transform() HOF this replaces was interpreted
       // per element and cost ~150 s at sf0.1, drowning the operator under
       // test; ok+1 keeps the sequence step positive (orderkey 0 exists)
-      // the conditioning work is ~240k flops per ROW while the input is
-      // ~16 B per row: a small parquet (one split) would run the whole
-      // compute on one task, so spread the narrow chain first — a 10 MB
-      // round-robin shuffle buys full-cluster parallelism for the kernels
-      // (at real scale the file splits provide this for free)
+      // ~240k flops + 8 KB of output per 16-BYTE input row: repartition
+      // the pruned two-column projection so the kernels use the whole
+      // cluster. The exchange moves ~0.01% of the volume the compute
+      // emits, at any scale — and a single-row-group fixture parquet
+      // otherwise plans every row into ONE task (split configs cannot
+      // divide a row group)
       val df = lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
         .repartition(s.sparkContext.defaultParallelism)
