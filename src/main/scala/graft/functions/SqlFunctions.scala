@@ -100,5 +100,29 @@ object SqlFunctions {
         doubleArg(args(2), "stats_hist", "lo"),
         doubleArg(args(3), "stats_hist", "hi"))
     },
+    // per-trace seismic conditioning (round 13): the native kernels in
+    // [[TraceExprs]], so SQL users condition stored amplitude arrays the
+    // same way the Scala TraceOps API does
+    reg("trace_agc", classOf[AgcExpr]) { args =>
+      require(args.length == 2, "trace_agc(samples, window)")
+      AgcExpr(args.head, intArg(args(1), "trace_agc", "window"))
+    },
+    reg("trace_mute_top", classOf[MuteTopExpr]) { args =>
+      require(args.length == 2, "trace_mute_top(samples, firstLive)")
+      MuteTopExpr(args.head, intArg(args(1), "trace_mute_top", "firstLive"))
+    },
+    reg("trace_shift_resample", classOf[ShiftResampleExpr]) { args =>
+      require(args.length == 2, "trace_shift_resample(samples, shift)")
+      ShiftResampleExpr(args.head, args(1))
+    },
+    reg("trace_stack", classOf[StackAgg]) { args =>
+      require(args.length == 1, "trace_stack(samples)")
+      StackAgg(args.head)
+    },
+    reg("long_mod_to_double", classOf[LongModToDoubleExpr]) { args =>
+      require(args.length == 2, "long_mod_to_double(arr, m)")
+      LongModToDoubleExpr(args.head,
+        intArg(args(1), "long_mod_to_double", "m").toLong)
+    },
   )
 }

@@ -80,6 +80,34 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(viaSql == viaApi && viaSql.nonEmpty)
   }
 
+  test("SQL trace-conditioning kernels equal the Column API") {
+    GraftSparkExtensions.install(spark)
+    Seq((1, Seq(3.0, 0.0, -4.0, 12.0), 0.5), (2, Seq(1.0, 1.0, 1.0, 1.0), 0.25))
+      .toDF("cell", "v", "sh").createOrReplaceTempView("sqlfn_traces")
+    val viaSql = spark.sql(
+      """SELECT cell, trace_agc(v, 3) AS g, trace_mute_top(v, 3) AS m,
+        |  trace_shift_resample(v, sh) AS r
+        |FROM sqlfn_traces""".stripMargin)
+      .as[(Int, Seq[Double], Seq[Double], Seq[Double])].collect().toSet
+    val viaApi = spark.table("sqlfn_traces")
+      .select(col("cell"),
+        graft.operators.TraceOps.agc(col("v"), 4, 3).as("g"),
+        graft.operators.TraceOps.muteTop(col("v"), 4, 3).as("m"),
+        graft.operators.TraceOps.shiftResample(col("v"), 4, col("sh")).as("r"))
+      .as[(Int, Seq[Double], Seq[Double], Seq[Double])].collect().toSet
+    assert(viaSql == viaApi)
+    // the stack aggregate through SQL GROUP BY
+    val stSql = spark.sql(
+      """SELECT s.st.n_traces AS n, s.st.stack AS stack FROM
+        |  (SELECT trace_stack(v) AS st FROM sqlfn_traces) s""".stripMargin)
+      .as[(Long, Seq[Double])].head()
+    assert(stSql._1 == 2L && stSql._2 == Seq(2.0, 0.5, -1.5, 6.5))
+    // the synthetic-trace helper
+    val lm = spark.sql("SELECT long_mod_to_double(sequence(1L, 5L), 3) AS a")
+      .as[Seq[Double]].head()
+    assert(lm == Seq(1.0, 2.0, 0.0, 1.0, 2.0))
+  }
+
   test("shape parameters must be literals (clear error, not silent misuse)") {
     GraftSparkExtensions.install(spark)
     Seq((1L, "abc")).toDF("doc_id", "text").createOrReplaceTempView("sqlfn_e")
