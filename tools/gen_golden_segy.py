@@ -144,6 +144,33 @@ with open(OUT_EXT, "wb") as f:
             f.write(struct.pack(">f", float(100 * i + j) + 0.25))
 print(f"wrote {OUT_EXT}: {3600 + N_EXT * 3200 + 10 * (240 + NS_E * 4)} bytes, "
       f"{N_EXT} extended headers, 10 traces x {NS_E} IEEE32 samples")
+
+# ---------------------------------------------- IBM32 cross-check vectors
+# 1000 seeded-random values exactly representable in BOTH IBM32 and
+# float32 (24-bit normalized mantissa; hex exponent chosen so the value
+# stays a NORMAL float32), written as `float32_bits_hex,ibm32_hex` lines.
+# IbmCrosscheckSpec replays them: the engine's decoder must produce the
+# float bit-pattern and its encoder must reproduce the IBM word - both
+# against THIS independent encoder, not the engine's own inverse.
+import random
+import struct as _st
+
+OUT_CSV = "src/test/resources/golden/ibm32_crosscheck.csv"
+rng = random.Random(0x1B3C)
+lines = []
+for _ in range(1000):
+    e = rng.randint(-25, 30)          # value in [2^-104, 2^120): normal f32
+    mant = rng.randint(1 << 20, (1 << 24) - 1)  # normalized: top hex nonzero
+    sign = rng.choice([1.0, -1.0])
+    val = sign * mant * (16.0 ** e) / float(1 << 24)
+    f32 = _st.unpack(">f", _st.pack(">f", val))[0]
+    assert f32 == val, (mant, e)      # exactly representable in float32
+    ibm = ibm32(val)
+    fbits = _st.pack(">f", val).hex()
+    lines.append(f"{fbits},{ibm.hex()}")
+with open(OUT_CSV, "w") as f:
+    f.write("\n".join(lines) + "\n")
+print(f"wrote {OUT_CSV}: {len(lines)} cross-check vectors")
 # quick self-checks of the independent encoder against known constants
 assert ibm32(1.0) == bytes.fromhex("41100000")
 assert ibm32(-1.0) == bytes.fromhex("c1100000")
