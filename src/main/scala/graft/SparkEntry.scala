@@ -970,6 +970,32 @@ object SparkEntry {
     }),
     // --- S1/S2/P7: source scans -----------------------------------------
     "q_file_info" -> ((s, d) => graft.sources.Sources.fileInfo(s, d, "lineitem")),
+    // the NAMED binary-header surface (the reference's binary_header
+    // dict, teapot-golden-pinned in BinaryHeaderSpec): export writes the
+    // standard header, the reader decodes every catalog field from the
+    // bytes — n_traces ties the row to the data, the named fields to the
+    // writer's declared geometry
+    "q_bin_header" -> ((s, d) => {
+      import graft.sources.SegyRead
+      val f = graft.core.TempDirs.scratch("bin_header") + "/h.sgy"
+      lineitem(s, d).select(
+          col("l_orderkey").cast("int").as("inline"),
+          col("l_linenumber").cast("int").as("crossline"),
+          array(col("l_partkey").cast("float"),
+            col("l_suppkey").cast("float")).as("samples"))
+        .write.format("segy").option("fields", "inline,crossline")
+        .option("formatCode", "5").option("sampleInterval", "3000")
+        .mode("overwrite").save(f)
+      val info = SegyRead.standardInfo(s, f)
+      val m = SegyRead.decodeBinaryHeader(info.base.binaryHeader).toMap
+      import s.implicits._
+      Seq((info.base.nTraces, m("sample_interval"), m("samples_per_trace"),
+        m("data_sample_format"), m("segy_revision_major"),
+        m("segy_revision_minor"), m("fixed_length_trace_flag"),
+        m("num_extended_text_headers")))
+        .toDF("n_traces", "sample_interval", "samples_per_trace",
+          "data_sample_format", "rev_major", "rev_minor", "fixed_flag", "n_ext")
+    }),
     // REAL SEG-Y bytes end to end: a deterministic lineitem projection is
     // exported as an actual byte-stream file (EBCDIC text header, 400B
     // binary header, fixed-length big-endian records) and re-ingested with
@@ -2880,6 +2906,14 @@ object SparkEntry {
         |QUALIFY rank <= 10""".stripMargin,
     "q_file_info" ->
       """SELECT count(*) AS n_traces, 11 AS n_fields, 'lineitem' AS table_name
+        |FROM lineitem""".stripMargin,
+    // writer declares (ns=2, interval=3000, fmt=5, rev 1.0, no extended
+    // headers); the reader must recover exactly those from the bytes,
+    // and n_traces from the file length
+    "q_bin_header" ->
+      """SELECT count(*) AS n_traces, 3000 AS sample_interval,
+        |  2 AS samples_per_trace, 5 AS data_sample_format,
+        |  1 AS rev_major, 0 AS rev_minor, 0 AS fixed_flag, 0 AS n_ext
         |FROM lineitem""".stripMargin,
     // byte-path identity: the reader must hand back exactly the projection
     // the writer serialized

@@ -386,6 +386,55 @@ object SegyRead {
     head
   }
 
+  /** The rev-1 binary-header FIELD CATALOG: (name, 1-based byte offset
+    * within the 400-byte header, width). Names follow the reference's
+    * binary-header dict (its teapot golden names them exactly —
+    * `tests/integration/test_segy_roundtrip_teapot.py:100-134`); offsets
+    * are the public SEG-Y rev-1 layout. Count-like fields decode
+    * UNSIGNED (a 40k-sample trace must not read negative), code fields
+    * signed.
+    */
+  val BinaryFieldCatalog: Seq[(String, Int, Int, Boolean)] = Seq(
+    ("job_id", 1, 4, false), ("line_num", 5, 4, false), ("reel_num", 9, 4, false),
+    ("data_traces_per_ensemble", 13, 2, true),
+    ("aux_traces_per_ensemble", 15, 2, true),
+    ("sample_interval", 17, 2, true), ("orig_sample_interval", 19, 2, true),
+    ("samples_per_trace", 21, 2, true), ("orig_samples_per_trace", 23, 2, true),
+    ("data_sample_format", 25, 2, false), ("ensemble_fold", 27, 2, true),
+    ("trace_sorting_code", 29, 2, false), ("vertical_sum_code", 31, 2, false),
+    ("sweep_freq_start", 33, 2, false), ("sweep_freq_end", 35, 2, false),
+    ("sweep_length", 37, 2, false), ("sweep_type_code", 39, 2, false),
+    ("sweep_trace_num", 41, 2, false), ("sweep_taper_start", 43, 2, false),
+    ("sweep_taper_end", 45, 2, false), ("taper_type_code", 47, 2, false),
+    ("correlated_data_code", 49, 2, false), ("binary_gain_code", 51, 2, false),
+    ("amp_recovery_code", 53, 2, false), ("measurement_system_code", 55, 2, false),
+    ("impulse_polarity_code", 57, 2, false), ("vibratory_polarity_code", 59, 2, false),
+    ("fixed_length_trace_flag", 303, 2, false),
+    ("num_extended_text_headers", 305, 2, false))
+
+  /** Decode the full named rev-1 binary header (the reference's
+    * `binary_header` dict shape): every catalog field plus the revision
+    * split into `segy_revision_major` / `segy_revision_minor`. Order
+    * follows the byte layout.
+    */
+  def decodeBinaryHeader(bin: Array[Byte]): Seq[(String, Int)] = {
+    require(bin.length == BinaryHeaderBytes,
+      s"binary header must be $BinaryHeaderBytes bytes, got ${bin.length}")
+    def beAt(off0: Int, w: Int, unsigned: Boolean): Int = {
+      var v = 0
+      var i = 0
+      while (i < w) { v = (v << 8) | (bin(off0 + i) & 0xff); i += 1 }
+      if (!unsigned && w == 2) v.toShort.toInt else v
+    }
+    val fields = BinaryFieldCatalog.map { case (name, off1, w, uns) =>
+      name -> beAt(off1 - 1, w, uns)
+    }
+    val (major, minor) = graft.`export`.SegyHeaders.decodeRevision(
+      ((bin(300) & 0xff) << 8) | (bin(301) & 0xff))
+    val (pre, post) = fields.span(_._1 != "fixed_length_trace_flag")
+    pre ++ Seq("segy_revision_major" -> major, "segy_revision_minor" -> minor) ++ post
+  }
+
   def standardInfo(spark: SparkSession, path: String): StandardInfo = {
     driverHeaderReads.incrementAndGet()
     val conf = spark.sparkContext.hadoopConfiguration
