@@ -147,7 +147,9 @@ class TraceOpsFuzzSpec extends SparkSpec {
   test("moveoutScan picks the brute-force argmax on 30 random gathers") {
     val gen = for {
       nCells <- Gen.chooseNum(1, 3)
-      n <- Gen.chooseNum(2, 4)
+      n <- Gen.oneOf(2, 3, 4, 48) // include a longer-trace gather: the
+                                  // kernelized shift→stack→dot chain
+                                  // must argmax identically at length 48
       rows <- Gen.listOfN(10, for {
         c <- Gen.chooseNum(1, nCells)
         off <- Gen.chooseNum(0, 3)
