@@ -1199,6 +1199,25 @@ object SparkEntry {
         element_at(g, 61).as("g61"), element_at(g, 500).as("g500"),
         element_at(g, 940).as("g940"), element_at(g, 1000).as("g1000"))
     }),
+    // 5-tap binomial FIR smoother at the 1000-sample trace length:
+    // integer taps x integer samples keep every tap-sum exact, probes at
+    // the edges (zero-padded reads) and interior replay bit-for-bit
+    "q_trace_fir_long" -> ((s, d) => {
+      val df = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("ok"), col("ln"),
+          graft.functions.TraceExprs.longModToDouble(
+            sequence(col("ok") + 1L + col("ln"),
+              (col("ok") + 1L) * 1000L + col("ln"),
+              col("ok") + 1L), 1000L).as("v"))
+      val f = TraceOps.firFilter(col("v"), nSamples = 1000,
+        coeffs = Seq(1.0, 4.0, 6.0, 4.0, 1.0), center = 2)
+      df.select(col("ok"), col("ln"),
+        element_at(f, 1).as("f1"), element_at(f, 2).as("f2"),
+        element_at(f, 500).as("f500"), element_at(f, 999).as("f999"),
+        element_at(f, 1000).as("f1000"))
+    }),
     // the CDP stack at 1000 samples: ONE StackAgg buffer per cell instead
     // of 1000 decimal agg columns — probed positions replay exactly
     "q_trace_stack_long" -> ((s, d) => {
@@ -3036,6 +3055,25 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT ok, ln,
         |  ${g(1)}, ${g(2)}, ${g(61)}, ${g(500)}, ${g(940)}, ${g(1000)}
+        |FROM t""".stripMargin
+    },
+    // 5-tap binomial FIR at 1000 samples, probed: per-probe spelled
+    // tap-sum (out-of-range taps as literal 0.0 products — DuckDB's
+    // negative list index reads from the END, so v[p-2] must never be
+    // emitted for p <= 2); integer taps x integer samples are exact in
+    // any fold order
+    "q_trace_fir_long" -> {
+      val taps = Seq(1.0 -> -2, 4.0 -> -1, 6.0 -> 0, 4.0 -> 1, 1.0 -> 2)
+      def f(p: Int): String =
+        taps.map { case (c, o) =>
+          val j = p + o
+          if (j >= 1 && j <= 1000) s"$c * v[$j]" else s"$c * 0.0"
+        }.mkString(" + ") + s" AS f$p"
+      s"""WITH t AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    list_transform(range(1, 1001),
+        |      i -> CAST(((l_orderkey + 1) * i + l_linenumber) % 1000 AS DOUBLE)) AS v
+        |  FROM lineitem)
+        |SELECT ok, ln, ${f(1)}, ${f(2)}, ${f(500)}, ${f(999)}, ${f(1000)}
         |FROM t""".stripMargin
     },
     // 1000-sample stack probed at 1/500/1000: per-probe exact decimal sum

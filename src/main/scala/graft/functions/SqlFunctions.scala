@@ -119,6 +119,16 @@ object SqlFunctions {
       require(args.length == 1, "trace_stack(samples)")
       StackAgg(args.head)
     },
+    reg("trace_fir", classOf[FirFilterExpr]) { args =>
+      require(args.length == 3, "trace_fir(samples, array(taps...), center)")
+      val taps = args(1) match {
+        case org.apache.spark.sql.catalyst.expressions.CreateArray(cs, _) =>
+          cs.map(c => doubleArg(c, "trace_fir", "tap")).toArray
+        case other => throw new IllegalArgumentException(
+          s"trace_fir: taps must be an array(...) of numeric literals, got $other")
+      }
+      FirFilterExpr(args.head, taps, intArg(args(2), "trace_fir", "center"))
+    },
     reg("long_mod_to_double", classOf[LongModToDoubleExpr]) { args =>
       require(args.length == 2, "long_mod_to_double(arr, m)")
       LongModToDoubleExpr(args.head,

@@ -39,6 +39,10 @@ object TraceExprs {
   def muteTop(samples: Column, firstLive: Int): Column =
     ColumnBridge.column(MuteTopExpr(ColumnBridge.expression(samples), firstLive))
 
+  def firFilter(samples: Column, coeffs: Seq[Double], center: Int): Column =
+    ColumnBridge.column(FirFilterExpr(
+      ColumnBridge.expression(samples), coeffs.toArray, center))
+
   def shiftResample(samples: Column, shift: Column): Column =
     ColumnBridge.column(ShiftResampleExpr(
       ColumnBridge.expression(samples), ColumnBridge.expression(shift)))
@@ -164,6 +168,64 @@ final case class AgcExpr(child: Expression, window: Int)
   }
 
   override protected def withNewChildInternal(c: Expression): AgcExpr =
+    copy(child = c)
+}
+
+/** Time-domain FIR convolution, one node: out[i] = Σ_k coeffs(k) ·
+  * v(i + k − center) with reads beyond the trace as 0 (the mute
+  * convention) — the wavelet smoothing/sharpening primitive (boxcar,
+  * binomial, Ricker-like taps). The tap fold runs LEFT-TO-RIGHT in k,
+  * so integer-valued fixtures replay exactly in any engine. Taps are a
+  * plan-time constant (a filter is survey metadata, not data).
+  */
+final case class FirFilterExpr(child: Expression, coeffs: Array[Double],
+                               center: Int)
+    extends UnaryExpression with Serializable {
+  require(coeffs.nonEmpty, "FIR filter needs at least one tap")
+  require(center >= 0 && center < coeffs.length,
+    s"center must index the taps (0..${coeffs.length - 1}), got $center")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "trace_fir"
+
+  @transient private lazy val isFloat = VecExprs.isFloatArray(child)
+
+  def kernel(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      v(i) = TraceExprs.elemStrict(prettyName, a, i, isFloat); i += 1
+    }
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      var acc = 0.0
+      var k = 0
+      while (k < coeffs.length) {
+        val j = i + k - center
+        // ALWAYS add the product (with a 0.0 read beyond the trace):
+        // skipping instead would diverge from the oracle's
+        // `c·coalesce(v,0)` in the SIGN of zero (acc + c·0 can flip
+        // -0.0 → +0.0), and the hash compare distinguishes those
+        acc += coeffs(k) * (if (j >= 0 && j < n) v(j) else 0.0)
+        k += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    kernel(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("firself", this, classOf[FirFilterExpr].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.kernel($a);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): FirFilterExpr =
     copy(child = c)
 }
 

@@ -43,6 +43,19 @@ object TraceOps {
     graft.functions.TraceExprs.muteTop(samples, firstLive)
   }
 
+  /** Time-domain FIR filter — the wavelet-conditioning primitive
+    * (binomial/boxcar smoothers, Ricker-like sharpeners): each output
+    * sample is the tap-weighted sum of its neighborhood, reads beyond
+    * the trace as 0 (the mute convention). `center` is the 0-based tap
+    * aligned with the output position. One kernel node at any length;
+    * tap fold is left-to-right, oracle-replayable.
+    */
+  def firFilter(samples: Column, nSamples: Int, coeffs: Seq[Double],
+                center: Int): Column = {
+    require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+    graft.functions.TraceExprs.firFilter(samples, coeffs, center)
+  }
+
   /** Fractional static shift — the statics/NMO primitive: the trace is
     * resampled at positions `i + shift` (1-based, `shift` in samples, may
     * be fractional and per-trace) by LINEAR interpolation; positions

@@ -106,6 +106,12 @@ class SqlFunctionsSpec extends SparkSpec {
     val lm = spark.sql("SELECT long_mod_to_double(sequence(1L, 5L), 3) AS a")
       .as[Seq[Double]].head()
     assert(lm == Seq(1.0, 2.0, 0.0, 1.0, 2.0))
+    // FIR through SQL: 3-tap centered smoother, zero-padded edges
+    val fir = spark.sql(
+      "SELECT trace_fir(array(1.0D, 2.0D, 3.0D, 4.0D), array(1.0D, 2.0D, 1.0D), 1) AS f")
+      .as[Seq[Double]].head()
+    assert(fir == Seq(1 * 0.0 + 2 * 1.0 + 1 * 2.0, 1 * 1.0 + 2 * 2.0 + 1 * 3.0,
+      1 * 2.0 + 2 * 3.0 + 1 * 4.0, 1 * 3.0 + 2 * 4.0 + 1 * 0.0))
   }
 
   test("shape parameters must be literals (clear error, not silent misuse)") {

@@ -144,6 +144,32 @@ class TraceOpsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("FIR filter is bit-identical to the scala reference on 120 traces " +
+      "(random taps/centers, short + long)") {
+    def firRef(v: Seq[Double], c: Seq[Double], center: Int): Seq[Double] =
+      v.indices.map { i =>
+        var acc = 0.0
+        c.indices.foreach { k =>
+          val j = i + k - center
+          acc += c(k) * (if (j >= 0 && j < v.length) v(j) else 0.0)
+        }
+        acc
+      }
+    val gen = for {
+      nv <- Gen.oneOf(Gen.chooseNum(1, 9), Gen.chooseNum(900, 1100))
+      v <- Gen.listOfN(nv, valGen)
+      nt <- Gen.chooseNum(1, 7)
+      c <- Gen.listOfN(nt, Gen.chooseNum(-16, 16).map(_ / 4.0))
+      ctr <- Gen.chooseNum(0, nt - 1)
+    } yield (v, c, ctr)
+    samples(gen, 120, seed0 = 0xF17).zipWithIndex.foreach { case ((v, c, ctr), i) =>
+      val got = Seq(Tuple1(v)).toDF("v")
+        .select(TraceOps.firFilter(col("v"), v.length, c, ctr).as("o"))
+        .as[Seq[Double]].head()
+      assert(got == firRef(v, c, ctr), s"case $i: n=${v.length} taps=$c ctr=$ctr")
+    }
+  }
+
   test("moveoutScan picks the brute-force argmax on 30 random gathers") {
     val gen = for {
       nCells <- Gen.chooseNum(1, 3)
