@@ -1236,6 +1236,59 @@ object SparkEntry {
           element_at(col("stack"), 500).as("s500"),
           element_at(col("stack"), 1000).as("s1000"))
     }),
+    // fractional static shift at the REAL trace length (1000 samples) —
+    // the last-but-one §2.6 member to get a realistic-shape oracle row:
+    // per-trace dyadic shifts up to 7.875 SAMPLES (integer + fractional
+    // part, unlike the 3-sample row's sub-sample shifts), probed at both
+    // edges, the interior, and the zero-fill tail the big shifts expose
+    "q_trace_shift_long" -> ((s, d) => {
+      val df = lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("ok"), col("ln"),
+          graft.functions.TraceExprs.longModToDouble(
+            sequence(col("ok") + 1L + col("ln"),
+              (col("ok") + 1L) * 1000L + col("ln"),
+              col("ok") + 1L), 1000L).as("v"),
+          // k/8 (k = 0..63): dyadic, so floor/frac/lerp replay exactly
+          ((col("ok") % 64).cast("double") / 8.0).as("sh"))
+      val r = TraceOps.shiftResample(col("v"), nSamples = 1000, col("sh"))
+      df.select(col("ok"), col("ln"), col("sh"),
+        element_at(r, 1).as("r1"), element_at(r, 2).as("r2"),
+        element_at(r, 500).as("r500"), element_at(r, 993).as("r993"),
+        element_at(r, 1000).as("r1000"))
+    }),
+    // the moveout scan at the REAL shape: 1000-sample traces, 16 dyadic
+    // candidates, ~60-trace gathers — the deepest kernel COMPOSITION
+    // (ShiftResampleExpr × offset → StackAgg → windowed argmax) finally
+    // hash-checked at the length its users run it. Samples are multiples
+    // of 8 so every eighth-sample lerp lands on an INTEGER — StackAgg
+    // stays in its exact long mode (600 M decimal adds at sf0.1
+    // otherwise) and the probed stack means replay bit-for-bit. The raw
+    // `energy` double (a 1000-term float fold, order-sensitive across
+    // engines) is intentionally NOT in the output — the 3-sample row
+    // q_moveout_scan hash-checks it exactly; here the argmax it drives
+    // (best_shift) plus the winning stacked trace are the checked facts
+    "q_moveout_scan_long" -> ((s, d) => {
+      val cands = (0 until 16).map(_ / 8.0) // 0, 0.125, …, 1.875 samples
+      val df = lineitem(s, d)
+        .where(col("l_orderkey") % 16 === 0)
+        .select((col("l_suppkey") % 64).as("cell"),
+          (col("l_linenumber") - 1).cast("double").as("off"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("cell"), col("off"),
+          graft.functions.TraceExprs.longModToDouble(
+            sequence((col("ok") + 1L + col("ln")) * 8L,
+              ((col("ok") + 1L) * 1000L + col("ln")) * 8L,
+              (col("ok") + 1L) * 8L), 8000L).as("v"))
+      TraceOps.moveoutScan(df, Seq("cell"), "v", nSamples = 1000,
+        offsetCol = "off", candidates = cands, emitStack = true)
+        .select(col("cell"), col("best_shift"), col("n_traces"),
+          element_at(col("stack"), 1).as("s1"),
+          element_at(col("stack"), 500).as("s500"),
+          element_at(col("stack"), 1000).as("s1000"))
+    }),
     // format 5 (IEEE float32) end to end through the symmetric DSv2
     // surface — completes the oracle-gated sample-format matrix
     // (1 std/ibm, 2/8 fmt28, 3 fmt3, 6 fmt6, 5 here)
@@ -3085,6 +3138,64 @@ object SparkEntry {
       s"""SELECT l_suppkey AS cell, CAST(count(*) AS BIGINT) AS n_traces,
         |  ${s(1)}, ${s(500)}, ${s(1000)}
         |FROM lineitem GROUP BY 1""".stripMargin
+    },
+    // 1000-sample shift, dyadic eighth-sample shifts up to 7.875: the
+    // generic floor/frac lerp (same operation order as the kernel), list
+    // reads beyond the trace coalesce to the 0 mute convention
+    "q_trace_shift_long" -> {
+      def r(p: Int): String = {
+        val i0 = s"CAST(floor($p + sh) AS BIGINT)"
+        s"""(coalesce(v[$i0], 0.0)
+           |    + (coalesce(v[$i0 + 1], 0.0) - coalesce(v[$i0], 0.0))
+           |      * ($p + sh - floor($p + sh))) AS r$p""".stripMargin
+      }
+      s"""WITH t AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    list_transform(range(1, 1001),
+        |      i -> CAST(((l_orderkey + 1) * i + l_linenumber) % 1000 AS DOUBLE)) AS v,
+        |    CAST(l_orderkey % 64 AS DOUBLE) / 8.0 AS sh
+        |  FROM lineitem)
+        |SELECT ok, ln, sh,
+        |  ${r(1)}, ${r(2)}, ${r(500)}, ${r(993)}, ${r(1000)}
+        |FROM t""".stripMargin
+    },
+    // the full-shape moveout scan replayed: shifted lists unnest with
+    // position, per-position DECIMAL-exact stack means, energy only
+    // drives the argmax (it is not an output column — a 1000-term double
+    // fold is order-sensitive across engines; the 3-sample row
+    // q_moveout_scan hash-checks energy itself)
+    "q_moveout_scan_long" -> {
+      val candList = (0 until 16).map(_ / 8.0).mkString(", ")
+      val lerp =
+        """coalesce(v[CAST(floor(p + sh) AS BIGINT)], 0.0)
+          |      + (coalesce(v[CAST(floor(p + sh) AS BIGINT) + 1], 0.0)
+          |         - coalesce(v[CAST(floor(p + sh) AS BIGINT)], 0.0))
+          |        * (p + sh - floor(p + sh))""".stripMargin
+      s"""WITH t AS (SELECT l_suppkey % 64 AS cell,
+        |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
+        |    list_transform(range(1, 1001),
+        |      i -> CAST(((l_orderkey + 1) * i + l_linenumber) % 1000 * 8 AS DOUBLE)) AS v
+        |  FROM lineitem WHERE l_orderkey % 16 = 0),
+        |c AS (SELECT CAST(unnest([$candList]) AS DOUBLE) AS s),
+        |x AS (SELECT cell, s, v, s * off AS sh FROM t, c),
+        |u AS (SELECT cell, s,
+        |    unnest(range(1, 1001)) AS p,
+        |    unnest(list_transform(range(1, 1001), p ->
+        |      $lerp)) AS rv
+        |  FROM x),
+        |stk AS (SELECT cell, s, p,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(rv AS DECIMAL(28,10))) AS DOUBLE) / count(*) AS e
+        |  FROM u GROUP BY 1, 2, 3),
+        |nrg AS (SELECT cell, s, max(n) AS n_traces,
+        |    sum(e * e) AS energy,
+        |    max(CASE WHEN p = 1 THEN e END) AS s1,
+        |    max(CASE WHEN p = 500 THEN e END) AS s500,
+        |    max(CASE WHEN p = 1000 THEN e END) AS s1000
+        |  FROM stk GROUP BY 1, 2),
+        |win AS (SELECT *, row_number() OVER (PARTITION BY cell
+        |    ORDER BY energy DESC, s) AS rn FROM nrg)
+        |SELECT cell, s AS best_shift, n_traces, s1, s500, s1000
+        |FROM win WHERE rn = 1""".stripMargin
     },
     // the directory union covers exactly the parity-split whole
     "q_segy_dir_roundtrip" ->

@@ -123,7 +123,7 @@ object SqlFunctions {
       require(args.length == 3, "trace_fir(samples, array(taps...), center)")
       val taps = args(1) match {
         case org.apache.spark.sql.catalyst.expressions.CreateArray(cs, _) =>
-          cs.map(c => doubleArg(c, "trace_fir", "tap")).toArray
+          cs.map(c => doubleArg(c, "trace_fir", "tap")).toIndexedSeq
         case other => throw new IllegalArgumentException(
           s"trace_fir: taps must be an array(...) of numeric literals, got $other")
       }

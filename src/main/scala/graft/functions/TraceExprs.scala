@@ -41,7 +41,7 @@ object TraceExprs {
 
   def firFilter(samples: Column, coeffs: Seq[Double], center: Int): Column =
     ColumnBridge.column(FirFilterExpr(
-      ColumnBridge.expression(samples), coeffs.toArray, center))
+      ColumnBridge.expression(samples), coeffs.toIndexedSeq, center))
 
   def shiftResample(samples: Column, shift: Column): Column =
     ColumnBridge.column(ShiftResampleExpr(
@@ -64,6 +64,21 @@ object TraceExprs {
     */
   def longModToDouble(arr: Column, m: Long): Column =
     ColumnBridge.column(LongModToDoubleExpr(ColumnBridge.expression(arr), m))
+
+  /** Analysis-time type gate shared by the conditioning kernels: the
+    * samples child must be `array<float|double>`. Without this the
+    * wrong-typed input only failed at EXECUTION time inside
+    * [[VecExprs.isFloatArray]] — inconsistent with
+    * [[LongModToDoubleExpr]]/[[ShiftResampleExpr]], which checked.
+    */
+  private[functions] def checkSamplesType(
+      prettyName: String, samples: Expression): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    samples.dataType match {
+      case ArrayType(FloatType | DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName needs array<float|double> samples, got $t")
+    }
 
   /** Fail-loud element read: a null sample inside a trace is data
     * corruption for the conditioning kernels, not a maskable value.
@@ -134,6 +149,9 @@ final case class AgcExpr(child: Expression, window: Int)
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "trace_agc"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TraceExprs.checkSamplesType(prettyName, child)
+
   @transient private lazy val isFloat = VecExprs.isFloatArray(child)
 
   def kernel(a: ArrayData): ArrayData = {
@@ -178,7 +196,7 @@ final case class AgcExpr(child: Expression, window: Int)
   * so integer-valued fixtures replay exactly in any engine. Taps are a
   * plan-time constant (a filter is survey metadata, not data).
   */
-final case class FirFilterExpr(child: Expression, coeffs: Array[Double],
+final case class FirFilterExpr(child: Expression, coeffs: IndexedSeq[Double],
                                center: Int)
     extends UnaryExpression with Serializable {
   require(coeffs.nonEmpty, "FIR filter needs at least one tap")
@@ -188,7 +206,15 @@ final case class FirFilterExpr(child: Expression, coeffs: Array[Double],
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "trace_fir"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TraceExprs.checkSamplesType(prettyName, child)
+
   @transient private lazy val isFloat = VecExprs.isFloatArray(child)
+  // taps as Seq in the CASE-CLASS FIELD so equals/hashCode are structural
+  // (an Array field compares by reference identity, defeating Catalyst
+  // canonicalization/subexpression elimination); one Array conversion
+  // here keeps the hot loop on primitive indexing
+  @transient private lazy val taps: Array[Double] = coeffs.toArray
 
   def kernel(a: ArrayData): ArrayData = {
     val n = a.numElements()
@@ -202,13 +228,13 @@ final case class FirFilterExpr(child: Expression, coeffs: Array[Double],
     while (i < n) {
       var acc = 0.0
       var k = 0
-      while (k < coeffs.length) {
+      while (k < taps.length) {
         val j = i + k - center
         // ALWAYS add the product (with a 0.0 read beyond the trace):
         // skipping instead would diverge from the oracle's
         // `c·coalesce(v,0)` in the SIGN of zero (acc + c·0 can flip
         // -0.0 → +0.0), and the hash compare distinguishes those
-        acc += coeffs(k) * (if (j >= 0 && j < n) v(j) else 0.0)
+        acc += taps(k) * (if (j >= 0 && j < n) v(j) else 0.0)
         k += 1
       }
       out(i) = acc
@@ -238,6 +264,9 @@ final case class MuteTopExpr(child: Expression, firstLive: Int)
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "trace_mute_top"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TraceExprs.checkSamplesType(prettyName, child)
 
   @transient private lazy val isFloat = VecExprs.isFloatArray(child)
 
@@ -280,12 +309,15 @@ final case class ShiftResampleExpr(left: Expression, right: Expression)
 
   @transient private lazy val isFloat = VecExprs.isFloatArray(left)
 
-  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    right.dataType match {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val samplesCheck = TraceExprs.checkSamplesType(prettyName, left)
+    if (samplesCheck.isFailure) samplesCheck
+    else right.dataType match {
       case DoubleType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         s"$prettyName shift must be double, got $t")
     }
+  }
 
   def kernel(a: ArrayData, shift: Double): ArrayData = {
     val n = a.numElements()
@@ -369,6 +401,9 @@ case class StackAgg(child: Expression,
     StructField("n_traces", LongType, nullable = false),
     StructField("stack", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TraceExprs.checkSamplesType("trace_stack", child)
 
   @transient private lazy val isFloat = VecExprs.isFloatArray(child)
 

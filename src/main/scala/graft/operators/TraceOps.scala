@@ -82,10 +82,16 @@ object TraceOps {
     * Scale: candidates explode the trace table ×|candidates| (a plan-time
     * constant), then the one stack shuffle; the argmax window partitions
     * by cell (bounded by |candidates| rows per cell).
+    *
+    * `emitStack = true` appends the WINNING candidate's stacked trace as
+    * a `stack` column (array<double>, length `nSamples`) — the flattened
+    * stack users actually carry forward after the velocity pick; it rides
+    * the same argmax row, no extra pass.
     */
   def moveoutScan(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
                   samplesCol: String, nSamples: Int, offsetCol: String,
-                  candidates: Seq[Double]): org.apache.spark.sql.DataFrame = {
+                  candidates: Seq[Double],
+                  emitStack: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(candidates.nonEmpty, "moveoutScan needs at least one candidate")
     val cand = explode(array(candidates.map(lit): _*)).as("_cand")
     val shifted = df.select((keys.map(col) :+ col(samplesCol) :+
@@ -99,11 +105,12 @@ object TraceOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("_energy").desc, col("_cand"))
+    val base = keys.map(col) :+ col("_cand").as("best_shift") :+
+      col("n_traces") :+ col("_energy").as("energy")
     stacked.withColumn("_energy", energy)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1)
-      .select((keys.map(col) :+ col("_cand").as("best_shift") :+
-        col("n_traces") :+ col("_energy").as("energy")): _*)
+      .select((if (emitStack) base :+ col("stack") else base): _*)
   }
 
   /** CDP stack — THE seismic reduce: traces sharing a cell average

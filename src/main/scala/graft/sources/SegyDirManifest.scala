@@ -1,6 +1,5 @@
 package graft.sources
 
-import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
@@ -39,15 +38,32 @@ object SegyDirManifest {
   private final case class Entry(signature: Seq[Member],
                                  infos: Seq[(String, SegyRead.StandardInfo)])
 
-  private val cache = new ConcurrentHashMap[String, Entry]()
+  /** Access-ordered LRU keyed by directory, bounded by TOTAL cached member
+    * rows (~3.7 KB each) across directories — a service that opens
+    * hundreds of surveys no longer accumulates manifests forever. Guarded
+    * by its own monitor: planning is a driver-side, low-contention path.
+    */
+  private val cache =
+    new java.util.LinkedHashMap[String, Entry](16, 0.75f, /*accessOrder=*/ true)
 
   // -------- observability (asserted by SegyDirPlanningSpec) --------
   /** Completed gathers (cache misses that rebuilt). */
   val builds = new AtomicLong(0L)
   /** Signature-matched cache hits (re-opens that cost only the listing). */
   val hits = new AtomicLong(0L)
+  /** Directories dropped by the LRU bound. */
+  val evictions = new AtomicLong(0L)
   /** How the LAST build gathered: "distributed" (Spark job) | "pooled". */
   @volatile var lastBuildMode: String = ""
+
+  /** Total member rows the manifest LRU may retain across directories
+    * (`graft.segy.planning.manifestCacheMembers`, default 20k ≈ 74 MB).
+    * The most recent directory is always kept, even if it alone exceeds
+    * the budget — planning correctness never depends on the cache.
+    */
+  def cacheMemberBudget(spark: SparkSession): Int =
+    spark.conf.getOption("graft.segy.planning.manifestCacheMembers")
+      .map(_.toInt).getOrElse(20000)
 
   /** Member count at and above which the gather runs as a Spark job
     * instead of a driver thread pool (`graft.segy.planning.distributeThreshold`).
@@ -59,11 +75,18 @@ object SegyDirManifest {
   /** Standard infos for a directory's members, name-sorted, from cache
     * when the listing signature is unchanged. `members` must already be
     * name-sorted (the resolver's contract).
+    *
+    * Staleness caveat: the signature is (name, size, mtime) from the
+    * directory listing. A member REWRITTEN IN PLACE to identical size
+    * within the filesystem's mtime granularity (coarse-mtime object
+    * stores round to seconds) is indistinguishable from unchanged and
+    * serves the cached plan — call [[invalidate]] after such a rewrite,
+    * exactly as with Spark's own file-index caching.
     */
   def memberInfos(spark: SparkSession, dirPath: String, members: Seq[Member])
       : Seq[(String, SegyRead.StandardInfo)] = {
     require(members.nonEmpty, s"$dirPath resolved to no members")
-    val cached = cache.get(dirPath)
+    val cached = cache.synchronized(cache.get(dirPath))
     if (cached != null && cached.signature == members) {
       hits.incrementAndGet()
       return cached.infos
@@ -71,7 +94,23 @@ object SegyDirManifest {
     val infos =
       if (members.size >= distributeThreshold(spark)) gatherDistributed(spark, members)
       else gatherPooled(spark, members)
-    cache.put(dirPath, Entry(members, infos))
+    val budget = cacheMemberBudget(spark)
+    cache.synchronized {
+      cache.put(dirPath, Entry(members, infos))
+      // evict LRU directories until within the member budget; the entry
+      // just inserted (most recent) always survives
+      var total = 0L
+      cache.values.forEach(e => total += e.signature.size)
+      val it = cache.entrySet().iterator()
+      while (total > budget && cache.size() > 1 && it.hasNext) {
+        val eldest = it.next()
+        if (eldest.getKey != dirPath) {
+          total -= eldest.getValue.signature.size
+          it.remove()
+          evictions.incrementAndGet()
+        }
+      }
+    }
     builds.incrementAndGet()
     infos
   }
@@ -79,7 +118,15 @@ object SegyDirManifest {
   /** Drop a directory's cached manifest (tests; or after an external
     * writer mutates members without changing size/mtime granularity).
     */
-  def invalidate(dirPath: String): Unit = cache.remove(dirPath)
+  def invalidate(dirPath: String): Unit =
+    cache.synchronized(cache.remove(dirPath))
+
+  /** Cached directories right now (tests). */
+  def cachedDirs: Seq[String] = cache.synchronized {
+    val b = Seq.newBuilder[String]
+    cache.keySet().forEach(k => b += k)
+    b.result()
+  }
 
   /** Spark-job gather: one task per member batch, each task reads its
     * members' 3600-byte heads and parses them; the driver collects only
@@ -115,8 +162,14 @@ object SegyDirManifest {
     lastBuildMode = "pooled"
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
+    // daemon threads: a failed gather must not pin JVM exit on queued reads
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, members.size))
+      math.min(16, members.size),
+      (r: Runnable) => {
+        val t = new Thread(r, "segy-manifest-gather")
+        t.setDaemon(true)
+        t
+      })
     try {
       val futures = members.map { m =>
         pool.submit(new java.util.concurrent.Callable[(String, SegyRead.StandardInfo)] {
@@ -125,11 +178,16 @@ object SegyDirManifest {
               SegyRead.readHead(conf, m.path, m.size))
         })
       }
-      futures.map { f =>
+      try futures.map { f =>
         try f.get()
         catch { // surface the real parse/IO failure, not the wrapper
           case e: java.util.concurrent.ExecutionException => throw e.getCause
         }
+      } catch { case e: Throwable =>
+        // abort the outstanding reads promptly (slow object stores would
+        // otherwise drain the whole queue before the failure propagates)
+        pool.shutdownNow()
+        throw e
       }
     } finally pool.shutdown()
   }

@@ -109,8 +109,17 @@ object Scale {
         }
       val (warm, _) = if (cold >= 0) once() else (-1.0, -1L)
       val mb = peakHeapMb()
-      // listener events are async; let the final progress land before draining
-      spark.streams.active.foreach(_.awaitTermination())
+      // listener events are async; let the final progress land before
+      // draining. All current queries use Trigger.AvailableNow and stop
+      // themselves — the BOUNDED wait (then stop) is so a future
+      // continuous query can never hang the whole sweep
+      spark.streams.active.foreach { q =>
+        if (!q.awaitTermination(60000L)) {
+          System.err.println(
+            s"[scale] stream ${q.name} still running after 60 s — stopping it")
+          q.stop()
+        }
+      }
       Thread.sleep(200)
       val (stRows, stMem) = stateListener.drain()
       val stateJson =

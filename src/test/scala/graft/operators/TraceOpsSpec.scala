@@ -72,4 +72,53 @@ class TraceOpsSpec extends SparkSpec {
       .as[Seq[Double]].head()
     assert(none == Seq(10.0, 20.0, 40.0))
   }
+
+  test("moveoutScan emitStack appends the WINNING candidate's stacked trace") {
+    // two traces per cell, offsets 0 and 1; candidate 1.0 slides trace 2
+    // left one sample, ALIGNING the pulses: stack [0,8,8,0] (energy 128)
+    // beats candidate 0.0's misaligned [0,4,8,4] (energy 96)
+    val df = Seq(
+      (1, 0.0, Seq(0.0, 8.0, 8.0, 0.0)),
+      (1, 1.0, Seq(0.0, 0.0, 8.0, 8.0))).toDF("cell", "off", "v")
+    val got = TraceOps.moveoutScan(df, Seq("cell"), "v", 4,
+      offsetCol = "off", candidates = Seq(0.0, 1.0), emitStack = true)
+    assert(got.columns.toSeq ==
+      Seq("cell", "best_shift", "n_traces", "energy", "stack"))
+    val row = got.as[(Int, Double, Long, Double, Seq[Double])].head()
+    assert(row._2 == 1.0 && row._3 == 2L)
+    assert(row._5 == Seq(0.0, 8.0, 8.0, 0.0))
+    // default keeps the pre-existing 4-column shape
+    assert(TraceOps.moveoutScan(df, Seq("cell"), "v", 4,
+      offsetCol = "off", candidates = Seq(0.0, 1.0)).columns.toSeq ==
+      Seq("cell", "best_shift", "n_traces", "energy"))
+  }
+
+  test("wrong-typed samples fail at ANALYSIS time for every kernel") {
+    import org.apache.spark.sql.AnalysisException
+    val df = Seq((1, Seq(1, 2, 3))).toDF("k", "vi") // array<int>, not float
+    def analyze(c: org.apache.spark.sql.Column): Unit =
+      df.select(c).queryExecution.analyzed
+    intercept[AnalysisException](analyze(TraceOps.agc(col("vi"), 3, 3)))
+    intercept[AnalysisException](analyze(TraceOps.muteTop(col("vi"), 3, 2)))
+    intercept[AnalysisException](analyze(
+      TraceOps.firFilter(col("vi"), 3, Seq(1.0, 2.0, 1.0), 1)))
+    intercept[AnalysisException](analyze(
+      TraceOps.shiftResample(col("vi"), 3, lit(0.5))))
+    intercept[AnalysisException] {
+      df.groupBy("k").agg(graft.functions.TraceExprs.stack(col("vi")))
+        .queryExecution.analyzed
+    }
+  }
+
+  test("FIR expressions with equal taps are structurally EQUAL (canonicalization)") {
+    import graft.functions.FirFilterExpr
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val in = BoundReference(0, ArrayType(DoubleType), nullable = false)
+    val a = FirFilterExpr(in, IndexedSeq(1.0, 4.0, 1.0), 1)
+    val b = FirFilterExpr(in, IndexedSeq(1.0, 4.0, 1.0), 1)
+    assert(a == b && a.hashCode == b.hashCode) // Array taps broke this
+    assert(a.canonicalized == b.canonicalized)
+    assert(a != FirFilterExpr(in, IndexedSeq(1.0, 5.0, 1.0), 1))
+  }
 }

@@ -106,6 +106,28 @@ class SegyDirPlanningSpec extends SparkSpec {
     assert(cnt == 3)
   }
 
+  test("the manifest LRU evicts past the member budget and re-gathers on " +
+      "a later re-open (bounded driver memory across many surveys)") {
+    // budget of 10 member rows; 4-member directories → at most 2 retained
+    spark.conf.set("graft.segy.planning.manifestCacheMembers", "10")
+    try {
+      val dirs = Seq.fill(3)(makeDir(4))
+      val evict0 = SegyDirManifest.evictions.get()
+      dirs.foreach(plan)
+      assert(SegyDirManifest.evictions.get() > evict0,
+        "opening 12 member rows under a 10-row budget must evict")
+      assert(dirs.count(SegyDirManifest.cachedDirs.contains) <= 2)
+      // the most recent directory always survives, even under the budget
+      assert(SegyDirManifest.cachedDirs.contains(dirs.last))
+      // the evicted directory re-opens correctly: a fresh build, same plan
+      val builds0 = SegyDirManifest.builds.get()
+      val evicted = dirs.find(d => !SegyDirManifest.cachedDirs.contains(d)).get
+      plan(evicted)
+      assert(SegyDirManifest.builds.get() == builds0 + 1)
+      assert(spark.read.format("segy").load(evicted).count() == 8)
+    } finally spark.conf.unset("graft.segy.planning.manifestCacheMembers")
+  }
+
   test("distributed planning reads values correctly end to end") {
     val dir = makeDir(70)
     val df = spark.read.format("segy").option("fields", "inline,crossline").load(dir)
