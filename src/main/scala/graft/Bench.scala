@@ -63,27 +63,42 @@ object Bench {
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () })
     }
 
-    case class R(sec: Double, ok: Boolean, rows: Long)
+    // SPARK_GRAFT_BENCH_REPEATS > 1 → each query runs N times BACK TO
+    // BACK and reports the per-query MEDIAN plus the min–max spread:
+    // same-day full-suite totals vary ±20% run-to-run on this box, so
+    // single-run per-query comparisons across code changes sit inside
+    // noise — the clean committed record uses median-of-3. Consecutive
+    // (not whole-suite-interleaved) repeats keep cross-query memoized
+    // state (the persisted ANN indexes) valid for every repetition.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
+    require(repeats >= 1, s"SPARK_GRAFT_BENCH_REPEATS must be >= 1, got $repeats")
+    case class R(sec: Double, ok: Boolean, rows: Long, spread: Double)
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
     val results: Seq[(String, R)] = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        val r =
-          try { val n = fullCount(fn(spark, sfDir)); R((System.nanoTime() - t0) / 1e9, ok = true, n) }
+        val runs = (1 to repeats).map { _ =>
+          val t0 = System.nanoTime()
+          try { val n = fullCount(fn(spark, sfDir)); ((System.nanoTime() - t0) / 1e9, true, n) }
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            R((System.nanoTime() - t0) / 1e9, ok = false, -1L)
+            ((System.nanoTime() - t0) / 1e9, false, -1L)
           }
-        name -> r
+        }
+        val secs = runs.map(_._1).sorted
+        val median = secs(secs.size / 2)
+        name -> R(median, runs.forall(_._2),
+          runs.find(_._2).map(_._3).getOrElse(-1L),
+          secs.last - secs.head)
     }
     val qs = results.map { case (k, r) =>
-      s""""$k":{"sec":${r.sec},"ok":${r.ok},"rows":${r.rows}}"""
+      val spreadJson = if (repeats > 1) s""","spread":${r.spread}""" else ""
+      s""""$k":{"sec":${r.sec},"ok":${r.ok},"rows":${r.rows}$spreadJson}"""
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, r) if r.ok => r.sec }.sum
     val nFail = results.count(!_._2.ok)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"repeats":$repeats,"sf":"$sfDir"}"""
     println(line)
     if (args.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

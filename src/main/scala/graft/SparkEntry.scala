@@ -1878,6 +1878,31 @@ object SparkEntry {
           (col("_max_err") <= tol).as("within_tol"),
           col("min_q"), col("max_q"), col("n_fast"))
     }),
+    // the transform-coded lossy storage path end to end UNDER ORACLE:
+    // pack (index+delta+zigzag+byte-plane) → parquet binary → read →
+    // unpack. Samples are half-integers, exactly ON the tol=0.25 grid, so
+    // the decode must reproduce the INPUTS bit-for-bit and the oracle is
+    // the identity — any rounding, delta or plane bug breaks the hash
+    "q_quantize_packed" -> ((s, d) => {
+      import graft.operators.AccessPatterns
+      val tol = 0.25
+      val path = graft.core.TempDirs.scratch("qpack")
+      lineitem(s, d).select(
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"),
+          array(col("l_partkey").cast("float"),
+            ((col("l_orderkey") % 997).cast("double") / 2.0).cast("float"),
+            (-col("l_linenumber") * 7).cast("float")).as("v"))
+        .select(col("ok"), col("ln"),
+          AccessPatterns.packQuantized(col("v"), tol).as("enc"))
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .select(col("ok"), col("ln"),
+          AccessPatterns.unpackQuantized(col("enc"), tol).as("r"))
+        .select(col("ok"), col("ln"),
+          element_at(col("r"), 1).cast("double").as("r1"),
+          element_at(col("r"), 2).cast("double").as("r2"),
+          element_at(col("r"), 3).cast("double").as("r3"))
+    }),
     // --- LLM pipeline: multimodal plumbing ------------------------------
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.attachPayload(documents(s, d))
@@ -2622,6 +2647,14 @@ object SparkEntry {
         |  max(abs(x - xq)) <= any_value(tol) AS within_tol,
         |  min(xq) AS min_q, max(xq) AS max_q, count(*) AS n_fast
         |FROM q""".stripMargin,
+    // grid-exact inputs → the packed codec must return them untouched;
+    // the oracle is therefore the inputs themselves
+    "q_quantize_packed" ->
+      """SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |  CAST(l_partkey AS DOUBLE) AS r1,
+        |  CAST(l_orderkey % 997 AS DOUBLE) / 2.0 AS r2,
+        |  CAST(-(l_linenumber * 7) AS DOUBLE) AS r3
+        |FROM lineitem""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT doc_id, text,
         |    list_filter(string_split_regex(text, '\s+'), x -> x != '') AS toks

@@ -111,6 +111,32 @@ object AccessPatterns {
     (round(c / (2 * tolerance)) * (2 * tolerance))
   }
 
+  /** Transform-coded storage form of [[quantize]] for TRACE (array<float|
+    * double>) variables: the integer quantization indices, residual-coded
+    * by an adaptive order-0..3 polynomial predictor, zigzagged, byte-plane
+    * transposed, as one `binary` value per trace
+    * ([[graft.functions.QuantPackExprs]]). Parquet+zstd then entropy-codes
+    * planes of near-zeros instead of grid-structured float mantissas —
+    * this is what closes the tight-tolerance gap to ZFP-style coding
+    * (`optimize/common.py:31-53`); ratios per tier in CompressionStudy
+    * (`bench/compression_ratios.json`).
+    *
+    * Regime rule (measured): use packed at TIGHT tolerances (q ≤ 0.01 —
+    * up to 2.3× smaller than quantized floats on band-limited traces,
+    * and within the fixture's computable entropy floor on noisy ones);
+    * at coarse tolerances (q ≥ 0.1) stay with plain [[quantize]] floats —
+    * Parquet's cross-trace dictionary+RLE beats any per-trace byte codec
+    * when only a handful of distinct values survive quantization.
+    */
+  def packQuantized(samples: Column, tolerance: Double): Column =
+    graft.functions.QuantPackExprs.pack(samples, tolerance)
+
+  /** Inverse of [[packQuantized]]; bit-identical to
+    * `transform(samples, x => quantize(x).cast(float))` of the original.
+    */
+  def unpackQuantized(bin: Column, tolerance: Double): Column =
+    graft.functions.QuantPackExprs.unpack(bin, tolerance)
+
   /** The stats→tolerance link (`optimize/access_pattern.py:91-118`): lossy
     * fast-copy tolerance for a store variable = `quality × std`, with std
     * taken from the SIDECAR statistics written at ingest — never a fresh

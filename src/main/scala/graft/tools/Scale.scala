@@ -107,7 +107,15 @@ object Scale {
           System.err.println(s"[scale] $name FAILED: ${e.getMessage}")
           (-1.0, -1L)
         }
-      val (warm, _) = if (cold >= 0) once() else (-1.0, -1L)
+      // SPARK_GRAFT_SCALE_REPEATS > 1 → warm_s is the MEDIAN of N warm
+      // runs and warm_spread_s their min–max width: the ±20% same-day
+      // variance shifts one-decade exponents by ±0.2, so decision-grade
+      // exponent sweeps need the repeat protocol (cold stays single-run
+      // by nature — there is only one first execution)
+      val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "1").toInt
+      val warms = if (cold >= 0) (1 to repeats).map(_ => once()._1) else Seq(-1.0)
+      val warm = warms.sorted.apply(warms.size / 2)
+      val warmSpread = if (warms.size > 1) warms.max - warms.min else 0.0
       val mb = peakHeapMb()
       // listener events are async; let the final progress land before
       // draining. All current queries use Trigger.AvailableNow and stop
@@ -126,7 +134,9 @@ object Scale {
         if (stRows > 0 || stMem > 0)
           f""","state_rows_total":$stRows,"state_mem_mb":${stMem / 1e6}%.1f"""
         else ""
-      val line = f"""{"q":"$name","cold_s":$cold%.3f,"warm_s":$warm%.3f,"rows":$rows,"driver_peak_mb":$mb%.0f$stateJson}"""
+      val spreadJson =
+        if (repeats > 1) f""","warm_spread_s":$warmSpread%.3f,"warm_runs":$repeats""" else ""
+      val line = f"""{"q":"$name","cold_s":$cold%.3f,"warm_s":$warm%.3f,"rows":$rows,"driver_peak_mb":$mb%.0f$spreadJson$stateJson}"""
       println(line)
       line
     }
