@@ -129,6 +129,17 @@ object SqlFunctions {
       }
       FirFilterExpr(args.head, taps, intArg(args(2), "trace_fir", "center"))
     },
+    // transform-coded lossy storage (round 14): pack/unpack the
+    // quantization-index payload from SQL, same codec as
+    // AccessPatterns.packQuantized
+    reg("quant_pack", classOf[QuantPackExpr]) { args =>
+      require(args.length == 2, "quant_pack(samples, tolerance)")
+      QuantPackExpr(args.head, doubleArg(args(1), "quant_pack", "tolerance"))
+    },
+    reg("quant_unpack", classOf[QuantUnpackExpr]) { args =>
+      require(args.length == 2, "quant_unpack(payload, tolerance)")
+      QuantUnpackExpr(args.head, doubleArg(args(1), "quant_unpack", "tolerance"))
+    },
     reg("long_mod_to_double", classOf[LongModToDoubleExpr]) { args =>
       require(args.length == 2, "long_mod_to_double(arr, m)")
       LongModToDoubleExpr(args.head,

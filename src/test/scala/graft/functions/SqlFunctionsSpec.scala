@@ -112,6 +112,12 @@ class SqlFunctionsSpec extends SparkSpec {
       .as[Seq[Double]].head()
     assert(fir == Seq(1 * 0.0 + 2 * 1.0 + 1 * 2.0, 1 * 1.0 + 2 * 2.0 + 1 * 3.0,
       1 * 2.0 + 2 * 3.0 + 1 * 4.0, 1 * 3.0 + 2 * 4.0 + 1 * 0.0))
+    // the packed lossy codec through SQL: grid-exact floats roundtrip
+    val qp = spark.sql(
+      "SELECT quant_unpack(quant_pack(array(CAST(1.5 AS FLOAT), " +
+        "CAST(-3.0 AS FLOAT), CAST(0.5 AS FLOAT)), 0.25D), 0.25D) AS r")
+      .as[Seq[Float]].head()
+    assert(qp == Seq(1.5f, -3.0f, 0.5f))
   }
 
   test("shape parameters must be literals (clear error, not silent misuse)") {
