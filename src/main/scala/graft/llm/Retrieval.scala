@@ -126,11 +126,23 @@ object Retrieval {
         .groupBy(col(idCol), col("dl"), col("term"))
         .agg(count(lit(1)).cast("long").as("tf")),
       "bm25_widx")
+    // term-shuffle width scales with the POSTINGS volume, not the session
+    // default: `agg` is a staged parquet read, so its optimizer stats are
+    // real file sizes (no job). A fixed 32-partition shuffle made the
+    // sf10 postings sort spill (SCALING.md round-14: wall exponent 1.41
+    // with state exactly linear) — at 100 TB it would be a wall. Target
+    // ~64 MB of postings per partition (`graft.retrieval.postingsPartitionBytes`).
+    val session = docs.sparkSession
+    val perPart = BigInt(session.conf
+      .get("graft.retrieval.postingsPartitionBytes", (64L << 20).toString).toLong)
+    val sessionParts = session.conf.get("spark.sql.shuffle.partitions").toInt
+    val estParts = (agg.queryExecution.optimizedPlan.stats.sizeInBytes / perPart).toInt + 1
+    val nParts = math.max(sessionParts, estParts)
     agg.where(col("term").isNotNull)
       // term-keyed distribution + term-sorted files: each term's postings
       // land contiguously, so the parquet row-group min/max stats turn the
       // query-time `term IN (...)` into actual row-group skipping
-      .repartition(col("term"))
+      .repartition(nParts, col("term"))
       .sortWithinPartitions("term")
       .select(col(idCol), col("dl"), col("term"), col("tf"))
       .write.mode(mode).parquet(s"$indexPath/postings")
