@@ -90,6 +90,14 @@ final case class QuantPackExpr(child: Expression, tolerance: Double)
     var i = 0
     while (i < n) {
       val x = TraceExprs.elemStrict(prettyName, a, i, isFloat)
+      // an integer index cannot represent NaN/Inf — refuse loudly rather
+      // than letting BigDecimal throw something cryptic (the plain
+      // quantize() COLUMN propagates NaN; a storage codec must not
+      // silently diverge, so non-finite samples are a caller error here)
+      if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x))
+        throw new IllegalArgumentException(
+          s"$prettyName: non-finite sample $x at position ${i + 1} — mask " +
+            "dead/overflowed traces before packing")
       val ki = QuantPackExprs.roundHalfUp(x / step)
       // ±2²⁷ so even an order-3 residual (alternating-sign indices sum
       // to ≤ 8·|k|max) fits the 32-bit zigzag below

@@ -98,6 +98,42 @@ class QuantPackSpec extends SparkSpec {
         .queryExecution.analyzed)
   }
 
+  test("fuzz: random traces x random tolerances stay bit-identical to the " +
+      "quantize column through pack->unpack") {
+    val rng = new scala.util.Random(0xC0DEC)
+    val tols = Seq(0.015625, 0.1, 0.25, 1.0, 3.7, 64.0)
+    tols.foreach { t =>
+      val traces = (0 until 10).map { _ =>
+        val n = 1 + rng.nextInt(1600)
+        (0 until n).map { _ =>
+          // mix magnitudes: noise, mid-scale, and large-but-in-range
+          val scale = rng.nextInt(3) match {
+            case 0 => 1.0; case 1 => 1e3; case 2 => 1e6
+          }
+          ((rng.nextDouble() - 0.5) * scale).toFloat
+        }
+      }
+      val bad = traces.zipWithIndex.map(_.swap).toDF("id", "v")
+        .select(
+          AccessPatterns.unpackQuantized(
+            AccessPatterns.packQuantized(col("v"), t), t).as("dec"),
+          transform(col("v"), x =>
+            AccessPatterns.quantize(x, t).cast("float")).as("ref"))
+        .where(not(col("dec") === col("ref")))
+        .count()
+      assert(bad == 0, s"pack/unpack diverged from quantize at tol $t")
+    }
+  }
+
+  test("non-finite samples are refused with a clear error") {
+    val df = Seq(Tuple1(Seq(1.0f, Float.NaN))).toDF("v")
+      .select(AccessPatterns.packQuantized(col("v"), tol).as("e"))
+    val e = intercept[Exception](df.head())
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("non-finite")))
+  }
+
   test("roundHalfUp matches Spark round() on a dense boundary sweep") {
     val xs = (-4000 to 4000).map(_ / 4.0) // every .25 in ±1000
     val sparkRound = xs.map(Tuple1(_)).toDF("x")
