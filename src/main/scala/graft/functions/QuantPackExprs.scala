@@ -61,10 +61,13 @@ object QuantPackExprs {
 
   /** Spark's Round(double, 0) semantics exactly: HALF_UP via BigDecimal.
     * Any other rounding (rint's half-even, floor(x+0.5)) would diverge
-    * from the documented `quantize` column on .5 grid points.
+    * from the documented `quantize` column on .5 grid points. Callers must
+    * bound |a| first — longValueExact (not longValue, which silently
+    * truncates ≥ 2⁶³ quotients to garbage that can pass downstream range
+    * guards) makes an unbounded call fail loudly.
     */
   private[functions] def roundHalfUp(a: Double): Long =
-    JBigDecimal.valueOf(a).setScale(0, RoundingMode.HALF_UP).longValue
+    JBigDecimal.valueOf(a).setScale(0, RoundingMode.HALF_UP).longValueExact
 }
 
 /** See [[QuantPackExprs]]. Null samples are rejected loudly (same policy
@@ -98,7 +101,16 @@ final case class QuantPackExpr(child: Expression, tolerance: Double)
         throw new IllegalArgumentException(
           s"$prettyName: non-finite sample $x at position ${i + 1} — mask " +
             "dead/overflowed traces before packing")
-      val ki = QuantPackExprs.roundHalfUp(x / step)
+      val q = x / step
+      // Pre-round magnitude gate: a quotient beyond the index range must
+      // refuse HERE, before BigDecimal — x/step can reach ±2⁶³ (where
+      // longValue would silently truncate to a small garbage index that
+      // PASSES the post-round check) or ±Infinity (finite x over a
+      // subnormal step), and both compare > the bound below.
+      if (math.abs(q) > (1L << 27) + 0.5) throw new IllegalArgumentException(
+        s"$prettyName: index ${"%.6g".format(q)} at position ${i + 1} exceeds 28 bits " +
+          s"(value $x at tolerance $tolerance) — widen the tolerance")
+      val ki = QuantPackExprs.roundHalfUp(q)
       // ±2²⁷ so even an order-3 residual (alternating-sign indices sum
       // to ≤ 8·|k|max) fits the 32-bit zigzag below
       if (ki < -(1L << 27) || ki > (1L << 27)) throw new IllegalArgumentException(
@@ -179,8 +191,11 @@ final case class QuantUnpackExpr(child: Expression, tolerance: Double)
     require(b.length >= 5, s"$prettyName: truncated payload (${b.length} bytes)")
     val n = ((b(0) & 0xff) << 24) | ((b(1) & 0xff) << 16) |
       ((b(2) & 0xff) << 8) | (b(3) & 0xff)
-    require(b.length == 5 + 4 * n,
-      s"$prettyName: payload length ${b.length} != ${5 + 4 * n} for n=$n")
+    // long arithmetic: with n near 2³⁰ (a corrupt/hostile header on this
+    // SQL-exposed function), `5 + 4 * n` wraps in Int and a 5-byte payload
+    // would "validate" then attempt a multi-GiB allocation below
+    require(b.length.toLong == 5L + 4L * n.toLong,
+      s"$prettyName: payload length ${b.length} != ${5L + 4L * n.toLong} for n=$n")
     val order = b(4) & 0xff
     require(order <= 3, s"$prettyName: unknown predictor order $order")
     val step = 2 * tolerance

@@ -113,6 +113,7 @@ object Scale {
       // exponent sweeps need the repeat protocol (cold stays single-run
       // by nature — there is only one first execution)
       val repeats = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEATS", "1").toInt
+      require(repeats >= 1, s"SPARK_GRAFT_SCALE_REPEATS must be >= 1, got $repeats")
       val warms = if (cold >= 0) (1 to repeats).map(_ => once()._1) else Seq(-1.0)
       val warm = warms.sorted.apply(warms.size / 2)
       val warmSpread = if (warms.size > 1) warms.max - warms.min else 0.0

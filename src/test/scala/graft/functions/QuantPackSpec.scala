@@ -87,6 +87,36 @@ class QuantPackSpec extends SparkSpec {
     intercept[Exception](trunc.head())
   }
 
+  test("quotients near 2^63 refuse loudly instead of truncating to a " +
+      "small index that passes the 28-bit guard") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    // 9.223372e18 / (2*0.25) = 2^64-ish: BigDecimal.longValue would
+    // silently return 384 here — the pre-round magnitude gate must refuse
+    val huge = Seq(Tuple1(Seq(9.223372e18f))).toDF("v")
+      .select(AccessPatterns.packQuantized(col("v"), 0.25).as("e"))
+    val e1 = intercept[Exception](huge.head())
+    assert(msgs(e1).exists(m => m != null && m.contains("28 bits")))
+    // finite value over a tiny tolerance → infinite quotient: same loud
+    // refusal, not a cryptic NumberFormatException from BigDecimal
+    val inf = Seq(Tuple1(Seq(1e12f))).toDF("v")
+      .select(AccessPatterns.packQuantized(col("v"), 1e-300).as("e"))
+    val e2 = intercept[Exception](inf.head())
+    assert(msgs(e2).exists(m => m != null && m.contains("28 bits")))
+  }
+
+  test("a corrupt header whose 4*n wraps Int range is refused, not " +
+      "allocated") {
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    // n = 0x40000000: 5 + 4*n wraps to 5 in Int arithmetic, so a 5-byte
+    // payload would "validate" and then try an 8 GiB allocation
+    val evil = Seq(Tuple1(Array[Byte](0x40, 0, 0, 0, 0))).toDF("e")
+      .select(AccessPatterns.unpackQuantized(col("e"), tol).as("d"))
+    val e = intercept[Exception](evil.head())
+    assert(msgs(e).exists(m => m != null && m.contains("payload length")))
+  }
+
   test("wrong-typed inputs fail at analysis time") {
     import org.apache.spark.sql.AnalysisException
     val df = Seq((1, Seq(1, 2))).toDF("k", "vi")
