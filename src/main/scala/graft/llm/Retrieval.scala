@@ -107,36 +107,59 @@ object Retrieval {
                     textCol: String = "text", idCol: String = "doc_id"): Unit =
     writeIndex(newDocs, indexPath, "append", textCol, idCol)
 
-  /** One corpus scan staged as the AGGREGATED posting rows (posting-sized,
-    * no text); both index tables derive from that single deterministic
-    * frame, so a nondeterministic input DataFrame cannot make them
-    * disagree. posexplode_outer keeps zero-token docs as a term-null row so
-    * the stats still count them. NOT atomic across the two writes: a
-    * failure between them leaves postings appended with no matching stats
-    * row — a failed [[appendToIndex]] requires an index rebuild
-    * ([[buildIndex]]).
+  /** One corpus scan: the aggregated posting rows carry `min(_pos)` as a
+    * per-doc STATS MARKER — exactly one group per doc holds position 0 (the
+    * term its text starts with), and a zero-token doc's term-null row keeps
+    * a null marker — so n_docs/sum_dl derive from a filter over the same
+    * aggregated frame instead of a second `distinct()` shuffle over every
+    * posting row (the pass SCALING.md's round-14 sf10 sweep flagged as the
+    * avoidable half of the index-build cost). Large builds stage the
+    * aggregate to scratch parquet (lineage cut + real file-size stats for
+    * the postings shuffle width, and both tables derive from one
+    * deterministic frame); batches below `graft.scratch.stageMinBytes`
+    * skip the write round-trip — the usual append shape — and just
+    * evaluate the two cheap arms independently (same trade, and same
+    * nondeterministic-input caveat, as [[bm25TopK]]'s stageIfLarge). NOT
+    * atomic across the two writes: a failure between them leaves postings
+    * appended with no matching stats row — a failed [[appendToIndex]]
+    * requires an index rebuild ([[buildIndex]]).
     */
   private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
                          textCol: String, idCol: String): Unit = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val agg = Scratch.stage(
-      Scratch.rebalance(docs)
-        .select(col(idCol), size(toks).cast("long").as("dl"),
-          posexplode_outer(toks).as(Seq("_pos", "term")))
-        .groupBy(col(idCol), col("dl"), col("term"))
-        .agg(count(lit(1)).cast("long").as("tf")),
-      "bm25_widx")
-    // term-shuffle width scales with the POSTINGS volume, not the session
-    // default: `agg` is a staged parquet read, so its optimizer stats are
-    // real file sizes (no job). A fixed 32-partition shuffle made the
-    // sf10 postings sort spill (SCALING.md round-14: wall exponent 1.41
-    // with state exactly linear) — at 100 TB it would be a wall. Target
-    // ~64 MB of postings per partition (`graft.retrieval.postingsPartitionBytes`).
     val session = docs.sparkSession
-    val perPart = BigInt(session.conf
-      .get("graft.retrieval.postingsPartitionBytes", (64L << 20).toString).toLong)
+    val aggAll = Scratch.rebalance(docs)
+      .select(col(idCol), size(toks).cast("long").as("dl"),
+        posexplode_outer(toks).as(Seq("_pos", "term")))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), min(col("_pos")).as("_mp"))
+    val minBytes = BigInt(session.conf
+      .get("graft.scratch.stageMinBytes", (64L << 20).toString).toLong)
+    val doStage =
+      docs.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
+    val agg = if (doStage) Scratch.stage(aggAll, "bm25_widx") else aggAll
+    // term-shuffle width scales with the POSTINGS volume, not the session
+    // default: when staged, `agg` is a scratch parquet read, so its
+    // optimizer stats are real file sizes (no job). A fixed 32-partition
+    // shuffle made the sf10 postings sort spill (SCALING.md round-14: wall
+    // exponent 1.41 with state exactly linear) — at 100 TB it would be a
+    // wall. Target ~64 MB of postings per partition
+    // (`graft.retrieval.postingsPartitionBytes`). Un-staged batches are
+    // below the stage gate by construction, so the session width suffices
+    // (their plan stats are estimates, not file sizes — don't trust them).
+    val perPartL = session.conf
+      .get("graft.retrieval.postingsPartitionBytes", (64L << 20).toString).toLong
+    require(perPartL > 0,
+      s"graft.retrieval.postingsPartitionBytes must be positive, got $perPartL")
+    val perPart = BigInt(perPartL)
     val sessionParts = session.conf.get("spark.sql.shuffle.partitions").toInt
-    val estParts = (agg.queryExecution.optimizedPlan.stats.sizeInBytes / perPart).toInt + 1
+    // clamp BEFORE narrowing: sizeInBytes is a BigInt that can be
+    // Long.MaxValue (unknown stats), and a bare .toInt wraps to an
+    // arbitrary partition count. 1 << 20 partitions ≈ 64 TB of postings
+    // at the default 64 MB target — past that, fail the math safe, not weird.
+    val estParts = if (!doStage) 1 else
+      ((agg.queryExecution.optimizedPlan.stats.sizeInBytes / perPart)
+        .min(BigInt(1 << 20)).toInt) + 1
     val nParts = math.max(sessionParts, estParts)
     agg.where(col("term").isNotNull)
       // term-keyed distribution + term-sorted files: each term's postings
@@ -146,7 +169,9 @@ object Retrieval {
       .sortWithinPartitions("term")
       .select(col(idCol), col("dl"), col("term"), col("tf"))
       .write.mode(mode).parquet(s"$indexPath/postings")
-    agg.select(col(idCol), col("dl")).distinct()
+    // one marker row per doc: position-0 group, or the null-marker
+    // term-null row of a zero-token doc (which adds its dl = 0)
+    agg.where(col("_mp") === 0 || col("_mp").isNull)
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum("dl").cast("long").as("sum_dl"))
       .coalesce(1).write.mode(mode).parquet(s"$indexPath/stats")

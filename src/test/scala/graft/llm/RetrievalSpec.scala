@@ -70,6 +70,31 @@ class RetrievalSpec extends SparkSpec {
       s"postings scan must push term IN (...) to parquet:\n$scan")
   }
 
+  test("zero-token docs count in the index stats (null-marker row), and " +
+      "the staged and un-staged build arms agree") {
+    // the empty doc contributes n_docs += 1 / sum_dl += 0 via its
+    // term-null marker row; losing it would shift avgdl and every score
+    val withEmpty = docs.unionByName(Seq((6L, "")).toDF("doc_id", "text"))
+    val queries = Seq(0L -> "spark fast", 1L -> "engine")
+    val direct = Retrieval.bm25TopK(withEmpty, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val pathSmall = graft.core.TempDirs.scratch("bm25_empty_spec")
+    Retrieval.buildIndex(withEmpty, pathSmall) // below the stage gate
+    val statsRow = spark.read.parquet(s"$pathSmall/stats").head()
+    assert(statsRow.getAs[Long]("n_docs") == 6L,
+      "the zero-token doc must count in n_docs")
+    assert(Retrieval.bm25TopKFromIndex(spark, pathSmall, queries, k = 10)
+      .collect().map(_.toSeq).toSet == direct)
+    val pathStaged = graft.core.TempDirs.scratch("bm25_staged_spec")
+    spark.conf.set("graft.scratch.stageMinBytes", "1")
+    try Retrieval.buildIndex(withEmpty, pathStaged) // forced through stage()
+    finally spark.conf.unset("graft.scratch.stageMinBytes")
+    assert(spark.read.parquet(s"$pathStaged/stats").head()
+      .getAs[Long]("n_docs") == 6L)
+    assert(Retrieval.bm25TopKFromIndex(spark, pathStaged, queries, k = 10)
+      .collect().map(_.toSeq).toSet == direct)
+  }
+
   test("appended index ranks EXACTLY like a fresh build over the union") {
     val path = graft.core.TempDirs.scratch("bm25_append_spec")
     Retrieval.buildIndex(docs.where($"doc_id" <= 3), path)
