@@ -113,40 +113,38 @@ object Retrieval {
     * a null marker — so n_docs/sum_dl derive from a filter over the same
     * aggregated frame instead of a second `distinct()` shuffle over every
     * posting row (the pass SCALING.md's round-14 sf10 sweep flagged as the
-    * avoidable half of the index-build cost). Large builds stage the
-    * aggregate to scratch parquet (lineage cut + real file-size stats for
-    * the postings shuffle width, and both tables derive from one
-    * deterministic frame); batches below `graft.scratch.stageMinBytes`
-    * skip the write round-trip — the usual append shape — and just
-    * evaluate the two cheap arms independently (same trade, and same
-    * nondeterministic-input caveat, as [[bm25TopK]]'s stageIfLarge). NOT
-    * atomic across the two writes: a failure between them leaves postings
-    * appended with no matching stats row — a failed [[appendToIndex]]
-    * requires an index rebuild ([[buildIndex]]).
+    * avoidable half of the index-build cost). The aggregate ALWAYS stages
+    * to scratch parquet, even for small batches — `docs` here is routinely
+    * a foreachBatch micro-batch ([[graft.streaming.StreamingRetrieval]])
+    * whose plan embeds the live stateful dedup operator, and evaluating
+    * such a frame once per output table re-executes the state store per
+    * arm (measured at sf10: 1.86× wall, doubled state accounting) — the
+    * stage is the materialize-once barrier that makes both arms read a
+    * plain file, not a convenience. It also cuts lineage, yields real
+    * file-size stats for the postings shuffle width, and makes both
+    * tables derive from one deterministic frame. NOT atomic across the
+    * two writes: a failure between them leaves postings appended with no
+    * matching stats row — a failed [[appendToIndex]] requires an index
+    * rebuild ([[buildIndex]]).
     */
   private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
                          textCol: String, idCol: String): Unit = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     val session = docs.sparkSession
-    val aggAll = Scratch.rebalance(docs)
-      .select(col(idCol), size(toks).cast("long").as("dl"),
-        posexplode_outer(toks).as(Seq("_pos", "term")))
-      .groupBy(col(idCol), col("dl"), col("term"))
-      .agg(count(lit(1)).cast("long").as("tf"), min(col("_pos")).as("_mp"))
-    val minBytes = BigInt(session.conf
-      .get("graft.scratch.stageMinBytes", (64L << 20).toString).toLong)
-    val doStage =
-      docs.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes
-    val agg = if (doStage) Scratch.stage(aggAll, "bm25_widx") else aggAll
+    val agg = Scratch.stage(
+      Scratch.rebalance(docs)
+        .select(col(idCol), size(toks).cast("long").as("dl"),
+          posexplode_outer(toks).as(Seq("_pos", "term")))
+        .groupBy(col(idCol), col("dl"), col("term"))
+        .agg(count(lit(1)).cast("long").as("tf"), min(col("_pos")).as("_mp")),
+      "bm25_widx")
     // term-shuffle width scales with the POSTINGS volume, not the session
-    // default: when staged, `agg` is a scratch parquet read, so its
-    // optimizer stats are real file sizes (no job). A fixed 32-partition
-    // shuffle made the sf10 postings sort spill (SCALING.md round-14: wall
-    // exponent 1.41 with state exactly linear) — at 100 TB it would be a
-    // wall. Target ~64 MB of postings per partition
-    // (`graft.retrieval.postingsPartitionBytes`). Un-staged batches are
-    // below the stage gate by construction, so the session width suffices
-    // (their plan stats are estimates, not file sizes — don't trust them).
+    // default: `agg` is a scratch parquet read, so its optimizer stats are
+    // real file sizes (no job). A fixed 32-partition shuffle made the
+    // sf10 postings sort spill (SCALING.md round-14: wall exponent 1.41
+    // with state exactly linear) — at 100 TB it would be a wall. Target
+    // ~64 MB of postings per partition
+    // (`graft.retrieval.postingsPartitionBytes`).
     val perPartL = session.conf
       .get("graft.retrieval.postingsPartitionBytes", (64L << 20).toString).toLong
     require(perPartL > 0,
@@ -157,7 +155,7 @@ object Retrieval {
     // Long.MaxValue (unknown stats), and a bare .toInt wraps to an
     // arbitrary partition count. 1 << 20 partitions ≈ 64 TB of postings
     // at the default 64 MB target — past that, fail the math safe, not weird.
-    val estParts = if (!doStage) 1 else
+    val estParts =
       ((agg.queryExecution.optimizedPlan.stats.sizeInBytes / perPart)
         .min(BigInt(1 << 20)).toInt) + 1
     val nParts = math.max(sessionParts, estParts)

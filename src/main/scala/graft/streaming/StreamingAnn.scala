@@ -42,9 +42,20 @@ object StreamingAnn {
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        ivfPath.foreach(p => Ivf.appendToIndex(batch, p, idCol, vecCol))
-        pqPath.foreach(p => Pq.appendToIndex(batch, p, idCol, vecCol))
-        sqPath.foreach(p => Sq.appendToIndex(batch, p, idCol, vecCol))
+        // a foreachBatch frame embeds the live stateful dedup operator;
+        // one action per sink would re-execute that plan (and replay its
+        // state-store updates) once per index. With multiple sinks,
+        // materialize the batch once — persist is safe here because the
+        // lifetime is bounded by this handler (every append completes
+        // before unpersist), unlike the operator-level lazy frames
+        // [[graft.core.Scratch]] exists for.
+        val nSinks = Seq(ivfPath, pqPath, sqPath).count(_.isDefined)
+        val b = if (nSinks > 1) batch.persist() else batch
+        try {
+          ivfPath.foreach(p => Ivf.appendToIndex(b, p, idCol, vecCol))
+          pqPath.foreach(p => Pq.appendToIndex(b, p, idCol, vecCol))
+          sqPath.foreach(p => Sq.appendToIndex(b, p, idCol, vecCol))
+        } finally if (nSinks > 1) { b.unpersist(); () }
       }
       .start()
   }

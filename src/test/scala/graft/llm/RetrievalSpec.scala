@@ -70,28 +70,21 @@ class RetrievalSpec extends SparkSpec {
       s"postings scan must push term IN (...) to parquet:\n$scan")
   }
 
-  test("zero-token docs count in the index stats (null-marker row), and " +
-      "the staged and un-staged build arms agree") {
+  test("zero-token docs count in the index stats (null-marker row)") {
     // the empty doc contributes n_docs += 1 / sum_dl += 0 via its
     // term-null marker row; losing it would shift avgdl and every score
     val withEmpty = docs.unionByName(Seq((6L, "")).toDF("doc_id", "text"))
     val queries = Seq(0L -> "spark fast", 1L -> "engine")
     val direct = Retrieval.bm25TopK(withEmpty, queries, k = 10)
       .collect().map(_.toSeq).toSet
-    val pathSmall = graft.core.TempDirs.scratch("bm25_empty_spec")
-    Retrieval.buildIndex(withEmpty, pathSmall) // below the stage gate
-    val statsRow = spark.read.parquet(s"$pathSmall/stats").head()
+    val path = graft.core.TempDirs.scratch("bm25_empty_spec")
+    Retrieval.buildIndex(withEmpty, path)
+    val statsRow = spark.read.parquet(s"$path/stats").head()
     assert(statsRow.getAs[Long]("n_docs") == 6L,
       "the zero-token doc must count in n_docs")
-    assert(Retrieval.bm25TopKFromIndex(spark, pathSmall, queries, k = 10)
-      .collect().map(_.toSeq).toSet == direct)
-    val pathStaged = graft.core.TempDirs.scratch("bm25_staged_spec")
-    spark.conf.set("graft.scratch.stageMinBytes", "1")
-    try Retrieval.buildIndex(withEmpty, pathStaged) // forced through stage()
-    finally spark.conf.unset("graft.scratch.stageMinBytes")
-    assert(spark.read.parquet(s"$pathStaged/stats").head()
-      .getAs[Long]("n_docs") == 6L)
-    assert(Retrieval.bm25TopKFromIndex(spark, pathStaged, queries, k = 10)
+    assert(statsRow.getAs[Long]("sum_dl") == 26L, // 5+5+6+8+2, empty adds 0
+      "sum_dl must total the five real docs' token counts")
+    assert(Retrieval.bm25TopKFromIndex(spark, path, queries, k = 10)
       .collect().map(_.toSeq).toSet == direct)
   }
 
