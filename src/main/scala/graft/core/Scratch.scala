@@ -26,6 +26,23 @@ object Scratch {
     df.sparkSession.read.parquet(p)
   }
 
+  /** [[stage]] whose lifetime is the `body` call: the scratch files are
+    * deleted (and deregistered from the exit hook) as soon as `body`
+    * returns or throws. [[stage]] can't do this — it returns a lazy frame
+    * whose scan outlives the call — but a caller that fully CONSUMES the
+    * staged frame inside one scope (e.g. a per-micro-batch index append,
+    * [[graft.llm.Retrieval.appendToIndex]]) must use this form: one
+    * scratch dir per micro-batch held until JVM exit is unbounded disk
+    * growth on a long-running stream.
+    */
+  def withStage[T](df: DataFrame, tag: String)(body: DataFrame => T): T = {
+    val p = TempDirs.scratch(s"scratch_$tag")
+    try {
+      df.write.mode("overwrite").parquet(p)
+      body(df.sparkSession.read.parquet(p))
+    } finally TempDirs.release(p)
+  }
+
   /** [[stage]] gated on the SOURCE's optimizer-estimated scan size: below
     * `graft.scratch.stageMinBytes` (default 64 MB) the write round-trip
     * costs more than just recomputing the subtree in each consumer arm, so

@@ -35,6 +35,15 @@ object TempDirs {
     p
   }
 
+  /** Eagerly delete a path handed out by [[scratch]] and drop it from the
+    * exit-hook registry — for scoped stages whose files are fully consumed
+    * before JVM exit ([[Scratch.withStage]]). Safe on never-created paths.
+    */
+  def release(p: String): Unit = {
+    registered.remove(p)
+    deletePath(p)
+  }
+
   /** Best-effort recursive delete that understands non-local schemes (the
     * shared-filesystem scratch root case). */
   private def deletePath(p: String): Unit =

@@ -122,57 +122,61 @@ object Retrieval {
     * stage is the materialize-once barrier that makes both arms read a
     * plain file, not a convenience. It also cuts lineage, yields real
     * file-size stats for the postings shuffle width, and makes both
-    * tables derive from one deterministic frame. NOT atomic across the
-    * two writes: a failure between them leaves postings appended with no
-    * matching stats row — a failed [[appendToIndex]] requires an index
-    * rebuild ([[buildIndex]]).
+    * tables derive from one deterministic frame. The stage is SCOPED
+    * ([[graft.core.Scratch.withStage]]): both arms land inside the call,
+    * so the scratch files are deleted on return — an exit-hook-lifetime
+    * stage here would grow one dir per micro-batch on a long stream.
+    * NOT atomic across the two writes: a failure between them leaves
+    * postings appended with no matching stats row — a failed
+    * [[appendToIndex]] requires an index rebuild ([[buildIndex]]).
     */
   private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
                          textCol: String, idCol: String): Unit = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
     val session = docs.sparkSession
-    val agg = Scratch.stage(
+    Scratch.withStage(
       Scratch.rebalance(docs)
         .select(col(idCol), size(toks).cast("long").as("dl"),
           posexplode_outer(toks).as(Seq("_pos", "term")))
         .groupBy(col(idCol), col("dl"), col("term"))
         .agg(count(lit(1)).cast("long").as("tf"), min(col("_pos")).as("_mp")),
-      "bm25_widx")
-    // term-shuffle width scales with the POSTINGS volume, not the session
-    // default: `agg` is a scratch parquet read, so its optimizer stats are
-    // real file sizes (no job). A fixed 32-partition shuffle made the
-    // sf10 postings sort spill (SCALING.md round-14: wall exponent 1.41
-    // with state exactly linear) — at 100 TB it would be a wall. Target
-    // ~64 MB of postings per partition
-    // (`graft.retrieval.postingsPartitionBytes`).
-    val perPartL = session.conf
-      .get("graft.retrieval.postingsPartitionBytes", (64L << 20).toString).toLong
-    require(perPartL > 0,
-      s"graft.retrieval.postingsPartitionBytes must be positive, got $perPartL")
-    val perPart = BigInt(perPartL)
-    val sessionParts = session.conf.get("spark.sql.shuffle.partitions").toInt
-    // clamp BEFORE narrowing: sizeInBytes is a BigInt that can be
-    // Long.MaxValue (unknown stats), and a bare .toInt wraps to an
-    // arbitrary partition count. 1 << 20 partitions ≈ 64 TB of postings
-    // at the default 64 MB target — past that, fail the math safe, not weird.
-    val estParts =
-      ((agg.queryExecution.optimizedPlan.stats.sizeInBytes / perPart)
-        .min(BigInt(1 << 20)).toInt) + 1
-    val nParts = math.max(sessionParts, estParts)
-    agg.where(col("term").isNotNull)
-      // term-keyed distribution + term-sorted files: each term's postings
-      // land contiguously, so the parquet row-group min/max stats turn the
-      // query-time `term IN (...)` into actual row-group skipping
-      .repartition(nParts, col("term"))
-      .sortWithinPartitions("term")
-      .select(col(idCol), col("dl"), col("term"), col("tf"))
-      .write.mode(mode).parquet(s"$indexPath/postings")
-    // one marker row per doc: position-0 group, or the null-marker
-    // term-null row of a zero-token doc (which adds its dl = 0)
-    agg.where(col("_mp") === 0 || col("_mp").isNull)
-      .agg(count(lit(1)).cast("long").as("n_docs"),
-        sum("dl").cast("long").as("sum_dl"))
-      .coalesce(1).write.mode(mode).parquet(s"$indexPath/stats")
+      "bm25_widx") { agg =>
+      // term-shuffle width scales with the POSTINGS volume, not the session
+      // default: `agg` is a scratch parquet read, so its optimizer stats are
+      // real file sizes (no job). A fixed 32-partition shuffle made the
+      // sf10 postings sort spill (SCALING.md round-14: wall exponent 1.41
+      // with state exactly linear) — at 100 TB it would be a wall. Target
+      // ~64 MB of postings per partition
+      // (`graft.retrieval.postingsPartitionBytes`).
+      val perPartL = session.conf
+        .get("graft.retrieval.postingsPartitionBytes", (64L << 20).toString).toLong
+      require(perPartL > 0,
+        s"graft.retrieval.postingsPartitionBytes must be positive, got $perPartL")
+      val perPart = BigInt(perPartL)
+      val sessionParts = session.conf.get("spark.sql.shuffle.partitions").toInt
+      // clamp BEFORE narrowing: sizeInBytes is a BigInt that can be
+      // Long.MaxValue (unknown stats), and a bare .toInt wraps to an
+      // arbitrary partition count. 1 << 20 partitions ≈ 64 TB of postings
+      // at the default 64 MB target — past that, fail the math safe, not weird.
+      val estParts =
+        ((agg.queryExecution.optimizedPlan.stats.sizeInBytes / perPart)
+          .min(BigInt(1 << 20)).toInt) + 1
+      val nParts = math.max(sessionParts, estParts)
+      agg.where(col("term").isNotNull)
+        // term-keyed distribution + term-sorted files: each term's postings
+        // land contiguously, so the parquet row-group min/max stats turn the
+        // query-time `term IN (...)` into actual row-group skipping
+        .repartition(nParts, col("term"))
+        .sortWithinPartitions("term")
+        .select(col(idCol), col("dl"), col("term"), col("tf"))
+        .write.mode(mode).parquet(s"$indexPath/postings")
+      // one marker row per doc: position-0 group, or the null-marker
+      // term-null row of a zero-token doc (which adds its dl = 0)
+      agg.where(col("_mp") === 0 || col("_mp").isNull)
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("dl").cast("long").as("sum_dl"))
+        .coalesce(1).write.mode(mode).parquet(s"$indexPath/stats")
+    }
   }
 
   /** BM25 top-k against a prebuilt index: same ranking as [[bm25TopK]] (the

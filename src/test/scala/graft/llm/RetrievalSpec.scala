@@ -13,6 +13,18 @@ class RetrievalSpec extends SparkSpec {
     (5L, "FAST spark"), // case-folds
   ).toDF("doc_id", "text")
 
+  test("index build leaves no scratch files behind (scoped stage)") {
+    // writeIndex runs per micro-batch on a stream: an exit-hook-lifetime
+    // scratch dir per batch is unbounded disk growth on a long stream
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def scratchDirs() = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_scratch_bm25_widx_")).toSet
+    val before = scratchDirs()
+    Retrieval.buildIndex(docs, graft.core.TempDirs.scratch("bm25_clean_spec"))
+    assert(scratchDirs() == before,
+      "the bm25_widx stage must be deleted when writeIndex returns")
+  }
+
   test("docs sharing no query term never surface") {
     val out = Retrieval.bm25TopK(docs, Seq(0L -> "spark fast"), k = 10)
     assert(!out.collect().map(_.getAs[Long]("doc_id")).contains(3L))
