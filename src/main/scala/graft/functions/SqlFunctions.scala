@@ -63,11 +63,11 @@ object SqlFunctions {
       SimhashExpr(args.head,
         if (args.length == 2) intArg(args(1), "simhash60", "bits") else 60)
     },
-    reg("hyperplane_sig", classOf[PlaneSigExpr]) { args =>
-      require(args.length == 4, "hyperplane_sig(vec, table, bits, dim)")
-      PlaneSigExpr(args.head, intArg(args(1), "hyperplane_sig", "table"),
-        intArg(args(2), "hyperplane_sig", "bits"),
-        intArg(args(3), "hyperplane_sig", "dim"))
+    reg("hyperplane_sigs", classOf[PlaneSigsExpr]) { args =>
+      require(args.length == 4, "hyperplane_sigs(vec, tables, bits, dim)")
+      PlaneSigsExpr(args.head, intArg(args(1), "hyperplane_sigs", "tables"),
+        intArg(args(2), "hyperplane_sigs", "bits"),
+        intArg(args(3), "hyperplane_sigs", "dim"))
     },
     reg("sig_agree", classOf[SigAgreeExpr]) { args =>
       require(args.length == 2, "sig_agree(sig_a, sig_b)")

@@ -56,14 +56,20 @@ object Similarity {
 
   /** The multi-table signature table (tbl, bucket, id, vec) — materialize
     * once per corpus; at ingest this is a stored column per table.
+    *
+    * ONE scan: `hyperplane_sigs` computes every table's bucket in a single
+    * kernel call and `posexplode` emits the (tbl, bucket) rows. The
+    * previous tables-way self-union read the corpus `tables` times per
+    * action — tables× the I/O at 100 TB — and, fed a foreachBatch
+    * micro-batch ([[graft.streaming.StreamingAnn.appendSignatures]]),
+    * planted `tables` copies of the upstream stateful-dedup operator in
+    * one action (concurrent same-version state-store access).
     */
   def lshSignatures(embeddings: DataFrame, bits: Int, tables: Int, dim: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    (0 until tables).map { t =>
-      embeddings.select(col(idCol), col(vecCol),
-        lit(t).as("tbl"),
-        CrossHashExprs.planeSig(col(vecCol), t, bits, dim).as("bucket"))
-    }.reduce(_ unionAll _)
+    embeddings.select(col(idCol), col(vecCol),
+      posexplode(CrossHashExprs.planeSigs(col(vecCol), tables, bits, dim))
+        .as(Seq("tbl", "bucket")))
 
   /** Approximate top-k from a MATERIALIZED signature table (see
     * [[lshSignatures]]): union the candidate sets from the signature
