@@ -734,6 +734,20 @@ object SparkEntry {
     // corpus scan; dfs, query terms and corpus stats all ride broadcasts
     "q_bm25" -> ((s, d) =>
       Retrieval.bm25TopK(documents(s, d), bm25Queries, k = 10)),
+    // incremental index lifecycle under the oracle: build on a third of
+    // the corpus, append the other two thirds (each append commits its
+    // postings + one stats marker atomically), COMPACT (term-redistribute,
+    // markers fold to one), then query — the ranking must equal the batch
+    // full-corpus oracle, proving append+compact lose nothing
+    "q_bm25_compact" -> ((s, d) => {
+      val idx = graft.core.TempDirs.scratch("bm25_compact_idx")
+      val docs = documents(s, d)
+      Retrieval.buildIndex(docs.where(col("doc_id") % 3 === 0), idx)
+      Retrieval.appendToIndex(docs.where(col("doc_id") % 3 === 1), idx)
+      Retrieval.appendToIndex(docs.where(col("doc_id") % 3 === 2), idx)
+      Retrieval.compactIndex(s, idx): Unit
+      Retrieval.bm25TopKFromIndex(s, idx, bm25Queries, k = 10)
+    }),
     // hybrid retrieval: RRF-fuse the lexical arm with the dense exact arm
     // (rank-space merge — no cross-arm score normalization needed)
     "q_hybrid_rrf" -> ((s, d) => {
@@ -2803,6 +2817,8 @@ object SparkEntry {
         |    ORDER BY score DESC, token) AS BIGINT) AS rk FROM k)
         |SELECT doc_id, token, tf, df, score, rk FROM r WHERE rk <= 3""".stripMargin,
     "q_bm25" -> OracleSqlGen.bm25Sql(bm25Queries, k = 10),
+    // append+compact must be ranking-invariant: same oracle as q_bm25
+    "q_bm25_compact" -> OracleSqlGen.bm25Sql(bm25Queries, k = 10),
     "q_length_quantiles" ->
       """WITH c AS (SELECT source, doc_id,
         |    CAST(len(list_filter(string_split_regex(text, '\s+'),

@@ -122,13 +122,22 @@ object Retrieval {
     * stage is the materialize-once barrier that makes both arms read a
     * plain file, not a convenience. It also cuts lineage, yields real
     * file-size stats for the postings shuffle width, and makes both
-    * tables derive from one deterministic frame. The stage is SCOPED
-    * ([[graft.core.Scratch.withStage]]): both arms land inside the call,
-    * so the scratch files are deleted on return — an exit-hook-lifetime
-    * stage here would grow one dir per micro-batch on a long stream.
-    * NOT atomic across the two writes: a failure between them leaves
-    * postings appended with no matching stats row — a failed
-    * [[appendToIndex]] requires an index rebuild ([[buildIndex]]).
+    * arms derive from one deterministic frame. The stage is SCOPED
+    * ([[graft.core.Scratch.withStage]]): everything lands inside the
+    * call, so the scratch files are deleted on return — an
+    * exit-hook-lifetime stage here would grow one dir per micro-batch on
+    * a long stream.
+    *
+    * ATOMIC per append: the index is ONE table. Each call appends its
+    * corpus stats as a single null-term MARKER ROW
+    * `(id=NULL, dl=Σdl, term=NULL, tf=n_docs)` unioned into the same
+    * write job as the posting rows, so postings and stats commit or
+    * vanish together under Spark's file-commit protocol — the previous
+    * two-table layout had a documented failure window (postings appended,
+    * stats write failed → permanently skewed avgdl, rebuild required).
+    * Real posting rows always have `term IS NOT NULL`, so query-time
+    * `term IN (...)` never sees markers and the stats read
+    * (`term IS NULL`) prunes posting files via parquet null counts.
     */
   private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
                          textCol: String, idCol: String): Unit = {
@@ -141,42 +150,100 @@ object Retrieval {
         .groupBy(col(idCol), col("dl"), col("term"))
         .agg(count(lit(1)).cast("long").as("tf"), min(col("_pos")).as("_mp")),
       "bm25_widx") { agg =>
-      // term-shuffle width scales with the POSTINGS volume, not the session
-      // default: `agg` is a scratch parquet read, so its optimizer stats are
-      // real file sizes (no job). A fixed 32-partition shuffle made the
-      // sf10 postings sort spill (SCALING.md round-14: wall exponent 1.41
-      // with state exactly linear) — at 100 TB it would be a wall. Target
-      // ~64 MB of postings per partition
-      // (`graft.retrieval.postingsPartitionBytes`).
-      val perPartL = session.conf
-        .get("graft.retrieval.postingsPartitionBytes", (64L << 20).toString).toLong
-      require(perPartL > 0,
-        s"graft.retrieval.postingsPartitionBytes must be positive, got $perPartL")
-      val perPart = BigInt(perPartL)
-      val sessionParts = session.conf.get("spark.sql.shuffle.partitions").toInt
-      // clamp BEFORE narrowing: sizeInBytes is a BigInt that can be
-      // Long.MaxValue (unknown stats), and a bare .toInt wraps to an
-      // arbitrary partition count. 1 << 20 partitions ≈ 64 TB of postings
-      // at the default 64 MB target — past that, fail the math safe, not weird.
-      val estParts =
-        ((agg.queryExecution.optimizedPlan.stats.sizeInBytes / perPart)
-          .min(BigInt(1 << 20)).toInt) + 1
-      val nParts = math.max(sessionParts, estParts)
-      agg.where(col("term").isNotNull)
+      val nParts = postingsWidth(session, agg)
+      val postings = agg.where(col("term").isNotNull)
         // term-keyed distribution + term-sorted files: each term's postings
         // land contiguously, so the parquet row-group min/max stats turn the
         // query-time `term IN (...)` into actual row-group skipping
         .repartition(nParts, col("term"))
         .sortWithinPartitions("term")
         .select(col(idCol), col("dl"), col("term"), col("tf"))
+      // exactly one doc-stats group per doc: its position-0 term group, or
+      // the term-null row of a zero-token doc (which adds its dl = 0);
+      // folded to the single marker row this append contributes
+      val marker = agg.where(col("_mp") === 0 || col("_mp").isNull)
+        .agg(sum("dl").cast("long").as("dl"),
+          count(lit(1)).cast("long").as("tf"))
+        .select(lit(null).cast(agg.schema(idCol).dataType).as(idCol),
+          col("dl"), lit(null).cast("string").as("term"), col("tf"))
+      postings.unionByName(marker)
         .write.mode(mode).parquet(s"$indexPath/postings")
-      // one marker row per doc: position-0 group, or the null-marker
-      // term-null row of a zero-token doc (which adds its dl = 0)
-      agg.where(col("_mp") === 0 || col("_mp").isNull)
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum("dl").cast("long").as("sum_dl"))
-        .coalesce(1).write.mode(mode).parquet(s"$indexPath/stats")
     }
+  }
+
+  /** Term-shuffle width for a postings-volume-sized frame: targets
+    * ~64 MB of postings per partition (`graft.retrieval
+    * .postingsPartitionBytes`) instead of the session default — a fixed
+    * 32-partition shuffle made the sf10 postings sort spill (SCALING.md
+    * round-14: wall exponent 1.41 with state exactly linear); at 100 TB
+    * it would be a wall. `sized` must scan real files (a scratch stage or
+    * the live index) so the optimizer stats are file sizes, not guesses.
+    */
+  private def postingsWidth(session: org.apache.spark.sql.SparkSession,
+                            sized: DataFrame): Int = {
+    val perPartL = session.conf
+      .get("graft.retrieval.postingsPartitionBytes", (64L << 20).toString).toLong
+    require(perPartL > 0,
+      s"graft.retrieval.postingsPartitionBytes must be positive, got $perPartL")
+    val sessionParts = session.conf.get("spark.sql.shuffle.partitions").toInt
+    // clamp BEFORE narrowing: sizeInBytes is a BigInt that can be
+    // Long.MaxValue (unknown stats), and a bare .toInt wraps to an
+    // arbitrary partition count. 1 << 20 partitions ≈ 64 TB of postings
+    // at the default 64 MB target — past that, fail the math safe, not weird.
+    val estParts =
+      ((sized.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(perPartL))
+        .min(BigInt(1 << 20)).toInt) + 1
+    math.max(sessionParts, estParts)
+  }
+
+  /** Fold micro-batch accumulation back into the built shape: a long
+    * appending stream leaves one stats marker row and a few small posting
+    * files per batch; thousands of tiny files erode the query-time
+    * `term IN (...)` row-group skipping (every file opens, no term
+    * locality across files) and grow the marker fold linearly. Rewrites
+    * the table term-distributed + term-sorted with the markers folded to
+    * ONE row, staging-then-swap like [[graft.storage.MdioDataset.compact]]
+    * (the same delete→rename window; run with writers quiesced —
+    * [[graft.streaming.StreamingRetrieval.appendPostings]]'s
+    * `compactEveryBatches` runs it inside the serialized foreachBatch).
+    * Returns (parquet files before, after).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(s"$indexPath/postings")
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquetFiles(p: Path): Int = {
+      val it = fs.listFiles(p, true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    val nBefore = parquetFiles(live)
+    val idx = spark.read.parquet(live.toString)
+    val others = idx.columns.filterNot(Set("dl", "term", "tf"))
+    require(others.length == 1,
+      s"not a bm25 postings table (columns ${idx.columns.mkString(", ")})")
+    val idName = others.head
+    val postings = idx.where(col("term").isNotNull)
+      .repartition(postingsWidth(spark, idx), col("term"))
+      .sortWithinPartitions("term")
+    val marker = idx.where(col("term").isNull)
+      .agg(sum("dl").cast("long").as("dl"), sum("tf").cast("long").as("tf"))
+      .select(lit(null).cast(idx.schema(idName).dataType).as(idName),
+        col("dl"), lit(null).cast("string").as("term"), col("tf"))
+      .where(col("tf").isNotNull) // an empty/markerless table folds to nothing
+    val staging = new Path(s"$indexPath/.postings_compacting")
+    fs.delete(staging, true): Unit
+    postings.unionByName(marker)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(live, true): Unit
+    if (!fs.rename(staging, live))
+      throw new IllegalStateException(
+        s"compactIndex: swap $staging -> $live failed")
+    (nBefore, parquetFiles(live))
   }
 
   /** BM25 top-k against a prebuilt index: same ranking as [[bm25TopK]] (the
@@ -192,13 +259,16 @@ object Retrieval {
       s"BM25 broadcasts the query-term table — got ${queries.size} queries")
     val qTerms = queryTerms(queries)
     val allTerms = qTerms.map(_._2).distinct
-    val tf = spark.read.parquet(s"$indexPath/postings")
-      .where(col("term").isInCollection(allTerms))
-    // one row per build/append: fold the sums, then the single division —
-    // the same (Σdl as long) / (n as long) the demo path computes
-    val stats = spark.read.parquet(s"$indexPath/stats")
-      .agg(sum("n_docs").cast("long").as("n_docs"),
-        sum("sum_dl").cast("long").as("sum_dl"))
+    val idx = spark.read.parquet(s"$indexPath/postings")
+    // `IN` is null-rejecting, so the stats markers can never score
+    val tf = idx.where(col("term").isInCollection(allTerms))
+    // one marker row per build/append (term IS NULL — parquet null counts
+    // prune every pure-postings file): fold the sums, then the single
+    // division — the same (Σdl as long) / (n as long) the demo path
+    // computes
+    val stats = idx.where(col("term").isNull)
+      .agg(sum("tf").cast("long").as("n_docs"),
+        sum("dl").cast("long").as("sum_dl"))
       .select(col("n_docs"),
         (col("sum_dl").cast("double") / col("n_docs").cast("double"))
           .as("avgdl"))

@@ -6,7 +6,8 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.llm.Retrieval
 
 /** Streaming BM25 index maintenance: an arriving document stream appends
-  * posting and stats rows to the persisted inverted index between triggers
+  * posting rows (plus their atomic stats marker) to the persisted inverted
+  * index between triggers
   * ([[Retrieval.appendToIndex]]), so lexical searches see new documents
   * within one trigger interval — and, unlike the fixed-quantizer ANN
   * appends in [[StreamingAnn]], the BM25 ranking stays EXACT after any
@@ -24,19 +25,33 @@ object StreamingRetrieval {
 
   /** Append a document stream's postings to the index at `indexPath`
     * (which must already exist via [[Retrieval.buildIndex]]).
+    *
+    * `compactEveryBatches = Some(n)` runs [[Retrieval.compactIndex]] after
+    * every n-th committed batch, INSIDE the foreachBatch handler — appends
+    * and compactions serialize, satisfying compact's writers-quiesced
+    * contract, and the file count of a forever-appending stream stays
+    * bounded (the [[StreamingMdio]] pattern).
     */
   def appendPostings(stream: DataFrame, indexPath: String,
                      checkpoint: Option[String] = None,
                      dedupKey: Option[String] = Some("doc_id"),
                      textCol: String = "text", idCol: String = "doc_id",
-                     trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                     trigger: Trigger = Trigger.AvailableNow(),
+                     compactEveryBatches: Option[Int] = None): StreamingQuery = {
+    compactEveryBatches.foreach(n =>
+      require(n > 0, s"compactEveryBatches must be positive, got $n"))
     val deduped = dedupKey.fold(stream)(k => stream.dropDuplicates(k))
     val ckpt = checkpoint.getOrElse(s"$indexPath/_stream_checkpoint")
     deduped.writeStream
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Retrieval.appendToIndex(batch, indexPath, textCol, idCol)
+        compactEveryBatches
+          .filter(n => (batchId + 1) % n == 0)
+          .foreach { _ =>
+            Retrieval.compactIndex(batch.sparkSession, indexPath): Unit
+          }
       }
       .start()
   }

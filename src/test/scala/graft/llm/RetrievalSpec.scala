@@ -91,11 +91,18 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     val path = graft.core.TempDirs.scratch("bm25_empty_spec")
     Retrieval.buildIndex(withEmpty, path)
-    val statsRow = spark.read.parquet(s"$path/stats").head()
-    assert(statsRow.getAs[Long]("n_docs") == 6L,
-      "the zero-token doc must count in n_docs")
-    assert(statsRow.getAs[Long]("sum_dl") == 26L, // 5+5+6+8+2, empty adds 0
-      "sum_dl must total the five real docs' token counts")
+    // the index is ONE table: stats ride as null-term marker rows
+    // (id=NULL, dl=Σdl, term=NULL, tf=n_docs) in the same write job as
+    // the postings — atomic per append
+    assert(!new java.io.File(s"$path/stats").exists(),
+      "single-table layout: no separate stats directory")
+    val markers = spark.read.parquet(s"$path/postings")
+      .where($"term".isNull).collect()
+    assert(markers.length == 1, "one marker row per build/append")
+    assert(markers.head.getAs[Long]("tf") == 6L,
+      "the zero-token doc must count in n_docs (marker tf)")
+    assert(markers.head.getAs[Long]("dl") == 26L, // 5+5+6+8+2, empty adds 0
+      "marker dl must total the five real docs' token counts")
     assert(Retrieval.bm25TopKFromIndex(spark, path, queries, k = 10)
       .collect().map(_.toSeq).toSet == direct)
   }
@@ -109,6 +116,60 @@ class RetrievalSpec extends SparkSpec {
     val direct = Retrieval.bm25TopK(docs, queries, k = 10)
     assert(appended.collect().map(_.toSeq).toSet ==
       direct.collect().map(_.toSeq).toSet)
+    // each append committed exactly one stats marker with its postings
+    assert(spark.read.parquet(s"$path/postings")
+      .where($"term".isNull).count() == 2L)
+  }
+
+  test("compactIndex folds appends back into the built shape — ranking " +
+      "identical, one marker, fewer files") {
+    val path = graft.core.TempDirs.scratch("bm25_compact_spec")
+    Retrieval.buildIndex(docs.where($"doc_id" <= 2), path)
+    docs.where($"doc_id" > 2).collect().foreach { r =>
+      Retrieval.appendToIndex(
+        Seq((r.getLong(0), r.getString(1))).toDF("doc_id", "text"), path)
+    }
+    val queries = Seq(0L -> "spark fast", 1L -> "engine")
+    val before = Retrieval.bm25TopKFromIndex(spark, path, queries, k = 10)
+      .collect().map(_.toSeq).toSet
+    val (nBefore, nAfter) = Retrieval.compactIndex(spark, path)
+    assert(nAfter < nBefore, s"compaction must shrink files ($nBefore -> $nAfter)")
+    assert(spark.read.parquet(s"$path/postings")
+      .where($"term".isNull).count() == 1L, "markers fold to one row")
+    val after = Retrieval.bm25TopKFromIndex(spark, path, queries, k = 10)
+    assert(after.collect().map(_.toSeq).toSet == before,
+      "compaction must not change the ranking")
+    val scan = after.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("In(term"),
+      s"compacted scan must still push term IN (...):\n$scan")
+  }
+
+  test("streamed appendPostings with compactEveryBatches bounds the file " +
+      "count and keeps one marker") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val path = graft.core.TempDirs.scratch("bm25_stream_compact_spec")
+    Retrieval.buildIndex(docs.where($"doc_id" <= 2), path)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingRetrieval.appendPostings(
+      input.toDF().toDF("doc_id", "text"), path,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      compactEveryBatches = Some(1))
+    try {
+      docs.where($"doc_id" > 2).collect().foreach { r =>
+        input.addData((r.getLong(0), r.getString(1)))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(spark.read.parquet(s"$path/postings")
+      .where($"term".isNull).count() == 1L,
+      "per-batch markers must fold away under streaming compaction")
+    val streamed = Retrieval.bm25TopKFromIndex(spark, path,
+      Seq(0L -> "spark fast", 1L -> "engine"), k = 10)
+    val direct = Retrieval.bm25TopK(docs, Seq(0L -> "spark fast", 1L -> "engine"), k = 10)
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet,
+      "compacted streamed index must rank exactly like the batch build")
   }
 
   test("streamed postings append once — replays absorbed, ranking exact") {
