@@ -301,29 +301,70 @@ object Ivf {
     * two-level ([[coarseGrouping]]) — coarse-probe first, fine-rank only
     * within the probed coarse groups, O(coarseProbes·√nCells) distance rows
     * per query, all executor-side.
+    *
+    * The cells scan is pruned to the probed cells with a pushed-down
+    * `cell IN (...)` BEFORE the corpus is touched: on a
+    * [[compactIndex]]-clustered index the IN filter skips whole row
+    * groups, and the corpus join runs against the pruned candidate list
+    * (~nProbe/nCells of the index) — never the cells-table-wide
+    * id join the pre-round-14 shape started with.
     */
   def ivfTopKFromIndex(embeddings: DataFrame, indexPath: String,
                        queryIds: Seq[Long], k: Int, nProbe: Int = 4,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val sess = embeddings.sparkSession
-    val cells = sess.read.parquet(s"$indexPath/cells")
-
+    require(queryIds.nonEmpty && queryIds.size <= 65536,
+      s"IVF search broadcasts the probe table — got ${queryIds.size} queries")
     val queries = embeddings.where(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val probes = probeTable(queries, indexPath, nProbe)
+    val (probes, probedCells) = collectedProbes(queries, indexPath, nProbe)
 
-    val indexed = embeddings.join(cells, idCol)   // (vec_id, embedding, cell)
+    val cand = sess.read.parquet(s"$indexPath/cells")
+      .where(col("cell").isInCollection(probedCells))
+      .join(broadcast(probes), Seq("cell"))       // per-query candidate list
+      .where(col(idCol) =!= col("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol))
-    indexed
-      .join(broadcast(probes), Seq("cell"))       // prune to probed cells
-      .where(col(idCol) =!= col("query_id"))
+    cand
+      .join(embeddings, idCol)                    // fetch candidate vectors
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("sim", Similarity.cosine(col("qvec"), col(vecCol)))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
       .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
   }
+
+  /** [[probeTable]] collected to a LOCAL relation plus the sorted distinct
+    * probed-cell ids — the shape every index search needs twice: once as
+    * the broadcast (query_id, cell) pairing and once as the `cell IN (...)`
+    * list pushed into the cells/codes scan. Parameter-sized by contract
+    * (nQueries × nProbe, with nQueries ≤ 65536 enforced by every caller),
+    * and collected ONCE — the probe computation never runs twice.
+    */
+  private[llm] def collectedProbes(queries: DataFrame, indexPath: String,
+                                   nProbe: Int): (DataFrame, Seq[Long]) = {
+    val sess = queries.sparkSession
+    import sess.implicits._
+    val rows = probeTable(queries, indexPath, nProbe)
+      .select(col("query_id").cast("long"), col("cell").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    (rows.toDF("query_id", "cell"), rows.map(_._2).distinct.sorted)
+  }
+
+  /** Fold append accumulation ([[appendToIndex]] / the streaming tier)
+    * back into the built layout: rewrite the cells table range-clustered
+    * and sorted by cell, so the search-time `cell IN (probes)` skips whole
+    * row groups again and the file count of a forever-appending stream
+    * stays bounded. Staging-then-swap via
+    * [[graft.core.Compaction.recluster]] — run with writers quiesced
+    * ([[graft.streaming.StreamingAnn.appendToIndexes]]'s
+    * `compactEveryBatches` runs it inside the serialized foreachBatch).
+    * Returns (parquet files before, after).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String): (Int, Int) =
+    graft.core.Compaction.recluster(spark, s"$indexPath/cells",
+      Seq("cell"), "graft.ann.cellsPartitionBytes")
 
   /** The (query_id, cell) probe list for a query frame of (query_id, qvec)
     * rows — the cell-pruning half of [[ivfTopKFromIndex]], reusable by any

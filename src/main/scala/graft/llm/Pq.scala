@@ -117,6 +117,22 @@ object Pq {
       idCol, vecCol)
       .write.mode("append").parquet(s"$indexPath/codes")
 
+  /** Fold append accumulation back into the built layout — the mirror of
+    * [[Ivf.compactIndex]] for the code table. A residual index's codes
+    * carry their IVF cell ([[buildResidualIndex]]) and recluster by it,
+    * so the residual search's pushed `cell IN (probes)` skips row groups;
+    * a flat index's codes recluster by id for the candidate join. Run
+    * with writers quiesced. Returns (parquet files before, after).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, idCol: String = "vec_id"): (Int, Int) = {
+    val key =
+      if (spark.read.parquet(s"$indexPath/codes").columns.contains("cell"))
+        "cell" else idCol
+    graft.core.Compaction.recluster(spark, s"$indexPath/codes",
+      Seq(key), "graft.ann.codesPartitionBytes")
+  }
+
   /** One query's flattened [m × ksub] LUT: lut(j·ksub + c) = ‖q_slice_j −
     * books(j)(c)‖², each accumulated left-to-right like [[encode]]'s kernel.
     */
@@ -247,10 +263,13 @@ object Pq {
     val books = readBooks(sess, pqPath)
     val ksub = books(0).length
     val codes = sess.read.parquet(s"$pqPath/codes")
-    val cells = sess.read.parquet(s"$ivfPath/cells")
     val queryFrame = embeddings.where(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val probes = Ivf.probeTable(queryFrame, ivfPath, nProbe)
+    val (probes, probedCells) = Ivf.collectedProbes(queryFrame, ivfPath, nProbe)
+    // pushed `cell IN (...)`: row-group skipping on a compacted index —
+    // the broadcast probe join alone would still open every cells file
+    val cells = sess.read.parquet(s"$ivfPath/cells")
+      .where(col("cell").isInCollection(probedCells))
     val queries = queryFrame
       .select(col("query_id"), transform(col("qvec"), _.cast("double")).as("_qv"))
       .collect()
@@ -381,7 +400,12 @@ object Pq {
       val rq = Array.tabulate(q.length)(i => q(i) - c(i))
       (qid, cell, lutFor(rq, books).toSeq)
     }.toDF("query_id", "cell", "_lut")
+    // pushed `cell IN (...)` on the cell-keyed code table: the broadcast
+    // LUT join alone is the candidate selection but still opens every
+    // codes file — the IN filter lets a compacted index skip row groups
+    val probedCells = probePairs.map(_._2).distinct.sorted.toSeq
     val codes = sess.read.parquet(s"$pqPath/codes")
+      .where(col("cell").isInCollection(probedCells))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col(idCol))
     codes.join(broadcast(luts), "cell")

@@ -180,21 +180,9 @@ object Retrieval {
     * the live index) so the optimizer stats are file sizes, not guesses.
     */
   private def postingsWidth(session: org.apache.spark.sql.SparkSession,
-                            sized: DataFrame): Int = {
-    val perPartL = session.conf
-      .get("graft.retrieval.postingsPartitionBytes", (64L << 20).toString).toLong
-    require(perPartL > 0,
-      s"graft.retrieval.postingsPartitionBytes must be positive, got $perPartL")
-    val sessionParts = session.conf.get("spark.sql.shuffle.partitions").toInt
-    // clamp BEFORE narrowing: sizeInBytes is a BigInt that can be
-    // Long.MaxValue (unknown stats), and a bare .toInt wraps to an
-    // arbitrary partition count. 1 << 20 partitions ≈ 64 TB of postings
-    // at the default 64 MB target — past that, fail the math safe, not weird.
-    val estParts =
-      ((sized.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(perPartL))
-        .min(BigInt(1 << 20)).toInt) + 1
-    math.max(sessionParts, estParts)
-  }
+                            sized: DataFrame): Int =
+    graft.core.Compaction.sizedWidth(session, sized,
+      "graft.retrieval.postingsPartitionBytes")
 
   /** Fold micro-batch accumulation back into the built shape: a long
     * appending stream leaves one stats marker row and a few small posting
@@ -209,42 +197,22 @@ object Retrieval {
     * Returns (parquet files before, after).
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
-                   indexPath: String): (Int, Int) = {
-    import org.apache.hadoop.fs.Path
-    val live = new Path(s"$indexPath/postings")
-    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def parquetFiles(p: Path): Int = {
-      val it = fs.listFiles(p, true)
-      var n = 0
-      while (it.hasNext) {
-        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
-      }
-      n
+                   indexPath: String): (Int, Int) =
+    graft.core.Compaction.rewriteInPlace(spark, s"$indexPath/postings") { idx =>
+      val others = idx.columns.filterNot(Set("dl", "term", "tf"))
+      require(others.length == 1,
+        s"not a bm25 postings table (columns ${idx.columns.mkString(", ")})")
+      val idName = others.head
+      val postings = idx.where(col("term").isNotNull)
+        .repartition(postingsWidth(spark, idx), col("term"))
+        .sortWithinPartitions("term")
+      val marker = idx.where(col("term").isNull)
+        .agg(sum("dl").cast("long").as("dl"), sum("tf").cast("long").as("tf"))
+        .select(lit(null).cast(idx.schema(idName).dataType).as(idName),
+          col("dl"), lit(null).cast("string").as("term"), col("tf"))
+        .where(col("tf").isNotNull) // an empty/markerless table folds to nothing
+      postings.unionByName(marker)
     }
-    val nBefore = parquetFiles(live)
-    val idx = spark.read.parquet(live.toString)
-    val others = idx.columns.filterNot(Set("dl", "term", "tf"))
-    require(others.length == 1,
-      s"not a bm25 postings table (columns ${idx.columns.mkString(", ")})")
-    val idName = others.head
-    val postings = idx.where(col("term").isNotNull)
-      .repartition(postingsWidth(spark, idx), col("term"))
-      .sortWithinPartitions("term")
-    val marker = idx.where(col("term").isNull)
-      .agg(sum("dl").cast("long").as("dl"), sum("tf").cast("long").as("tf"))
-      .select(lit(null).cast(idx.schema(idName).dataType).as(idName),
-        col("dl"), lit(null).cast("string").as("term"), col("tf"))
-      .where(col("tf").isNotNull) // an empty/markerless table folds to nothing
-    val staging = new Path(s"$indexPath/.postings_compacting")
-    fs.delete(staging, true): Unit
-    postings.unionByName(marker)
-      .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(live, true): Unit
-    if (!fs.rename(staging, live))
-      throw new IllegalStateException(
-        s"compactIndex: swap $staging -> $live failed")
-    (nBefore, parquetFiles(live))
-  }
 
   /** BM25 top-k against a prebuilt index: same ranking as [[bm25TopK]] (the
     * spec pins equality), but the corpus never re-tokenizes — the postings

@@ -101,6 +101,17 @@ object Sq {
       .write.mode("append").parquet(s"$indexPath/codes")
   }
 
+  /** Fold append accumulation back into the built layout — the mirror of
+    * [[Pq.compactIndex]] for the SQ code table (id-clustered: the ADC scan
+    * is corpus-wide, so compaction here buys bounded file counts and the
+    * rerank join's id locality, not key skipping). Run with writers
+    * quiesced. Returns (parquet files before, after).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, idCol: String = "vec_id"): (Int, Int) =
+    graft.core.Compaction.recluster(spark, s"$indexPath/codes",
+      Seq(idCol), "graft.ann.codesPartitionBytes")
+
   /** ADC top-k against a prebuilt index: every corpus row scores one fused
     * dim-loop against the broadcast query vector; rank by (distance, id).
     * `nRerank > 0` refines that many ADC candidates per query by exact

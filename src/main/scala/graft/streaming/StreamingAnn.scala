@@ -23,6 +23,14 @@ object StreamingAnn {
 
   /** Append an embedding stream to the index(es); at least one of
     * `ivfPath` / `pqPath` / `sqPath` must point at an existing built index.
+    *
+    * `compactEveryBatches = Some(n)` runs the matching `compactIndex`
+    * ([[Ivf.compactIndex]] / [[Pq.compactIndex]] / [[Sq.compactIndex]])
+    * on every present index after every n-th committed batch, INSIDE the
+    * foreachBatch handler — appends and compactions serialize, satisfying
+    * compact's writers-quiesced contract, and a forever-appending stream
+    * keeps bounded file counts and live `cell IN (...)` row-group
+    * skipping (the [[StreamingRetrieval.appendPostings]] pattern).
     */
   def appendToIndexes(stream: DataFrame,
                       ivfPath: Option[String] = None,
@@ -32,16 +40,19 @@ object StreamingAnn {
                       dedupKey: Option[String] = Some("vec_id"),
                       idCol: String = "vec_id",
                       vecCol: String = "embedding",
-                      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                      trigger: Trigger = Trigger.AvailableNow(),
+                      compactEveryBatches: Option[Int] = None): StreamingQuery = {
     require(ivfPath.isDefined || pqPath.isDefined || sqPath.isDefined,
       "StreamingAnn.appendToIndexes needs at least one index path")
+    compactEveryBatches.foreach(n =>
+      require(n > 0, s"compactEveryBatches must be positive, got $n"))
     val deduped = dedupKey.fold(stream)(k => stream.dropDuplicates(k))
     val ckpt = checkpoint.getOrElse(
       s"${ivfPath.orElse(pqPath).orElse(sqPath).get}/_stream_checkpoint")
     deduped.writeStream
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // a foreachBatch frame embeds the live stateful dedup operator;
         // one action per sink would re-execute that plan (and replay its
         // state-store updates) once per index. With multiple sinks,
@@ -56,6 +67,14 @@ object StreamingAnn {
           pqPath.foreach(p => Pq.appendToIndex(b, p, idCol, vecCol))
           sqPath.foreach(p => Sq.appendToIndex(b, p, idCol, vecCol))
         } finally if (nSinks > 1) { b.unpersist(); () }
+        compactEveryBatches
+          .filter(n => (batchId + 1) % n == 0)
+          .foreach { _ =>
+            val sess = batch.sparkSession
+            ivfPath.foreach(p => Ivf.compactIndex(sess, p): Unit)
+            pqPath.foreach(p => Pq.compactIndex(sess, p, idCol): Unit)
+            sqPath.foreach(p => Sq.compactIndex(sess, p, idCol): Unit)
+          }
       }
       .start()
   }

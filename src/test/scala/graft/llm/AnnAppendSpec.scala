@@ -49,6 +49,61 @@ class AnnAppendSpec extends SparkSpec {
     assert(got.getAs[Long]("neighbor_id") == 39L)
   }
 
+  test("Ivf.compactIndex folds appends: fewer files, ranking identical, " +
+      "cell IN pushed to the cells scan") {
+    val path = graft.core.TempDirs.scratch("ivf_compact")
+    Ivf.buildIndexSeeded(base, path, nCells = 8)
+    // ten one-row appends: the worst-case file accumulation shape
+    extra.collect().foreach { r =>
+      Ivf.appendToIndex(
+        Seq((r.getLong(0), r.getSeq[Float](1))).toDF("vec_id", "embedding"),
+        path)
+    }
+    val before = Ivf.ivfTopKFromIndex(all, path, Seq(0L, 5L), k = 3, nProbe = 2)
+      .collect().map(_.toSeq).toSet
+    val (nBefore, nAfter) = Ivf.compactIndex(spark, path)
+    assert(nAfter < nBefore, s"compaction must shrink files ($nBefore -> $nAfter)")
+    assert(spark.read.parquet(s"$path/cells").count() == 40,
+      "compaction is row-preserving")
+    val after = Ivf.ivfTopKFromIndex(all, path, Seq(0L, 5L), k = 3, nProbe = 2)
+    assert(after.collect().map(_.toSeq).toSet == before,
+      "compaction must not change the ranking")
+    val plan = after.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(cell"),
+      s"cells scan must carry a pushed cell IN (...):\n$plan")
+  }
+
+  test("Pq.compactIndex clusters flat codes by id and residual codes by " +
+      "cell — searches identical, residual scan pushes cell IN") {
+    val flat = graft.core.TempDirs.scratch("pq_compact_flat")
+    Pq.buildIndex(base, flat, m = 4, ksub = 4)
+    extra.collect().foreach { r =>
+      Pq.appendToIndex(
+        Seq((r.getLong(0), r.getSeq[Float](1))).toDF("vec_id", "embedding"),
+        flat)
+    }
+    val flatBefore = Pq.adcTopKFromIndex(all, flat, Seq(0L), k = 3, nRerank = 8)
+      .collect().map(_.toSeq).toSet
+    val (fb, fa) = Pq.compactIndex(spark, flat)
+    assert(fa < fb, s"flat codes must shrink ($fb -> $fa)")
+    assert(Pq.adcTopKFromIndex(all, flat, Seq(0L), k = 3, nRerank = 8)
+      .collect().map(_.toSeq).toSet == flatBefore)
+
+    val ivfPath = graft.core.TempDirs.scratch("pqr_compact_ivf")
+    val pqPath = graft.core.TempDirs.scratch("pqr_compact_pq")
+    Ivf.buildIndexSeeded(all, ivfPath, nCells = 8)
+    Pq.buildResidualIndex(all, ivfPath, pqPath, m = 4, ksub = 4)
+    val resBefore = Pq.ivfPqResidualTopKFromIndexes(all, ivfPath, pqPath,
+      Seq(0L), k = 3, nProbe = 4).collect().map(_.toSeq).toSet
+    Pq.compactIndex(spark, pqPath): Unit // residual codes carry cell
+    val res = Pq.ivfPqResidualTopKFromIndexes(all, ivfPath, pqPath,
+      Seq(0L), k = 3, nProbe = 4)
+    assert(res.collect().map(_.toSeq).toSet == resBefore)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("In(cell"),
+      s"residual codes scan must carry a pushed cell IN (...):\n$plan")
+  }
+
   test("StreamingAnn appends each arriving batch once — replays are absorbed") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
@@ -83,6 +138,37 @@ class AnnAppendSpec extends SparkSpec {
     // composed search over the streamed-in index finds the streamed clone
     val got = Pq.ivfPqTopKFromIndexes(all, ivfPath, pqPath, Seq(0L),
         k = 1, nProbe = 8, nRerank = 8)
+      .collect().head
+    assert(got.getAs[Long]("neighbor_id") == 39L)
+  }
+
+  test("StreamingAnn with compactEveryBatches bounds the file count of a " +
+      "per-row stream — search equals the batch build") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val ivfPath = graft.core.TempDirs.scratch("ivf_stream_compact")
+    val sqPath = graft.core.TempDirs.scratch("sq_stream_compact")
+    Ivf.buildIndexSeeded(base, ivfPath, nCells = 8)
+    Sq.buildIndex(base, sqPath)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingAnn.appendToIndexes(
+      input.toDF().toDF("vec_id", "embedding"),
+      ivfPath = Some(ivfPath), sqPath = Some(sqPath),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      compactEveryBatches = Some(1))
+    try {
+      // one row per micro-batch: ten appends, each followed by a compact
+      ((30 until 39).map(i => (i.toLong, vec(i))) :+ (39L, vec(0))).foreach { r =>
+        input.addData(r)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(spark.read.parquet(s"$ivfPath/cells").count() == 40)
+    assert(spark.read.parquet(s"$sqPath/codes").count() == 40)
+    val nCells = graft.core.Compaction.parquetFileCount(spark, s"$ivfPath/cells")
+    assert(nCells <= spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"per-batch compaction must keep the cells table at built width, got $nCells files")
+    val got = Ivf.ivfTopKFromIndex(all, ivfPath, Seq(0L), k = 1, nProbe = 1)
       .collect().head
     assert(got.getAs[Long]("neighbor_id") == 39L)
   }

@@ -171,8 +171,22 @@ class IvfSpec extends SparkSpec {
       val qplan = got.queryExecution.executedPlan.toString
       assert(!qplan.contains("CartesianProduct") &&
              !qplan.contains("BroadcastNestedLoopJoin"),
-        s"above-gate probe must be the coarse-pruned equi-join:\n$qplan")
-      assert(qplan.contains("ivf_probes"), qplan)
+        s"search must stay equi-join shaped:\n$qplan")
+      // probes are collected ahead of the search since round 14, so the
+      // search plan carries their result as a pushed cell IN (...) on the
+      // cells scan instead of the probe expression itself
+      assert(qplan.contains("In(cell"), qplan)
+      // the probe-selection job keeps the coarse-pruned equi-join shape:
+      // the kernel expression probes coarse seeds, never a flat per-query
+      // scan of the fine table (no cartesian/nested-loop shapes)
+      val queries = corpusK.where($"vec_id" === 0L)
+        .select($"vec_id".as("query_id"), $"embedding".as("qvec"))
+      val pplan = Ivf.probeTable(queries, path, 2)
+        .queryExecution.executedPlan.toString
+      assert(pplan.contains("ivf_probes"), pplan)
+      assert(!pplan.contains("CartesianProduct") &&
+             !pplan.contains("BroadcastNestedLoopJoin"),
+        s"above-gate probe must be the coarse-pruned equi-join:\n$pplan")
     } finally spark.conf.unset("graft.ivf.kernelMaxCells")
   }
 
