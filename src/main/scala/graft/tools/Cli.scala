@@ -325,6 +325,45 @@ object Cli {
     }
   }
 
+  // ---------------------------------------------------------- index verbs
+
+  /** `index compact <index-path> [--kind bm25|ivf|pq|sq] [--id-col ...]` —
+    * fold append accumulation in a persisted retrieval/ANN index back into
+    * its built layout (run with writers quiesced; the streaming tiers do
+    * this automatically via `compactEveryBatches`). Kind auto-detects from
+    * the on-disk layout: postings→bm25, cells→ivf, codes+books→pq,
+    * codes+bounds→sq.
+    */
+  private def indexCompactVerb(spark: SparkSession, pos: Seq[String],
+                               opts: Map[String, String]): Unit = {
+    val path = pos match {
+      case Seq(p) => p
+      case _ => throw CliError("index compact needs <index-path>")
+    }
+    def has(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    val kind = opts.get("--kind").getOrElse {
+      if (has("postings")) "bm25"
+      else if (has("cells")) "ivf"
+      else if (has("codes") && has("books")) "pq"
+      else if (has("codes") && has("bounds")) "sq"
+      else throw CliError(
+        s"cannot detect index kind at $path (pass --kind bm25|ivf|pq|sq)")
+    }
+    val idCol = opts.getOrElse("--id-col", "vec_id")
+    val (before, after) = kind match {
+      case "bm25" => graft.llm.Retrieval.compactIndex(spark, path)
+      case "ivf"  => graft.llm.Ivf.compactIndex(spark, path)
+      case "pq"   => graft.llm.Pq.compactIndex(spark, path, idCol)
+      case "sq"   => graft.llm.Sq.compactIndex(spark, path, idCol)
+      case other  => throw CliError(
+        s"--kind must be bm25|ivf|pq|sq, got '$other'")
+    }
+    println(s"compacted $kind index at $path: $before -> $after files")
+  }
+
   // ----------------------------------------------------------- prep verbs
 
   /** Corpus-prep verbs over parquet document tables — the LLM-pipeline
@@ -413,6 +452,9 @@ object Cli {
           val (pos, opts) = parse(rest, Set("--min-tokens", "--min-stopwords",
             "--mode", "--ngram", "--overwrite"))
           prepVerb(spark, verb, pos, opts); 0
+        case "index" :: "compact" :: rest =>
+          val (pos, opts) = parse(rest, Set("--kind", "--id-col"))
+          indexCompactVerb(spark, pos, opts); 0
         case other =>
           System.err.println(
             s"""unknown command: ${other.mkString(" ")}
@@ -421,7 +463,8 @@ object Cli {
                |  segy export <mdio-file> <segy-path> [--access-pattern 012] [--endian big]
                |  copy <source> <target> [--with-traces] [--with-headers] [--overwrite]
                |  info <mdio-path> [--output-format pretty|json]
-               |  prep quality|dedup|pipeline <in.parquet> <out.parquet> [options]""".stripMargin)
+               |  prep quality|dedup|pipeline <in.parquet> <out.parquet> [options]
+               |  index compact <index-path> [--kind bm25|ivf|pq|sq] [--id-col vec_id]""".stripMargin)
           2
       }
     } catch {

@@ -223,4 +223,26 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(Seq("prep", "dedup", in, s"$dir/x.parquet",
       "--mode", "bogus"), spark) == 2)
   }
+
+  test("index compact verb auto-detects the layout and folds the files") {
+    val docs = Seq(
+      (0L, "spark engine fast scan"), (1L, "window query engine"),
+      (2L, "fast data stream"), (3L, "table scan window"))
+      .toDF("doc_id", "text")
+    val path = graft.core.TempDirs.scratch("cli_index_compact")
+    graft.llm.Retrieval.buildIndex(docs.where($"doc_id" < 2), path)
+    graft.llm.Retrieval.appendToIndex(docs.where($"doc_id" >= 2), path)
+    val queries = Seq(0L -> "fast scan")
+    val before = graft.llm.Retrieval.bm25TopKFromIndex(spark, path, queries, 10)
+      .collect().map(_.toSeq).toSet
+    assert(Cli.run(Seq("index", "compact", path), spark) == 0)
+    assert(spark.read.parquet(s"$path/postings")
+      .where($"term".isNull).count() == 1L, "markers folded")
+    assert(graft.llm.Retrieval.bm25TopKFromIndex(spark, path, queries, 10)
+      .collect().map(_.toSeq).toSet == before)
+    // guard rails: undetectable layout and bad --kind are loud
+    val empty = graft.core.TempDirs.scratch("cli_index_compact_empty")
+    assert(Cli.run(Seq("index", "compact", empty), spark) == 2)
+    assert(Cli.run(Seq("index", "compact", path, "--kind", "bogus"), spark) == 2)
+  }
 }
