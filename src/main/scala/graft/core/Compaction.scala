@@ -90,6 +90,21 @@ object Compaction {
     fs.delete(staging, true): Unit
     rewrite(spark.read.parquet(tablePath))
       .write.mode("overwrite").parquet(staging.toString)
+    // carry hidden metadata children across the swap: Spark data readers
+    // ignore _/.-prefixed paths, but a streaming checkpoint may live
+    // INSIDE the table dir (StreamingAnn.appendSignatures' default) and
+    // deleting it would reset the stream's offsets and dedup state.
+    // _SUCCESS stays behind — the staged write produced its own.
+    fs.listStatus(live)
+      .filter { st =>
+        val n = st.getPath.getName
+        (n.startsWith("_") || n.startsWith(".")) && n != "_SUCCESS"
+      }
+      .foreach { st =>
+        if (!fs.rename(st.getPath, new Path(staging, st.getPath.getName)))
+          throw new IllegalStateException(
+            s"rewriteInPlace: could not carry ${st.getPath} into $staging")
+      }
     fs.delete(live, true): Unit
     if (!fs.rename(staging, live))
       throw new IllegalStateException(

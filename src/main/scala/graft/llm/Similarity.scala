@@ -74,14 +74,30 @@ object Similarity {
   /** Approximate top-k from a MATERIALIZED signature table (see
     * [[lshSignatures]]): union the candidate sets from the signature
     * tables, dedup, exact-rerank candidates.
+    *
+    * The query signatures are collected once (parameter-sized:
+    * nQueries × tables rows) and their distinct buckets pushed as
+    * `bucket IN (...)` into the corpus-side scan — on a
+    * [[compactSignatures]]-clustered table the IN filter skips whole row
+    * groups, the same round-14 shape as the IVF/PQ cell pruning. The
+    * broadcast (tbl, bucket) join still does the exact candidate
+    * selection; the IN is a superset prefilter (a bucket value may recur
+    * across tables), so results are identical by construction.
     */
   def lshTopKFromSignatures(sigs: DataFrame, queryIds: Seq[Long], k: Int,
                             idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
-    val queries = sigs.where(col(idCol).isInCollection(queryIds))
+    require(queryIds.nonEmpty && queryIds.size <= 65536,
+      s"LSH search broadcasts the query signatures — got ${queryIds.size} queries")
+    val qFrame = sigs.where(col(idCol).isInCollection(queryIds))
       .select(col("tbl"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val corpus = sigs.select(col("tbl"), col("bucket"),
-      col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    val qRows = qFrame.collect()
+    val queries = sigs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qFrame.schema)
+    val probedBuckets = qRows.map(_.getAs[Long]("bucket")).distinct.sorted.toSeq
+    val corpus = sigs.where(col("bucket").isInCollection(probedBuckets))
+      .select(col("tbl"), col("bucket"),
+        col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val cands = corpus.join(broadcast(queries), Seq("tbl", "bucket"))
       .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), col("qvec"), col("cvec"))
@@ -93,6 +109,19 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
+
+  /** Fold append accumulation in a persisted signature table
+    * ([[graft.streaming.StreamingAnn.appendSignatures]]) back into a
+    * (tbl, bucket)-clustered layout, so the search-time `bucket IN (...)`
+    * skips whole row groups again and the file count of a
+    * forever-appending stream stays bounded — the signature-table mirror
+    * of [[Ivf.compactIndex]]. Run with writers quiesced. Returns
+    * (parquet files before, after).
+    */
+  def compactSignatures(spark: org.apache.spark.sql.SparkSession,
+                        sigPath: String): (Int, Int) =
+    graft.core.Compaction.recluster(spark, sigPath,
+      Seq("tbl", "bucket"), "graft.ann.sigsPartitionBytes")
 
   /** Convenience end-to-end: stage the signatures to Parquet once (queries
     * and corpus both read the staged file; nothing stays cached), then

@@ -95,15 +95,23 @@ object StreamingAnn {
                        dedupKey: Option[String] = Some("vec_id"),
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
-                       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                       trigger: Trigger = Trigger.AvailableNow(),
+                       compactEveryBatches: Option[Int] = None): StreamingQuery = {
+    compactEveryBatches.foreach(n =>
+      require(n > 0, s"compactEveryBatches must be positive, got $n"))
     val deduped = dedupKey.fold(stream)(k => stream.dropDuplicates(k))
     val ckpt = checkpoint.getOrElse(s"$sigPath/_stream_checkpoint")
     deduped.writeStream
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         Similarity.lshSignatures(batch, bits, tables, dim, idCol, vecCol)
           .write.mode("append").parquet(sigPath)
+        compactEveryBatches
+          .filter(n => (batchId + 1) % n == 0)
+          .foreach { _ =>
+            Similarity.compactSignatures(batch.sparkSession, sigPath): Unit
+          }
       }
       .start()
   }

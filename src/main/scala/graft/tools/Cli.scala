@@ -358,8 +358,11 @@ object Cli {
       case "ivf"  => graft.llm.Ivf.compactIndex(spark, path)
       case "pq"   => graft.llm.Pq.compactIndex(spark, path, idCol)
       case "sq"   => graft.llm.Sq.compactIndex(spark, path, idCol)
+      // a signature table is a bare parquet dir — no layout marker to
+      // auto-detect, so this kind is explicit-only
+      case "sigs" => graft.llm.Similarity.compactSignatures(spark, path)
       case other  => throw CliError(
-        s"--kind must be bm25|ivf|pq|sq, got '$other'")
+        s"--kind must be bm25|ivf|pq|sq|sigs, got '$other'")
     }
     println(s"compacted $kind index at $path: $before -> $after files")
   }
@@ -464,7 +467,7 @@ object Cli {
                |  copy <source> <target> [--with-traces] [--with-headers] [--overwrite]
                |  info <mdio-path> [--output-format pretty|json]
                |  prep quality|dedup|pipeline <in.parquet> <out.parquet> [options]
-               |  index compact <index-path> [--kind bm25|ivf|pq|sq] [--id-col vec_id]""".stripMargin)
+               |  index compact <index-path> [--kind bm25|ivf|pq|sq|sigs] [--id-col vec_id]""".stripMargin)
           2
       }
     } catch {

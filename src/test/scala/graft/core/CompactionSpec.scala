@@ -35,6 +35,24 @@ class CompactionSpec extends SparkSpec {
     assert(pruned.count() == 5L)
   }
 
+  test("recluster carries hidden metadata dirs (in-table stream " +
+      "checkpoints) across the swap") {
+    val path = TempDirs.scratch("compaction_spec_hidden")
+    (0 until 4).foreach { i =>
+      Seq((i.toLong, i.toLong)).toDF("k", "v")
+        .write.mode("append").parquet(path)
+    }
+    val ckpt = new java.io.File(s"$path/_stream_checkpoint/offsets")
+    assert(ckpt.mkdirs())
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_stream_checkpoint/offsets/0"), "v1")
+    Compaction.recluster(spark, path, Seq("k"), "graft.test.partBytes"): Unit
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_stream_checkpoint/offsets/0")) == "v1",
+      "checkpoint contents must survive compaction")
+    assert(spark.read.parquet(path).count() == 4L)
+  }
+
   test("recluster refuses unknown keys without touching the live table") {
     val path = TempDirs.scratch("compaction_spec_badkey")
     Seq((1L, 2L)).toDF("k", "v").write.parquet(path)

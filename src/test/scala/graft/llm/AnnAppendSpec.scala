@@ -142,6 +142,42 @@ class AnnAppendSpec extends SparkSpec {
     assert(got.getAs[Long]("neighbor_id") == 39L)
   }
 
+  test("compactSignatures folds a streamed signature table: bounded files, " +
+      "search equals batch, bucket IN pushed") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val sigPath = graft.core.TempDirs.scratch("lsh_sig_compact")
+    Similarity.lshSignatures(base, bits = 4, tables = 4, dim = dim)
+      .write.parquet(sigPath)
+    val input = MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.StreamingAnn.appendSignatures(
+      input.toDF().toDF("vec_id", "embedding"), sigPath,
+      bits = 4, tables = 4, dim = dim,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      compactEveryBatches = Some(1))
+    try {
+      ((30 until 39).map(i => (i.toLong, vec(i))) :+ (39L, vec(0))).foreach { r =>
+        input.addData(r)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val sigs = spark.read.parquet(sigPath)
+    assert(sigs.count() == 160L) // 40 vectors x 4 tables
+    val nFiles = graft.core.Compaction.parquetFileCount(spark, sigPath)
+    assert(nFiles <= spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"per-batch compaction must keep the table bounded, got $nFiles files")
+    // hyperplanes are pure functions of (tables, bits, dim): the streamed
+    // table ranks exactly like a one-shot batch build over the union
+    val streamed = Similarity.lshTopKFromSignatures(sigs, Seq(0L, 7L), k = 3)
+    val batch = Similarity.lshTopK(all, Seq(0L, 7L), k = 3,
+      bits = 4, tables = 4, dim = dim)
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+    val plan = streamed.queryExecution.executedPlan.toString
+    assert(plan.contains("In(bucket"),
+      s"corpus-side signature scan must push bucket IN (...):\n$plan")
+  }
+
   test("StreamingAnn with compactEveryBatches bounds the file count of a " +
       "per-row stream — search equals the batch build") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
