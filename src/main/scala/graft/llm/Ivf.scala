@@ -319,8 +319,8 @@ object Ivf {
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val (probes, probedCells) = collectedProbes(queries, indexPath, nProbe)
 
-    val cand = sess.read.parquet(s"$indexPath/cells")
-      .where(col("cell").isInCollection(probedCells))
+    val cand = prunedScan(sess.read.parquet(s"$indexPath/cells"),
+        "cell", probedCells)
       .join(broadcast(probes), Seq("cell"))       // per-query candidate list
       .where(col(idCol) =!= col("query_id"))
     val w = Window.partitionBy(col("query_id"))
@@ -349,6 +349,22 @@ object Ivf {
       .select(col("query_id").cast("long"), col("cell").cast("long"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     (rows.toDF("query_id", "cell"), rows.map(_._2).distinct.sorted)
+  }
+
+  /** Apply the pushed-down `keyCol IN (values)` prune ONLY while the list
+    * stays plan-sized (`graft.ann.maxPushedPruneValues`, default 8192):
+    * a 65536-query batch at nProbe 4 would otherwise inline a 256k-literal
+    * predicate into the plan (slow to serialize, no better at skipping
+    * than the broadcast join it prefilters). Above the cap the scan runs
+    * unpruned and the exact broadcast join alone selects candidates —
+    * results identical either way, by construction.
+    */
+  private[llm] def prunedScan(df: DataFrame, keyCol: String,
+                              values: Seq[Long]): DataFrame = {
+    val cap = df.sparkSession.conf
+      .get("graft.ann.maxPushedPruneValues", "8192").toInt
+    if (values.size <= cap) df.where(col(keyCol).isInCollection(values))
+    else df
   }
 
   /** Fold append accumulation ([[appendToIndex]] / the streaming tier)

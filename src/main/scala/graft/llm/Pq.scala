@@ -268,8 +268,8 @@ object Pq {
     val (probes, probedCells) = Ivf.collectedProbes(queryFrame, ivfPath, nProbe)
     // pushed `cell IN (...)`: row-group skipping on a compacted index —
     // the broadcast probe join alone would still open every cells file
-    val cells = sess.read.parquet(s"$ivfPath/cells")
-      .where(col("cell").isInCollection(probedCells))
+    val cells = Ivf.prunedScan(sess.read.parquet(s"$ivfPath/cells"),
+      "cell", probedCells)
     val queries = queryFrame
       .select(col("query_id"), transform(col("qvec"), _.cast("double")).as("_qv"))
       .collect()
@@ -404,8 +404,8 @@ object Pq {
     // LUT join alone is the candidate selection but still opens every
     // codes file — the IN filter lets a compacted index skip row groups
     val probedCells = probePairs.map(_._2).distinct.sorted.toSeq
-    val codes = sess.read.parquet(s"$pqPath/codes")
-      .where(col("cell").isInCollection(probedCells))
+    val codes = Ivf.prunedScan(sess.read.parquet(s"$pqPath/codes"),
+      "cell", probedCells)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("dist"), col(idCol))
     codes.join(broadcast(luts), "cell")

@@ -95,7 +95,7 @@ object Similarity {
     val queries = sigs.sparkSession.createDataFrame(
       java.util.Arrays.asList(qRows: _*), qFrame.schema)
     val probedBuckets = qRows.map(_.getAs[Long]("bucket")).distinct.sorted.toSeq
-    val corpus = sigs.where(col("bucket").isInCollection(probedBuckets))
+    val corpus = Ivf.prunedScan(sigs, "bucket", probedBuckets)
       .select(col("tbl"), col("bucket"),
         col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val cands = corpus.join(broadcast(queries), Seq("tbl", "bucket"))

@@ -73,6 +73,23 @@ class AnnAppendSpec extends SparkSpec {
       s"cells scan must carry a pushed cell IN (...):\n$plan")
   }
 
+  test("IN-prune cap: an oversized probe list skips the pushed filter, " +
+      "results identical") {
+    val path = graft.core.TempDirs.scratch("ivf_prune_cap")
+    Ivf.buildIndexSeeded(all, path, nCells = 8)
+    val withPrune = Ivf.ivfTopKFromIndex(all, path, Seq(0L, 5L), k = 3, nProbe = 2)
+    assert(withPrune.queryExecution.executedPlan.toString.contains("In(cell"))
+    spark.conf.set("graft.ann.maxPushedPruneValues", "0")
+    try {
+      val noPrune = Ivf.ivfTopKFromIndex(all, path, Seq(0L, 5L), k = 3, nProbe = 2)
+      assert(!noPrune.queryExecution.executedPlan.toString.contains("In(cell"),
+        "above the cap the scan must run unpruned (no giant literal list)")
+      assert(noPrune.collect().map(_.toSeq).toSet ==
+        withPrune.collect().map(_.toSeq).toSet,
+        "the prune is a pure prefilter — results must not depend on it")
+    } finally spark.conf.unset("graft.ann.maxPushedPruneValues")
+  }
+
   test("Pq.compactIndex clusters flat codes by id and residual codes by " +
       "cell — searches identical, residual scan pushes cell IN") {
     val flat = graft.core.TempDirs.scratch("pq_compact_flat")
