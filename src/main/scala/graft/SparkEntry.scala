@@ -858,6 +858,18 @@ object SparkEntry {
     "q_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(embeddings(s, d), (0L until 10L), k = 10,
         bits = 4, tables = 8)),
+    // the 100-TB signature layout: vector-FREE (tbl, bucket, id) rows —
+    // the fat table stores the corpus's dominant column `tables`× — with
+    // candidate vectors joined back once at rerank; same hyperplanes,
+    // same buckets, so the fat-path oracle applies verbatim
+    "q_ann_lsh_lean" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val sigDir = graft.core.TempDirs.scratch("lsh_lean_sig")
+      Similarity.lshSignaturesLean(e, bits = 4, tables = 8, dim = 64)
+        .write.parquet(sigDir)
+      Similarity.lshTopKFromLeanSignatures(s.read.parquet(sigDir), e,
+        (0L until 10L), k = 10)
+    }),
     // streaming ANN maintenance under the oracle: plane-LSH hyperplanes
     // are a pure function of (table, bits, dim), so signatures built on
     // the even-id half + stream-appended odd half are IDENTICAL to a
@@ -2615,6 +2627,9 @@ object SparkEntry {
     "q_simhash" -> OracleSqlGen.simhashSql(),
     "q_neardup_simhash" -> OracleSqlGen.simhashNearDupSql(),
     "q_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8, dim = 64,
+      nQueries = 10, k = 10),
+    // lean layout selects identical candidates ⇒ identical oracle
+    "q_ann_lsh_lean" -> OracleSqlGen.annLshSql(bits = 4, tables = 8, dim = 64,
       nQueries = 10, k = 10),
     // identical table after appends ⇒ identical search ⇒ same oracle
     "q_stream_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8,

@@ -110,6 +110,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** Vector-FREE signature table (tbl, bucket, id) — the 100-TB layout:
+    * the fat [[lshSignatures]] table carries the embedding on every row,
+    * i.e. `tables`× the corpus's dominant column, purely so the search
+    * can skip a join. At scale that multiplication IS the index cost
+    * (8 tables over a 100 TB embedding corpus = 800 TB of signatures);
+    * the lean table is three narrow longs/ints per row and the search
+    * ([[lshTopKFromLeanSignatures]]) joins vectors back for only the
+    * candidate set. Same hyperplanes, same buckets — the two layouts
+    * select identical candidates by construction (spec + oracle pinned).
+    */
+  def lshSignaturesLean(embeddings: DataFrame, bits: Int, tables: Int, dim: Int,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol),
+      posexplode(CrossHashExprs.planeSigs(col(vecCol), tables, bits, dim))
+        .as(Seq("tbl", "bucket")))
+
+  /** Approximate top-k from a LEAN signature table: same candidate
+    * selection as [[lshTopKFromSignatures]] (collected query signatures
+    * broadcast onto the bucket-pruned corpus scan), but the exact-rerank
+    * vectors come from ONE id-join against the embeddings table for the
+    * candidate set only — the corpus's dominant column is read once,
+    * never stored `tables`× inside the index. Query vectors ride a
+    * parameter-sized broadcast.
+    */
+  def lshTopKFromLeanSignatures(sigs: DataFrame, embeddings: DataFrame,
+                                queryIds: Seq[Long], k: Int,
+                                idCol: String = "vec_id",
+                                vecCol: String = "embedding"): DataFrame = {
+    require(queryIds.nonEmpty && queryIds.size <= 65536,
+      s"LSH search broadcasts the query signatures — got ${queryIds.size} queries")
+    val qFrame = sigs.where(col(idCol).isInCollection(queryIds))
+      .select(col("tbl"), col("bucket"), col(idCol).as("query_id"))
+    val qRows = qFrame.collect()
+    val qSigs = sigs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), qFrame.schema)
+    val probedBuckets = qRows.map(_.getAs[Long]("bucket")).distinct.sorted.toSeq
+    val qVecFrame = embeddings.where(col(idCol).isInCollection(queryIds))
+      .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
+    val qVecs = qVecFrame.collect()
+    val queries = sigs.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qVecs: _*), qVecFrame.schema)
+    val cands = Ivf.prunedScan(sigs, "bucket", probedBuckets)
+      .join(broadcast(qSigs), Seq("tbl", "bucket"))
+      .where(col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol))
+      .dropDuplicates("query_id", idCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col(idCol))
+    cands
+      .join(embeddings.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(queries), Seq("query_id"))
+      .withColumn("sim", cosine(col("qvec"), col(vecCol)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"))
+  }
+
   /** Fold append accumulation in a persisted signature table
     * ([[graft.streaming.StreamingAnn.appendSignatures]]) back into a
     * (tbl, bucket)-clustered layout, so the search-time `bucket IN (...)`

@@ -96,7 +96,8 @@ object StreamingAnn {
                        idCol: String = "vec_id",
                        vecCol: String = "embedding",
                        trigger: Trigger = Trigger.AvailableNow(),
-                       compactEveryBatches: Option[Int] = None): StreamingQuery = {
+                       compactEveryBatches: Option[Int] = None,
+                       lean: Boolean = false): StreamingQuery = {
     compactEveryBatches.foreach(n =>
       require(n > 0, s"compactEveryBatches must be positive, got $n"))
     val deduped = dedupKey.fold(stream)(k => stream.dropDuplicates(k))
@@ -105,7 +106,11 @@ object StreamingAnn {
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Similarity.lshSignatures(batch, bits, tables, dim, idCol, vecCol)
+        // lean = the vector-free (tbl, bucket, id) layout
+        // ([[Similarity.lshSignaturesLean]]); the embeddings table the
+        // lean search joins against must receive the same batches
+        (if (lean) Similarity.lshSignaturesLean(batch, bits, tables, dim, idCol, vecCol)
+         else Similarity.lshSignatures(batch, bits, tables, dim, idCol, vecCol))
           .write.mode("append").parquet(sigPath)
         compactEveryBatches
           .filter(n => (batchId + 1) % n == 0)
