@@ -82,6 +82,36 @@ object CompactionStudy {
     val ivfCompSec = medianSecs(() => ivfRun())
     results += (("ivf_cells", ivfBefore, ivfAfter, ivfFragSec, ivfCompSec))
 
+    // ------------- LSH: lean table fragmented by per-shard appends; plus
+    // the fat-vs-lean byte ratio (the tables× vector duplication)
+    def dirBytes(path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    }
+    val fatPath = TempDirs.scratch("compact_study_lsh_fat")
+    graft.llm.Similarity.lshSignatures(emb, bits = 4, tables = 8, dim = 64)
+      .write.parquet(fatPath)
+    val leanPath = TempDirs.scratch("compact_study_lsh_lean")
+    (0 until nAppends).foreach { i =>
+      graft.llm.Similarity.lshSignaturesLean(
+          emb.where(col("vec_id") % nAppends === i), bits = 4, tables = 8, dim = 64)
+        .write.mode("append").parquet(leanPath)
+    }
+    def leanRun(): Unit = {
+      graft.Bench.fullCount(graft.llm.Similarity.lshTopKFromLeanSignatures(
+        spark.read.parquet(leanPath), emb, (0L until 10L), k = 10)): Unit
+    }
+    leanRun()
+    val leanFragSec = medianSecs(() => leanRun())
+    val (leanBefore, leanAfter) =
+      graft.llm.Similarity.compactSignatures(spark, leanPath)
+    val leanCompSec = medianSecs(() => leanRun())
+    results += (("lsh_sigs_lean", leanBefore, leanAfter, leanFragSec, leanCompSec))
+    val (fatBytes, leanBytes) = (dirBytes(fatPath), dirBytes(leanPath))
+    println(f"[compaction-study] lsh fat=$fatBytes%d bytes lean=$leanBytes%d " +
+      f"bytes ratio=${fatBytes.toDouble / leanBytes}%.1fx")
+
     println("| table | files fragmented | files compacted | query s (frag) | query s (compact) |")
     println("|---|---|---|---|---|")
     results.foreach { case (t, b, a, fs, cs) =>
@@ -94,7 +124,9 @@ object CompactionStudy {
     val out = sys.env.getOrElse("SPARK_GRAFT_COMPACT_OUT",
       "bench/compaction_study.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
-      s"""{"sf_dir":"$sfDir","n_appends":$nAppends,"rows":$json}""")
+      s"""{"sf_dir":"$sfDir","n_appends":$nAppends,""" +
+        s""""lsh_fat_bytes":$fatBytes,"lsh_lean_bytes":$leanBytes,""" +
+        s""""rows":$json}""")
     println(s"[compaction-study] wrote $out")
     spark.stop()
   }
