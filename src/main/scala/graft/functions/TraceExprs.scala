@@ -54,6 +54,18 @@ object TraceExprs {
     ColumnBridge.column(
       StackAgg(ColumnBridge.expression(samples)).toAggregateExpression())
 
+  /** `df.groupBy(keys).agg(TraceExprs.moveoutStack(samples, offset,
+    * cands))` → struct<best_shift, n_traces, energy, stack> — the fused
+    * linear moveout scan (see [[MoveoutStackAgg]]). `offset` must be
+    * double.
+    */
+  def moveoutStack(samples: Column, offset: Column,
+                   candidates: Seq[Double]): Column =
+    ColumnBridge.column(
+      MoveoutStackAgg(ColumnBridge.expression(samples),
+        ColumnBridge.expression(offset),
+        candidates.toIndexedSeq).toAggregateExpression())
+
   /** Elementwise `(x % m).toDouble` over an `array<bigint>` — ONE node.
     * The `transform(arr, x => (x % m).cast(double))` HOF it replaces is
     * interpreted per ELEMENT (Spark HOFs don't codegen): over a
@@ -381,6 +393,116 @@ final class StackBuffer(var n: Long, var longSums: Array[Long],
   }
 }
 
+/** The ONE numeric path for exact trace stacking, shared by [[StackAgg]]
+  * and [[MoveoutStackAgg]] so the fused moveout scan is bit-identical to
+  * the explode→shift→stack composition it replaces (same long-mode
+  * acceptance, same scale-10 HALF_UP value quantization, same
+  * sum→double conversion).
+  */
+object StackBuffer {
+  // LONG-mode acceptance: integer-valued, |x| ≤ 2⁴⁰, and < 4M rows in the
+  // buffer — then every per-position sum stays < 2⁶², overflow-free
+  val MaxLongAbs: Long = 1L << 40
+  val MaxLongRows: Long = 4L * 1000 * 1000
+
+  /** Accumulate one trace (already read into a dense double array; only
+    * the first `len` entries are live) — the exact body of the original
+    * StackAgg.update after the ArrayData read.
+    */
+  def add(b: StackBuffer, xs: Array[Double], len: Int): Unit = {
+    require(b.length < 0 || b.length == len,
+      s"stack: trace lengths differ within a group (${b.length} vs $len)")
+    if (b.decSums == null) {
+      var ok = b.n < MaxLongRows
+      var i = 0
+      while (ok && i < len) {
+        val x = xs(i)
+        ok = x == math.rint(x) && math.abs(x) <= MaxLongAbs
+        i += 1
+      }
+      if (ok) {
+        if (b.longSums == null) b.longSums = new Array[Long](len)
+        i = 0
+        while (i < len) { b.longSums(i) += xs(i).toLong; i += 1 }
+        b.n += 1
+        return
+      }
+      b.promote()
+      if (b.decSums == null) b.decSums = Array.fill(len)(JBigDecimal.ZERO)
+    }
+    var i = 0
+    while (i < len) {
+      b.decSums(i) = b.decSums(i).add(
+        JBigDecimal.valueOf(xs(i)).setScale(10, RoundingMode.HALF_UP))
+      i += 1
+    }
+    b.n += 1
+  }
+
+  /** Merge `o` into `b` (exact in either mode). */
+  def mergeInto(b: StackBuffer, o: StackBuffer): Unit = {
+    if (o.length < 0) return
+    if (b.length < 0) {
+      b.longSums = o.longSums; b.decSums = o.decSums; b.n = o.n
+      return
+    }
+    require(b.length == o.length,
+      s"stack: trace lengths differ across partitions (${b.length} vs ${o.length})")
+    if (b.decSums == null && o.decSums == null && b.n + o.n <= MaxLongRows) {
+      var i = 0
+      while (i < b.longSums.length) { b.longSums(i) += o.longSums(i); i += 1 }
+    } else {
+      b.promote(); o.promote()
+      var i = 0
+      while (i < b.decSums.length) {
+        b.decSums(i) = b.decSums(i).add(o.decSums(i)); i += 1
+      }
+    }
+    b.n += o.n
+  }
+
+  /** Per-position mean as double — sum→double correctly rounded
+    * (long.toDouble == parseDouble of the decimal's plain string for
+    * integer sums), then the double-by-double division of the column
+    * plan.
+    */
+  def meanArray(b: StackBuffer): Array[Double] = {
+    val len = math.max(0, b.length)
+    val out = new Array[Double](len)
+    var i = 0
+    while (i < len) {
+      val sumD =
+        if (b.decSums != null)
+          java.lang.Double.parseDouble(b.decSums(i).toPlainString)
+        else b.longSums(i).toDouble
+      out(i) = sumD / b.n.toDouble
+      i += 1
+    }
+    out
+  }
+
+  def write(out: DataOutputStream, b: StackBuffer): Unit = {
+    out.writeLong(b.n)
+    out.writeInt(b.length)
+    if (b.decSums != null) {
+      out.writeByte(1)
+      b.decSums.foreach(d => out.writeUTF(d.toPlainString))
+    } else if (b.longSums != null) {
+      out.writeByte(0)
+      b.longSums.foreach(out.writeLong)
+    }
+  }
+
+  def read(in: DataInputStream): StackBuffer = {
+    val n = in.readLong()
+    val len = in.readInt()
+    if (len < 0) new StackBuffer(n, null, null)
+    else if (in.readByte() == 1)
+      new StackBuffer(n, null, Array.fill(len)(new JBigDecimal(in.readUTF())))
+    else new StackBuffer(n, Array.fill(len)(in.readLong()), null)
+  }
+}
+
 /** The CDP stack as ONE aggregate: traces sharing a group average
   * element-wise. Per-position sums accumulate in BigDecimal at scale 10
   * via the same double→decimal path Spark's cast uses (shortest string,
@@ -410,117 +532,40 @@ case class StackAgg(child: Expression,
   override def createAggregationBuffer(): StackBuffer =
     new StackBuffer(0L, null, null)
 
-  // LONG-mode acceptance: integer-valued, |x| ≤ 2⁴⁰, and < 4M rows in the
-  // buffer — then every per-position sum stays < 2⁶², overflow-free
-  private val MaxLongAbs = 1L << 40
-  private val MaxLongRows = 4L * 1000 * 1000
-
   override def update(b: StackBuffer, input: InternalRow): StackBuffer = {
     val v = child.eval(input)
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()
-      require(b.length < 0 || b.length == n,
-        s"stack: trace lengths differ within a group (${b.length} vs $n)")
-      if (b.decSums == null) {
-        // still in (or entering) long mode: scan the row for conformance
-        var ok = b.n < MaxLongRows
-        var i = 0
-        while (ok && i < n) {
-          val x = TraceExprs.elemStrict("trace_stack", a, i, isFloat)
-          ok = x == math.rint(x) && math.abs(x) <= MaxLongAbs
-          i += 1
-        }
-        if (ok) {
-          if (b.longSums == null) b.longSums = new Array[Long](n)
-          i = 0
-          while (i < n) {
-            b.longSums(i) += TraceExprs.elemStrict("trace_stack", a, i, isFloat).toLong
-            i += 1
-          }
-          b.n += 1
-          return b
-        }
-        b.promote()
-        if (b.decSums == null) b.decSums = Array.fill(n)(JBigDecimal.ZERO)
-      }
+      val xs = new Array[Double](n)
       var i = 0
       while (i < n) {
-        val x = TraceExprs.elemStrict("trace_stack", a, i, isFloat)
-        b.decSums(i) = b.decSums(i).add(
-          JBigDecimal.valueOf(x).setScale(10, RoundingMode.HALF_UP))
-        i += 1
+        xs(i) = TraceExprs.elemStrict("trace_stack", a, i, isFloat); i += 1
       }
-      b.n += 1
+      StackBuffer.add(b, xs, n)
     }
     b
   }
 
   override def merge(b: StackBuffer, o: StackBuffer): StackBuffer = {
-    if (o.length < 0) return b
-    if (b.length < 0) {
-      b.longSums = o.longSums; b.decSums = o.decSums; b.n = o.n
-      return b
-    }
-    require(b.length == o.length,
-      s"stack: trace lengths differ across partitions (${b.length} vs ${o.length})")
-    if (b.decSums == null && o.decSums == null && b.n + o.n <= MaxLongRows) {
-      var i = 0
-      while (i < b.longSums.length) { b.longSums(i) += o.longSums(i); i += 1 }
-    } else {
-      b.promote(); o.promote()
-      var i = 0
-      while (i < b.decSums.length) {
-        b.decSums(i) = b.decSums(i).add(o.decSums(i)); i += 1
-      }
-    }
-    b.n += o.n
+    StackBuffer.mergeInto(b, o)
     b
   }
 
-  override def eval(b: StackBuffer): Any = {
-    val len = math.max(0, b.length)
-    val out = new Array[Double](len)
-    var i = 0
-    while (i < len) {
-      // sum→double correctly rounded (long.toDouble == parseDouble of the
-      // decimal's plain string for integer sums), then the double-by-
-      // double division of the column plan
-      val sumD =
-        if (b.decSums != null)
-          java.lang.Double.parseDouble(b.decSums(i).toPlainString)
-        else b.longSums(i).toDouble
-      out(i) = sumD / b.n.toDouble
-      i += 1
-    }
-    InternalRow(b.n, UnsafeArrayData.fromPrimitiveArray(out))
-  }
+  override def eval(b: StackBuffer): Any =
+    InternalRow(b.n,
+      UnsafeArrayData.fromPrimitiveArray(StackBuffer.meanArray(b)))
 
   override def serialize(b: StackBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeLong(b.n)
-    out.writeInt(b.length)
-    if (b.decSums != null) {
-      out.writeByte(1)
-      b.decSums.foreach(d => out.writeUTF(d.toPlainString))
-    } else if (b.longSums != null) {
-      out.writeByte(0)
-      b.longSums.foreach(out.writeLong)
-    }
+    StackBuffer.write(out, b)
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): StackBuffer = {
-    val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    val n = in.readLong()
-    val len = in.readInt()
-    if (len < 0) new StackBuffer(n, null, null)
-    else if (in.readByte() == 1)
-      new StackBuffer(n, null, Array.fill(len)(new JBigDecimal(in.readUTF())))
-    else new StackBuffer(n, Array.fill(len)(in.readLong()), null)
-  }
+  override def deserialize(bytes: Array[Byte]): StackBuffer =
+    StackBuffer.read(new DataInputStream(new ByteArrayInputStream(bytes)))
 
   override def withNewMutableAggBufferOffset(o: Int): StackAgg =
     copy(mutableAggBufferOffset = o)
@@ -528,4 +573,150 @@ case class StackAgg(child: Expression,
     copy(inputAggBufferOffset = o)
   override protected def withNewChildInternal(c: Expression): StackAgg =
     copy(child = c)
+}
+
+/** The FUSED linear moveout scan: `groupBy(cell).agg(MoveoutStackAgg(
+  * samples, offset, candidates))` computes, in ONE aggregate, what the
+  * explode(candidates) → ShiftResampleExpr → StackAgg → window-argmax
+  * composition computes — and is bit-identical to it, because every
+  * numeric step is the SAME code: the lerp is [[ShiftResampleExpr]]'s
+  * formula verbatim (floor → int cast → frac → `v0 + (v1−v0)·f`, reads
+  * outside the trace as 0), the per-candidate sums go through
+  * [[StackBuffer.add]] (the one shared exact-stacking path), the stacked
+  * mean through [[StackBuffer.meanArray]], the energy is [[DotExpr]]'s
+  * left fold of the mean with itself, and ties resolve to the smallest
+  * candidate (ascending scan, strict `>` replaces — the
+  * `orderBy(energy desc, cand asc)` row_number()=1 rule).
+  *
+  * Why fuse: the composed plan materializes |candidates| shifted copies
+  * of every trace as rows (at 16 candidates × 1000 samples that is
+  * 16 × 8 KB of UnsafeArrayData per input trace, plus 16 explode-row
+  * copies and 16 aggregate re-reads) before map-side combine throws the
+  * rows away. The fused update reads the trace ONCE and adds each
+  * candidate's lerped samples straight into the per-candidate buffers —
+  * two O(nSamples) scratch allocations per row total, zero intermediate
+  * rows. The shuffle volume is unchanged (|candidates| exact-sum buffers
+  * per cell per map partition — never the traces), and the window
+  * operator disappears from the plan entirely.
+  *
+  * Null semantics match the composition: a null samples array or null
+  * offset made every exploded row's shifted array null, which
+  * [[StackAgg]] skipped in all candidate groups — here the row is
+  * skipped whole. Output: struct<best_shift, n_traces, energy, stack>.
+  */
+case class MoveoutStackAgg(samples: Expression, offset: Expression,
+                           candidates: IndexedSeq[Double],
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[StackBuffer]]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(candidates.nonEmpty, "moveout scan needs at least one candidate")
+
+  override def left: Expression = samples
+  override def right: Expression = offset
+  override def nullable: Boolean = false
+  override def prettyName: String = "trace_moveout_stack"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("best_shift", DoubleType, nullable = false),
+    StructField("n_traces", LongType, nullable = false),
+    StructField("energy", DoubleType, nullable = false),
+    StructField("stack", ArrayType(DoubleType, containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val samplesCheck = TraceExprs.checkSamplesType(prettyName, samples)
+    if (samplesCheck.isFailure) samplesCheck
+    else offset.dataType match {
+      case DoubleType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName offset must be double, got $t")
+    }
+  }
+
+  @transient private lazy val isFloat = VecExprs.isFloatArray(samples)
+  @transient private lazy val cands: Array[Double] = candidates.toArray
+
+  override def createAggregationBuffer(): Array[StackBuffer] =
+    Array.fill(candidates.length)(new StackBuffer(0L, null, null))
+
+  override def update(bufs: Array[StackBuffer], input: InternalRow): Array[StackBuffer] = {
+    val v = samples.eval(input)
+    val off = offset.eval(input)
+    if (v != null && off != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val offD = off.asInstanceOf[Double]
+      val n = a.numElements()
+      val tr = new Array[Double](n)
+      var i = 0
+      while (i < n) {
+        tr(i) = TraceExprs.elemStrict(prettyName, a, i, isFloat); i += 1
+      }
+      val shifted = new Array[Double](n)
+      var c = 0
+      while (c < cands.length) {
+        val shift = cands(c) * offD // the `_cand * offset` double product
+        i = 0
+        while (i < n) {
+          // ShiftResampleExpr.kernel's loop body, verbatim
+          val pos = (i + 1).toDouble + shift
+          val i0 = math.floor(pos).toInt
+          val f = pos - i0.toDouble
+          val v0 = if (i0 >= 1 && i0 <= n) tr(i0 - 1) else 0.0
+          val v1 = if (i0 + 1 >= 1 && i0 + 1 <= n) tr(i0) else 0.0
+          shifted(i) = v0 + (v1 - v0) * f
+          i += 1
+        }
+        StackBuffer.add(bufs(c), shifted, n)
+        c += 1
+      }
+    }
+    bufs
+  }
+
+  override def merge(b: Array[StackBuffer], o: Array[StackBuffer]): Array[StackBuffer] = {
+    var c = 0
+    while (c < b.length) { StackBuffer.mergeInto(b(c), o(c)); c += 1 }
+    b
+  }
+
+  override def eval(bufs: Array[StackBuffer]): Any = {
+    var bestIdx = -1
+    var bestE = 0.0
+    var bestStack: Array[Double] = null
+    var c = 0
+    while (c < bufs.length) {
+      val mean = StackBuffer.meanArray(bufs(c))
+      // DotExpr's left fold of the mean with itself
+      var e = 0.0
+      var i = 0
+      while (i < mean.length) { e += mean(i) * mean(i); i += 1 }
+      // ascending candidates, strict > — ties keep the smallest shift
+      if (bestIdx < 0 || e > bestE) { bestIdx = c; bestE = e; bestStack = mean }
+      c += 1
+    }
+    InternalRow(cands(bestIdx), bufs(bestIdx).n, bestE,
+      UnsafeArrayData.fromPrimitiveArray(bestStack))
+  }
+
+  override def serialize(bufs: Array[StackBuffer]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(bufs.length)
+    bufs.foreach(StackBuffer.write(out, _))
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[StackBuffer] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    Array.fill(in.readInt())(StackBuffer.read(in))
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MoveoutStackAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MoveoutStackAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MoveoutStackAgg =
+    copy(samples = l, offset = r)
 }

@@ -93,6 +93,30 @@ object TraceOps {
                   candidates: Seq[Double],
                   emitStack: Boolean = false): org.apache.spark.sql.DataFrame = {
     require(candidates.nonEmpty, "moveoutScan needs at least one candidate")
+    require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+    val ms = df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.TraceExprs.moveoutStack(col(samplesCol),
+        col(offsetCol).cast("double"), candidates).as("_ms"))
+    val base = keys.map(col) :+ col("_ms.best_shift").as("best_shift") :+
+      col("_ms.n_traces").as("n_traces") :+ col("_ms.energy").as("energy")
+    ms.select((if (emitStack) base :+ col("_ms.stack").as("stack")
+               else base): _*)
+  }
+
+  /** The UNFUSED moveout scan — explode(candidates) → [[shiftResample]]
+    * → [[stack]] → window argmax. Kept as the differential reference for
+    * [[moveoutScan]]'s fused aggregate (MoveoutFusedSpec asserts
+    * bit-identity on random gathers): same numeric path, but it
+    * materializes |candidates| shifted 8 KB traces as rows per input
+    * trace before map-side combine discards them — at 16 candidates ×
+    * 1000 samples that row blowup is what the fused aggregate deletes.
+    */
+  private[graft] def moveoutScanComposed(
+      df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      samplesCol: String, nSamples: Int, offsetCol: String,
+      candidates: Seq[Double],
+      emitStack: Boolean = false): org.apache.spark.sql.DataFrame = {
+    require(candidates.nonEmpty, "moveoutScan needs at least one candidate")
     val cand = explode(array(candidates.map(lit): _*)).as("_cand")
     val shifted = df.select((keys.map(col) :+ col(samplesCol) :+
         col(offsetCol) :+ cand): _*)

@@ -170,6 +170,37 @@ class TraceOpsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("fused moveoutScan is bit-identical to the explode→shift→stack→" +
+      "window composition (nulls, ties, decimal-mode values)") {
+    val gen = for {
+      nCells <- Gen.chooseNum(1, 3)
+      n <- Gen.oneOf(2, 5, 48)
+      rows <- Gen.listOfN(14, for {
+        c <- Gen.chooseNum(1, nCells)
+        off <- Gen.option(Gen.chooseNum(0, 3).map(_.toDouble))
+        // 1/3-style values exceed decimal scale 10 → both paths must take
+        // the SAME HALF_UP quantization through the shared StackBuffer
+        v <- Gen.option(Gen.listOfN(n, Gen.oneOf(
+          Gen.chooseNum(-400, 400).map(_ / 4.0),
+          Gen.chooseNum(-9, 9).map(_ / 3.0),
+          Gen.const(0.0))))
+      } yield (c, off, v))
+    } yield (rows, n)
+    val cands = Seq(0.0, 0.125, 0.25, 0.5)
+    samples(gen, 25, seed0 = 0xF05D).zipWithIndex.foreach {
+      case ((rows, n), i) =>
+        val df = rows.toDF("cell", "off", "v")
+        def canon(r: org.apache.spark.sql.DataFrame) =
+          r.select("cell", "best_shift", "n_traces", "energy", "stack")
+            .as[(Int, Double, Long, Double, Seq[Double])].collect().sortBy(_._1)
+        val fused = canon(TraceOps.moveoutScan(df, Seq("cell"), "v", n,
+          "off", cands, emitStack = true))
+        val composed = canon(TraceOps.moveoutScanComposed(df, Seq("cell"),
+          "v", n, "off", cands, emitStack = true))
+        assert(fused.toSeq == composed.toSeq, s"case $i")
+    }
+  }
+
   test("moveoutScan picks the brute-force argmax on 30 random gathers") {
     val gen = for {
       nCells <- Gen.chooseNum(1, 3)
