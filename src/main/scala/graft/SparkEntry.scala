@@ -1315,6 +1315,49 @@ object SparkEntry {
           element_at(col("stack"), 500).as("s500"),
           element_at(col("stack"), 1000).as("s1000"))
     }),
+    // SEMBLANCE — the velocity-analysis standard coherence, Σ_t(Σ_i a)² /
+    // (N·Σ_t Σ_i a²): unlike energy it is trace-count normalized and, in
+    // the fused aggregate, BOTH folds are exact rationals (numerator
+    // squares the stack's exact per-position sums, denominator is the
+    // 128-bit/decimal Σx² accumulator) — so the semblance double itself
+    // is hash-checked, at the short shape here and at the FULL 1000-
+    // sample shape below (where energy's float fold could not be)
+    "q_moveout_semblance" -> ((s, d) => {
+      val df = lineitem(s, d).select(
+        col("l_suppkey").as("cell"),
+        (col("l_linenumber") - 1).cast("double").as("off"),
+        array(col("l_partkey").cast("double"),
+          (col("l_orderkey") % 997).cast("double"),
+          (col("l_partkey") % 733).cast("double")).as("v"))
+      TraceOps.moveoutScan(df, Seq("cell"), "v", nSamples = 3,
+        offsetCol = "off", candidates = Seq(0.0, 0.25, 0.5, 0.75),
+        coherence = "semblance")
+    }),
+    // the full-shape semblance scan: 1000-sample long-mode gathers, 16
+    // candidates — the exact-fold property is what makes the semblance
+    // DOUBLE hash-checkable here; the winning stack's probes ride along
+    "q_moveout_semblance_long" -> ((s, d) => {
+      val cands = (0 until 16).map(_ / 8.0)
+      val df = lineitem(s, d)
+        .where(col("l_orderkey") % 16 === 0)
+        .select((col("l_suppkey") % 64).as("cell"),
+          (col("l_linenumber") - 1).cast("double").as("off"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("cell"), col("off"),
+          graft.functions.TraceExprs.longModToDouble(
+            sequence((col("ok") + 1L + col("ln")) * 8L,
+              ((col("ok") + 1L) * 1000L + col("ln")) * 8L,
+              (col("ok") + 1L) * 8L), 8000L).as("v"))
+      TraceOps.moveoutScan(df, Seq("cell"), "v", nSamples = 1000,
+        offsetCol = "off", candidates = cands, emitStack = true,
+        coherence = "semblance")
+        .select(col("cell"), col("best_shift"), col("n_traces"),
+          col("semblance"),
+          element_at(col("stack"), 1).as("s1"),
+          element_at(col("stack"), 500).as("s500"),
+          element_at(col("stack"), 1000).as("s1000"))
+    }),
     // format 5 (IEEE float32) end to end through the symmetric DSv2
     // surface — completes the oracle-gated sample-format matrix
     // (1 std/ibm, 2/8 fmt28, 3 fmt3, 6 fmt6, 5 here)
@@ -3259,6 +3302,99 @@ object SparkEntry {
         |win AS (SELECT *, row_number() OVER (PARTITION BY cell
         |    ORDER BY energy DESC, s) AS rn FROM nrg)
         |SELECT cell, s AS best_shift, n_traces, s1, s500, s1000
+        |FROM win WHERE rn = 1""".stripMargin
+    },
+    // semblance, short shape: num and den are EXACT decimal folds (the
+    // quantize-then-square contract of the fused aggregate), the only
+    // float steps the two final casts and one divide — so the semblance
+    // double hash-matches. The casts go through VARCHAR because DuckDB's
+    // direct DECIMAL→DOUBLE double-rounds at scale 20 (hugeint·10²⁰ no
+    // longer fits 53 bits), while string→double is correctly rounded =
+    // Java's parseDouble, the engine's conversion
+    "q_moveout_semblance" -> {
+      def rExpr(i: Int): String = {
+        val i0 = s"CAST(floor($i + sh) AS BIGINT)"
+        s"""(coalesce(l[$i0], 0.0)
+           |    + (coalesce(l[$i0 + 1], 0.0) - coalesce(l[$i0], 0.0))
+           |      * ($i + sh - floor($i + sh)))""".stripMargin
+      }
+      def q(c: String): String = s"CAST($c AS DECIMAL(18,10))"
+      def sExpr(i: Int): String =
+        s"CAST(sum(${q(s"r$i")}) AS DECIMAL(18,10))"
+      s"""WITH t AS (SELECT l_suppkey AS cell,
+        |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
+        |    [CAST(l_partkey AS DOUBLE), CAST(l_orderkey % 997 AS DOUBLE),
+        |     CAST(l_partkey % 733 AS DOUBLE)] AS l
+        |  FROM lineitem),
+        |c AS (SELECT unnest([0.0, 0.25, 0.5, 0.75]) AS s),
+        |x AS (SELECT cell, s, l, s * off AS sh FROM t, c),
+        |r AS (SELECT cell, s,
+        |    ${rExpr(1)} AS r1,
+        |    ${rExpr(2)} AS r2,
+        |    ${rExpr(3)} AS r3
+        |  FROM x),
+        |stk AS (SELECT cell, s, CAST(count(*) AS BIGINT) AS n,
+        |    ${sExpr(1)} AS s1, ${sExpr(2)} AS s2, ${sExpr(3)} AS s3,
+        |    sum(${q("r1")} * ${q("r1")} + ${q("r2")} * ${q("r2")}
+        |        + ${q("r3")} * ${q("r3")}) AS den
+        |  FROM r GROUP BY 1, 2),
+        |sem AS (SELECT cell, s, n,
+        |    CAST(CAST(s1 * s1 + s2 * s2 + s3 * s3 AS VARCHAR) AS DOUBLE)
+        |      / (n * CAST(CAST(den AS VARCHAR) AS DOUBLE)) AS semblance
+        |  FROM stk),
+        |win AS (SELECT *, row_number() OVER (PARTITION BY cell
+        |    ORDER BY semblance DESC, s) AS rn FROM sem)
+        |SELECT cell, s AS best_shift, n AS n_traces, semblance
+        |FROM win WHERE rn = 1""".stripMargin
+    },
+    // semblance, FULL shape: same exactness story at 1000 samples — the
+    // per-position sums and the Σx² both stay exact decimals, so the
+    // 1000-term folds are order-free and the semblance double itself is
+    // in the hash (energy's float fold could only expose its argmax)
+    "q_moveout_semblance_long" -> {
+      val candList = (0 until 16).map(_ / 8.0).mkString(", ")
+      val lerp =
+        """coalesce(v[CAST(floor(p + sh) AS BIGINT)], 0.0)
+          |      + (coalesce(v[CAST(floor(p + sh) AS BIGINT) + 1], 0.0)
+          |         - coalesce(v[CAST(floor(p + sh) AS BIGINT)], 0.0))
+          |        * (p + sh - floor(p + sh))""".stripMargin
+      s"""WITH t AS (SELECT l_suppkey % 64 AS cell,
+        |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
+        |    list_transform(range(1, 1001),
+        |      i -> CAST(((l_orderkey + 1) * i + l_linenumber) % 1000 * 8 AS DOUBLE)) AS v
+        |  FROM lineitem WHERE l_orderkey % 16 = 0),
+        |c AS (SELECT CAST(unnest([$candList]) AS DOUBLE) AS s),
+        |x AS (SELECT cell, s, v, s * off AS sh FROM t, c),
+        |u AS (SELECT cell, s,
+        |    unnest(range(1, 1001)) AS p,
+        |    unnest(list_transform(range(1, 1001), p ->
+        |      $lerp)) AS rv
+        |  FROM x),
+        |stk AS (SELECT cell, s, p,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(rv AS DECIMAL(18,10))) AS DECIMAL(18,10)) AS ssum
+        |  FROM u GROUP BY 1, 2, 3),
+        |den AS (SELECT cell, s,
+        |    sum(CAST(rv AS DECIMAL(18,10)) * CAST(rv AS DECIMAL(18,10))) AS den
+        |  FROM u GROUP BY 1, 2),
+        |nrg AS (SELECT cell, s, max(n) AS n_traces,
+        |    sum(ssum * ssum) AS num,
+        |    CAST(max(CASE WHEN p = 1 THEN ssum END) AS DOUBLE)
+        |      / max(n) AS s1,
+        |    CAST(max(CASE WHEN p = 500 THEN ssum END) AS DOUBLE)
+        |      / max(n) AS s500,
+        |    CAST(max(CASE WHEN p = 1000 THEN ssum END) AS DOUBLE)
+        |      / max(n) AS s1000
+        |  FROM stk GROUP BY 1, 2),
+        |sem AS (SELECT nrg.cell, nrg.s, n_traces,
+        |    CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |      / (n_traces * CAST(CAST(den.den AS VARCHAR) AS DOUBLE))
+        |      AS semblance,
+        |    s1, s500, s1000
+        |  FROM nrg JOIN den ON nrg.cell = den.cell AND nrg.s = den.s),
+        |win AS (SELECT *, row_number() OVER (PARTITION BY cell
+        |    ORDER BY semblance DESC, s) AS rn FROM sem)
+        |SELECT cell, s AS best_shift, n_traces, semblance, s1, s500, s1000
         |FROM win WHERE rn = 1""".stripMargin
     },
     // the directory union covers exactly the parity-split whole

@@ -60,11 +60,12 @@ object TraceExprs {
     * double.
     */
   def moveoutStack(samples: Column, offset: Column,
-                   candidates: Seq[Double]): Column =
+                   candidates: Seq[Double],
+                   semblance: Boolean = false): Column =
     ColumnBridge.column(
       MoveoutStackAgg(ColumnBridge.expression(samples),
         ColumnBridge.expression(offset),
-        candidates.toIndexedSeq).toAggregateExpression())
+        candidates.toIndexedSeq, semblance).toAggregateExpression())
 
   /** Elementwise `(x % m).toDouble` over an `array<bigint>` — ONE node.
     * The `transform(arr, x => (x % m).cast(double))` HOF it replaces is
@@ -575,6 +576,69 @@ case class StackAgg(child: Expression,
     copy(child = c)
 }
 
+/** Exact Σx² accumulator, mode-paired with a [[StackBuffer]]: while the
+  * stack is in long mode the squares accumulate as an UNSIGNED 128-bit
+  * integer (x ≤ 2⁴⁰ ⇒ x² ≤ 2⁸⁰ overflows a long; 4M rows × 1000
+  * positions × 2⁸⁰ still fits 2¹²⁸ with room), and when the stack
+  * promotes to decimals the 128-bit total converts exactly and further
+  * squares are the scale-20 products of the SAME scale-10 HALF_UP
+  * quantized values the stack sums — so the semblance denominator is an
+  * exact rational in either mode, bit-reproducible under any merge
+  * order.
+  */
+final class SqAcc(var hi: Long, var lo: Long, var dec: JBigDecimal)
+    extends Serializable {
+
+  private def add128(pHi: Long, pLo: Long): Unit = {
+    val newLo = lo + pLo
+    if (java.lang.Long.compareUnsigned(newLo, lo) < 0) hi += 1
+    lo = newLo
+    hi += pHi
+  }
+
+  /** += v² (long mode; v integer-valued, |v| ≤ 2⁴⁰). */
+  def addLong(v: Long): Unit = add128(Math.multiplyHigh(v, v), v * v)
+
+  /** += q² (decimal mode; q already scale-10 quantized). */
+  def addDec(q: JBigDecimal): Unit = dec = dec.add(q.multiply(q))
+
+  def toBigDecimal: JBigDecimal =
+    if (dec != null) dec
+    else new JBigDecimal(SqAcc.toBigInt(hi, lo)).setScale(20)
+
+  /** Exact 128-bit → decimal promotion (no-op in decimal mode). */
+  def promote(): Unit = if (dec == null) {
+    dec = toBigDecimal
+    hi = 0L; lo = 0L
+  }
+
+  def mergeFrom(o: SqAcc): Unit =
+    if (dec == null && o.dec == null) add128(o.hi, o.lo)
+    else { promote(); dec = dec.add(o.toBigDecimal) }
+}
+
+object SqAcc {
+  def empty(): SqAcc = new SqAcc(0L, 0L, null)
+
+  def toBigInt(hi: Long, lo: Long): java.math.BigInteger =
+    java.math.BigInteger.valueOf(hi).shiftLeft(64)
+      .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+
+  def write(out: DataOutputStream, s: SqAcc): Unit =
+    if (s.dec != null) { out.writeByte(1); out.writeUTF(s.dec.toPlainString) }
+    else { out.writeByte(0); out.writeLong(s.hi); out.writeLong(s.lo) }
+
+  def read(in: DataInputStream): SqAcc =
+    if (in.readByte() == 1) new SqAcc(0L, 0L, new JBigDecimal(in.readUTF()))
+    else new SqAcc(in.readLong(), in.readLong(), null)
+}
+
+/** Aggregation state of [[MoveoutStackAgg]]: one exact-sum stack per
+  * candidate, plus (semblance mode only) one exact Σx² per candidate.
+  */
+final class MoveoutBuffer(val stacks: Array[StackBuffer],
+                          val sqs: Array[SqAcc]) extends Serializable
+
 /** The FUSED linear moveout scan: `groupBy(cell).agg(MoveoutStackAgg(
   * samples, offset, candidates))` computes, in ONE aggregate, what the
   * explode(candidates) → ShiftResampleExpr → StackAgg → window-argmax
@@ -603,24 +667,39 @@ case class StackAgg(child: Expression,
   * offset made every exploded row's shifted array null, which
   * [[StackAgg]] skipped in all candidate groups — here the row is
   * skipped whole. Output: struct<best_shift, n_traces, energy, stack>.
+  *
+  * `semblance = true` switches the coherence measure from stack energy
+  * to SEMBLANCE — the velocity-analysis standard: S(c) = Σ_t (Σ_i a)² /
+  * (N · Σ_t Σ_i a²), stacked energy over total energy, in [0, 1] for
+  * real gathers. Unlike the energy fold (a 1000-term double sum, which
+  * is why the long energy row only hash-checks the argmax), BOTH
+  * semblance folds are EXACT: the numerator squares the per-position
+  * exact sums the stack already holds, the denominator is [[SqAcc]]'s
+  * exact Σx² — the only floating steps are the two final decimal→double
+  * casts and one divide, each correctly rounded, so the semblance DOUBLE
+  * itself is hash-checkable against a decimal-arithmetic oracle at any
+  * trace length. The output field is then named `semblance`.
   */
 case class MoveoutStackAgg(samples: Expression, offset: Expression,
                            candidates: IndexedSeq[Double],
+                           semblance: Boolean = false,
                            mutableAggBufferOffset: Int = 0,
                            inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[Array[StackBuffer]]
+    extends TypedImperativeAggregate[MoveoutBuffer]
     with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
   require(candidates.nonEmpty, "moveout scan needs at least one candidate")
 
   override def left: Expression = samples
   override def right: Expression = offset
   override def nullable: Boolean = false
-  override def prettyName: String = "trace_moveout_stack"
+  override def prettyName: String =
+    if (semblance) "trace_moveout_semblance" else "trace_moveout_stack"
 
   override def dataType: DataType = StructType(Seq(
     StructField("best_shift", DoubleType, nullable = false),
     StructField("n_traces", LongType, nullable = false),
-    StructField("energy", DoubleType, nullable = false),
+    StructField(if (semblance) "semblance" else "energy", DoubleType,
+      nullable = false),
     StructField("stack", ArrayType(DoubleType, containsNull = false),
       nullable = false)))
 
@@ -637,10 +716,13 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
   @transient private lazy val isFloat = VecExprs.isFloatArray(samples)
   @transient private lazy val cands: Array[Double] = candidates.toArray
 
-  override def createAggregationBuffer(): Array[StackBuffer] =
-    Array.fill(candidates.length)(new StackBuffer(0L, null, null))
+  override def createAggregationBuffer(): MoveoutBuffer =
+    new MoveoutBuffer(
+      Array.fill(candidates.length)(new StackBuffer(0L, null, null)),
+      if (semblance) Array.fill(candidates.length)(SqAcc.empty()) else null)
 
-  override def update(bufs: Array[StackBuffer], input: InternalRow): Array[StackBuffer] = {
+  override def update(buf: MoveoutBuffer, input: InternalRow): MoveoutBuffer = {
+    val bufs = buf.stacks
     val v = samples.eval(input)
     val off = offset.eval(input)
     if (v != null && off != null) {
@@ -667,31 +749,107 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
           shifted(i) = v0 + (v1 - v0) * f
           i += 1
         }
+        val wasLong = bufs(c).decSums == null
         StackBuffer.add(bufs(c), shifted, n)
+        if (buf.sqs != null) {
+          // Σx² stays mode-paired with the stack: squares of the exact
+          // longs while the stack is long, squares of the SAME scale-10
+          // quantized values once it promotes (this row included)
+          val sq = buf.sqs(c)
+          if (bufs(c).decSums == null) {
+            i = 0
+            while (i < n) { sq.addLong(shifted(i).toLong); i += 1 }
+          } else {
+            if (wasLong) sq.promote()
+            i = 0
+            while (i < n) {
+              sq.addDec(JBigDecimal.valueOf(shifted(i))
+                .setScale(10, RoundingMode.HALF_UP))
+              i += 1
+            }
+          }
+        }
         c += 1
       }
     }
-    bufs
+    buf
   }
 
-  override def merge(b: Array[StackBuffer], o: Array[StackBuffer]): Array[StackBuffer] = {
+  override def merge(b: MoveoutBuffer, o: MoveoutBuffer): MoveoutBuffer = {
     var c = 0
-    while (c < b.length) { StackBuffer.mergeInto(b(c), o(c)); c += 1 }
+    while (c < b.stacks.length) {
+      if (b.sqs != null) {
+        // mirror StackBuffer.mergeInto's three cases, with predicates
+        // read BEFORE the stack merge mutates them: o empty → untouched;
+        // b empty → adopt o's state (same mode as the adopted stack
+        // arrays); else promote exactly when the stack merge promotes
+        val bs = b.stacks(c); val os = o.stacks(c)
+        if (os.length < 0) { /* nothing to merge */ }
+        else if (bs.length < 0) {
+          val sq = b.sqs(c); val osq = o.sqs(c)
+          sq.hi = osq.hi; sq.lo = osq.lo; sq.dec = osq.dec
+        } else {
+          val keepLong = bs.decSums == null && os.decSums == null &&
+            bs.n + os.n <= StackBuffer.MaxLongRows
+          if (!keepLong) { b.sqs(c).promote(); o.sqs(c).promote() }
+          b.sqs(c).mergeFrom(o.sqs(c))
+        }
+      }
+      StackBuffer.mergeInto(b.stacks(c), o.stacks(c))
+      c += 1
+    }
     b
   }
 
-  override def eval(bufs: Array[StackBuffer]): Any = {
+  /** num = Σ_t s_t² over the EXACT per-position sums, as a scale-20
+    * decimal — long sums square through BigInteger (s_t² can exceed
+    * 2⁶³), decimal sums through scale-10 × scale-10 products.
+    */
+  private def numerator(b: StackBuffer): JBigDecimal = {
+    var num = JBigDecimal.ZERO
+    if (b.decSums != null) {
+      var i = 0
+      while (i < b.decSums.length) {
+        num = num.add(b.decSums(i).multiply(b.decSums(i))); i += 1
+      }
+    } else if (b.longSums != null) {
+      var acc = java.math.BigInteger.ZERO
+      var i = 0
+      while (i < b.longSums.length) {
+        val s = java.math.BigInteger.valueOf(b.longSums(i))
+        acc = acc.add(s.multiply(s)); i += 1
+      }
+      num = new JBigDecimal(acc).setScale(20)
+    }
+    num
+  }
+
+  override def eval(buf: MoveoutBuffer): Any = {
+    val bufs = buf.stacks
     var bestIdx = -1
     var bestE = 0.0
     var bestStack: Array[Double] = null
     var c = 0
     while (c < bufs.length) {
       val mean = StackBuffer.meanArray(bufs(c))
-      // DotExpr's left fold of the mean with itself
-      var e = 0.0
-      var i = 0
-      while (i < mean.length) { e += mean(i) * mean(i); i += 1 }
+      val e =
+        if (buf.sqs == null) {
+          // DotExpr's left fold of the mean with itself
+          var acc = 0.0
+          var i = 0
+          while (i < mean.length) { acc += mean(i) * mean(i); i += 1 }
+          acc
+        } else {
+          // semblance: exact num / (N · exact den), three correctly-
+          // rounded float steps — the oracle's decimal→double casts
+          val numD = java.lang.Double.parseDouble(
+            numerator(bufs(c)).toPlainString)
+          val denD = java.lang.Double.parseDouble(
+            buf.sqs(c).toBigDecimal.toPlainString)
+          numD / (bufs(c).n.toDouble * denD)
+        }
       // ascending candidates, strict > — ties keep the smallest shift
+      // (NaN never beats, so all-NaN keeps candidate 0)
       if (bestIdx < 0 || e > bestE) { bestIdx = c; bestE = e; bestStack = mean }
       c += 1
     }
@@ -699,18 +857,22 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
       UnsafeArrayData.fromPrimitiveArray(bestStack))
   }
 
-  override def serialize(bufs: Array[StackBuffer]): Array[Byte] = {
+  override def serialize(buf: MoveoutBuffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(bufs.length)
-    bufs.foreach(StackBuffer.write(out, _))
+    out.writeInt(buf.stacks.length)
+    buf.stacks.foreach(StackBuffer.write(out, _))
+    if (buf.sqs != null) buf.sqs.foreach(SqAcc.write(out, _))
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): Array[StackBuffer] = {
+  override def deserialize(bytes: Array[Byte]): MoveoutBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
-    Array.fill(in.readInt())(StackBuffer.read(in))
+    val k = in.readInt()
+    new MoveoutBuffer(
+      Array.fill(k)(StackBuffer.read(in)),
+      if (semblance) Array.fill(k)(SqAcc.read(in)) else null)
   }
 
   override def withNewMutableAggBufferOffset(o: Int): MoveoutStackAgg =

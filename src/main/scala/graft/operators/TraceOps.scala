@@ -87,18 +87,35 @@ object TraceOps {
     * a `stack` column (array<double>, length `nSamples`) — the flattened
     * stack users actually carry forward after the velocity pick; it rides
     * the same argmax row, no extra pass.
+    *
+    * `coherence = "semblance"` switches the pick measure to SEMBLANCE —
+    * Σ_t(Σ_i a)² / (N·Σ_t Σ_i a²), the velocity-analysis standard, in
+    * [0, 1] and trace-count normalized (energy rewards loud gathers;
+    * semblance rewards COHERENT ones). Both semblance folds are exact
+    * rationals inside [[graft.functions.MoveoutStackAgg]], so the
+    * emitted `semblance` double hash-matches a decimal-arithmetic
+    * oracle at ANY trace length — unlike `energy`, whose 1000-term
+    * float fold is order-sensitive across engines.
     */
   def moveoutScan(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
                   samplesCol: String, nSamples: Int, offsetCol: String,
                   candidates: Seq[Double],
-                  emitStack: Boolean = false): org.apache.spark.sql.DataFrame = {
+                  emitStack: Boolean = false,
+                  coherence: String = "energy"): org.apache.spark.sql.DataFrame = {
     require(candidates.nonEmpty, "moveoutScan needs at least one candidate")
     require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+    val semb = coherence match {
+      case "energy" => false
+      case "semblance" => true
+      case other => throw new IllegalArgumentException(
+        s"coherence must be 'energy' or 'semblance', got '$other'")
+    }
+    val measure = if (semb) "semblance" else "energy"
     val ms = df.groupBy(keys.map(col): _*)
       .agg(graft.functions.TraceExprs.moveoutStack(col(samplesCol),
-        col(offsetCol).cast("double"), candidates).as("_ms"))
+        col(offsetCol).cast("double"), candidates, semb).as("_ms"))
     val base = keys.map(col) :+ col("_ms.best_shift").as("best_shift") :+
-      col("_ms.n_traces").as("n_traces") :+ col("_ms.energy").as("energy")
+      col("_ms.n_traces").as("n_traces") :+ col(s"_ms.$measure").as(measure)
     ms.select((if (emitStack) base :+ col("_ms.stack").as("stack")
                else base): _*)
   }

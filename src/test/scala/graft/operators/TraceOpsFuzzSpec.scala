@@ -233,4 +233,104 @@ class TraceOpsFuzzSpec extends SparkSpec {
         }
     }
   }
+
+  test("semblance moveout is bit-identical to an exact serial reference " +
+      "(long + decimal modes, nulls, zero gathers, NaN on empty)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val gen = for {
+      nCells <- Gen.chooseNum(1, 3)
+      n <- Gen.oneOf(2, 5, 48)
+      rows <- Gen.listOfN(16, for {
+        c <- Gen.chooseNum(1, nCells)
+        off <- Gen.option(Gen.chooseNum(0, 3).map(_.toDouble))
+        v <- Gen.option(Gen.oneOf(
+          // integer values: long-mode buffers (cand 0 / integer shifts)
+          Gen.listOfN(n, Gen.chooseNum(-500, 500).map(_.toDouble)),
+          // thirds: force scale-10 HALF_UP quantization (decimal mode)
+          Gen.listOfN(n, Gen.chooseNum(-9, 9).map(_ / 3.0)),
+          Gen.listOfN(n, Gen.const(0.0))))
+      } yield (c, off, v))
+    } yield (rows, n)
+    val cands = Seq(0.0, 0.125, 0.25, 0.5)
+    samples(gen, 25, seed0 = 0x5E3B).zipWithIndex.foreach {
+      case ((rows, n), i) =>
+        val got = TraceOps.moveoutScan(rows.toDF("cell", "off", "v"),
+            Seq("cell"), "v", n, "off", cands, emitStack = true,
+            coherence = "semblance")
+          .select("cell", "best_shift", "n_traces", "semblance", "stack")
+          .as[(Int, Double, Long, Double, Seq[Double])].collect()
+          .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+        // serial reference: the SAME scale-10 quantized lerped values,
+        // exact decimal folds, double steps only at the very end — the
+        // order-independent contract the kernel's mode machinery keeps
+        rows.groupBy(_._1).foreach { case (cell, rs) =>
+          val live = rs.collect { case (_, Some(off), Some(v)) => (off, v) }
+          var bestIdx = -1; var bestS = 0.0
+          var bestStack: Seq[Double] = null; var bestN = 0L
+          cands.zipWithIndex.foreach { case (cand, ci) =>
+            val sums = Array.fill(n)(JBD.ZERO)
+            var den = JBD.ZERO
+            live.foreach { case (off, v) =>
+              val shifted = shiftRef(v, cand * off)
+              shifted.zipWithIndex.foreach { case (rv, j) =>
+                val q = JBD.valueOf(rv).setScale(10, RoundingMode.HALF_UP)
+                sums(j) = sums(j).add(q)
+                den = den.add(q.multiply(q))
+              }
+            }
+            val nT = live.size.toLong
+            var num = JBD.ZERO
+            sums.foreach(s => num = num.add(s.multiply(s)))
+            val s = java.lang.Double.parseDouble(num.toPlainString) /
+              (nT.toDouble * java.lang.Double.parseDouble(den.toPlainString))
+            val stack =
+              if (nT == 0) Seq.empty[Double]
+              else sums.map(x => java.lang.Double.parseDouble(x.toPlainString)
+                / nT.toDouble).toSeq
+            if (bestIdx < 0 || s > bestS) {
+              bestIdx = ci; bestS = s; bestStack = stack; bestN = nT
+            }
+          }
+          val (gShift, gN, gS, gStack) = got(cell)
+          assert(gShift == cands(bestIdx) && gN == bestN &&
+            java.lang.Double.compare(gS, bestS) == 0 && // NaN-safe, bit-strict
+            gStack == bestStack,
+            s"case $i cell $cell: got ${got(cell)}, " +
+              s"want ${(cands(bestIdx), bestN, bestS, bestStack)}")
+        }
+    }
+  }
+
+  test("SqAcc 128-bit accumulation matches BigInteger at the 2^40 extremes " +
+      "(carries, merges at random splits, mid-stream promotion)") {
+    import java.math.{BigDecimal => JBD}
+    import graft.functions.SqAcc
+    val big = graft.functions.StackBuffer.MaxLongAbs // 2^40
+    val valsGen = Gen.listOfN(200, Gen.oneOf(
+      Gen.const(big), Gen.const(-big), Gen.const(big - 1),
+      Gen.chooseNum(-1000000L, 1000000L)))
+    samples(valsGen, 20, seed0 = 0xACC).zipWithIndex.foreach {
+      case (vs, i) =>
+        val expect = vs.map { v =>
+          val b = java.math.BigInteger.valueOf(v); b.multiply(b)
+        }.reduce(_.add(_))
+        // single accumulator
+        val one = SqAcc.empty()
+        vs.foreach(one.addLong)
+        assert(one.toBigDecimal.toBigInteger == expect, s"case $i single")
+        // random split, merged long+long
+        val cut = (i * 37) % vs.length
+        val (l, r) = vs.splitAt(cut)
+        val a = SqAcc.empty(); l.foreach(a.addLong)
+        val b = SqAcc.empty(); r.foreach(b.addLong)
+        a.mergeFrom(b)
+        assert(a.toBigDecimal.toBigInteger == expect, s"case $i merged")
+        // promote mid-stream: decimal tail must agree with the long total
+        val p = SqAcc.empty(); l.foreach(p.addLong)
+        p.promote()
+        r.foreach(v => p.addDec(new JBD(v).setScale(10)))
+        assert(p.toBigDecimal.compareTo(new JBD(expect).setScale(20)) == 0,
+          s"case $i promoted")
+    }
+  }
 }
