@@ -530,6 +530,11 @@ case class StackAgg(child: Expression,
 
   @transient private lazy val isFloat = VecExprs.isFloatArray(child)
 
+  // per-task row scratch (expression instances are task-local): reusing
+  // it saves an 8 KB young-gen allocation per 1000-sample row — ~5 GB of
+  // churn over a sf0.1 long-trace query
+  @transient private var scratch: Array[Double] = null
+
   override def createAggregationBuffer(): StackBuffer =
     new StackBuffer(0L, null, null)
 
@@ -538,7 +543,9 @@ case class StackAgg(child: Expression,
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()
-      val xs = new Array[Double](n)
+      if (scratch == null || scratch.length < n)
+        scratch = new Array[Double](n)
+      val xs = scratch
       var i = 0
       while (i < n) {
         xs(i) = TraceExprs.elemStrict("trace_stack", a, i, isFloat); i += 1
@@ -716,6 +723,12 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
   @transient private lazy val isFloat = VecExprs.isFloatArray(samples)
   @transient private lazy val cands: Array[Double] = candidates.toArray
 
+  // per-task row scratch (expression instances are task-local): the trace
+  // and its shifted image are each 8 KB at 1000 samples — reuse instead
+  // of 2 allocations per row
+  @transient private var trScratch: Array[Double] = null
+  @transient private var shScratch: Array[Double] = null
+
   override def createAggregationBuffer(): MoveoutBuffer =
     new MoveoutBuffer(
       Array.fill(candidates.length)(new StackBuffer(0L, null, null)),
@@ -729,12 +742,16 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
       val a = v.asInstanceOf[ArrayData]
       val offD = off.asInstanceOf[Double]
       val n = a.numElements()
-      val tr = new Array[Double](n)
+      if (trScratch == null || trScratch.length < n) {
+        trScratch = new Array[Double](n)
+        shScratch = new Array[Double](n)
+      }
+      val tr = trScratch
       var i = 0
       while (i < n) {
         tr(i) = TraceExprs.elemStrict(prettyName, a, i, isFloat); i += 1
       }
-      val shifted = new Array[Double](n)
+      val shifted = shScratch
       var c = 0
       while (c < cands.length) {
         val shift = cands(c) * offD // the `_cand * offset` double product

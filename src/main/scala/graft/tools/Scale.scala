@@ -53,6 +53,9 @@ object Scale {
     // round-13: the conditioning kernels at REAL trace length
     "q_trace_agc_long",     // native AGC, 1000 samples x 121 window
     "q_trace_stack_long",   // one StackAgg buffer vs 1000 agg columns
+    // round-14: the fused moveout aggregate at full shape (16 candidates
+    // x 1000 samples, exact semblance folds)
+    "q_moveout_semblance_long",
   )
 
   private def peakHeapMb(): Double = {
