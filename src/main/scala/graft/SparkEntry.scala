@@ -1358,6 +1358,48 @@ object SparkEntry {
           element_at(col("stack"), 500).as("s500"),
           element_at(col("stack"), 1000).as("s1000"))
     }),
+    // the VELOCITY-SPECTRUM PANEL, short shape: windowed semblance per
+    // candidate per position (window 3, clipped edges) — every value an
+    // exact decimal ratio, all candidates emitted (no argmax)
+    "q_moveout_panel" -> ((s, d) => {
+      val df = lineitem(s, d).select(
+        col("l_suppkey").as("cell"),
+        (col("l_linenumber") - 1).cast("double").as("off"),
+        array(col("l_partkey").cast("double"),
+          (col("l_orderkey") % 997).cast("double"),
+          (col("l_partkey") % 733).cast("double")).as("v"))
+      TraceOps.semblancePanel(df, Seq("cell"), "v", nSamples = 3,
+        offsetCol = "off", candidates = Seq(0.0, 0.25, 0.5, 0.75),
+        window = 3)
+        .select(col("cell"), col("shift"), col("n_traces"),
+          element_at(col("panel"), 1).as("v1"),
+          element_at(col("panel"), 2).as("v2"),
+          element_at(col("panel"), 3).as("v3"))
+    }),
+    // the panel at FULL shape: 1000 samples × 16 candidates × window 121
+    // — the windowed prefix-sum eval stays exact at this length, so the
+    // probed panel values hash-match; 64 cells × 16 candidates = 1024
+    // rows of (cell, shift, probes)
+    "q_moveout_panel_long" -> ((s, d) => {
+      val cands = (0 until 16).map(_ / 8.0)
+      val df = lineitem(s, d)
+        .where(col("l_orderkey") % 16 === 0)
+        .select((col("l_suppkey") % 64).as("cell"),
+          (col("l_linenumber") - 1).cast("double").as("off"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("cell"), col("off"),
+          graft.functions.TraceExprs.longModToDouble(
+            sequence((col("ok") + 1L + col("ln")) * 8L,
+              ((col("ok") + 1L) * 1000L + col("ln")) * 8L,
+              (col("ok") + 1L) * 8L), 8000L).as("v"))
+      TraceOps.semblancePanel(df, Seq("cell"), "v", nSamples = 1000,
+        offsetCol = "off", candidates = cands, window = 121)
+        .select(col("cell"), col("shift"), col("n_traces"),
+          element_at(col("panel"), 1).as("v1"),
+          element_at(col("panel"), 500).as("v500"),
+          element_at(col("panel"), 1000).as("v1000"))
+    }),
     // format 5 (IEEE float32) end to end through the symmetric DSv2
     // surface — completes the oracle-gated sample-format matrix
     // (1 std/ibm, 2/8 fmt28, 3 fmt3, 6 fmt6, 5 here)
@@ -3396,6 +3438,87 @@ object SparkEntry {
         |    ORDER BY semblance DESC, s) AS rn FROM sem)
         |SELECT cell, s AS best_shift, n_traces, semblance, s1, s500, s1000
         |FROM win WHERE rn = 1""".stripMargin
+    },
+    // the velocity-spectrum panel, short shape: per-position exact sums
+    // AND per-position exact Σx², windowed by direct decimal sums (equal
+    // to the engine's prefix-sum differences — both exact), finished by
+    // the VARCHAR-routed correctly-rounded casts
+    "q_moveout_panel" -> {
+      def rExpr(i: Int): String = {
+        val i0 = s"CAST(floor($i + sh) AS BIGINT)"
+        s"""(coalesce(l[$i0], 0.0)
+           |    + (coalesce(l[$i0 + 1], 0.0) - coalesce(l[$i0], 0.0))
+           |      * ($i + sh - floor($i + sh)))""".stripMargin
+      }
+      def q(c: String): String = s"CAST($c AS DECIMAL(18,10))"
+      def sd(c: String): String = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
+      s"""WITH t AS (SELECT l_suppkey AS cell,
+        |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
+        |    [CAST(l_partkey AS DOUBLE), CAST(l_orderkey % 997 AS DOUBLE),
+        |     CAST(l_partkey % 733 AS DOUBLE)] AS l
+        |  FROM lineitem),
+        |c AS (SELECT unnest([0.0, 0.25, 0.5, 0.75]) AS s),
+        |x AS (SELECT cell, s, l, s * off AS sh FROM t, c),
+        |r AS (SELECT cell, s,
+        |    ${rExpr(1)} AS r1, ${rExpr(2)} AS r2, ${rExpr(3)} AS r3
+        |  FROM x),
+        |stk AS (SELECT cell, s, CAST(count(*) AS BIGINT) AS n,
+        |    ${"CAST(sum(" + q("r1") + ") AS DECIMAL(18,10))"} AS s1,
+        |    ${"CAST(sum(" + q("r2") + ") AS DECIMAL(18,10))"} AS s2,
+        |    ${"CAST(sum(" + q("r3") + ") AS DECIMAL(18,10))"} AS s3,
+        |    sum(${q("r1")} * ${q("r1")}) AS d1,
+        |    sum(${q("r2")} * ${q("r2")}) AS d2,
+        |    sum(${q("r3")} * ${q("r3")}) AS d3
+        |  FROM r GROUP BY 1, 2)
+        |SELECT cell, s AS shift, n AS n_traces,
+        |  ${sd("s1 * s1 + s2 * s2")} / (n * ${sd("d1 + d2")}) AS v1,
+        |  ${sd("s1 * s1 + s2 * s2 + s3 * s3")}
+        |    / (n * ${sd("d1 + d2 + d3")}) AS v2,
+        |  ${sd("s2 * s2 + s3 * s3")} / (n * ${sd("d2 + d3")}) AS v3
+        |FROM stk""".stripMargin
+    },
+    // the panel at FULL shape: DuckDB's windowed decimal SUM OVER the
+    // position frame replays the engine's exact prefix-sum differences;
+    // probes pivot to columns
+    "q_moveout_panel_long" -> {
+      val candList = (0 until 16).map(_ / 8.0).mkString(", ")
+      val lerp =
+        """coalesce(v[CAST(floor(p + sh) AS BIGINT)], 0.0)
+          |      + (coalesce(v[CAST(floor(p + sh) AS BIGINT) + 1], 0.0)
+          |         - coalesce(v[CAST(floor(p + sh) AS BIGINT)], 0.0))
+          |        * (p + sh - floor(p + sh))""".stripMargin
+      s"""WITH t AS (SELECT l_suppkey % 64 AS cell,
+        |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
+        |    list_transform(range(1, 1001),
+        |      i -> CAST(((l_orderkey + 1) * i + l_linenumber) % 1000 * 8 AS DOUBLE)) AS v
+        |  FROM lineitem WHERE l_orderkey % 16 = 0),
+        |c AS (SELECT CAST(unnest([$candList]) AS DOUBLE) AS s),
+        |x AS (SELECT cell, s, v, s * off AS sh FROM t, c),
+        |u AS (SELECT cell, s,
+        |    unnest(range(1, 1001)) AS p,
+        |    unnest(list_transform(range(1, 1001), p ->
+        |      $lerp)) AS rv
+        |  FROM x),
+        |stk AS (SELECT cell, s, p,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(rv AS DECIMAL(18,10))) AS DECIMAL(18,10)) AS ssum,
+        |    sum(CAST(rv AS DECIMAL(18,10)) * CAST(rv AS DECIMAL(18,10))) AS dp
+        |  FROM u GROUP BY 1, 2, 3),
+        |win AS (SELECT cell, s, p, n,
+        |    sum(ssum * ssum) OVER (PARTITION BY cell, s ORDER BY p
+        |      ROWS BETWEEN 60 PRECEDING AND 60 FOLLOWING) AS num,
+        |    sum(dp) OVER (PARTITION BY cell, s ORDER BY p
+        |      ROWS BETWEEN 60 PRECEDING AND 60 FOLLOWING) AS den
+        |  FROM stk),
+        |sem AS (SELECT cell, s, p, n,
+        |    CAST(CAST(num AS VARCHAR) AS DOUBLE)
+        |      / (n * CAST(CAST(den AS VARCHAR) AS DOUBLE)) AS sv
+        |  FROM win WHERE p IN (1, 500, 1000))
+        |SELECT cell, s AS shift, max(n) AS n_traces,
+        |  max(CASE WHEN p = 1 THEN sv END) AS v1,
+        |  max(CASE WHEN p = 500 THEN sv END) AS v500,
+        |  max(CASE WHEN p = 1000 THEN sv END) AS v1000
+        |FROM sem GROUP BY 1, 2""".stripMargin
     },
     // the directory union covers exactly the parity-split whole
     "q_segy_dir_roundtrip" ->

@@ -67,6 +67,17 @@ object TraceExprs {
         ColumnBridge.expression(offset),
         candidates.toIndexedSeq, semblance).toAggregateExpression())
 
+  /** `df.groupBy(keys).agg(TraceExprs.semblancePanel(samples, offset,
+    * cands, window))` → struct<n_traces, shifts, panels> — the full
+    * windowed-semblance velocity spectrum (see [[MoveoutPanelAgg]]).
+    */
+  def semblancePanel(samples: Column, offset: Column,
+                     candidates: Seq[Double], window: Int): Column =
+    ColumnBridge.column(
+      MoveoutPanelAgg(ColumnBridge.expression(samples),
+        ColumnBridge.expression(offset),
+        candidates.toIndexedSeq, window).toAggregateExpression())
+
   /** Elementwise `(x % m).toDouble` over an `array<bigint>` — ONE node.
     * The `transform(arr, x => (x % m).cast(double))` HOF it replaces is
     * interpreted per ELEMENT (Spark HOFs don't codegen): over a
@@ -897,5 +908,307 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
   override def withNewInputAggBufferOffset(o: Int): MoveoutStackAgg =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MoveoutStackAgg =
+    copy(samples = l, offset = r)
+}
+
+/** PER-POSITION exact Σx², mode-paired with a [[StackBuffer]] exactly
+  * like [[SqAcc]] but with one accumulator per sample position — the
+  * state behind the windowed-semblance denominator. Long mode holds two
+  * long arrays (unsigned 128-bit per position); decimal mode one
+  * scale-20 decimal per position.
+  */
+final class PosSqAcc(var hi: Array[Long], var lo: Array[Long],
+                     var dec: Array[JBigDecimal]) extends Serializable {
+  def length: Int =
+    if (dec != null) dec.length else if (hi != null) hi.length else -1
+
+  def ensureLong(n: Int): Unit = if (hi == null && dec == null) {
+    hi = new Array[Long](n); lo = new Array[Long](n)
+  }
+  def ensureDec(n: Int): Unit =
+    if (dec == null) dec = Array.fill(n)(JBigDecimal.ZERO)
+
+  /** 128-bit += v² at position i (long mode). */
+  def addLong(i: Int, v: Long): Unit = {
+    val pHi = Math.multiplyHigh(v, v); val pLo = v * v
+    val nLo = lo(i) + pLo
+    if (java.lang.Long.compareUnsigned(nLo, lo(i)) < 0) hi(i) += 1
+    lo(i) = nLo; hi(i) += pHi
+  }
+
+  /** += q² at position i (decimal mode; q scale-10 quantized). */
+  def addDec(i: Int, q: JBigDecimal): Unit = dec(i) = dec(i).add(q.multiply(q))
+
+  def posDec(i: Int): JBigDecimal =
+    if (dec != null) dec(i)
+    else new JBigDecimal(SqAcc.toBigInt(hi(i), lo(i))).setScale(20)
+
+  /** Exact per-position 128-bit → decimal promotion. */
+  def promote(): Unit = if (dec == null && hi != null) {
+    dec = Array.tabulate(hi.length)(i =>
+      new JBigDecimal(SqAcc.toBigInt(hi(i), lo(i))).setScale(20))
+    hi = null; lo = null
+  }
+
+  def mergeFrom(o: PosSqAcc): Unit = {
+    if (o.length < 0) return
+    if (length < 0) { hi = o.hi; lo = o.lo; dec = o.dec; return }
+    if (dec == null && o.dec == null) {
+      var i = 0
+      while (i < hi.length) {
+        val nLo = lo(i) + o.lo(i)
+        if (java.lang.Long.compareUnsigned(nLo, lo(i)) < 0) hi(i) += 1
+        lo(i) = nLo; hi(i) += o.hi(i)
+        i += 1
+      }
+    } else {
+      promote(); o.promote()
+      var i = 0
+      while (i < dec.length) { dec(i) = dec(i).add(o.dec(i)); i += 1 }
+    }
+  }
+}
+
+object PosSqAcc {
+  def empty(): PosSqAcc = new PosSqAcc(null, null, null)
+
+  def write(out: DataOutputStream, p: PosSqAcc): Unit = {
+    out.writeInt(p.length)
+    if (p.length >= 0) {
+      if (p.dec != null) {
+        out.writeByte(1); p.dec.foreach(d => out.writeUTF(d.toPlainString))
+      } else {
+        out.writeByte(0); p.hi.foreach(out.writeLong); p.lo.foreach(out.writeLong)
+      }
+    }
+  }
+
+  def read(in: DataInputStream): PosSqAcc = {
+    val n = in.readInt()
+    if (n < 0) empty()
+    else if (in.readByte() == 1)
+      new PosSqAcc(null, null, Array.fill(n)(new JBigDecimal(in.readUTF())))
+    else {
+      val hi = Array.fill(n)(in.readLong())
+      val lo = Array.fill(n)(in.readLong())
+      new PosSqAcc(hi, lo, null)
+    }
+  }
+}
+
+/** Aggregation state of [[MoveoutPanelAgg]]: per candidate, the exact
+  * stack sums plus the per-position exact Σx².
+  */
+final class PanelBuffer(val stacks: Array[StackBuffer],
+                        val pos: Array[PosSqAcc]) extends Serializable
+
+/** The VELOCITY-SPECTRUM PANEL — windowed semblance, the deliverable a
+  * velocity picker actually reads: for every candidate moveout c and
+  * every sample position t,
+  *   S_c(t) = Σ_{τ∈W(t)} s_cτ² / (N · Σ_{τ∈W(t)} d_cτ)
+  * with s_cτ the stacked (summed) trace, d_cτ = Σ_i a²_iτ the total
+  * energy at position τ, and W(t) the clipped window [t−h, t+h] ∩ [1,n]
+  * (the AGC edge convention, h = (window−1)/2). One aggregate computes
+  * the full |candidates| × nSamples panel per cell.
+  *
+  * Exactness: s is the [[StackBuffer]] exact sum, d the [[PosSqAcc]]
+  * exact per-position Σx² (128-bit integers in long mode, scale-20
+  * decimals after promotion — mode-paired with the stack, same scale-10
+  * HALF_UP value quantization). At eval the windowed numerator/
+  * denominator are decimal PREFIX-SUM differences — exact, hence equal
+  * to the oracle's direct windowed decimal sums — and only the two
+  * final string→double casts and one divide are floating point, so
+  * every panel value hash-matches at any trace length.
+  *
+  * Scale: the shuffle carries |candidates| × (nSamples stack sums +
+  * nSamples Σx²) per cell per map partition — panel state is
+  * Θ(candidates · nSamples) per cell, independent of trace count, and
+  * the per-row update is the same read-once lerp loop as
+  * [[MoveoutStackAgg]] plus one multiply-add per sample.
+  *
+  * Output: struct<n_traces, shifts: array<double>,
+  * panels: array<array<double>>> — row r of `panels` is candidate
+  * `shifts(r)`'s semblance trace.
+  */
+case class MoveoutPanelAgg(samples: Expression, offset: Expression,
+                           candidates: IndexedSeq[Double], window: Int,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[PanelBuffer]
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+  require(candidates.nonEmpty, "panel needs at least one candidate")
+  require(window >= 1 && window % 2 == 1,
+    s"window must be odd and >= 1, got $window")
+
+  override def left: Expression = samples
+  override def right: Expression = offset
+  override def nullable: Boolean = false
+  override def prettyName: String = "trace_semblance_panel"
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_traces", LongType, nullable = false),
+    StructField("shifts", ArrayType(DoubleType, containsNull = false),
+      nullable = false),
+    StructField("panels", ArrayType(
+      ArrayType(DoubleType, containsNull = false), containsNull = false),
+      nullable = false)))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val samplesCheck = TraceExprs.checkSamplesType(prettyName, samples)
+    if (samplesCheck.isFailure) samplesCheck
+    else offset.dataType match {
+      case DoubleType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName offset must be double, got $t")
+    }
+  }
+
+  @transient private lazy val isFloat = VecExprs.isFloatArray(samples)
+  @transient private lazy val cands: Array[Double] = candidates.toArray
+  @transient private var trScratch: Array[Double] = null
+  @transient private var shScratch: Array[Double] = null
+
+  override def createAggregationBuffer(): PanelBuffer =
+    new PanelBuffer(
+      Array.fill(candidates.length)(new StackBuffer(0L, null, null)),
+      Array.fill(candidates.length)(PosSqAcc.empty()))
+
+  override def update(buf: PanelBuffer, input: InternalRow): PanelBuffer = {
+    val v = samples.eval(input)
+    val off = offset.eval(input)
+    if (v != null && off != null) {
+      val a = v.asInstanceOf[ArrayData]
+      val offD = off.asInstanceOf[Double]
+      val n = a.numElements()
+      if (trScratch == null || trScratch.length < n) {
+        trScratch = new Array[Double](n)
+        shScratch = new Array[Double](n)
+      }
+      val tr = trScratch
+      var i = 0
+      while (i < n) {
+        tr(i) = TraceExprs.elemStrict(prettyName, a, i, isFloat); i += 1
+      }
+      val shifted = shScratch
+      var c = 0
+      while (c < cands.length) {
+        val shift = cands(c) * offD
+        i = 0
+        while (i < n) {
+          // ShiftResampleExpr.kernel's loop body, verbatim
+          val pos = (i + 1).toDouble + shift
+          val i0 = math.floor(pos).toInt
+          val f = pos - i0.toDouble
+          val v0 = if (i0 >= 1 && i0 <= n) tr(i0 - 1) else 0.0
+          val v1 = if (i0 + 1 >= 1 && i0 + 1 <= n) tr(i0) else 0.0
+          shifted(i) = v0 + (v1 - v0) * f
+          i += 1
+        }
+        val wasLong = buf.stacks(c).decSums == null
+        StackBuffer.add(buf.stacks(c), shifted, n)
+        val p = buf.pos(c)
+        if (buf.stacks(c).decSums == null) {
+          p.ensureLong(n)
+          i = 0
+          while (i < n) { p.addLong(i, shifted(i).toLong); i += 1 }
+        } else {
+          if (wasLong) p.promote()
+          p.ensureDec(n)
+          i = 0
+          while (i < n) {
+            p.addDec(i, JBigDecimal.valueOf(shifted(i))
+              .setScale(10, RoundingMode.HALF_UP))
+            i += 1
+          }
+        }
+        c += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b: PanelBuffer, o: PanelBuffer): PanelBuffer = {
+    var c = 0
+    while (c < b.stacks.length) {
+      // mirror StackBuffer.mergeInto's predicates, read pre-merge
+      val bs = b.stacks(c); val os = o.stacks(c)
+      if (os.length < 0) { /* nothing */ }
+      else if (bs.length < 0) {
+        val bp = b.pos(c); val op = o.pos(c)
+        bp.hi = op.hi; bp.lo = op.lo; bp.dec = op.dec
+      } else {
+        val keepLong = bs.decSums == null && os.decSums == null &&
+          bs.n + os.n <= StackBuffer.MaxLongRows
+        if (!keepLong) { b.pos(c).promote(); o.pos(c).promote() }
+        b.pos(c).mergeFrom(o.pos(c))
+      }
+      StackBuffer.mergeInto(b.stacks(c), o.stacks(c))
+      c += 1
+    }
+    b
+  }
+
+  override def eval(buf: PanelBuffer): Any = {
+    val len = math.max(0, buf.stacks(0).length)
+    val h = (window - 1) / 2
+    val nT = buf.stacks(0).n
+    val panels = new Array[Any](cands.length)
+    var c = 0
+    while (c < cands.length) {
+      val b = buf.stacks(c)
+      // exact prefix sums: pNum(t) = Σ_{τ≤t} s_τ², pDen(t) = Σ_{τ≤t} d_τ
+      val pNum = new Array[JBigDecimal](len + 1)
+      val pDen = new Array[JBigDecimal](len + 1)
+      pNum(0) = JBigDecimal.ZERO; pDen(0) = JBigDecimal.ZERO
+      var t = 0
+      while (t < len) {
+        val s =
+          if (b.decSums != null) b.decSums(t)
+          else JBigDecimal.valueOf(b.longSums(t))
+        pNum(t + 1) = pNum(t).add(s.multiply(s))
+        pDen(t + 1) = pDen(t).add(buf.pos(c).posDec(t))
+        t += 1
+      }
+      val panel = new Array[Double](len)
+      t = 0
+      while (t < len) {
+        val lo = math.max(0, t - h)          // window start, 0-based incl.
+        val hi = math.min(len, t + h + 1)    // window end, 0-based excl.
+        val numW = pNum(hi).subtract(pNum(lo))
+        val denW = pDen(hi).subtract(pDen(lo))
+        panel(t) = java.lang.Double.parseDouble(numW.toPlainString) /
+          (nT.toDouble * java.lang.Double.parseDouble(denW.toPlainString))
+        t += 1
+      }
+      panels(c) = UnsafeArrayData.fromPrimitiveArray(panel)
+      c += 1
+    }
+    InternalRow(nT, UnsafeArrayData.fromPrimitiveArray(cands),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(panels))
+  }
+
+  override def serialize(buf: PanelBuffer): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.stacks.length)
+    buf.stacks.foreach(StackBuffer.write(out, _))
+    buf.pos.foreach(PosSqAcc.write(out, _))
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): PanelBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val k = in.readInt()
+    new PanelBuffer(
+      Array.fill(k)(StackBuffer.read(in)),
+      Array.fill(k)(PosSqAcc.read(in)))
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): MoveoutPanelAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): MoveoutPanelAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MoveoutPanelAgg =
     copy(samples = l, offset = r)
 }

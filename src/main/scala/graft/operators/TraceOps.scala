@@ -120,6 +120,35 @@ object TraceOps {
                else base): _*)
   }
 
+  /** The VELOCITY-SPECTRUM PANEL — windowed semblance per candidate per
+    * sample position, the deliverable a velocity picker reads:
+    * S_c(t) = Σ_{τ∈W(t)} s_cτ² / (N·Σ_{τ∈W(t)} d_cτ) over the clipped
+    * window W(t) = [t−h, t+h] ∩ [1, n] (the AGC edge convention). One
+    * fused aggregate per cell ([[graft.functions.MoveoutPanelAgg]]),
+    * exploded to one row per candidate: (keys…, shift, n_traces, panel
+    * array<double> length nSamples). Every panel value is an exact
+    * decimal ratio finished by two correctly-rounded casts and one
+    * divide, so the FULL panel hash-matches the oracle at any length.
+    *
+    * Scale: state is Θ(|candidates| · nSamples) per cell — independent
+    * of trace count; the shuffle never carries traces or shifted rows.
+    */
+  def semblancePanel(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
+                     samplesCol: String, nSamples: Int, offsetCol: String,
+                     candidates: Seq[Double],
+                     window: Int): org.apache.spark.sql.DataFrame = {
+    require(candidates.nonEmpty, "semblancePanel needs at least one candidate")
+    require(nSamples >= 1, s"nSamples must be >= 1, got $nSamples")
+    val ag = df.groupBy(keys.map(col): _*)
+      .agg(graft.functions.TraceExprs.semblancePanel(col(samplesCol),
+        col(offsetCol).cast("double"), candidates, window).as("_p"))
+    ag.select((keys.map(col) :+ col("_p").as("_p") :+
+        posexplode(col("_p.shifts")).as(Seq("_ci", "shift"))): _*)
+      .select((keys.map(col) :+ col("shift") :+
+        col("_p.n_traces").as("n_traces") :+
+        element_at(col("_p.panels"), col("_ci") + 1).as("panel")): _*)
+  }
+
   /** The UNFUSED moveout scan — explode(candidates) → [[shiftResample]]
     * → [[stack]] → window argmax. Kept as the differential reference for
     * [[moveoutScan]]'s fused aggregate (MoveoutFusedSpec asserts

@@ -301,6 +301,65 @@ class TraceOpsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("semblance panel is bit-identical to an exact serial reference " +
+      "(windowed prefix sums, long + decimal modes, clipped edges)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    val gen = for {
+      nCells <- Gen.chooseNum(1, 3)
+      n <- Gen.oneOf(2, 5, 48)
+      w <- Gen.oneOf(1, 3, 7)
+      rows <- Gen.listOfN(14, for {
+        c <- Gen.chooseNum(1, nCells)
+        off <- Gen.option(Gen.chooseNum(0, 3).map(_.toDouble))
+        v <- Gen.option(Gen.oneOf(
+          Gen.listOfN(n, Gen.chooseNum(-500, 500).map(_.toDouble)),
+          Gen.listOfN(n, Gen.chooseNum(-9, 9).map(_ / 3.0)),
+          Gen.listOfN(n, Gen.const(0.0))))
+      } yield (c, off, v))
+    } yield (rows, n, w)
+    val cands = Seq(0.0, 0.125, 0.5)
+    samples(gen, 20, seed0 = 0x9A7E1).zipWithIndex.foreach {
+      case ((rows, n, w), i) =>
+        val got = TraceOps.semblancePanel(rows.toDF("cell", "off", "v"),
+            Seq("cell"), "v", n, "off", cands, window = w)
+          .select("cell", "shift", "n_traces", "panel")
+          .as[(Int, Double, Long, Seq[Double])].collect()
+          .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+        val h = (w - 1) / 2
+        rows.groupBy(_._1).foreach { case (cell, rs) =>
+          val live = rs.collect { case (_, Some(off), Some(v)) => (off, v) }
+          cands.foreach { cand =>
+            val sums = Array.fill(n)(JBD.ZERO)
+            val dens = Array.fill(n)(JBD.ZERO)
+            live.foreach { case (off, v) =>
+              shiftRef(v, cand * off).zipWithIndex.foreach { case (rv, j) =>
+                val q = JBD.valueOf(rv).setScale(10, RoundingMode.HALF_UP)
+                sums(j) = sums(j).add(q)
+                dens(j) = dens(j).add(q.multiply(q))
+              }
+            }
+            val nT = live.size.toLong
+            val want = (0 until n).map { t =>
+              val lo = math.max(0, t - h); val hi = math.min(n, t + h + 1)
+              var num = JBD.ZERO; var den = JBD.ZERO
+              (lo until hi).foreach { tau =>
+                num = num.add(sums(tau).multiply(sums(tau)))
+                den = den.add(dens(tau))
+              }
+              java.lang.Double.parseDouble(num.toPlainString) /
+                (nT.toDouble * java.lang.Double.parseDouble(den.toPlainString))
+            }
+            val (gN, gPanel) = got((cell, cand))
+            val wPanel = if (nT == 0) Seq.empty[Double] else want
+            assert(gN == nT && gPanel.length == wPanel.length &&
+              gPanel.zip(wPanel).forall { case (a, b) =>
+                java.lang.Double.compare(a, b) == 0 },
+              s"case $i cell $cell cand $cand: got $gPanel want $wPanel")
+          }
+        }
+    }
+  }
+
   test("SqAcc 128-bit accumulation matches BigInteger at the 2^40 extremes " +
       "(carries, merges at random splits, mid-stream promotion)") {
     import java.math.{BigDecimal => JBD}
