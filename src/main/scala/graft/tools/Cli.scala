@@ -325,6 +325,80 @@ object Cli {
     }
   }
 
+  /** `velocity <mdio-path> <out.parquet> --keys il,xl --offset <col>
+    * --candidates 0,0.125,0.25 [--samples-col <col>] [--mode
+    * scan|semblance|panel] [--window 121] [--overwrite]` — the velocity
+    * analysis verb over an MDIO store: gathers group on `--keys`, each
+    * trace shifts by candidate × `--offset`, and the result is either
+    * the per-gather argmax pick (`scan` by stacked energy, `semblance`
+    * by windowed-free semblance) or the full velocity-spectrum panel
+    * (`panel`, windowed semblance per candidate per sample — needs
+    * `--window`, odd). Trace length is read from the store's first row
+    * unless `--n-samples` is given. Output is written as parquet.
+    */
+  private def velocityVerb(spark: SparkSession, pos: Seq[String],
+                           opts: Map[String, String]): Unit = {
+    val (mdioPath, out) = pos match {
+      case Seq(a, b) => (a, b)
+      case _ => throw CliError("velocity needs <mdio-path> <out.parquet>")
+    }
+    val keys = opts.getOrElse("--keys",
+      throw CliError("velocity needs --keys k1[,k2...]")).split(",").toSeq
+    val offsetCol = opts.getOrElse("--offset",
+      throw CliError("velocity needs --offset <column>"))
+    val candidates = opts.getOrElse("--candidates",
+      throw CliError("velocity needs --candidates c1[,c2...]"))
+      .split(",").toSeq.map { c =>
+        try c.toDouble
+        catch { case _: NumberFormatException =>
+          throw CliError(s"bad candidate '$c'") }
+      }
+    val samplesCol = opts.getOrElse("--samples-col", "amplitude")
+    val mode = opts.getOrElse("--mode", "scan")
+    val handle = Mdio.openMdio(spark, mdioPath)
+    val df = handle.df
+    val missing = (keys :+ offsetCol :+ samplesCol)
+      .filterNot(df.columns.contains)
+    if (missing.nonEmpty)
+      throw CliError(s"store has no column(s): ${missing.mkString(", ")}")
+    df.schema(samplesCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.DoubleType, _) => ()
+      case t => throw CliError(
+        s"--samples-col '$samplesCol' must be array<float|double>, " +
+          s"got ${t.simpleString} (the raw 'samples' payload column is " +
+          "binary; use the decoded trace variable)")
+    }
+    val nSamples = opts.get("--n-samples").map(_.toInt).getOrElse {
+      val head = df.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col(samplesCol))).head()
+      if (head.isNullAt(0)) throw CliError(
+        s"cannot infer trace length from '$samplesCol' (null first row); " +
+          "pass --n-samples") else head.getInt(0)
+    }
+    val result = mode match {
+      case "scan" => graft.operators.TraceOps.moveoutScan(
+        df, keys, samplesCol, nSamples, offsetCol, candidates)
+      case "semblance" => graft.operators.TraceOps.moveoutScan(
+        df, keys, samplesCol, nSamples, offsetCol, candidates,
+        coherence = "semblance")
+      case "panel" =>
+        val window = opts.get("--window").map(_.toInt).getOrElse(
+          throw CliError("velocity --mode panel needs --window (odd)"))
+        graft.operators.TraceOps.semblancePanel(
+          df, keys, samplesCol, nSamples, offsetCol, candidates, window)
+      case other =>
+        throw CliError(s"--mode must be scan|semblance|panel, got '$other'")
+    }
+    val writer = result.write
+    (if (opts.contains("--overwrite")) writer.mode("overwrite") else writer)
+      .parquet(out)
+    val rows = spark.read.parquet(out).count()
+    println(s"velocity $mode: ${candidates.length} candidates, " +
+      s"$rows gather rows -> $out")
+  }
+
   // ---------------------------------------------------------- index verbs
 
   /** `index compact <index-path> [--kind bm25|ivf|pq|sq] [--id-col ...]` —
@@ -458,6 +532,11 @@ object Cli {
         case "index" :: "compact" :: rest =>
           val (pos, opts) = parse(rest, Set("--kind", "--id-col"))
           indexCompactVerb(spark, pos, opts); 0
+        case "velocity" :: rest =>
+          val (pos, opts) = parse(rest, Set("--keys", "--offset",
+            "--candidates", "--samples-col", "--mode", "--window",
+            "--n-samples", "--overwrite"))
+          velocityVerb(spark, pos, opts); 0
         case other =>
           System.err.println(
             s"""unknown command: ${other.mkString(" ")}
@@ -467,7 +546,8 @@ object Cli {
                |  copy <source> <target> [--with-traces] [--with-headers] [--overwrite]
                |  info <mdio-path> [--output-format pretty|json]
                |  prep quality|dedup|pipeline <in.parquet> <out.parquet> [options]
-               |  index compact <index-path> [--kind bm25|ivf|pq|sq|sigs] [--id-col vec_id]""".stripMargin)
+               |  index compact <index-path> [--kind bm25|ivf|pq|sq|sigs] [--id-col vec_id]
+               |  velocity <mdio-path> <out.parquet> --keys k1,k2 --offset <col> --candidates c1,c2 [--mode scan|semblance|panel] [--window N]""".stripMargin)
           2
       }
     } catch {

@@ -245,4 +245,56 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(Seq("index", "compact", empty), spark) == 2)
     assert(Cli.run(Seq("index", "compact", path, "--kind", "bogus"), spark) == 2)
   }
+
+  test("velocity verb drives scan/semblance/panel over a store") {
+    val segy = writeFixture()
+    val dir = Files.createTempDirectory("clivel").toString
+    val store = s"$dir/vel.mdio"
+    assert(Cli.run(Seq("segy", "import", segy, store,
+      "--header-locations", "189,193",
+      "--header-names", "inline,crossline"), spark) == 0)
+
+    // scan: one argmax row per inline gather (crossline as offset);
+    // trace length inferred from the store
+    val scanOut = s"$dir/scan.parquet"
+    assert(Cli.run(Seq("velocity", store, scanOut,
+      "--keys", "inline", "--offset", "crossline",
+      "--candidates", "0,0.5", "--samples-col", "amplitude"), spark) == 0)
+    val scan = spark.read.parquet(scanOut)
+    assert(scan.count() == 3)
+    assert(scan.columns.toSet ==
+      Set("inline", "best_shift", "n_traces", "energy"))
+
+    // semblance mode renames the measure column
+    val semOut = s"$dir/sem.parquet"
+    assert(Cli.run(Seq("velocity", store, semOut,
+      "--keys", "inline", "--offset", "crossline",
+      "--candidates", "0,0.5", "--samples-col", "amplitude",
+      "--mode", "semblance"), spark) == 0)
+    assert(spark.read.parquet(semOut).columns.contains("semblance"))
+
+    // panel: one row per gather per candidate, panel length = nSamples
+    val panOut = s"$dir/panel.parquet"
+    assert(Cli.run(Seq("velocity", store, panOut,
+      "--keys", "inline", "--offset", "crossline",
+      "--candidates", "0,0.5", "--samples-col", "amplitude",
+      "--mode", "panel", "--window", "3"), spark) == 0)
+    val pan = spark.read.parquet(panOut)
+    assert(pan.count() == 6)
+    assert(pan.select(size($"panel")).as[Int].collect().forall(_ == 2))
+
+    // guard rails are loud: missing flags, bad mode, absent column
+    assert(Cli.run(Seq("velocity", store, s"$dir/x.parquet",
+      "--offset", "crossline", "--candidates", "0",
+      "--samples-col", "amplitude"), spark) == 2)
+    assert(Cli.run(Seq("velocity", store, s"$dir/x.parquet",
+      "--keys", "inline", "--offset", "crossline", "--candidates", "0",
+      "--samples-col", "amplitude", "--mode", "bogus"), spark) == 2)
+    assert(Cli.run(Seq("velocity", store, s"$dir/x.parquet",
+      "--keys", "inline", "--offset", "crossline", "--candidates", "0",
+      "--samples-col", "samples"), spark) == 2) // raw BINARY payload column
+    assert(Cli.run(Seq("velocity", store, s"$dir/x.parquet",
+      "--keys", "inline", "--offset", "crossline",
+      "--candidates", "0,zoom", "--samples-col", "amplitude"), spark) == 2)
+  }
 }
