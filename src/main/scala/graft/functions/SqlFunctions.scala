@@ -145,5 +145,35 @@ object SqlFunctions {
       LongModToDoubleExpr(args.head,
         intArg(args(1), "long_mod_to_double", "m").toLong)
     },
+    // velocity analysis (round 14): the fused moveout aggregates from
+    // pure SQL — candidates are an array(...) of numeric literals (they
+    // fix the per-candidate buffer layout at resolution time)
+    reg("trace_moveout_stack", classOf[MoveoutStackAgg]) { args =>
+      require(args.length == 3,
+        "trace_moveout_stack(samples, offset, array(cands...))")
+      MoveoutStackAgg(args.head, args(1),
+        candsArg(args(2), "trace_moveout_stack"))
+    },
+    reg("trace_moveout_semblance", classOf[MoveoutStackAgg]) { args =>
+      require(args.length == 3,
+        "trace_moveout_semblance(samples, offset, array(cands...))")
+      MoveoutStackAgg(args.head, args(1),
+        candsArg(args(2), "trace_moveout_semblance"), semblance = true)
+    },
+    reg("trace_semblance_panel", classOf[MoveoutPanelAgg]) { args =>
+      require(args.length == 4,
+        "trace_semblance_panel(samples, offset, array(cands...), window)")
+      MoveoutPanelAgg(args.head, args(1),
+        candsArg(args(2), "trace_semblance_panel"),
+        intArg(args(3), "trace_semblance_panel", "window"))
+    },
   )
+
+  private def candsArg(e: Expression, fn: String): IndexedSeq[Double] =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(cs, _) =>
+        cs.map(c => doubleArg(c, fn, "candidate")).toIndexedSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn: candidates must be an array(...) of numeric literals, got $other")
+    }
 }

@@ -138,6 +138,47 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(qp == Seq(1.5f, -3.0f, 0.5f))
   }
 
+  test("SQL velocity aggregates equal the operator API") {
+    GraftSparkExtensions.install(spark)
+    Seq((1, 0.0, Seq(3.0, 0.0, -4.0, 12.0)), (1, 1.0, Seq(1.0, 5.0, 1.0, 1.0)),
+      (2, 0.0, Seq(2.0, 2.0, 2.0, 2.0)), (2, 2.0, Seq(8.0, -1.0, 0.5, 3.0)))
+      .toDF("cell", "off", "v").createOrReplaceTempView("sqlfn_vel")
+    val cands = Seq(0.0, 0.25, 0.5)
+    def apiRows(coherence: String) =
+      graft.operators.TraceOps.moveoutScan(spark.table("sqlfn_vel"),
+        Seq("cell"), "v", 4, "off", cands, coherence = coherence)
+        .as[(Int, Double, Long, Double)].collect().toSet
+    val scanSql = spark.sql(
+      """SELECT cell, m.best_shift, m.n_traces, m.energy FROM
+        |  (SELECT cell, trace_moveout_stack(v, off,
+        |     array(0.0D, 0.25D, 0.5D)) AS m
+        |   FROM sqlfn_vel GROUP BY cell) s""".stripMargin)
+      .as[(Int, Double, Long, Double)].collect().toSet
+    assert(scanSql == apiRows("energy"))
+    val sembSql = spark.sql(
+      """SELECT cell, m.best_shift, m.n_traces, m.semblance FROM
+        |  (SELECT cell, trace_moveout_semblance(v, off,
+        |     array(0.0D, 0.25D, 0.5D)) AS m
+        |   FROM sqlfn_vel GROUP BY cell) s""".stripMargin)
+      .as[(Int, Double, Long, Double)].collect().toSet
+    assert(sembSql == apiRows("semblance"))
+    val panelSql = spark.sql(
+      """SELECT cell, m.n_traces, m.shifts, m.panels FROM
+        |  (SELECT cell, trace_semblance_panel(v, off,
+        |     array(0.0D, 0.25D, 0.5D), 3) AS m
+        |   FROM sqlfn_vel GROUP BY cell) s""".stripMargin)
+      .as[(Int, Long, Seq[Double], Seq[Seq[Double]])].collect().toSet
+    val panelApi = graft.operators.TraceOps.semblancePanel(
+        spark.table("sqlfn_vel"), Seq("cell"), "v", 4, "off", cands, 3)
+      .groupBy("cell", "n_traces")
+      .agg(collect_list(struct(col("shift"), col("panel"))).as("ps"))
+      .as[(Int, Long, Seq[(Double, Seq[Double])])].collect()
+      .map { case (c, n, ps) =>
+        val sorted = ps.sortBy(_._1)
+        (c, n, sorted.map(_._1), sorted.map(_._2)) }.toSet
+    assert(panelSql == panelApi)
+  }
+
   test("shape parameters must be literals (clear error, not silent misuse)") {
     GraftSparkExtensions.install(spark)
     Seq((1L, "abc")).toDF("doc_id", "text").createOrReplaceTempView("sqlfn_e")
