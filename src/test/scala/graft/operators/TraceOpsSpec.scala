@@ -110,6 +110,35 @@ class TraceOpsSpec extends SparkSpec {
     }
   }
 
+  test("fused velocity plans stay fused: one exchange, no Generate/Window") {
+    // the fusion CLAIM is a plan property — guard it so a future refactor
+    // can't silently reintroduce the explode->window composition
+    val df = Seq((1, 0.0, Seq(1.0, 2.0, 3.0)), (1, 1.0, Seq(2.0, 0.0, 1.0)))
+      .toDF("cell", "off", "v")
+    def planOf(r: org.apache.spark.sql.DataFrame): String = {
+      r.collect() // force AQE to finalize
+      r.queryExecution.executedPlan.toString
+    }
+    Seq(
+      TraceOps.moveoutScan(df, Seq("cell"), "v", 3, "off", Seq(0.0, 0.5)),
+      TraceOps.moveoutScan(df, Seq("cell"), "v", 3, "off", Seq(0.0, 0.5),
+        coherence = "semblance"),
+      TraceOps.semblancePanel(df, Seq("cell"), "v", 3, "off",
+        Seq(0.0, 0.5), window = 3)
+    ).foreach { r =>
+      val plan = planOf(r)
+      assert(!plan.contains("Window"), s"window operator crept in:\n$plan")
+      assert(!plan.contains("Generate") || plan.contains("posexplode"),
+        s"unexpected generator:\n$plan") // panel's posexplode over
+                                         // |candidates| rows is the one
+                                         // sanctioned generator
+      val exchanges = "Exchange".r.findAllIn(plan).size
+      assert(exchanges <= 2, // the group-by shuffle (+AQE read) only
+        s"extra shuffles:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"), s"not aggregated:\n$plan")
+    }
+  }
+
   test("FIR expressions with equal taps are structurally EQUAL (canonicalization)") {
     import graft.functions.FirFilterExpr
     import org.apache.spark.sql.catalyst.expressions.BoundReference
