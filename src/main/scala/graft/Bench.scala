@@ -41,6 +41,15 @@ object Bench {
       // kernels on 2% of the machine (at real scale the files split
       // naturally; this knob only matters for small inputs)
       .config("spark.sql.files.openCostInBytes", "131072")
+      // ObjectHashAggregate falls back to SORT-based aggregation after
+      // 128 distinct keys per task — for the trace aggregates that means
+      // sorting the 8 KB sample rows themselves (q_trace_stack_long:
+      // 1000 cells, ~5 GB sorted+spilled per pass; measured 4–57 s run
+      // swings from this alone). The buffers are ~8–24 KB per group, so
+      // 4096 in-flight groups is ≤ ~100 MB per task — raise the
+      // threshold so the hash path holds
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -194,6 +194,16 @@ object TraceOps {
     * Scale: one shuffle on the cell keys; map-side partial buffers
     * combine, the shuffle carries nSamples decimals + a count per cell —
     * never the traces, and never an nSamples-wide aggregate column list.
+    *
+    * Session sizing: ObjectHashAggregate falls back to SORT-based
+    * aggregation after `spark.sql.objectHashAggregate.sortBased.
+    * fallbackThreshold` (default 128) distinct groups per task — for
+    * this operator family that means sorting the multi-KB sample rows
+    * themselves (measured 6× on q_trace_stack_long at 1000 cells).
+    * Gathers per task routinely exceed 128 on real surveys; raise the
+    * threshold (the harness sessions use 4096 ≈ ≤100 MB of buffers per
+    * task at 1000-sample traces) so the hash path holds. Results are
+    * bit-identical either way — this is purely a cost cliff.
     */
   def stack(df: org.apache.spark.sql.DataFrame, keys: Seq[String],
             samplesCol: String, nSamples: Int): org.apache.spark.sql.DataFrame = {

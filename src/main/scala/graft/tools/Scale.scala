@@ -80,6 +80,10 @@ object Scale {
       // kernels on 2% of the machine (at real scale the files split
       // naturally; this knob only matters for small inputs)
       .config("spark.sql.files.openCostInBytes", "131072")
+      // keep the trace aggregates on the hash path past 128 groups/task
+      // (the sort fallback sorts the 8 KB sample rows; see Bench.scala)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
