@@ -820,6 +820,14 @@ object SparkEntry {
     // incidental 8-grams — 2-31 shared fps is background noise)
     "q_winnow_pairs" -> ((s, d) =>
       Dedup.winnowOverlapPairs(documents(s, d), minShared = 32)),
+    // character-level near-dup tier: EXACT edit-distance similarity join —
+    // PassJoin segment blocking (complete by pigeonhole, hashes-only
+    // candidate shuffle) + banded-DP levenshtein verify on candidates only
+    "q_editdist_pairs" -> ((s, d) =>
+      EditDistance.similarityJoin(documents(s, d), k = 4)),
+    // greedy min-id survivors over the edit-distance pair graph
+    "q_editdist_dedup" -> ((s, d) =>
+      EditDistance.dedupByEditDistance(documents(s, d), k = 4)),
     // char-trigram LM familiarity: rationally-exact perplexity surrogate
     // (mean corpus gram frequency + OOV rate) — the CCNet-style LM quality
     // gate with log-probs replaced by integer-exact ratios
@@ -2862,6 +2870,8 @@ object SparkEntry {
         |FROM t""".stripMargin,
     "q_neardup_recall" -> OracleSqlGen.nearDupRecallSql(sampleFraction = 0.5),
     "q_winnow_pairs" -> OracleSqlGen.winnowPairsSql(minShared = 32),
+    "q_editdist_pairs" -> OracleSqlGen.editDistPairsSql(k = 4),
+    "q_editdist_dedup" -> OracleSqlGen.editDistDedupSql(k = 4),
     "q_gram_lm" ->
       """WITH nm AS (SELECT doc_id,
         |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),

@@ -25,7 +25,8 @@ object BloomExprs {
   /** True iff `x` (LongType) might be in the serialized filter. */
   def mightContain(x: Column, bloomBytes: Array[Byte]): Column =
     ColumnBridge.column(
-      BloomMightContainExpr(ColumnBridge.expression(x), bloomBytes))
+      BloomMightContainExpr(ColumnBridge.expression(x),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(bloomBytes)))
 
   def serialize(bloom: BloomFilter): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -38,14 +39,18 @@ object BloomExprs {
   * null-for-error — a corrupt blob throws at first use.
   */
 final case class BloomMightContainExpr(child: Expression,
-                                       bloomBytes: Array[Byte])
+                                       bloomBytes: IndexedSeq[Byte])
   extends UnaryExpression with Serializable {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "bloom_might_contain"
 
+  // blob as a Seq in the CASE-CLASS FIELD so equals/hashCode are structural
+  // (an Array field compares by reference identity, defeating Catalyst
+  // canonicalization/subexpression elimination — the FirFilterExpr lesson);
+  // deserialization below happens once per task anyway
   @transient private lazy val bloom: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(bloomBytes.toArray))
 
   def kernel(x: Long): Boolean = bloom.mightContainLong(x)
 

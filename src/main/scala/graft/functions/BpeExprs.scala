@@ -34,13 +34,20 @@ import org.apache.spark.unsafe.types.UTF8String
 object BpeEncode {
   def apply(token: Column, merges: Seq[(String, String)]): Column =
     ColumnBridge.column(BpeEncodeExpr(ColumnBridge.expression(token),
-      merges.map(p => Array(p._1, p._2)).toArray))
+      merges.toIndexedSeq))
 }
 
-final case class BpeEncodeExpr(child: Expression, merges: Array[Array[String]])
+final case class BpeEncodeExpr(child: Expression,
+                               merges: IndexedSeq[(String, String)])
     extends UnaryExpression with Serializable {
-  require(merges.forall(m => m.length == 2 && m(0).nonEmpty && m(1).nonEmpty),
+  require(merges.forall(m => m._1.nonEmpty && m._2.nonEmpty),
     "merges must be (lhs, rhs) pairs of non-empty symbols")
+
+  // pairs as a Seq in the CASE-CLASS FIELD so equals/hashCode are structural
+  // (Array fields compare by reference, defeating Catalyst canonicalization);
+  // flat arrays below keep the hot loop on primitive indexing
+  @transient private lazy val lhsA: Array[String] = merges.map(_._1).toArray
+  @transient private lazy val rhsA: Array[String] = merges.map(_._2).toArray
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
@@ -65,9 +72,9 @@ final case class BpeEncodeExpr(child: Expression, merges: Array[Array[String]])
     }
     rebuild()
     var mi = 0
-    while (mi < merges.length && n > 1) {
-      val a = merges(mi)(0)
-      val b = merges(mi)(1)
+    while (mi < lhsA.length && n > 1) {
+      val a = lhsA(mi)
+      val b = rhsA(mi)
       if (present.contains(a) && present.contains(b)) {
         // one left-to-right non-overlapping pass == the trainer's fold
         val out = new Array[String](n)

@@ -37,25 +37,37 @@ object VecExprs {
   def l2Sq(a: Column, b: Column): Column =
     ColumnBridge.column(L2SqExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
+  // The matrix/bounds parameters convert to immutable Seqs at this boundary:
+  // an Array CASE-CLASS FIELD compares by reference identity, which defeats
+  // Catalyst canonicalization/subexpression elimination (the FirFilterExpr
+  // lesson); each kernel converts back to primitive arrays once, lazily.
+  private def wrapRows(m: Array[Array[Double]]): IndexedSeq[IndexedSeq[Double]] =
+    m.iterator.map(r => scala.collection.immutable.ArraySeq.unsafeWrapArray(r): IndexedSeq[Double]).toIndexedSeq
+
   def ivfCell(v: Column, centroids: Array[Array[Double]]): Column =
-    ColumnBridge.column(IvfCellExpr(ColumnBridge.expression(v), centroids))
+    ColumnBridge.column(IvfCellExpr(ColumnBridge.expression(v), wrapRows(centroids)))
 
   def ivfProbes(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
-    ColumnBridge.column(IvfProbeExpr(ColumnBridge.expression(v), centroids, nProbe))
+    ColumnBridge.column(IvfProbeExpr(ColumnBridge.expression(v), wrapRows(centroids), nProbe))
 
   def pqEncode(v: Column, books: Array[Array[Array[Double]]]): Column =
-    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v), books))
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(v),
+      books.iterator.map(wrapRows).toIndexedSeq))
 
   def pqAdc(codes: Column, lut: Column, ksub: Int): Column =
     ColumnBridge.column(PqAdcExpr(ColumnBridge.expression(codes),
       ColumnBridge.expression(lut), ksub))
 
   def sqEncode(v: Column, lo: Array[Double], hi: Array[Double]): Column =
-    ColumnBridge.column(SqEncodeExpr(ColumnBridge.expression(v), lo, hi))
+    ColumnBridge.column(SqEncodeExpr(ColumnBridge.expression(v),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(lo),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(hi)))
 
   def sqAdc(codes: Column, qv: Column, lo: Array[Double], hi: Array[Double]): Column =
     ColumnBridge.column(SqAdcExpr(ColumnBridge.expression(codes),
-      ColumnBridge.expression(qv), lo, hi))
+      ColumnBridge.expression(qv),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(lo),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(hi)))
 
   /** Element accessor that tolerates float or double arrays. */
   private[functions] def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
@@ -238,13 +250,16 @@ final case class L2SqExpr(left: Expression, right: Expression)
   * ([[graft.llm.Ivf]]); larger quantizers take the join-based two-level
   * assignment instead.
   */
-final case class IvfCellExpr(child: Expression, centroids: Array[Array[Double]])
+final case class IvfCellExpr(child: Expression,
+                             centroids: IndexedSeq[IndexedSeq[Double]])
     extends UnaryExpression with Serializable {
   require(centroids.nonEmpty, "IVF needs at least one centroid")
   override def dataType: DataType = LongType
   override def prettyName: String = "ivf_cell"
 
   @transient private lazy val fin = VecExprs.isFloatArray(child)
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.iterator.map(_.toArray).toArray
 
   private def dist2(a: ArrayData, c: Array[Double]): Double = {
     val n = a.numElements()
@@ -262,10 +277,10 @@ final case class IvfCellExpr(child: Expression, centroids: Array[Array[Double]])
 
   def kernel(a: ArrayData): Long = {
     var best = 0
-    var bestD = dist2(a, centroids(0))
+    var bestD = dist2(a, cents(0))
     var c = 1
-    while (c < centroids.length) {
-      val d = dist2(a, centroids(c))
+    while (c < cents.length) {
+      val d = dist2(a, cents(c))
       if (d < bestD) { bestD = d; best = c } // strict: ties keep lower cell
       c += 1
     }
@@ -287,7 +302,8 @@ final case class IvfCellExpr(child: Expression, centroids: Array[Array[Double]])
 /** The `nProbe` nearest cells ordered by (distance, cell) — the probe list
   * the IVF search explodes and equi-joins against the cell table.
   */
-final case class IvfProbeExpr(child: Expression, centroids: Array[Array[Double]],
+final case class IvfProbeExpr(child: Expression,
+                              centroids: IndexedSeq[IndexedSeq[Double]],
                               nProbe: Int)
     extends UnaryExpression with Serializable {
   require(centroids.nonEmpty && nProbe > 0, "IVF probe needs centroids and nProbe > 0")
@@ -295,14 +311,16 @@ final case class IvfProbeExpr(child: Expression, centroids: Array[Array[Double]]
   override def prettyName: String = "ivf_probes"
 
   @transient private lazy val fin = VecExprs.isFloatArray(child)
+  @transient private lazy val cents: Array[Array[Double]] =
+    centroids.iterator.map(_.toArray).toArray
 
   def kernel(a: ArrayData): ArrayData = {
-    val k = math.min(nProbe, centroids.length)
+    val k = math.min(nProbe, cents.length)
     val heapD = Array.fill(k)(Double.PositiveInfinity)
     val heapC = new Array[Int](k)
     var c = 0
-    while (c < centroids.length) {
-      val cent = centroids(c)
+    while (c < cents.length) {
+      val cent = cents(c)
       val n = a.numElements()
       require(n == cent.length,
         s"$prettyName: vector dim $n != centroid dim ${cent.length}")
@@ -348,7 +366,8 @@ final case class IvfProbeExpr(child: Expression, centroids: Array[Array[Double]]
   * m × ksub × (dim/m) doubles = dim × ksub, parameter-sized by construction
   * (NOT corpus-derived), so no size gate is needed.
   */
-final case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Double]]])
+final case class PqEncodeExpr(child: Expression,
+                              books: IndexedSeq[IndexedSeq[IndexedSeq[Double]]])
     extends UnaryExpression with Serializable {
   require(books.nonEmpty && books.forall(_.nonEmpty),
     "PQ encode needs at least one codebook with at least one centroid")
@@ -361,6 +380,8 @@ final case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Double
   override def prettyName: String = "pq_encode"
 
   @transient private lazy val fin = VecExprs.isFloatArray(child)
+  @transient private lazy val bks: Array[Array[Array[Double]]] =
+    books.iterator.map(_.iterator.map(_.toArray).toArray).toArray
 
   def kernel(a: ArrayData): ArrayData = {
     require(a.numElements() == m * dsub,
@@ -368,7 +389,7 @@ final case class PqEncodeExpr(child: Expression, books: Array[Array[Array[Double
     val out = new Array[Long](m)
     var j = 0
     while (j < m) {
-      val cb = books(j)
+      val cb = bks(j)
       val base = j * dsub
       var best = 0
       var bestD = Double.PositiveInfinity
@@ -453,7 +474,8 @@ final case class PqAdcExpr(left: Expression, right: Expression, ksub: Int)
   * that keeps a 10⁹-vector scan in page cache); the arithmetic is the
   * plain rational form the DuckDB oracle replays bit-for-bit.
   */
-final case class SqEncodeExpr(child: Expression, lo: Array[Double], hi: Array[Double])
+final case class SqEncodeExpr(child: Expression, lo: IndexedSeq[Double],
+                              hi: IndexedSeq[Double])
     extends UnaryExpression with Serializable {
   require(lo.nonEmpty && lo.length == hi.length,
     "SQ encode needs matching non-empty per-dim bounds")
@@ -461,17 +483,19 @@ final case class SqEncodeExpr(child: Expression, lo: Array[Double], hi: Array[Do
   override def prettyName: String = "sq_encode"
 
   @transient private lazy val fin = VecExprs.isFloatArray(child)
+  @transient private lazy val loA: Array[Double] = lo.toArray
+  @transient private lazy val hiA: Array[Double] = hi.toArray
 
   def kernel(a: ArrayData): ArrayData = {
-    val dim = lo.length
+    val dim = loA.length
     require(a.numElements() == dim,
       s"$prettyName: vector dim ${a.numElements()} != bounds dim $dim")
     val out = new Array[Long](dim)
     var i = 0
     while (i < dim) {
-      val span = hi(i) - lo(i)
+      val span = hiA(i) - loA(i)
       out(i) = if (span > 0) {
-        val c = math.floor((VecExprs.elem(a, i, fin) - lo(i)) / span * 255.0).toLong
+        val c = math.floor((VecExprs.elem(a, i, fin) - loA(i)) / span * 255.0).toLong
         math.max(0L, math.min(255L, c))
       } else 0L
       i += 1
@@ -498,7 +522,7 @@ final case class SqEncodeExpr(child: Expression, lo: Array[Double], hi: Array[Do
   * inside codegen; the scan reads dim codes, never the float vector.
   */
 final case class SqAdcExpr(left: Expression, right: Expression,
-                           lo: Array[Double], hi: Array[Double])
+                           lo: IndexedSeq[Double], hi: IndexedSeq[Double])
     extends BinaryExpression with Serializable {
   require(lo.nonEmpty && lo.length == hi.length,
     "SQ ADC needs matching non-empty per-dim bounds")
@@ -506,9 +530,11 @@ final case class SqAdcExpr(left: Expression, right: Expression,
   override def prettyName: String = "sq_adc"
 
   @transient private lazy val fq = VecExprs.isFloatArray(right)
+  @transient private lazy val loA: Array[Double] = lo.toArray
+  @transient private lazy val hiA: Array[Double] = hi.toArray
 
   def kernel(codes: ArrayData, q: ArrayData): Double = {
-    val dim = lo.length
+    val dim = loA.length
     require(codes.numElements() == dim,
       s"$prettyName: code dim ${codes.numElements()} != bounds dim $dim")
     require(q.numElements() == dim,
@@ -516,7 +542,7 @@ final case class SqAdcExpr(left: Expression, right: Expression,
     var acc = 0.0
     var i = 0
     while (i < dim) {
-      val dec = lo(i) + codes.getLong(i).toDouble / 255.0 * (hi(i) - lo(i))
+      val dec = loA(i) + codes.getLong(i).toDouble / 255.0 * (hiA(i) - loA(i))
       val d = VecExprs.elem(q, i, fq) - dec
       acc += d * d
       i += 1
