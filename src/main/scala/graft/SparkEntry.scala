@@ -231,6 +231,8 @@ object SparkEntry {
         Seq("l_suppkey", "l_orderkey", "l_linenumber"))),
     // --- events: windowed aggregation + sessionization ------------------
     "q_events_hourly" -> ((s, d) => Events.hourlyAgg(events(s, d))),
+    // semi-structured tier: JSON property extraction + typed aggregates
+    "q_props_stats" -> ((s, d) => Events.propsStats(events(s, d))),
     // Structured Streaming under the ORACLE: the events table replayed as a
     // file stream through the watermarked 1-hour window agg (append mode,
     // AvailableNow), sink read back as the result. Append emission is
@@ -611,6 +613,18 @@ object SparkEntry {
       Dedup.dedupExactBest(
         TextAnalysis.qualityScore(documents(s, d)), "quality")),
     "q_neardup_lsh" -> ((s, d) => Dedup.nearDupPairs(documents(s, d))),
+    // dedup-index lifecycle (the near-dup mirror of q_bm25_compact): build
+    // from a split, append the rest, compact, query — must reproduce the
+    // from-scratch batch LSH pairs bit-for-bit against the same oracle
+    "q_neardup_index" -> ((s, d) => {
+      val idx = graft.core.TempDirs.scratch("neardup_index")
+      val docs = documents(s, d)
+      DedupIndex.buildIndex(docs.where(col("doc_id") % 3 === 0), idx)
+      DedupIndex.appendToIndex(docs.where(col("doc_id") % 3 === 1), idx)
+      DedupIndex.appendToIndex(docs.where(col("doc_id") % 3 === 2), idx)
+      DedupIndex.compactIndex(s, idx): Unit
+      DedupIndex.pairsFromIndex(s, idx)
+    }),
     // ExactSubstr-style span dedup: maximal cross-doc duplicated 8-gram
     // runs, reported as per-doc token spans (the removal policy composes
     // downstream)
@@ -2339,6 +2353,17 @@ object SparkEntry {
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_props_stats" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS n_with_key,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS sum_v,
+        |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS min_v,
+        |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    AS BIGINT) AS max_v
+        |FROM events GROUP BY 1""".stripMargin,
     // append-mode emission: a window flushes when the final watermark
     // (max event time − 2h delay) passes its end
     "q_stream_hourly" ->
@@ -2626,6 +2651,8 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_jaccard_blocked" -> OracleSqlGen.blockedJaccardSql(),
     "q_neardup_lsh" -> OracleSqlGen.nearDupLshSql(),
+    // the lifecycle must land exactly where the batch plan lands
+    "q_neardup_index" -> OracleSqlGen.nearDupLshSql(),
     "q_dup_ngram_spans" -> OracleSqlGen.dupNgramSpansSql(),
     "q_dup_token_frac" ->
       s"""WITH sp0 AS (${OracleSqlGen.dupNgramSpansSql()}),

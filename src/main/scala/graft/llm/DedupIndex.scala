@@ -1,0 +1,184 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Compaction, Scratch}
+import graft.functions.CrossHashExprs
+
+/** Persisted MinHash-LSH signature index — index maintenance for the
+  * DEDUP tier, symmetric with the BM25 ([[Retrieval]]) and ANN
+  * ([[Ivf]]/[[Pq]]/[[Sq]]) lifecycles: build once, append deltas, compact,
+  * query — so a growing corpus never re-shingles old documents to dedup
+  * new ones. At 100 TB this is the difference between an O(delta)
+  * ingest step and an O(corpus) one.
+  *
+  * Layout: ONE atomic parquet table (`indexPath/sigs`) holding two row
+  * kinds, committed in the SAME write job per build/append (the BM25
+  * marker-row lesson — two tables have a crash window between writes):
+  *
+  *   banded rows:  (id, band, band_hash, sig = NULL) — 3 narrow columns
+  *                 × `bands` rows per doc, the join side of every query;
+  *   signature rows: (id, band = NULL, band_hash = NULL, sig) — the
+  *                 32-long signature ONCE per doc (never once per band:
+  *                 the fat layout multiplies the dominant column ×bands,
+  *                 the same trade measured for LSH-ANN in SCALING.md).
+  *
+  * Parquet null counts keep the kinds separable for free: `band IS NOT
+  * NULL` prunes signature files from bucket scans and vice versa.
+  * Same-id re-appends are the caller's to prevent (the
+  * [[Retrieval.appendToIndex]] contract); all appends must reuse the
+  * build's (n, k, bands) — k is validated against the stored signature
+  * length, n and bands are not recoverable from the table and are
+  * documented contract.
+  */
+object DedupIndex {
+
+  /** Build the signature index from scratch (mode overwrite). */
+  def buildIndex(docs: DataFrame, indexPath: String,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 n: Int = 3, k: Int = 32, bands: Int = 8): Unit =
+    writeIndex(docs, indexPath, "overwrite", textCol, idCol, n, k, bands)
+
+  /** Incrementally index a delta: shingle + sign ONLY `newDocs`, append
+    * their banded and signature rows atomically. Must use the build's
+    * (n, k, bands); a k mismatch fails loudly against the stored
+    * signature length.
+    */
+  def appendToIndex(newDocs: DataFrame, indexPath: String,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    n: Int = 3, k: Int = 32, bands: Int = 8): Unit = {
+    val stored = storedSigLength(newDocs.sparkSession, indexPath)
+    require(stored.forall(_ == k),
+      s"append with k=$k onto an index built with k=${stored.get}")
+    writeIndex(newDocs, indexPath, "append", textCol, idCol, n, k, bands)
+  }
+
+  /** All near-dup pairs over the INDEXED corpus — same semantics, same
+    * hot-bucket cap, and bit-identical estimates as the from-scratch
+    * [[Dedup.nearDupPairsFromSignatures]] (the registered row pins
+    * build → append → compact → query ≡ the batch plan against the same
+    * oracle): banded bucket equi-join on the narrow rows, then the two
+    * signatures join back once per surviving pair for the exact
+    * agree-count estimate.
+    */
+  def pairsFromIndex(spark: SparkSession, indexPath: String,
+                     idCol: String = "doc_id",
+                     minEstJaccard: Double = 0.5,
+                     maxBucketSize: Int = 10000): DataFrame = {
+    val t = spark.read.parquet(s"$indexPath/sigs")
+    scoredPairs(
+      t.where(col("band").isNotNull)
+        .select(col(idCol), col("band"), col("band_hash"),
+          lit(false).as("is_new")),
+      t.where(col("band").isNull).select(col(idCol), col("sig")),
+      idCol, minEstJaccard, maxBucketSize, deltaOnly = false)
+  }
+
+  /** Delta dedup WITHOUT appending first: pairs between `newDocs` and the
+    * indexed corpus plus pairs within `newDocs` — exactly the pairs
+    * [[pairsFromIndex]] would add if the delta were appended (the spec
+    * pins that equivalence). The corpus side reads narrow banded rows;
+    * only the delta shingles.
+    */
+  def queryIndex(newDocs: DataFrame, indexPath: String,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 n: Int = 3, k: Int = 32, bands: Int = 8,
+                 minEstJaccard: Double = 0.5,
+                 maxBucketSize: Int = 10000): DataFrame = {
+    val spark = newDocs.sparkSession
+    val stored = storedSigLength(spark, indexPath)
+    require(stored.forall(_ == k),
+      s"query with k=$k against an index built with k=${stored.get}")
+    val newSigs = Scratch.stage(
+      Dedup.withMinhashSignature(Scratch.rebalance(newDocs), textCol, idCol, n, k),
+      "dedup_qidx")
+    val t = spark.read.parquet(s"$indexPath/sigs")
+    val banded = t.where(col("band").isNotNull)
+      .select(col(idCol), col("band"), col("band_hash"), lit(false).as("is_new"))
+      .unionByName(Dedup.lshBucketsFromSignatures(newSigs, idCol, k, bands)
+        .select(col(idCol), col("band").cast("int"), col("band_hash"),
+          lit(true).as("is_new")))
+    val sigs = t.where(col("band").isNull).select(col(idCol), col("sig"))
+      .unionByName(newSigs.select(col(idCol), col("sig")))
+    scoredPairs(banded, sigs, idCol, minEstJaccard, maxBucketSize,
+      deltaOnly = true)
+  }
+
+  /** Recluster the accumulated appends by (band, band_hash) so bucket
+    * joins skip whole row groups again and the file count of a
+    * forever-appending ingest stays bounded — staged-then-swap like every
+    * other index compactor. Run with writers quiesced. Returns (files
+    * before, after).
+    */
+  def compactIndex(spark: SparkSession, indexPath: String): (Int, Int) =
+    Compaction.recluster(spark, s"$indexPath/sigs",
+      Seq("band", "band_hash"), "graft.dedup.sigsPartitionBytes")
+
+  /** k of the stored index = length of any signature row (None for an
+    * index that does not exist yet — append-as-first-build).
+    */
+  private def storedSigLength(spark: SparkSession, indexPath: String): Option[Int] =
+    try {
+      spark.read.parquet(s"$indexPath/sigs").where(col("band").isNull)
+        .select(size(col("sig"))).limit(1).collect().headOption.map(_.getInt(0))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
+                         textCol: String, idCol: String,
+                         n: Int, k: Int, bands: Int): Unit = {
+    val session = docs.sparkSession
+    Scratch.withStage(
+      Dedup.withMinhashSignature(Scratch.rebalance(docs), textCol, idCol, n, k),
+      "dedup_widx") { sigs =>
+      val banded = Dedup.lshBucketsFromSignatures(sigs, idCol, k, bands)
+        .select(col(idCol), col("band").cast("int"), col("band_hash"),
+          lit(null).cast("array<long>").as("sig"))
+      val sigRows = sigs.select(col(idCol), lit(null).cast("int").as("band"),
+        lit(null).cast("long").as("band_hash"), col("sig"))
+      val width = Compaction.sizedWidth(session, sigs,
+        "graft.dedup.sigsPartitionBytes")
+      banded.unionByName(sigRows)
+        // bucket-keyed distribution + bucket-sorted files (the BM25
+        // postings pattern): each partition's file carries contiguous
+        // (band, band_hash) runs, so the parquet row-group min/max stats
+        // give bucket scans row-group skipping from the very first write —
+        // hash distribution, not range, to avoid a sampling job per append
+        .repartition(width, col("band"), col("band_hash"))
+        .sortWithinPartitions("band", "band_hash")
+        .write.mode(mode).parquet(s"$indexPath/sigs")
+    }
+  }
+
+  /** Shared candidate → verify stage: hot-bucket cap, bucket equi-join,
+    * pair dedup on ids ONLY (narrow shuffle), then the signature table
+    * joins back twice for the exact agree-count estimate. `deltaOnly`
+    * keeps pairs with at least one `is_new` side.
+    */
+  private def scoredPairs(banded: DataFrame, sigs: DataFrame, idCol: String,
+                          minEstJaccard: Double, maxBucketSize: Int,
+                          deltaOnly: Boolean): DataFrame = {
+    val hot = banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("_bucket_n"))
+      .where(col("_bucket_n") > maxBucketSize)
+      .select(col("band"), col("band_hash"))
+    val buckets = banded.join(broadcast(hot), Seq("band", "band_hash"), "left_anti")
+    val a = buckets.select(col(idCol).as("id_a"), col("band"),
+      col("band_hash"), col("is_new").as("new_a"))
+    val b = buckets.select(col(idCol).as("id_b"), col("band"),
+      col("band_hash"), col("is_new").as("new_b"))
+    val pairs = a.join(b, Seq("band", "band_hash"))
+      .where(col("id_a") < col("id_b") &&
+        (if (deltaOnly) col("new_a") || col("new_b") else lit(true)))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val est = CrossHashExprs.sigAgree(col("sig_a"), col("sig_b"))
+      .cast("double") / size(col("sig_a")).cast("double")
+    pairs
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard", est)
+      .where(col("est_jaccard") >= minEstJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+}

@@ -26,6 +26,26 @@ object Events {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
       )
 
+  /** Semi-structured extraction: typed stats over a JSON property column —
+    * the metadata-sidecar shape every event/telemetry pipeline carries.
+    * `get_json_object` is the per-row path extraction (no schema pass, no
+    * UDF); a missing or non-integer key becomes NULL and drops out of the
+    * aggregates per SQL semantics, with `n_with_key` counting the parses
+    * that succeeded. Values are exact integers, so every column
+    * hash-matches the SQL oracle.
+    */
+  def propsStats(df: DataFrame, key: String = "k"): DataFrame = {
+    val v = get_json_object(col("props"), s"$$.$key").cast("long")
+    df.groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(v).as("n_with_key"),
+        sum(v).as("sum_v"),
+        min(v).as("min_v"),
+        max(v).as("max_v"),
+      )
+  }
+
   /** Gap-based sessionization: a new session starts when a user's gap since
     * the previous event exceeds `gapMinutes`. One shuffle on user_id; the
     * cumulative-sum window is per-user (bounded partitions, no global sort).

@@ -423,20 +423,22 @@ object Cli {
       else if (has("cells")) "ivf"
       else if (has("codes") && has("books")) "pq"
       else if (has("codes") && has("bounds")) "sq"
+      else if (has("sigs")) "dedup"
       else throw CliError(
-        s"cannot detect index kind at $path (pass --kind bm25|ivf|pq|sq)")
+        s"cannot detect index kind at $path (pass --kind bm25|ivf|pq|sq|dedup)")
     }
     val idCol = opts.getOrElse("--id-col", "vec_id")
     val (before, after) = kind match {
-      case "bm25" => graft.llm.Retrieval.compactIndex(spark, path)
-      case "ivf"  => graft.llm.Ivf.compactIndex(spark, path)
-      case "pq"   => graft.llm.Pq.compactIndex(spark, path, idCol)
-      case "sq"   => graft.llm.Sq.compactIndex(spark, path, idCol)
+      case "bm25"  => graft.llm.Retrieval.compactIndex(spark, path)
+      case "ivf"   => graft.llm.Ivf.compactIndex(spark, path)
+      case "pq"    => graft.llm.Pq.compactIndex(spark, path, idCol)
+      case "sq"    => graft.llm.Sq.compactIndex(spark, path, idCol)
+      case "dedup" => graft.llm.DedupIndex.compactIndex(spark, path)
       // a signature table is a bare parquet dir — no layout marker to
       // auto-detect, so this kind is explicit-only
       case "sigs" => graft.llm.Similarity.compactSignatures(spark, path)
       case other  => throw CliError(
-        s"--kind must be bm25|ivf|pq|sq|sigs, got '$other'")
+        s"--kind must be bm25|ivf|pq|sq|dedup|sigs, got '$other'")
     }
     println(s"compacted $kind index at $path: $before -> $after files")
   }
@@ -546,7 +548,7 @@ object Cli {
                |  copy <source> <target> [--with-traces] [--with-headers] [--overwrite]
                |  info <mdio-path> [--output-format pretty|json]
                |  prep quality|dedup|pipeline <in.parquet> <out.parquet> [options]
-               |  index compact <index-path> [--kind bm25|ivf|pq|sq|sigs] [--id-col vec_id]
+               |  index compact <index-path> [--kind bm25|ivf|pq|sq|dedup|sigs] [--id-col vec_id]
                |  velocity <mdio-path> <out.parquet> --keys k1,k2 --offset <col> --candidates c1,c2 [--mode scan|semblance|panel] [--window N]""".stripMargin)
           2
       }

@@ -1,0 +1,67 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The persisted dedup-index lifecycle must be INVISIBLE in the result:
+  * build → append → compact → query has to reproduce the from-scratch
+  * batch near-dup pairs bit-for-bit (est_jaccard included), and the
+  * delta probe must equal the delta-touching slice of the full join.
+  */
+class DedupIndexSpec extends SparkSpec {
+
+  private def docs: DataFrame =
+    spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  private def asSet(df: DataFrame): Set[(Long, Long, Double)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("build + append + compact reproduces the batch near-dup pairs exactly") {
+    val idx = graft.core.TempDirs.scratch("dedup_idx_spec")
+    DedupIndex.buildIndex(docs.where(col("doc_id") % 3 === 0), idx)
+    DedupIndex.appendToIndex(docs.where(col("doc_id") % 3 === 1), idx)
+    DedupIndex.appendToIndex(docs.where(col("doc_id") % 3 === 2), idx)
+    val before = asSet(DedupIndex.pairsFromIndex(spark, idx))
+    val (nBefore, nAfter) = DedupIndex.compactIndex(spark, idx)
+    assert(nAfter < nBefore, s"compaction must fold files: $nBefore -> $nAfter")
+    val after = asSet(DedupIndex.pairsFromIndex(spark, idx))
+    assert(after == before, "compaction changed the query result")
+    val batch = asSet(Dedup.nearDupPairs(docs))
+    assert(after == batch, "indexed pairs diverge from the batch plan")
+    assert(batch.nonEmpty) // fixture sanity: the comparison is non-vacuous
+  }
+
+  test("queryIndex(delta) equals the delta-touching slice of the full join") {
+    val idx = graft.core.TempDirs.scratch("dedup_idx_delta")
+    val corpus = docs.where(col("doc_id") % 4 =!= 0)
+    val delta = docs.where(col("doc_id") % 4 === 0)
+    DedupIndex.buildIndex(corpus, idx)
+    val probe = asSet(DedupIndex.queryIndex(delta, idx))
+    DedupIndex.appendToIndex(delta, idx)
+    val deltaIds = delta.select("doc_id").collect().map(_.getLong(0)).toSet
+    val expected = asSet(DedupIndex.pairsFromIndex(spark, idx))
+      .filter(p => deltaIds(p._1) || deltaIds(p._2))
+    assert(probe == expected)
+  }
+
+  test("append with a mismatched k fails loudly") {
+    val idx = graft.core.TempDirs.scratch("dedup_idx_k")
+    DedupIndex.buildIndex(docs.limit(50), idx, k = 32)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.appendToIndex(docs.limit(10), idx, k = 16)
+    }
+    assert(e.getMessage.contains("k=16"))
+  }
+
+  test("the index table is one atomic layout: both row kinds in every commit") {
+    val idx = graft.core.TempDirs.scratch("dedup_idx_atomic")
+    DedupIndex.buildIndex(docs.limit(100), idx)
+    val t = spark.read.parquet(s"$idx/sigs")
+    val banded = t.where(col("band").isNotNull).count()
+    val sigRows = t.where(col("band").isNull).count()
+    assert(sigRows == 100L)
+    assert(banded == 100L * 8) // bands per doc
+  }
+}
