@@ -112,6 +112,24 @@ object CompactionStudy {
     println(f"[compaction-study] lsh fat=$fatBytes%d bytes lean=$leanBytes%d " +
       f"bytes ratio=${fatBytes.toDouble / leanBytes}%.1fx")
 
+    // ------------- dedup signature index: fragmented by per-shard appends
+    val dedupPath = TempDirs.scratch("compact_study_dedup")
+    graft.llm.DedupIndex.buildIndex(docs.where(col("doc_id") % nAppends === 0), dedupPath)
+    (1 until nAppends).foreach { i =>
+      graft.llm.DedupIndex.appendToIndex(
+        docs.where(col("doc_id") % nAppends === i), dedupPath)
+    }
+    def dedupRun(): Unit = {
+      graft.Bench.fullCount(
+        graft.llm.DedupIndex.pairsFromIndex(spark, dedupPath)): Unit
+    }
+    dedupRun()
+    val dedupFragSec = medianSecs(() => dedupRun())
+    val (dedupBefore, dedupAfter) =
+      graft.llm.DedupIndex.compactIndex(spark, dedupPath)
+    val dedupCompSec = medianSecs(() => dedupRun())
+    results += (("dedup_sigs", dedupBefore, dedupAfter, dedupFragSec, dedupCompSec))
+
     println("| table | files fragmented | files compacted | query s (frag) | query s (compact) |")
     println("|---|---|---|---|---|")
     results.foreach { case (t, b, a, fs, cs) =>
