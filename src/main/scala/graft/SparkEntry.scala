@@ -897,6 +897,25 @@ object SparkEntry {
     // the even-id half + stream-appended odd half are IDENTICAL to a
     // batch build over the union — the search equals the q_ann_lsh oracle
     // with zero recall decay (contrast: fixed-quantizer IVF appends)
+    // streaming dedup-index maintenance under the oracle: half the corpus
+    // builds the index, the other half streams in (per-batch atomic
+    // appends + in-stream compaction), and the final pair query must land
+    // exactly on the batch q_neardup_lsh answer
+    "q_stream_neardup_index" -> ((s, d) => {
+      val idx = graft.core.TempDirs.scratch("stream_ndidx")
+      val ckpt = graft.core.TempDirs.scratch("stream_ndidx_ckpt")
+      val srcDir = graft.core.TempDirs.scratch("stream_ndidx_src")
+      val docs = documents(s, d)
+      DedupIndex.buildIndex(docs.where(col("doc_id") % 2 === 0), idx)
+      docs.where(col("doc_id") % 2 === 1).write.parquet(srcDir)
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamingCorpus.appendDedupIndex(
+          tableStream(s, srcDir), idx, checkpoint = Some(ckpt),
+          compactEveryBatches = Some(2))
+        q.awaitTermination()
+      }
+      DedupIndex.pairsFromIndex(s, idx)
+    }),
     "q_stream_ann_lsh" -> ((s, d) => {
       val sigDir = graft.core.TempDirs.scratch("stream_lsh_sig")
       val ckpt = graft.core.TempDirs.scratch("stream_lsh_ckpt")
@@ -2653,6 +2672,7 @@ object SparkEntry {
     "q_neardup_lsh" -> OracleSqlGen.nearDupLshSql(),
     // the lifecycle must land exactly where the batch plan lands
     "q_neardup_index" -> OracleSqlGen.nearDupLshSql(),
+    "q_stream_neardup_index" -> OracleSqlGen.nearDupLshSql(),
     "q_dup_ngram_spans" -> OracleSqlGen.dupNgramSpansSql(),
     "q_dup_token_frac" ->
       s"""WITH sp0 AS (${OracleSqlGen.dupNgramSpansSql()}),

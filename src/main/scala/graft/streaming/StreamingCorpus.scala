@@ -32,6 +32,44 @@ object StreamingCorpus {
       .option("path", path)
       .start()
 
+  /** Incrementally maintain a persisted dedup index
+    * ([[graft.llm.DedupIndex]]) from a document stream: each micro-batch
+    * shingles ONLY its own docs and appends their banded + signature rows
+    * in one atomic write; `compactEveryBatches` folds the accumulated
+    * append files back into the bucket-clustered layout inside the
+    * serialized foreachBatch (writers quiesced by construction) — the
+    * dedup mirror of [[StreamingRetrieval.appendPostings]] and
+    * [[StreamingAnn.appendSignatures]]. The corpus never re-shingles:
+    * a forever-running ingest pays O(batch) per batch, and the index is
+    * queryable between batches ([[graft.llm.DedupIndex.pairsFromIndex]] /
+    * `queryIndex`).
+    */
+  def appendDedupIndex(stream: DataFrame, indexPath: String,
+                       checkpoint: Option[String] = None,
+                       dedupKey: Option[String] = Some("doc_id"),
+                       textCol: String = "text", idCol: String = "doc_id",
+                       n: Int = 3, k: Int = 32, bands: Int = 8,
+                       trigger: Trigger = Trigger.AvailableNow(),
+                       compactEveryBatches: Option[Int] = None): StreamingQuery = {
+    compactEveryBatches.foreach(c =>
+      require(c > 0, s"compactEveryBatches must be positive, got $c"))
+    val deduped = dedupKey.fold(stream)(kc => stream.dropDuplicates(kc))
+    val ckpt = checkpoint.getOrElse(s"$indexPath/_stream_checkpoint")
+    deduped.writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.DedupIndex.appendToIndex(batch, indexPath,
+          textCol, idCol, n, k, bands)
+        compactEveryBatches
+          .filter(c => (batchId + 1) % c == 0)
+          .foreach { _ =>
+            graft.llm.DedupIndex.compactIndex(batch.sparkSession, indexPath): Unit
+          }
+      }
+      .start()
+  }
+
   /** In-stream exact dedup: arriving documents are keyed by content
     * fingerprint (md5 of the text — the same key as the batch
     * [[graft.llm.Dedup.exactDupGroups]]) and only the FIRST arrival of each

@@ -55,6 +55,32 @@ class DedupIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("k=16"))
   }
 
+  test("streamed appendDedupIndex with in-stream compaction equals the batch pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val idx = graft.core.TempDirs.scratch("dedup_idx_stream")
+    DedupIndex.buildIndex(docs.where(col("doc_id") % 2 === 0), idx)
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.StreamingCorpus.appendDedupIndex(
+      input.toDF().toDF("doc_id", "text"), idx,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L),
+      compactEveryBatches = Some(2))
+    try {
+      // four genuine micro-batches, compaction fires after #2 and #4
+      val rest = docs.where(col("doc_id") % 2 === 1)
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      rest.grouped(math.max(1, rest.length / 4 + 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = asSet(DedupIndex.pairsFromIndex(spark, idx))
+    val batch = asSet(Dedup.nearDupPairs(docs))
+    assert(streamed == batch)
+  }
+
   test("the index table is one atomic layout: both row kinds in every commit") {
     val idx = graft.core.TempDirs.scratch("dedup_idx_atomic")
     DedupIndex.buildIndex(docs.limit(100), idx)
