@@ -935,6 +935,20 @@ object SparkEntry {
     }),
     "q_ann_ivf" -> ((s, d) =>
       Ivf.ivfTopK(embeddings(s, d), (0L until 10L), k = 10)),
+    // FILTERED vector search (the vector-DB staple): metadata predicate on
+    // the corpus arm only — exact top-k over the filtered corpus, and the
+    // IVF-index variant ranks the probed cells' filter survivors with the
+    // predicate pushed into the embeddings scan
+    "q_ann_topk_filtered" -> ((s, d) =>
+      Similarity.bruteForceTopK(embeddings(s, d), (0L until 10L), k = 10,
+        corpusFilter = Some(col("label") % 2 === 0))),
+    "q_ann_ivf_filtered" -> ((s, d) => {
+      val e = embeddings(s, d)
+      val idx = graft.core.TempDirs.scratch("ivf_filtered_idx")
+      Ivf.buildIndexSeeded(e, idx)
+      Ivf.ivfTopKFromIndex(e, idx, (0L until 10L), k = 10,
+        corpusFilter = Some(col("label") % 2 === 0))
+    }),
     // the SCALE path of the same search, oracle-gated: the kernel gate drops
     // below nCells so index build runs the join-based two-level assignment
     // and the search runs the two-level probe; coarseProbes = coarseK (16 at
@@ -2774,6 +2788,21 @@ object SparkEntry {
     // identical table after appends ⇒ identical search ⇒ same oracle
     "q_stream_ann_lsh" -> OracleSqlGen.annLshSql(bits = 4, tables = 8,
       dim = 64, nQueries = 10, k = 10),
+    "q_ann_topk_filtered" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+        |    FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cvec
+        |    FROM embeddings WHERE label % 2 = 0),
+        |s AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qvec, cvec) AS sim
+        |  FROM q, c WHERE neighbor_id != query_id)
+        |SELECT query_id, neighbor_id,
+        |  CAST(row_number() OVER (PARTITION BY query_id
+        |    ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank
+        |FROM s
+        |QUALIFY rank <= 10""".stripMargin,
+    "q_ann_ivf_filtered" -> OracleSqlGen.annIvfFilteredSql(nProbe = 4,
+      dim = 64, nQueries = 10, k = 10, neFilter = "nm.label % 2 = 0"),
     "q_ann_ivf" -> OracleSqlGen.annIvfSql(nProbe = 4, dim = 64,
       nQueries = 10, k = 10),
     "q_ann_ivf_2l" -> OracleSqlGen.annIvfSql(nProbe = 4, dim = 64,

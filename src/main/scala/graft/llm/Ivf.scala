@@ -311,7 +311,8 @@ object Ivf {
     */
   def ivfTopKFromIndex(embeddings: DataFrame, indexPath: String,
                        queryIds: Seq[Long], k: Int, nProbe: Int = 4,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val sess = embeddings.sparkSession
     require(queryIds.nonEmpty && queryIds.size <= 65536,
       s"IVF search broadcasts the probe table — got ${queryIds.size} queries")
@@ -326,7 +327,11 @@ object Ivf {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col(idCol))
     cand
-      .join(embeddings, idCol)                    // fetch candidate vectors
+      // FILTERED search: the metadata predicate restricts the corpus arm of
+      // the candidate fetch (post-probe filter — ranks the probed cells'
+      // survivors; queries stay unrestricted). The predicate lands on the
+      // embeddings scan via pushdown, so excluded vectors are never read.
+      .join(corpusFilter.fold(embeddings)(embeddings.where), idCol)
       .join(broadcast(queries), Seq("query_id"))
       .withColumn("sim", Similarity.cosine(col("qvec"), col(vecCol)))
       .withColumn("rank", row_number().over(w).cast("long"))

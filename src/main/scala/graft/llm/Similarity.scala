@@ -39,11 +39,16 @@ object Similarity {
 
   /** Exact top-k neighbors for each query id (queries ⊂ corpus by id). */
   def bruteForceTopK(embeddings: DataFrame, queryIds: Seq[Long], k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     corpusFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val queries = embeddings
       .where(col(idCol).isInCollection(queryIds))
       .select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
-    val corpus = embeddings.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
+    // FILTERED search: the metadata predicate restricts the corpus side
+    // only (queries stay unrestricted — the vector-DB convention); it sits
+    // on the scan, so Catalyst prunes rows before any distance math
+    val corpus = corpusFilter.fold(embeddings)(embeddings.where)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     corpus.crossJoin(broadcast(queries))          // broadcast: |queries| rows
