@@ -50,6 +50,32 @@ class IndexLifecycleFuzzSpec extends SparkSpec {
     }
   }
 
+  test("dedup: random build/append/compact sequences pair like the batch " +
+      "LSH operator on 8 seeded corpora") {
+    (0 until 8).foreach { seed =>
+      val rnd = new scala.util.Random(2000 + seed)
+      val docs = corpus(rnd, 40)
+      val path = graft.core.TempDirs.scratch(s"dedup_lifecycle_fuzz_$seed")
+      val nBatches = 1 + rnd.nextInt(5)
+      val batchOf = (0 until 40).map(_ => rnd.nextInt(nBatches))
+      def shard(b: Int) = {
+        val ids = batchOf.zipWithIndex.collect { case (`b`, i) => i.toLong }
+        docs.where($"doc_id".isInCollection(if (ids.isEmpty) Seq(-1L) else ids))
+      }
+      DedupIndex.buildIndex(shard(0), path) // may be EMPTY
+      (1 until nBatches).foreach { b =>
+        DedupIndex.appendToIndex(shard(b), path)
+        if (rnd.nextBoolean()) DedupIndex.compactIndex(spark, path): Unit
+      }
+      if (rnd.nextBoolean()) DedupIndex.compactIndex(spark, path): Unit
+      val got = DedupIndex.pairsFromIndex(spark, path)
+        .collect().map(_.toSeq).toSet
+      val want = Dedup.nearDupPairs(docs)
+        .collect().map(_.toSeq).toSet
+      assert(got == want, s"seed $seed (batches $nBatches) diverged")
+    }
+  }
+
   test("ivf: random build/append/compact sequences rank like the one-shot " +
       "index on 6 seeded corpora") {
     val dim = 8
