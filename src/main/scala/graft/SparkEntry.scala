@@ -842,6 +842,14 @@ object SparkEntry {
     // greedy min-id survivors over the edit-distance pair graph
     "q_editdist_dedup" -> ((s, d) =>
       EditDistance.dedupByEditDistance(documents(s, d), k = 4)),
+    // fuzzy record linkage: cross-table edit-distance join (even-id docs
+    // linked to odd-id docs; both PassJoin probe directions)
+    "q_editdist_link" -> ((s, d) => {
+      val docs = documents(s, d)
+      EditDistance.similarityJoinBetween(
+        docs.where(col("doc_id") % 2 === 0),
+        docs.where(col("doc_id") % 2 === 1), k = 4)
+    }),
     // char-trigram LM familiarity: rationally-exact perplexity surrogate
     // (mean corpus gram frequency + OOV rate) — the CCNet-style LM quality
     // gate with log-probs replaced by integer-exact ratios
@@ -2948,6 +2956,15 @@ object SparkEntry {
     "q_winnow_pairs" -> OracleSqlGen.winnowPairsSql(minShared = 32),
     "q_editdist_pairs" -> OracleSqlGen.editDistPairsSql(k = 4),
     "q_editdist_dedup" -> OracleSqlGen.editDistDedupSql(k = 4),
+    "q_editdist_link" ->
+      """WITH l AS (SELECT doc_id AS left_id, text AS t, length(text) AS n
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |r AS (SELECT doc_id AS right_id, text AS t, length(text) AS n
+        |    FROM documents WHERE doc_id % 2 = 1)
+        |SELECT l.left_id, r.right_id,
+        |    CAST(levenshtein(l.t, r.t) AS BIGINT) AS ed
+        |FROM l JOIN r ON abs(l.n - r.n) <= 4
+        |WHERE levenshtein(l.t, r.t) <= 4""".stripMargin,
     "q_gram_lm" ->
       """WITH nm AS (SELECT doc_id,
         |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),

@@ -83,6 +83,71 @@ object EditDistance {
       .select(col("doc_a"), col("doc_b"), col("ed"))
   }
 
+  /** Cross-table edit-distance join — fuzzy RECORD LINKAGE: every
+    * (left, right) pair within Levenshtein distance ≤ k, with the exact
+    * distance. No self-exclusion and no pair normalization (the two sides
+    * are different tables; equal ids across them are distinct records).
+    * Completeness comes from running the PassJoin probe in both
+    * directions — each side probes toward partners no longer than itself
+    * and indexes its own segments, so the longer member of every pair
+    * does the probing regardless of which table it sits in; near-empty
+    * rows on either side pair directly against the other side's
+    * ≤ 2k-char band.
+    */
+  def similarityJoinBetween(left: DataFrame, right: DataFrame, k: Int = 4,
+                            leftIdCol: String = "doc_id",
+                            rightIdCol: String = "doc_id",
+                            leftTextCol: String = "text",
+                            rightTextCol: String = "text"): DataFrame = {
+    require(k >= 1 && k <= 16, s"edit-distance threshold must be in [1, 16], got $k")
+    val nSeg = k + 1
+    def prep(df: DataFrame, idCol: String, textCol: String) = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .where(col("t").isNotNull)
+      .withColumn("n", length(col("t")))
+    val lhs = prep(left, leftIdCol, leftTextCol)
+    val rhs = prep(right, rightIdCol, rightTextCol)
+
+    // candidate ids with p probing (covers pairs where len(index side) ≤
+    // len(probe side)); the opposite-direction arm covers the rest
+    def candidates(p: DataFrame, i: DataFrame): DataFrame = {
+      val prb = p.where(col("n") >= nSeg)
+        .select(col("id").as("id_p"),
+          explode(EditDistExprs.probeKeys(col("t"), k)).as("key"))
+        .select(col("key.l").as("l"), col("key.seg").as("seg"),
+          col("key.h").as("h"), col("id_p"))
+      val idx = i.where(col("n") >= nSeg)
+        .select(col("id").as("id_i"),
+          explode(EditDistExprs.indexKeys(col("t"), k)).as("key"))
+        .select(col("key.l").as("l"), col("key.seg").as("seg"),
+          col("key.h").as("h"), col("id_i"))
+      prb.join(idx, Seq("l", "seg", "h")).select(col("id_p"), col("id_i"))
+    }
+    val candLR = candidates(lhs, rhs)
+      .select(col("id_p").as("left_id"), col("id_i").as("right_id"))
+    val candRL = candidates(rhs, lhs)
+      .select(col("id_i").as("left_id"), col("id_p").as("right_id"))
+
+    def tinyArm(tinySide: DataFrame, otherSide: DataFrame): DataFrame =
+      otherSide.where(col("n") <= 2 * k)
+        .select(col("id").as("id_o"), col("n").as("n_o"))
+        .join(broadcast(tinySide.where(col("n") < nSeg)
+          .select(col("id").as("id_t"), col("n").as("n_t"))),
+          abs(col("n_o") - col("n_t")) <= k)
+    val tinyL = tinyArm(lhs, rhs)
+      .select(col("id_t").as("left_id"), col("id_o").as("right_id"))
+    val tinyR = tinyArm(rhs, lhs)
+      .select(col("id_o").as("left_id"), col("id_t").as("right_id"))
+
+    candLR.unionByName(candRL).unionByName(tinyL).unionByName(tinyR)
+      .dropDuplicates("left_id", "right_id")
+      .join(lhs.select(col("id").as("left_id"), col("t").as("t_l")), Seq("left_id"))
+      .join(rhs.select(col("id").as("right_id"), col("t").as("t_r")), Seq("right_id"))
+      .withColumn("ed", levenshtein(col("t_l"), col("t_r"), k).cast("long"))
+      .where(col("ed") >= 0)
+      .select(col("left_id"), col("right_id"), col("ed"))
+  }
+
   /** Greedy min-id survivor selection over the edit-distance pair graph:
     * a doc is dropped iff some lower-id doc sits within distance k —
     * deterministic, one anti-join, and exactly the rule the SQL oracle

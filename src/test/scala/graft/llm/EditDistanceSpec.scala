@@ -90,6 +90,77 @@ class EditDistanceSpec extends SparkSpec {
     }
   }
 
+  test("fuzz: cross-table linkage equals full-DP brute force (4 corpora, k in {2, 4})") {
+    import spark.implicits._
+    val rng = new scala.util.Random(733)
+    val alphabet = "abcdef Xé漢"
+    def randStr(n: Int): String =
+      Seq.fill(n)(alphabet(rng.nextInt(alphabet.length))).mkString
+    def mutate(s: String, edits: Int): String = {
+      var cps = s.codePoints().toArray
+      (0 until edits).foreach { _ =>
+        val pos = if (cps.isEmpty) 0 else rng.nextInt(cps.length)
+        val c = alphabet(rng.nextInt(alphabet.length)).toInt
+        cps = rng.nextInt(3) match {
+          case 0 if cps.nonEmpty => cps.updated(pos, c)
+          case 1 if cps.nonEmpty => cps.take(pos) ++ cps.drop(pos + 1)
+          case _ => (cps.take(pos) :+ c) ++ cps.drop(pos)
+        }
+      }
+      new String(cps, 0, cps.length)
+    }
+    for (corpus <- 0 until 4; k <- Seq(2, 4)) {
+      val lhs = (Seq.fill(12)(randStr(6 + rng.nextInt(50))) ++ Seq("", randStr(k)))
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      // the right table: mutations of left rows (ids overlap on purpose —
+      // cross-table semantics must NOT self-exclude equal ids) + noise
+      val rhs = (lhs.take(8).map { case (_, t) => mutate(t, rng.nextInt(k + 3)) } ++
+        Seq.fill(6)(randStr(6 + rng.nextInt(50))) :+ "")
+        .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val expected = (for {
+        (il, tl) <- lhs
+        (ir, tr) <- rhs
+        d = lev(tl, tr)
+        if d <= k
+      } yield (il, ir, d.toLong)).toSet
+      val got = EditDistance.similarityJoinBetween(
+        lhs.toDF("doc_id", "text"), rhs.toDF("doc_id", "text"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"corpus $corpus k=$k: missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
+  test("fuzz: long strings at k=8 (600-1000 chars, banded DP at length)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(9151)
+    val words = Vector("spark", "trace", "gather", "header", "stack", "cdp",
+      "offset", "velocity", "moveout", "sample")
+    def longDoc(): String =
+      Seq.fill(80 + rng.nextInt(60))(words(rng.nextInt(words.size))).mkString(" ")
+    def mutate(s: String, edits: Int): String = {
+      var cps = s.codePoints().toArray
+      (0 until edits).foreach { _ =>
+        val pos = rng.nextInt(cps.length)
+        cps = rng.nextInt(3) match {
+          case 0 => cps.updated(pos, 'z'.toInt)
+          case 1 => cps.take(pos) ++ cps.drop(pos + 1)
+          case _ => (cps.take(pos) :+ 'q'.toInt) ++ cps.drop(pos)
+        }
+      }
+      new String(cps, 0, cps.length)
+    }
+    val bases = Seq.fill(6)(longDoc())
+    val docs = bases.zipWithIndex.flatMap { case (b, i) =>
+      // chains at 0, k, and past-k edits
+      Seq(b, mutate(b, 8), mutate(b, 9 + rng.nextInt(4)))
+    }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val expected = brute(docs, 8)
+    val got = run(docs, 8)
+    assert(got == expected)
+    assert(expected.nonEmpty) // the at-threshold chains must surface
+  }
+
   test("fixture: 24 near-dup pairs at k=4 on sf0.01 documents match brute force") {
     val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     val got = EditDistance.similarityJoin(docs, k = 4)
