@@ -451,8 +451,8 @@ object Cli {
     * {{{
     * prep quality <in.parquet> <out.parquet> [--min-tokens 50]
     *     [--min-stopwords 2] [--overwrite]          # Gopher rule gate
-    * prep dedup <in.parquet> <out.parquet> [--mode exact|near|spans]
-    *     [--ngram 8] [--overwrite]                  # survivors / span report
+    * prep dedup <in.parquet> <out.parquet> [--mode exact|near|spans|editdist]
+    *     [--ngram 8] [--edits 4] [--overwrite]      # survivors / span report
     * prep pipeline <in.parquet> <out.parquet> [--min-tokens 10]
     *     [--min-stopwords 1] [--overwrite]          # quality→exact→near chain
     * }}}
@@ -495,8 +495,14 @@ object Cli {
         case "spans" =>
           val n = opts.get("--ngram").map(_.toInt).getOrElse(8)
           graft.llm.Dedup.duplicateNgramSpans(docs, n = n)
+        // character-level tier: exact edit-distance survivors (drop any doc
+        // with a lower-id doc within --edits character edits)
+        case "editdist" =>
+          val k = opts.get("--edits").map(_.toInt).getOrElse(4)
+          docs.join(graft.llm.EditDistance
+              .dedupByEditDistance(docs, k = k), Seq("doc_id"))
         case other => throw CliError(
-          s"--mode must be exact|near|spans, got '$other'")
+          s"--mode must be exact|near|spans|editdist, got '$other'")
       }
       case "pipeline" => nearSurvivors(exactSurvivors(qualityKept))
       case other => throw CliError(s"unknown prep verb '$other'")
@@ -529,7 +535,7 @@ object Cli {
           infoVerb(spark, pos, opts); 0
         case "prep" :: verb :: rest if Set("quality", "dedup", "pipeline")(verb) =>
           val (pos, opts) = parse(rest, Set("--min-tokens", "--min-stopwords",
-            "--mode", "--ngram", "--overwrite"))
+            "--mode", "--ngram", "--edits", "--overwrite"))
           prepVerb(spark, verb, pos, opts); 0
         case "index" :: "compact" :: rest =>
           val (pos, opts) = parse(rest, Set("--kind", "--id-col"))

@@ -211,6 +211,18 @@ class CliSpec extends SparkSpec {
       .collect().toSet
     assert(Set(1L, 2L, 3L).subsetOf(spanDocs) && !spanDocs.contains(4L))
 
+    // dedup editdist: " tonight" is 8 edits from base — kept at --edits 4,
+    // dropped at --edits 8; the exact dup (doc 2, ed 0) drops either way
+    val dd = s"$dir/dd.parquet"
+    assert(Cli.run(Seq("prep", "dedup", in, dd, "--mode", "editdist"), spark) == 0)
+    assert(spark.read.parquet(dd).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 3L, 4L, 5L))
+    val dd8 = s"$dir/dd8.parquet"
+    assert(Cli.run(Seq("prep", "dedup", in, dd8, "--mode", "editdist",
+      "--edits", "8"), spark) == 0)
+    assert(spark.read.parquet(dd8).select("doc_id").as[Long].collect().sorted
+      .toSeq == Seq(1L, 4L, 5L))
+
     // pipeline: quality -> exact -> near in one verb
     val pl = s"$dir/pl.parquet"
     assert(Cli.run(Seq("prep", "pipeline", in, pl,
