@@ -325,6 +325,138 @@ object Cli {
     }
   }
 
+  /** `validate <mdio-path>` — store fsck: is the sidecar still TRUE of the
+    * data? Structural checks (sidecar parses, data readable, recorded DDL
+    * matches the physical schema, layout/dimension references resolve) plus
+    * one full scan that recomputes every recorded fact with the SAME
+    * arithmetic ingestion used (decimal sums — order-independent, so the
+    * comparison is exact, no tolerance): per-variable statsV1
+    * (count/min/max/sum/sumSquares over non-zero values), dimension
+    * cardinalities (distinct ≤ declared size; a dim can be sparse after a
+    * masked copy, never larger), and the vertical size (max trace length).
+    * Exit 0 = consistent, 1 = at least one check failed, 2 = usage.
+    */
+  private def validateVerb(spark: SparkSession, pos: Seq[String]): Int = {
+    val mdioPath = pos match {
+      case Seq(p) => p
+      case _ => throw CliError("validate needs <mdio-path>")
+    }
+    val checks = scala.collection.mutable.ArrayBuffer[(String, Boolean, String)]()
+    def check(name: String, ok: Boolean, detail: String): Unit =
+      checks += ((name, ok, detail))
+
+    val sidecar = graft.storage.MdioDataset.readSidecar(spark, mdioPath)
+    check("sidecar_parses", sidecar.isDefined,
+      sidecar.fold(s"no parseable .mdio.json at $mdioPath")(s =>
+        s"${s.metadata.name} api ${s.metadata.apiVersion}"))
+    sidecar.foreach { schema =>
+      val df =
+        try Some(spark.read.parquet(s"$mdioPath/data"))
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          check("data_readable", ok = false, e.getMessage); None }
+      df.foreach { raw =>
+        check("data_readable", ok = true, s"${raw.schema.fields.length} columns")
+        val physical = raw.schema.fieldNames.toSet
+        schema.layout.flatMap(_.sparkSchemaDdl).foreach { ddl =>
+          val declared = org.apache.spark.sql.types.StructType
+            .fromDDL(ddl).fieldNames.toSet
+          check("schema_ddl", declared == physical,
+            if (declared == physical) s"${physical.size} fields"
+            else s"declared-only: ${(declared -- physical).mkString(",")}; " +
+              s"physical-only: ${(physical -- declared).mkString(",")}")
+        }
+        schema.layout.foreach { lay =>
+          val missing = (lay.sortDims ++ lay.partitionCols).filterNot(physical)
+          check("layout_columns", missing.isEmpty,
+            if (missing.isEmpty) "sortDims + partitionCols resolve"
+            else s"missing: ${missing.mkString(",")}")
+        }
+        val declaredDims = schema.dimensions.map(_.name).toSet
+        val dangling = schema.variables
+          .flatMap(v => v.dimensions.filterNot(declaredDims).map(d => s"${v.name}:$d"))
+        check("variable_dims_declared", dangling.isEmpty,
+          if (dangling.isEmpty) s"${schema.variables.size} variables"
+          else s"undeclared: ${dangling.mkString(",")}")
+
+        // ---- the scan: recompute recorded facts with ingest's arithmetic
+        val dimCols = schema.dimensions.filter(d => physical(d.name))
+        val aggs = scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Column]()
+        dimCols.foreach(d =>
+          aggs += countDistinct(col(d.name)).as(s"_card_${d.name}"))
+        val statVars = schema.variables.filter(v =>
+          v.metadata.exists(_.statsV1.isDefined) && physical(v.name))
+        statVars.foreach { v =>
+          val x = col(v.name)
+          val isArray = raw.schema(v.name).dataType
+            .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+          val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))
+          if (isArray) {
+            val elems = filter(x, e => e.isNotNull && e =!= 0.0f)
+            def decSum(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+              aggregate(elems, zero, (acc, e) =>
+                (acc + f(e.cast(org.apache.spark.sql.types.DecimalType(28, 6))))
+                  .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+            aggs += sum(coalesce(size(elems), lit(0)).cast("long")).as(s"_n_${v.name}")
+            aggs += min(array_min(elems)).cast("double").as(s"_min_${v.name}")
+            aggs += max(array_max(elems)).cast("double").as(s"_max_${v.name}")
+            aggs += sum(decSum(identity)).cast("string").cast("double").as(s"_sum_${v.name}")
+            aggs += sum(decSum(e => e * e)).cast("string").cast("double").as(s"_sumsq_${v.name}")
+            aggs += max(size(x)).cast("long").as(s"_len_${v.name}")
+          } else {
+            val masked = when(x.isNotNull && x =!= 0.0, x)
+            val xd = masked.cast(org.apache.spark.sql.types.DecimalType(28, 6))
+            aggs += count(masked).as(s"_n_${v.name}")
+            aggs += min(masked).cast("double").as(s"_min_${v.name}")
+            aggs += max(masked).cast("double").as(s"_max_${v.name}")
+            aggs += sum(xd).cast("string").cast("double").as(s"_sum_${v.name}")
+            aggs += sum(xd * xd).cast("string").cast("double").as(s"_sumsq_${v.name}")
+          }
+        }
+        if (aggs.nonEmpty) {
+          val row = raw.agg(aggs.head, aggs.tail.toSeq: _*).collect().head
+          def g(n: String) = row.get(row.fieldIndex(n))
+          dimCols.foreach { d =>
+            val card = g(s"_card_${d.name}").asInstanceOf[Long]
+            check(s"dim_${d.name}", card <= d.size,
+              s"distinct $card vs declared ${d.size}")
+          }
+          statVars.foreach { v =>
+            val s = v.metadata.get.statsV1.get
+            def eq(n: String, want: Double): Boolean =
+              Option(g(n)).exists(_.asInstanceOf[Double] == want)
+            val nOk = g(s"_n_${v.name}").asInstanceOf[Long] == s.count
+            val ok = nOk && eq(s"_min_${v.name}", s.min) &&
+              eq(s"_max_${v.name}", s.max) && eq(s"_sum_${v.name}", s.sum) &&
+              eq(s"_sumsq_${v.name}", s.sumSquares)
+            check(s"stats_${v.name}", ok,
+              if (ok) s"count ${s.count} min ${s.min} max ${s.max} exact"
+              else s"recorded (n=${s.count}, min=${s.min}, max=${s.max}, " +
+                s"sum=${s.sum}, sumsq=${s.sumSquares}) != recomputed " +
+                s"(n=${g(s"_n_${v.name}")}, min=${g(s"_min_${v.name}")}, " +
+                s"max=${g(s"_max_${v.name}")}, sum=${g(s"_sum_${v.name}")}, " +
+                s"sumsq=${g(s"_sumsq_${v.name}")})")
+            if (raw.schema(v.name).dataType
+                .isInstanceOf[org.apache.spark.sql.types.ArrayType]) {
+              schema.dimensions.lastOption
+                .filter(vd => v.dimensions.lastOption.contains(vd.name))
+                .foreach { vd =>
+                  val len = g(s"_len_${v.name}").asInstanceOf[Long]
+                  check(s"vertical_${vd.name}", len == vd.size,
+                    s"max trace length $len vs declared ${vd.size}")
+                }
+            }
+          }
+        }
+      }
+    }
+    checks.foreach { case (name, ok, detail) =>
+      println(f"${if (ok) "ok  " else "FAIL"} $name%-24s $detail")
+    }
+    val bad = checks.count(!_._2)
+    println(s"validate: ${checks.size - bad}/${checks.size} checks passed")
+    if (bad == 0) 0 else 1
+  }
+
   /** `velocity <mdio-path> <out.parquet> --keys il,xl --offset <col>
     * --candidates 0,0.125,0.25 [--samples-col <col>] [--mode
     * scan|semblance|panel] [--window 121] [--overwrite]` — the velocity
@@ -533,6 +665,9 @@ object Cli {
         case "info" :: rest =>
           val (pos, opts) = parse(rest, Set("--output-format", "--access-pattern"))
           infoVerb(spark, pos, opts); 0
+        case "validate" :: rest =>
+          val (pos, _) = parse(rest, Set.empty)
+          validateVerb(spark, pos)
         case "prep" :: verb :: rest if Set("quality", "dedup", "pipeline")(verb) =>
           val (pos, opts) = parse(rest, Set("--min-tokens", "--min-stopwords",
             "--mode", "--ngram", "--edits", "--overwrite"))
@@ -553,6 +688,7 @@ object Cli {
                |  segy export <mdio-file> <segy-path> [--access-pattern 012] [--endian big]
                |  copy <source> <target> [--with-traces] [--with-headers] [--overwrite]
                |  info <mdio-path> [--output-format pretty|json]
+               |  validate <mdio-path>                 # store fsck: sidecar vs data, exact
                |  prep quality|dedup|pipeline <in.parquet> <out.parquet> [options]
                |  index compact <index-path> [--kind bm25|ivf|pq|sq|dedup|sigs] [--id-col vec_id]
                |  velocity <mdio-path> <out.parquet> --keys k1,k2 --offset <col> --candidates c1,c2 [--mode scan|semblance|panel] [--window N]""".stripMargin)

@@ -258,6 +258,38 @@ class CliSpec extends SparkSpec {
     assert(Cli.run(Seq("index", "compact", path, "--kind", "bogus"), spark) == 2)
   }
 
+  test("validate verb: a fresh ingest passes every check; a corrupted sidecar fails exactly") {
+    val segy = writeFixture()
+    val dir = Files.createTempDirectory("clifsck").toString
+    val store = s"$dir/v.mdio"
+    assert(Cli.run(Seq("segy", "import", segy, store,
+      "--header-locations", "189,193",
+      "--header-names", "inline,crossline"), spark) == 0)
+    // honest store: everything (incl. the exact stats recompute) passes
+    assert(Cli.run(Seq("validate", store), spark) == 0)
+
+    // corrupt ONE recorded fact: bump the value variable's stats count
+    val schema = graft.storage.MdioDataset.readSidecar(spark, store).get
+    val tampered = schema.copy(variables = schema.variables.map { v =>
+      v.metadata.flatMap(_.statsV1) match {
+        case Some(s) => v.copy(metadata = Some(v.metadata.get.copy(
+          statsV1 = Some(s.copy(count = s.count + 1)))))
+        case None => v
+      }
+    })
+    graft.storage.MdioDataset.writeSidecar(spark, store, tampered)
+    assert(Cli.run(Seq("validate", store), spark) == 1)
+
+    // and a declared dimension the data contradicts (size too small)
+    val shrunk = schema.copy(dimensions = schema.dimensions.map(d =>
+      if (d.name == "inline") d.copy(size = 1) else d))
+    graft.storage.MdioDataset.writeSidecar(spark, store, shrunk)
+    assert(Cli.run(Seq("validate", store), spark) == 1)
+
+    // not a store at all
+    assert(Cli.run(Seq("validate", s"$dir/nothing"), spark) == 1)
+  }
+
   test("velocity verb drives scan/semblance/panel over a store") {
     val segy = writeFixture()
     val dir = Files.createTempDirectory("clivel").toString
