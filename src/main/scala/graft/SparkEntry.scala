@@ -233,6 +233,11 @@ object SparkEntry {
     "q_events_hourly" -> ((s, d) => Events.hourlyAgg(events(s, d))),
     // semi-structured tier: JSON property extraction + typed aggregates
     "q_props_stats" -> ((s, d) => Events.propsStats(events(s, d))),
+    // EXACT global quantiles WITHOUT a global sort: histogram-locate +
+    // bucket-pruned top-r (two bounded passes; the 100-TB path for the one
+    // aggregate where exact usually means sort-everything)
+    "q_exact_quantiles" -> ((s, d) =>
+      graft.operators.Stats.exactQuantiles(lineitem(s, d), "l_quantity")),
     // Structured Streaming under the ORACLE: the events table replayed as a
     // file stream through the watermarked 1-hour window agg (append mode,
     // AvailableNow), sink read back as the result. Append emission is
@@ -2394,6 +2399,16 @@ object SparkEntry {
         |  count(*) AS n_events, count(DISTINCT user_id) AS n_users,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_exact_quantiles" ->
+      """WITH c AS (SELECT l_quantity AS x FROM lineitem WHERE l_quantity IS NOT NULL),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM c),
+        |m AS (SELECT count(*) AS n FROM c)
+        |SELECT CAST(m.n AS BIGINT) AS n,
+        |  max(CASE WHEN rn = CAST(ceil(0.25 * m.n) AS BIGINT) THEN x END) AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * m.n) AS BIGINT) THEN x END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.75 * m.n) AS BIGINT) THEN x END) AS p75,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * m.n) AS BIGINT) THEN x END) AS p99
+        |FROM r, m GROUP BY m.n""".stripMargin,
     "q_props_stats" ->
       """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT))
