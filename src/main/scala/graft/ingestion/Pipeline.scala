@@ -222,44 +222,21 @@ object IngestPipeline {
         transformed.sortWithinPartitions(gridDims.map(col): _*)
       else transformed.repartitionByRange(gridDims.map(col): _*)
         .sortWithinPartitions(gridDims.map(col): _*)
+    // the aggregate definitions are SHARED with the CLI validate verb
+    // (graft.operators.Stats.ingestStatsAggs): the fsck recomputes exactly
+    // what this records, so the two can never drift apart. Scalar path
+    // masks non-zero values; array path (the CLI's standard-SEG-Y import)
+    // covers every non-zero sample inside higher-order functions — no
+    // explode, no extra shuffle — like the reference's per-sample ingest
+    // stats (`segy/_workers.py:179-194`), and adds the max trace length
+    // (the vertical dimension's size, recorded so export never scans).
     val observed = {
-      if (!valueIsArray) {
-        val masked = when(x.isNotNull && x =!= 0.0, x)
-        val xd = masked.cast(DecimalType(18, 2))
-        clustered.observe(obs,
-          count(masked).as("n"),
-          // cast: min/max keep the value column's native type, and an integer
-          // valueCol (e.g. int sample formats) must still land in the
-          // sidecar's double stats
-          min(masked).cast("double").as("min_val"),
-          max(masked).cast("double").as("max_val"),
-          sum(xd).cast("string").cast("double").as("sum_val"),
-          sum(xd * xd).cast("string").cast("double").as("sumsq_val"))
-      } else {
-        // multi-sample traces (the CLI's standard-SEG-Y import): the value
-        // column is the decoded sample ARRAY; stats cover every non-zero
-        // sample, exactly like the reference's per-sample ingest stats
-        // (`segy/_workers.py:179-194`). All element work stays inside
-        // higher-order functions — no explode, no extra shuffle; sums
-        // accumulate in DECIMAL per trace then per partition (exact,
-        // order-independent).
-        val elems = filter(x, e => e.isNotNull && e =!= 0.0f)
-        val zero = lit(0).cast(DecimalType(28, 6))
-        // re-cast the accumulator each step: decimal + widens (29,6) and the
-        // higher-order aggregate requires the lambda to return the zero type
-        def decSum(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-          aggregate(elems, zero,
-            (acc, e) => (acc + f(e.cast(DecimalType(28, 6)))).cast(DecimalType(28, 6)))
-        clustered.observe(obs,
-          sum(coalesce(size(elems), lit(0)).cast("long")).as("n"),
-          min(array_min(elems)).cast("double").as("min_val"),
-          max(array_max(elems)).cast("double").as("max_val"),
-          sum(decSum(identity)).cast("string").cast("double").as("sum_val"),
-          sum(decSum(e => e * e)).cast("string").cast("double").as("sumsq_val"),
-          // trace length (zeros included) = the vertical dimension's size,
-          // recorded in the sidecar so export knows nSamples without a scan
-          max(size(x)).cast("long").as("n_samples"))
-      }
+      val (nA, minA, maxA, sumA, sumsqA, lenA) =
+        graft.operators.Stats.ingestStatsAggs(x, valueIsArray)
+      val named = Seq(minA.as("min_val"), maxA.as("max_val"),
+        sumA.as("sum_val"), sumsqA.as("sumsq_val")) ++
+        lenA.map(_.as("n_samples"))
+      clustered.observe(obs, nA.as("n"), named: _*)
     }
 
     // 7: dim sizes come from the same invariant pass above; the vertical

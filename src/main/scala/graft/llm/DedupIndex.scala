@@ -108,12 +108,24 @@ object DedupIndex {
   /** Recluster the accumulated appends by (band, band_hash) so bucket
     * joins skip whole row groups again and the file count of a
     * forever-appending ingest stays bounded — staged-then-swap like every
-    * other index compactor. Run with writers quiesced. Returns (files
-    * before, after).
+    * other index compactor, but with the WRITE's distribution, not a plain
+    * key recluster: the signature rows all share the NULL/NULL key, and
+    * range-partitioning on the raw columns would funnel the fat column
+    * through one task. Run with writers quiesced. Returns (files before,
+    * after).
     */
   def compactIndex(spark: SparkSession, indexPath: String): (Int, Int) =
-    Compaction.recluster(spark, s"$indexPath/sigs",
-      Seq("band", "band_hash"), "graft.dedup.sigsPartitionBytes")
+    Compaction.rewriteInPlace(spark, s"$indexPath/sigs") { idx =>
+      val others = idx.columns.filterNot(Set("band", "band_hash", "sig"))
+      require(others.length == 1,
+        s"not a dedup signature table (columns ${idx.columns.mkString(", ")})")
+      val idName = others.head
+      idx.repartition(
+          Compaction.sizedWidth(spark, idx, "graft.dedup.sigsPartitionBytes"),
+          coalesce(col("band"), lit(-1)),
+          coalesce(col("band_hash"), pmod(xxhash64(col(idName)), lit(1000000L))))
+        .sortWithinPartitions("band", "band_hash")
+    }
 
   /** k of the stored index = length of any signature row (None for an
     * index that does not exist yet — append-as-first-build).
@@ -143,8 +155,13 @@ object DedupIndex {
         // postings pattern): each partition's file carries contiguous
         // (band, band_hash) runs, so the parquet row-group min/max stats
         // give bucket scans row-group skipping from the very first write —
-        // hash distribution, not range, to avoid a sampling job per append
-        .repartition(width, col("band"), col("band_hash"))
+        // hash distribution, not range, to avoid a sampling job per append.
+        // The signature rows' key is NULL/NULL — distributing on the raw
+        // columns would funnel the table's FAT column through ONE shuffle
+        // partition and one writer task — so they spread by id hash instead
+        // (the distribution key is not stored; band stays NULL in the data)
+        .repartition(width, coalesce(col("band"), lit(-1)),
+          coalesce(col("band_hash"), pmod(xxhash64(col(idCol)), lit(1000000L))))
         .sortWithinPartitions("band", "band_hash")
         .write.mode(mode).parquet(s"$indexPath/sigs")
     }

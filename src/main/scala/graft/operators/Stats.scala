@@ -70,6 +70,52 @@ object Stats {
       .withColumn("bin_lo", lit(lo) + col("bucket") * ((hi - lo) / nBins))
   }
 
+  /** The ingest statsV1 aggregate columns over value column `x` — ONE
+    * definition shared by the ingest write pass
+    * ([[graft.ingestion.Pipeline]]'s `observe`, which RECORDS these into
+    * the sidecar) and the CLI `validate` verb (which RECOMPUTES them for
+    * the exact, no-tolerance comparison): masked non-zero count / native
+    * min/max cast to double / exact decimal sums cast string→double
+    * (decimal→double is engine-dependent past 2^53; string parse is
+    * correctly rounded everywhere). The array path filters per element
+    * inside higher-order functions and adds the max trace length. Keeping
+    * both consumers on this method is what makes validate's equality
+    * sound — a drift between recorder and recomputer is a false alarm
+    * factory.
+    *
+    * Returns (n, min, max, sum, sumSquares, maxLen — array path only),
+    * unaliased: callers name them.
+    */
+  def ingestStatsAggs(x: org.apache.spark.sql.Column, isArray: Boolean)
+      : (org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         org.apache.spark.sql.Column, Option[org.apache.spark.sql.Column]) = {
+    if (!isArray) {
+      val masked = when(x.isNotNull && x =!= 0.0, x)
+      val xd = masked.cast(DecimalType(18, 2))
+      (count(masked),
+        min(masked).cast("double"),
+        max(masked).cast("double"),
+        sum(xd).cast("string").cast("double"),
+        sum(xd * xd).cast("string").cast("double"),
+        None)
+    } else {
+      val elems = filter(x, e => e.isNotNull && e =!= 0.0f)
+      val zero = lit(0).cast(DecimalType(28, 6))
+      // re-cast the accumulator each step: decimal + widens (29,6) and the
+      // higher-order aggregate requires the lambda to return the zero type
+      def decSum(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        aggregate(elems, zero,
+          (acc, e) => (acc + f(e.cast(DecimalType(28, 6)))).cast(DecimalType(28, 6)))
+      (sum(coalesce(size(elems), lit(0)).cast("long")),
+        min(array_min(elems)).cast("double"),
+        max(array_max(elems)).cast("double"),
+        sum(decSum(identity)).cast("string").cast("double"),
+        sum(decSum(e => e * e)).cast("string").cast("double"),
+        Some(max(size(x)).cast("long")))
+    }
+  }
+
   /** EXACT global quantiles WITHOUT a global sort — the scale path for the
     * one aggregate where "exact" usually means "sort 100 TB": quantile q =
     * the rank-⌈q·N⌉ smallest non-null value (1-based — the same convention
@@ -112,45 +158,77 @@ object Stats {
     require(n > 0, s"exactQuantiles: no non-null rows in $valueCol")
     val labels = quantiles.map(q => s"p${math.round(q * 100)}")
 
-    /** rank-r smallest (1-based) within `slice`, whose value range is
-      * [sLo, sHi] and row count `cnt`. Buckets route by the floor
-      * expression and the recursion slices by THAT SAME expression —
-      * never by arithmetic range bounds, which can disagree with the
-      * floor at bucket edges — plus a deliberately loose redundant range
-      * predicate purely for parquet row-group pruning.
+    /** The rank-r smallest (1-based) for EVERY r in `ranks`, within
+      * `slice` (value range [sLo, sHi], row count `cnt`). One histogram
+      * per level routes ALL ranks together — never one scan per quantile.
+      * Buckets route by the floor expression and the recursion slices by
+      * THAT SAME expression — never by arithmetic range bounds, which can
+      * disagree with the floor at bucket edges — plus a deliberately loose
+      * redundant range predicate purely for parquet row-group pruning.
+      * Refinement repeats until the slice fits `refineLimit` (the range
+      * shrinks ≥ nBuckets× per level, so convergence is structural; a
+      * sub-ulp range where the bucket width underflows falls back to a
+      * distinct-value count, which such a range makes tiny by definition).
       */
-    def select(slice: DataFrame, sLo: Double, sHi: Double, r: Long,
-               cnt: Long, depth: Int): Any = {
-      if (sLo == sHi) sLo // constant slice: every rank is the value
-      else if (cnt <= refineLimit || depth >= 1) {
-        // distributed top-r (TakeOrdered) over the pruned slice — bounded
-        // by refineLimit, or one refine level already spent
-        slice.orderBy(col("x")).limit(math.min(r, Int.MaxValue).toInt)
-          .agg(max(col("x"))).collect().head.get(0)
+    def resolve(slice: DataFrame, sLo: Double, sHi: Double,
+                ranks: Seq[Long], cnt: Long, depth: Int): Map[Long, Any] = {
+      require(depth < 200,
+        s"exactQuantiles did not converge in $depth levels — report this")
+      val w = (sHi - sLo) / nBuckets
+      if (sLo == sHi) ranks.map(_ -> (sLo: Any)).toMap
+      else if (cnt <= refineLimit) {
+        // distributed top-r (TakeOrdered) per rank over the pruned slice —
+        // each bounded by refineLimit rows; never a silent truncation
+        require(ranks.max <= Int.MaxValue,
+          s"rank ${ranks.max} exceeds the top-r limit; raise nBuckets/refineLimit")
+        ranks.map(r => r -> slice.orderBy(col("x")).limit(r.toInt)
+          .agg(max(col("x"))).collect().head.get(0)).toMap
+      } else if (!(w > 0.0) || !java.lang.Double.isFinite(w)) {
+        // sub-ulp range: only a handful of representable doubles remain
+        val byValue = slice.groupBy(col("x")).agg(count(lit(1)).as("c"))
+          .orderBy(col("x")).collect()
+          .map(row => (row.get(0), row.getLong(1)))
+        require(byValue.length <= 65536,
+          s"exactQuantiles: ${byValue.length} distinct values in a sub-ulp range")
+        ranks.map { r =>
+          var cum = 0L
+          val v = byValue.find { case (_, c) => cum += c; cum >= r }.get._1
+          r -> v
+        }.toMap
       } else {
-        val w = (sHi - sLo) / nBuckets
         val raw = floor((col("x") - sLo) / w)
         val b = least(greatest(raw, lit(0.0)), lit((nBuckets - 1).toDouble)).cast("int")
         val counts = slice.groupBy(b.as("b")).agg(count(lit(1)).as("c"))
           .collect().map(row => row.getInt(0) -> row.getLong(1)).toMap
-        var cum = 0L
-        var bi = 0
-        while (bi < nBuckets && cum + counts.getOrElse(bi, 0L) < r) {
-          cum += counts.getOrElse(bi, 0L); bi += 1
+        val cumBefore = new Array[Long](nBuckets)
+        var acc = 0L
+        (0 until nBuckets).foreach { i =>
+          cumBefore(i) = acc; acc += counts.getOrElse(i, 0L)
         }
-        val sub = slice
-          .where(col("x") >= sLo + (bi - 1) * w && col("x") <= sLo + (bi + 2) * w)
-          .where(b === bi)
-        val bounds = sub.agg(min(col("x")).cast("double"),
-          max(col("x")).cast("double")).collect().head
-        select(sub, bounds.getDouble(0), bounds.getDouble(1),
-          r - cum, counts.getOrElse(bi, 0L), depth + 1)
+        // every rank locates its bucket on the SAME collected counts; ranks
+        // sharing a bucket refine together
+        ranks.groupBy { r =>
+          var bi = 0
+          while (bi < nBuckets - 1 && cumBefore(bi + 1) < r) bi += 1
+          bi
+        }.flatMap { case (bi, rs) =>
+          val sub = slice
+            .where(col("x") >= sLo + (bi - 1) * w && col("x") <= sLo + (bi + 2) * w)
+            .where(b === bi)
+          val bounds = sub.agg(min(col("x")).cast("double"),
+            max(col("x")).cast("double")).collect().head
+          resolve(sub, bounds.getDouble(0), bounds.getDouble(1),
+            rs.map(_ - cumBefore(bi)), counts.getOrElse(bi, 0L), depth + 1)
+            .map { case (localR, v) => (localR + cumBefore(bi)) -> v }
+        }
       }
     }
 
+    val ranks = quantiles.map(q => math.ceil(q * n).toLong)
+    val byRank = resolve(base, head.getDouble(1), head.getDouble(2),
+      ranks.distinct, n, depth = 0)
     val picks = quantiles.zip(labels).map { case (q, lab) =>
-      val r = math.ceil(q * n).toLong
-      lit(select(base, head.getDouble(1), head.getDouble(2), r, n, depth = 0))
+      lit(byRank(math.ceil(q * n).toLong))
         .cast(df.schema(valueCol).dataType).as(lab)
     }
     val one = spark.range(1)

@@ -386,31 +386,18 @@ object Cli {
         val statVars = schema.variables.filter(v =>
           v.metadata.exists(_.statsV1.isDefined) && physical(v.name))
         statVars.foreach { v =>
-          val x = col(v.name)
           val isArray = raw.schema(v.name).dataType
             .isInstanceOf[org.apache.spark.sql.types.ArrayType]
-          val zero = lit(0).cast(org.apache.spark.sql.types.DecimalType(28, 6))
-          if (isArray) {
-            val elems = filter(x, e => e.isNotNull && e =!= 0.0f)
-            def decSum(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-              aggregate(elems, zero, (acc, e) =>
-                (acc + f(e.cast(org.apache.spark.sql.types.DecimalType(28, 6))))
-                  .cast(org.apache.spark.sql.types.DecimalType(28, 6)))
-            aggs += sum(coalesce(size(elems), lit(0)).cast("long")).as(s"_n_${v.name}")
-            aggs += min(array_min(elems)).cast("double").as(s"_min_${v.name}")
-            aggs += max(array_max(elems)).cast("double").as(s"_max_${v.name}")
-            aggs += sum(decSum(identity)).cast("string").cast("double").as(s"_sum_${v.name}")
-            aggs += sum(decSum(e => e * e)).cast("string").cast("double").as(s"_sumsq_${v.name}")
-            aggs += max(size(x)).cast("long").as(s"_len_${v.name}")
-          } else {
-            val masked = when(x.isNotNull && x =!= 0.0, x)
-            val xd = masked.cast(org.apache.spark.sql.types.DecimalType(28, 6))
-            aggs += count(masked).as(s"_n_${v.name}")
-            aggs += min(masked).cast("double").as(s"_min_${v.name}")
-            aggs += max(masked).cast("double").as(s"_max_${v.name}")
-            aggs += sum(xd).cast("string").cast("double").as(s"_sum_${v.name}")
-            aggs += sum(xd * xd).cast("string").cast("double").as(s"_sumsq_${v.name}")
-          }
+          // the SAME aggregate definitions the ingest write pass recorded
+          // with — shared code, so recorder and recomputer cannot drift
+          val (nA, minA, maxA, sumA, sumsqA, lenA) =
+            graft.operators.Stats.ingestStatsAggs(col(v.name), isArray)
+          aggs += nA.cast("long").as(s"_n_${v.name}")
+          aggs += minA.as(s"_min_${v.name}")
+          aggs += maxA.as(s"_max_${v.name}")
+          aggs += sumA.as(s"_sum_${v.name}")
+          aggs += sumsqA.as(s"_sumsq_${v.name}")
+          lenA.foreach(l => aggs += l.as(s"_len_${v.name}"))
         }
         if (aggs.nonEmpty) {
           val row = raw.agg(aggs.head, aggs.tail.toSeq: _*).collect().head
