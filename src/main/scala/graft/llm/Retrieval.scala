@@ -113,20 +113,31 @@ object Retrieval {
     * a null marker — so n_docs/sum_dl derive from a filter over the same
     * aggregated frame instead of a second `distinct()` shuffle over every
     * posting row (the pass SCALING.md's round-14 sf10 sweep flagged as the
-    * avoidable half of the index-build cost). The aggregate ALWAYS stages
-    * to scratch parquet, even for small batches — `docs` here is routinely
-    * a foreachBatch micro-batch ([[graft.streaming.StreamingRetrieval]])
-    * whose plan embeds the live stateful dedup operator, and evaluating
-    * such a frame once per output table re-executes the state store per
-    * arm (measured at sf10: 1.86× wall, doubled state accounting) — the
-    * stage is the materialize-once barrier that makes both arms read a
-    * plain file, not a convenience. It also cuts lineage, yields real
-    * file-size stats for the postings shuffle width, and makes both
-    * arms derive from one deterministic frame. The stage is SCOPED
-    * ([[graft.core.Scratch.withStage]]): everything lands inside the
-    * call, so the scratch files are deleted on return — an
-    * exit-hook-lifetime stage here would grow one dir per micro-batch on
-    * a long stream.
+    * avoidable half of the index-build cost).
+    *
+    * The postings and marker arms both read the aggregate, so it needs a
+    * materialize-once barrier — `docs` here is routinely a foreachBatch
+    * micro-batch ([[graft.streaming.StreamingRetrieval]]) whose plan embeds
+    * the live stateful dedup operator, and evaluating such a frame once per
+    * arm re-executes the state store per arm (measured at sf10: 1.86× wall,
+    * doubled state accounting). The barrier differs by mode:
+    *
+    *  - BUILD (`overwrite`): a scoped parquet stage
+    *    ([[graft.core.Scratch.withStage]]) — a full-corpus aggregate wants
+    *    real file-size stats for the postings shuffle width, and parquet
+    *    scratch spills to disk by construction rather than through the
+    *    block manager.
+    *  - APPEND: an eager `persist(MEMORY_AND_DISK)` + count — a micro-batch
+    *    append is delta-sized, and the parquet stage's write+read
+    *    round-trip was the avoidable half of the per-append cost in the
+    *    sf10 sweep (SCALING.md round-14: q_stream_bm25 wall exponent 1.41
+    *    with state exactly linear). The count materializes the cached
+    *    columnar batches exactly once (so the stateful plan runs once),
+    *    the InMemoryRelation's post-materialization stats feed the same
+    *    shuffle-width sizing, and the unpersist in `finally` bounds the
+    *    cache to this call — the lazy-frame leak [[graft.core.Scratch]]
+    *    exists to avoid can't happen here because both arms are fully
+    *    consumed by the single write job below.
     *
     * ATOMIC per append: the index is ONE table. Each call appends its
     * corpus stats as a single null-term MARKER ROW
@@ -142,33 +153,48 @@ object Retrieval {
   private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
                          textCol: String, idCol: String): Unit = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val session = docs.sparkSession
-    Scratch.withStage(
-      Scratch.rebalance(docs)
-        .select(col(idCol), size(toks).cast("long").as("dl"),
-          posexplode_outer(toks).as(Seq("_pos", "term")))
-        .groupBy(col(idCol), col("dl"), col("term"))
-        .agg(count(lit(1)).cast("long").as("tf"), min(col("_pos")).as("_mp")),
-      "bm25_widx") { agg =>
-      val nParts = postingsWidth(session, agg)
-      val postings = agg.where(col("term").isNotNull)
-        // term-keyed distribution + term-sorted files: each term's postings
-        // land contiguously, so the parquet row-group min/max stats turn the
-        // query-time `term IN (...)` into actual row-group skipping
-        .repartition(nParts, col("term"))
-        .sortWithinPartitions("term")
-        .select(col(idCol), col("dl"), col("term"), col("tf"))
-      // exactly one doc-stats group per doc: its position-0 term group, or
-      // the term-null row of a zero-token doc (which adds its dl = 0);
-      // folded to the single marker row this append contributes
-      val marker = agg.where(col("_mp") === 0 || col("_mp").isNull)
-        .agg(sum("dl").cast("long").as("dl"),
-          count(lit(1)).cast("long").as("tf"))
-        .select(lit(null).cast(agg.schema(idCol).dataType).as(idCol),
-          col("dl"), lit(null).cast("string").as("term"), col("tf"))
-      postings.unionByName(marker)
-        .write.mode(mode).parquet(s"$indexPath/postings")
-    }
+    val agg = Scratch.rebalance(docs)
+      .select(col(idCol), size(toks).cast("long").as("dl"),
+        posexplode_outer(toks).as(Seq("_pos", "term")))
+      .groupBy(col(idCol), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("long").as("tf"), min(col("_pos")).as("_mp"))
+    if (mode == "append") {
+      val cached = agg.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        cached.count(): Unit // materialize ONCE before sizing/writing
+        writeFromAgg(cached, indexPath, mode, idCol)
+      } finally { cached.unpersist(); () }
+    } else Scratch.withStage(agg, "bm25_widx")(
+      writeFromAgg(_, indexPath, mode, idCol))
+  }
+
+  /** The single postings+marker write job over a materialized aggregate. */
+  private def writeFromAgg(agg: DataFrame, indexPath: String, mode: String,
+                           idCol: String): Unit = {
+    // size through a FRESH Dataset over the same plan: `persist()` memoizes
+    // the pre-cache optimized plan on `agg`'s own QueryExecution, so only a
+    // re-derived frame sees the materialized InMemoryRelation's real stats
+    // (for the staged build path this is the identity — same parquet scan)
+    val nParts = postingsWidth(agg.sparkSession,
+      agg.select(agg.columns.map(col).toSeq: _*))
+    val postings = agg.where(col("term").isNotNull)
+      // term-keyed distribution + term-sorted files: each term's postings
+      // land contiguously, so the parquet row-group min/max stats turn the
+      // query-time `term IN (...)` into actual row-group skipping
+      .repartition(nParts, col("term"))
+      .sortWithinPartitions("term")
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+    // exactly one doc-stats group per doc: its position-0 term group, or
+    // the term-null row of a zero-token doc (which adds its dl = 0);
+    // folded to the single marker row this append contributes
+    val marker = agg.where(col("_mp") === 0 || col("_mp").isNull)
+      .agg(sum("dl").cast("long").as("dl"),
+        count(lit(1)).cast("long").as("tf"))
+      .select(lit(null).cast(agg.schema(idCol).dataType).as(idCol),
+        col("dl"), lit(null).cast("string").as("term"), col("tf"))
+    postings.unionByName(marker)
+      .write.mode(mode).parquet(s"$indexPath/postings")
   }
 
   /** Term-shuffle width for a postings-volume-sized frame: targets

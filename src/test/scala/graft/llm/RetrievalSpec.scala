@@ -209,4 +209,58 @@ class RetrievalSpec extends SparkSpec {
     assert(fused.head.getAs[Double]("score") == 1.0 / 61 + 1.0 / 62)
     assert(fused.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L, 12L, 11L))
   }
+
+  test("append is one pass: two jobs, no scratch stage, no leaked cache") {
+    // the append path's materialize-once barrier is an eager persist, not
+    // the build path's parquet stage — the stage's write+read round-trip
+    // was the avoidable half of the per-append cost in the sf10 streaming
+    // sweep (SCALING.md round-14). Pinned three ways: (1) exactly TWO jobs
+    // run (one materialization of the tokenize→aggregate — the corpus
+    // scans once — and one postings+marker write; AQE off so job
+    // accounting is deterministic), (2) no bm25_widx scratch dir appears,
+    // (3) the cache is released on return.
+    val path = graft.core.TempDirs.scratch("bm25_onepass_spec")
+    Retrieval.buildIndex(docs.where($"doc_id" <= 3), path)
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def scratchDirs() = Option(tmp.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("graft_scratch_bm25_widx_")).toSet
+    val before = scratchDirs()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobs.incrementAndGet(): Unit
+      }
+    }
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Retrieval.appendToIndex(docs.where($"doc_id" > 3), path)
+      // listener events are async: poll until the count is stable
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 5000000000L
+      while (stable < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        if (jobs.get == last) stable += 1 else { stable = 0; last = jobs.get }
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+    assert(jobs.get == 2,
+      s"append must be one materialize job + one write job, saw ${jobs.get}")
+    assert(scratchDirs() == before,
+      "the append path must not stage to scratch parquet")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the append barrier cache must be released on return")
+    val appended = Retrieval.bm25TopKFromIndex(spark, path,
+      Seq(0L -> "spark fast", 1L -> "engine"), k = 10)
+    val direct = Retrieval.bm25TopK(docs,
+      Seq(0L -> "spark fast", 1L -> "engine"), k = 10)
+    assert(appended.collect().map(_.toSeq).toSet ==
+      direct.collect().map(_.toSeq).toSet,
+      "the persist-barrier append must rank exactly like the staged build")
+  }
 }
