@@ -13,7 +13,7 @@ import graft.functions.CrossHashExprs
   * new ones. At 100 TB this is the difference between an O(delta)
   * ingest step and an O(corpus) one.
   *
-  * Layout: ONE atomic parquet table (`indexPath/sigs`) holding two row
+  * Layout: ONE atomic parquet table (`indexPath/sigs`) holding three row
   * kinds, committed in the SAME write job per build/append (the BM25
   * marker-row lesson — two tables have a crash window between writes):
   *
@@ -22,15 +22,21 @@ import graft.functions.CrossHashExprs
   *   signature rows: (id, band = NULL, band_hash = NULL, sig) — the
   *                 32-long signature ONCE per doc (never once per band:
   *                 the fat layout multiplies the dominant column ×bands,
-  *                 the same trade measured for LSH-ANN in SCALING.md).
+  *                 the same trade measured for LSH-ANN in SCALING.md);
+  *   meta row:     (id = NULL, band = n, band_hash = bands, sig = NULL) —
+  *                 the build's shingle size and band count, written once
+  *                 per build/append so mismatched appends/queries FAIL
+  *                 LOUDLY instead of silently mixing incompatible hash
+  *                 spaces (k is validated against the stored signature
+  *                 length the same way).
   *
   * Parquet null counts keep the kinds separable for free: `band IS NOT
-  * NULL` prunes signature files from bucket scans and vice versa.
-  * Same-id re-appends are the caller's to prevent (the
-  * [[Retrieval.appendToIndex]] contract); all appends must reuse the
-  * build's (n, k, bands) — k is validated against the stored signature
-  * length, n and bands are not recoverable from the table and are
-  * documented contract.
+  * NULL AND id IS NOT NULL` is the bucket-join side, `band IS NULL` the
+  * signature side, `id IS NULL` the meta rows. Same-id re-appends are the
+  * caller's to prevent (the [[Retrieval.appendToIndex]] contract); all
+  * appends and queries must reuse the build's (n, k, bands) — enforced
+  * against the stored meta (an index written before the meta row existed
+  * adopts the parameters of its first post-upgrade append).
   */
 object DedupIndex {
 
@@ -48,9 +54,7 @@ object DedupIndex {
   def appendToIndex(newDocs: DataFrame, indexPath: String,
                     textCol: String = "text", idCol: String = "doc_id",
                     n: Int = 3, k: Int = 32, bands: Int = 8): Unit = {
-    val stored = storedSigLength(newDocs.sparkSession, indexPath)
-    require(stored.forall(_ == k),
-      s"append with k=$k onto an index built with k=${stored.get}")
+    validateParams(newDocs.sparkSession, indexPath, "append", n, k, bands)
     writeIndex(newDocs, indexPath, "append", textCol, idCol, n, k, bands)
   }
 
@@ -68,7 +72,8 @@ object DedupIndex {
                      maxBucketSize: Int = 10000): DataFrame = {
     val t = spark.read.parquet(s"$indexPath/sigs")
     scoredPairs(
-      t.where(col("band").isNotNull)
+      // id NOT NULL keeps the meta row out of the bucket join
+      t.where(col("band").isNotNull && col(idCol).isNotNull)
         .select(col(idCol), col("band"), col("band_hash"),
           lit(false).as("is_new")),
       t.where(col("band").isNull).select(col(idCol), col("sig")),
@@ -87,14 +92,12 @@ object DedupIndex {
                  minEstJaccard: Double = 0.5,
                  maxBucketSize: Int = 10000): DataFrame = {
     val spark = newDocs.sparkSession
-    val stored = storedSigLength(spark, indexPath)
-    require(stored.forall(_ == k),
-      s"query with k=$k against an index built with k=${stored.get}")
+    validateParams(spark, indexPath, "query", n, k, bands)
     val newSigs = Scratch.stage(
       Dedup.withMinhashSignature(Scratch.rebalance(newDocs), textCol, idCol, n, k),
       "dedup_qidx")
     val t = spark.read.parquet(s"$indexPath/sigs")
-    val banded = t.where(col("band").isNotNull)
+    val banded = t.where(col("band").isNotNull && col(idCol).isNotNull)
       .select(col(idCol), col("band"), col("band_hash"), lit(false).as("is_new"))
       .unionByName(Dedup.lshBucketsFromSignatures(newSigs, idCol, k, bands)
         .select(col(idCol), col("band").cast("int"), col("band_hash"),
@@ -120,21 +123,48 @@ object DedupIndex {
       require(others.length == 1,
         s"not a dedup signature table (columns ${idx.columns.mkString(", ")})")
       val idName = others.head
-      idx.repartition(
+      // per-append meta rows are all equal (validated on append): fold to one
+      val meta = idx.where(col(idName).isNull).distinct()
+      idx.where(col(idName).isNotNull)
+        .repartition(
           Compaction.sizedWidth(spark, idx, "graft.dedup.sigsPartitionBytes"),
           coalesce(col("band"), lit(-1)),
           coalesce(col("band_hash"), pmod(xxhash64(col(idName)), lit(1000000L))))
         .sortWithinPartitions("band", "band_hash")
+        .unionByName(meta)
     }
 
-  /** k of the stored index = length of any signature row (None for an
-    * index that does not exist yet — append-as-first-build).
+  /** Stored parameters: k = length of any signature row, (n, bands) from
+    * the meta row. Each is None when unrecoverable (index absent —
+    * append-as-first-build — or written before the meta row existed).
     */
-  private def storedSigLength(spark: SparkSession, indexPath: String): Option[Int] =
+  private def storedParams(spark: SparkSession, indexPath: String)
+      : (Option[Int], Option[(Int, Int)]) =
     try {
-      spark.read.parquet(s"$indexPath/sigs").where(col("band").isNull)
+      val t = spark.read.parquet(s"$indexPath/sigs")
+      val k = t.where(col("band").isNull)
         .select(size(col("sig"))).limit(1).collect().headOption.map(_.getInt(0))
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+      val others = t.columns.filterNot(Set("band", "band_hash", "sig"))
+      val meta = t.where(col(others.head).isNull)
+        .select(col("band"), col("band_hash")).limit(1).collect().headOption
+        .map(r => (r.getInt(0), r.getLong(1).toInt))
+      (k, meta)
+    } catch { case _: org.apache.spark.sql.AnalysisException => (None, None) }
+
+  /** Fail loudly on any parameter mismatch against the stored index —
+    * mismatched (n, k, bands) silently mixes incompatible hash spaces.
+    */
+  private def validateParams(spark: SparkSession, indexPath: String,
+                             what: String, n: Int, k: Int, bands: Int): Unit = {
+    val (storedK, storedMeta) = storedParams(spark, indexPath)
+    require(storedK.forall(_ == k),
+      s"$what with k=$k against an index built with k=${storedK.get}")
+    storedMeta.foreach { case (sn, sb) =>
+      require(sn == n && sb == bands,
+        s"$what with (n=$n, bands=$bands) against an index built with " +
+          s"(n=$sn, bands=$sb)")
+    }
+  }
 
   private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
                          textCol: String, idCol: String,
@@ -148,9 +178,15 @@ object DedupIndex {
           lit(null).cast("array<long>").as("sig"))
       val sigRows = sigs.select(col(idCol), lit(null).cast("int").as("band"),
         lit(null).cast("long").as("band_hash"), col("sig"))
+      // one meta row per build/append, same write job (atomic with the
+      // data): id NULL distinguishes it from both data kinds
+      val metaRow = session.range(1).select(
+        lit(null).cast(sigs.schema(idCol).dataType).as(idCol),
+        lit(n).cast("int").as("band"), lit(bands.toLong).as("band_hash"),
+        lit(null).cast("array<long>").as("sig"))
       val width = Compaction.sizedWidth(session, sigs,
         "graft.dedup.sigsPartitionBytes")
-      banded.unionByName(sigRows)
+      banded.unionByName(sigRows).unionByName(metaRow)
         // bucket-keyed distribution + bucket-sorted files (the BM25
         // postings pattern): each partition's file carries contiguous
         // (band, band_hash) runs, so the parquet row-group min/max stats

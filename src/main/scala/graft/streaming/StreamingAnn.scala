@@ -14,10 +14,13 @@ import graft.llm.{Ivf, Pq, Similarity, Sq}
   * boundary — quantizer and codebooks stay fixed (the add-after-train
   * trade; rebuild out-of-band when recall decays). The foreachBatch
   * boundary is at-least-once on retry and an append retry would duplicate
-  * candidate rows, so `dedupKey` (default: the id column) keeps
-  * drop-duplicates state on the row key ahead of the sink — the
-  * [[StreamingMdio]] pattern — which also absorbs source replays. The
-  * checkpoint (offsets + dedup state) survives restarts.
+  * candidate rows. Two guards: [[BatchMarkers]] records applied batchIds
+  * per index, so a whole replayed micro-batch (crash between an append's
+  * commit and the checkpoint offset commit) is skipped, not re-appended;
+  * and `dedupKey` (default: the id column) keeps drop-duplicates state on
+  * the row key ahead of the sink — the [[StreamingMdio]] pattern — which
+  * absorbs source-level replays. The checkpoint (offsets + dedup state)
+  * survives restarts.
   */
 object StreamingAnn {
 
@@ -63,9 +66,18 @@ object StreamingAnn {
         val nSinks = Seq(ivfPath, pqPath, sqPath).count(_.isDefined)
         val b = if (nSinks > 1) batch.persist() else batch
         try {
-          ivfPath.foreach(p => Ivf.appendToIndex(b, p, idCol, vecCol))
-          pqPath.foreach(p => Pq.appendToIndex(b, p, idCol, vecCol))
-          sqPath.foreach(p => Sq.appendToIndex(b, p, idCol, vecCol))
+          // each index records applied batchIds independently
+          // ([[BatchMarkers]]): a replayed batch (crash between an
+          // append's commit and the checkpoint offset commit) skips the
+          // indexes it already reached and appends only to the ones it
+          // didn't — re-appending would duplicate candidate rows
+          val sid = BatchMarkers.streamId(ckpt)
+          ivfPath.foreach(p => BatchMarkers.runOnce(batch.sparkSession, p,
+            sid, batchId)(Ivf.appendToIndex(b, p, idCol, vecCol)): Unit)
+          pqPath.foreach(p => BatchMarkers.runOnce(batch.sparkSession, p,
+            sid, batchId)(Pq.appendToIndex(b, p, idCol, vecCol)): Unit)
+          sqPath.foreach(p => BatchMarkers.runOnce(batch.sparkSession, p,
+            sid, batchId)(Sq.appendToIndex(b, p, idCol, vecCol)): Unit)
         } finally if (nSinks > 1) { b.unpersist(); () }
         compactEveryBatches
           .filter(n => (batchId + 1) % n == 0)
@@ -108,10 +120,16 @@ object StreamingAnn {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // lean = the vector-free (tbl, bucket, id) layout
         // ([[Similarity.lshSignaturesLean]]); the embeddings table the
-        // lean search joins against must receive the same batches
-        (if (lean) Similarity.lshSignaturesLean(batch, bits, tables, dim, idCol, vecCol)
-         else Similarity.lshSignatures(batch, bits, tables, dim, idCol, vecCol))
-          .write.mode("append").parquet(sigPath)
+        // lean search joins against must receive the same batches.
+        // Replayed batchIds skip the append ([[BatchMarkers]] — the
+        // markers live inside sigPath; rewriteInPlace carries them
+        // across compaction swaps)
+        BatchMarkers.runOnce(batch.sparkSession, sigPath,
+            BatchMarkers.streamId(ckpt), batchId) {
+          (if (lean) Similarity.lshSignaturesLean(batch, bits, tables, dim, idCol, vecCol)
+           else Similarity.lshSignatures(batch, bits, tables, dim, idCol, vecCol))
+            .write.mode("append").parquet(sigPath)
+        }: Unit
         compactEveryBatches
           .filter(n => (batchId + 1) % n == 0)
           .foreach { _ =>

@@ -59,8 +59,14 @@ object StreamingCorpus {
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.llm.DedupIndex.appendToIndex(batch, indexPath,
-          textCol, idCol, n, k, bands)
+        // replayed batchIds skip the append ([[BatchMarkers]]): a
+        // re-appended batch would duplicate signature rows, and duplicated
+        // signatures multiply pair rows in every bucket join downstream
+        BatchMarkers.runOnce(batch.sparkSession, indexPath,
+            BatchMarkers.streamId(ckpt), batchId) {
+          graft.llm.DedupIndex.appendToIndex(batch, indexPath,
+            textCol, idCol, n, k, bands)
+        }: Unit
         compactEveryBatches
           .filter(c => (batchId + 1) % c == 0)
           .foreach { _ =>

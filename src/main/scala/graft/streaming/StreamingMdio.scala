@@ -18,12 +18,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *    soon as its commit completes.
   *
   * Exactly-once: the foreachBatch boundary is at-least-once on retry, and
-  * an append retry would double rows. `dedupKey` closes that gap the
-  * streaming-native way — [[StreamingCorpus.dedupedStream]]-style
-  * drop-duplicates state on a row key ahead of the sink — which ALSO
-  * absorbs duplicate rows replayed by the source itself. At 100 TB the
-  * store is the system of record; the checkpoint (source offsets + dedup
-  * state) rides `checkpointLocation` and survives restarts.
+  * an append retry would double rows. Two guards close that gap:
+  * [[BatchMarkers]] records applied batchIds next to the store, so a
+  * whole replayed micro-batch (crash between append commit and checkpoint
+  * offset commit) is skipped rather than re-appended; and `dedupKey`
+  * keeps [[StreamingCorpus.dedupedStream]]-style drop-duplicates state on
+  * a row key ahead of the sink, absorbing duplicate rows replayed by the
+  * source itself. At 100 TB the store is the system of record; the
+  * checkpoint (source offsets + dedup state) rides `checkpointLocation`
+  * and survives restarts.
   */
 object StreamingMdio {
 
@@ -46,11 +49,19 @@ object StreamingMdio {
     compactEveryBatches.foreach(n =>
       require(n > 0, s"compactEveryBatches must be positive, got $n"))
     val deduped = dedupKey.fold(stream)(k => stream.dropDuplicates(k))
+    val ckpt = checkpoint.getOrElse(s"$path/_stream_checkpoint")
     deduped.writeStream
       .trigger(trigger)
-      .option("checkpointLocation", checkpoint.getOrElse(s"$path/_stream_checkpoint"))
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.write.format("mdio").mode(SaveMode.Append).save(path)
+        // replayed batchIds skip the append ([[BatchMarkers]]): the
+        // dropDuplicates state above only dedups within the stream — on a
+        // checkpoint replay the state store itself rewinds, so the state
+        // alone cannot recognize a whole re-delivered batch
+        BatchMarkers.runOnce(batch.sparkSession, path,
+            BatchMarkers.streamId(ckpt), batchId) {
+          batch.write.format("mdio").mode(SaveMode.Append).save(path)
+        }: Unit
         compactEveryBatches
           .filter(n => (batchId + 1) % n == 0)
           .foreach(_ => graft.storage.MdioDataset.compact(batch.sparkSession, path))

@@ -16,10 +16,13 @@ import graft.llm.Retrieval
   * correctness).
   *
   * The foreachBatch boundary is at-least-once on retry and a replayed
-  * append would double-count a document, so `dedupKey` (default: the id
+  * append would double-count a document. Two guards: [[BatchMarkers]]
+  * records applied batchIds next to the index, so a whole replayed
+  * micro-batch (crash between append commit and checkpoint offset
+  * commit) is skipped, not re-appended; and `dedupKey` (default: the id
   * column) keeps drop-duplicates state ahead of the sink — the
-  * [[StreamingMdio]] pattern. The checkpoint (offsets + dedup state)
-  * survives restarts.
+  * [[StreamingMdio]] pattern — absorbing source-level duplicate rows.
+  * The checkpoint (offsets + dedup state) survives restarts.
   */
 object StreamingRetrieval {
 
@@ -46,7 +49,15 @@ object StreamingRetrieval {
       .trigger(trigger)
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        Retrieval.appendToIndex(batch, indexPath, textCol, idCol)
+        // replayed batchIds (crash between append commit and checkpoint
+        // offset commit) are skipped, not re-appended — re-appending
+        // double-counts every replayed doc in df/avgdl/tf
+        BatchMarkers.runOnce(batch.sparkSession, indexPath,
+            BatchMarkers.streamId(ckpt), batchId) {
+          Retrieval.appendToIndex(batch, indexPath, textCol, idCol)
+        }: Unit
+        // compaction is row-identical maintenance: run it on schedule even
+        // when the append itself was a skipped replay
         compactEveryBatches
           .filter(n => (batchId + 1) % n == 0)
           .foreach { _ =>

@@ -85,9 +85,38 @@ class DedupIndexSpec extends SparkSpec {
     val idx = graft.core.TempDirs.scratch("dedup_idx_atomic")
     DedupIndex.buildIndex(docs.limit(100), idx)
     val t = spark.read.parquet(s"$idx/sigs")
-    val banded = t.where(col("band").isNotNull).count()
+    val banded = t.where(col("band").isNotNull && col("doc_id").isNotNull).count()
     val sigRows = t.where(col("band").isNull).count()
     assert(sigRows == 100L)
     assert(banded == 100L * 8) // bands per doc
+    // the meta row rides the same commit: (id NULL, band = n, band_hash = bands)
+    val meta = t.where(col("doc_id").isNull).collect()
+    assert(meta.length == 1)
+    assert(meta.head.getInt(1) == 3 && meta.head.getLong(2) == 8L)
+  }
+
+  test("append/query with mismatched n or bands fails loudly; compaction " +
+      "folds meta rows to one") {
+    val idx = graft.core.TempDirs.scratch("dedup_idx_meta")
+    DedupIndex.buildIndex(docs.limit(50), idx, n = 3, bands = 8)
+    DedupIndex.appendToIndex(docs.limit(60).where(col("doc_id") > 50), idx)
+    assert(spark.read.parquet(s"$idx/sigs")
+      .where(col("doc_id").isNull).count() == 2L, "one meta row per commit")
+    val eN = intercept[IllegalArgumentException] {
+      DedupIndex.appendToIndex(docs.limit(10), idx, n = 5)
+    }
+    assert(eN.getMessage.contains("n=5"))
+    val eB = intercept[IllegalArgumentException] {
+      DedupIndex.queryIndex(docs.limit(10), idx, bands = 4)
+    }
+    assert(eB.getMessage.contains("bands=4"))
+    DedupIndex.compactIndex(spark, idx)
+    val meta = spark.read.parquet(s"$idx/sigs")
+      .where(col("doc_id").isNull).collect()
+    assert(meta.length == 1, "compaction must fold the per-commit meta rows")
+    assert(meta.head.getInt(1) == 3 && meta.head.getLong(2) == 8L)
+    // matched parameters still work after compaction
+    assert(DedupIndex.pairsFromIndex(spark, idx).columns
+      .sameElements(Array("id_a", "id_b", "est_jaccard")))
   }
 }
