@@ -126,8 +126,9 @@ object Stats {
     *      aggregate; nBuckets counts collect to the driver — parameter-sized);
     *   2. each target rank locates its bucket by prefix sums; a bucket
     *      bigger than `refineLimit` re-histograms ONCE within its value
-    *      range (handles heavy skew; a single repeated value short-circuits
-    *      because the sub-range collapses to min == max);
+    *      range (handles heavy skew; a single repeated value collapses the
+    *      sub-range to zero width, resolved by a distinct-value count over
+    *      the slice — NATIVE values, never the double-cast range bound);
     *   3. the rank-r-within-bucket value = distributed top-(local r) over
     *      ONLY that bucket's rows — the bucket filter is a RANGE predicate
     *      on the value, so it pushes into the parquet scan (row-group
@@ -175,8 +176,7 @@ object Stats {
       require(depth < 200,
         s"exactQuantiles did not converge in $depth levels — report this")
       val w = (sHi - sLo) / nBuckets
-      if (sLo == sHi) ranks.map(_ -> (sLo: Any)).toMap
-      else if (cnt <= refineLimit) {
+      if (cnt <= refineLimit) {
         // distributed top-r (TakeOrdered) per rank over the pruned slice —
         // each bounded by refineLimit rows; never a silent truncation
         require(ranks.max <= Int.MaxValue,
@@ -184,7 +184,13 @@ object Stats {
         ranks.map(r => r -> slice.orderBy(col("x")).limit(r.toInt)
           .agg(max(col("x"))).collect().head.get(0)).toMap
       } else if (!(w > 0.0) || !java.lang.Double.isFinite(w)) {
-        // sub-ulp range: only a handful of representable doubles remain
+        // sub-ulp or CONSTANT-IN-DOUBLE range (sLo == sHi makes w = 0):
+        // only a handful of representable doubles remain, but for integral/
+        // decimal columns one double can cover many NATIVE values (an ulp
+        // near 2^63 spans 1024 longs), so the value must come from the
+        // slice itself, never from the double-cast bound — returning sLo
+        // here would silently round past 2^53 and merge distinct values
+        // that collide in double, breaking the "exact" contract
         val byValue = slice.groupBy(col("x")).agg(count(lit(1)).as("c"))
           .orderBy(col("x")).collect()
           .map(row => (row.get(0), row.getLong(1)))

@@ -54,6 +54,33 @@ class ExactQuantilesSpec extends SparkSpec {
     check(Seq(3.0, 1.0, 2.0), 8, 50)
   }
 
+  test("bigint beyond 2^53: distinct longs that collide in double still " +
+      "resolve to exact native values") {
+    // Long.MaxValue-2 .. Long.MaxValue all round to the SAME double
+    // (9.223372036854776e18), so the whole column is constant-in-double:
+    // the double-range bound carries no information and the values must
+    // come from the slice natively (the old min==max short-circuit
+    // returned the rounded bound — one wrong long for every quantile)
+    val base = Long.MaxValue
+    val vals = Seq.fill(1000)(base - 2) ++ Seq.fill(1000)(base - 1) ++
+      Seq.fill(1000)(base)
+    assert(vals.map(_.toDouble).distinct.size == 1, "premise: double-colliding")
+    val df = vals.toDF("v")
+    // refineLimit below n forces the histogram path, whose zero bucket
+    // width routes to the distinct-value (sub-ulp) branch
+    val row = Stats.exactQuantiles(df, "v", Seq(0.25, 0.5, 1.0),
+      nBuckets = 8, refineLimit = 50).collect().head
+    assert(row.getLong(0) == 3000L)
+    assert(row.getLong(1) == base - 2, s"p25 got ${row.getLong(1)}")
+    assert(row.getLong(2) == base - 1, s"p50 got ${row.getLong(2)}")
+    assert(row.getLong(3) == base, s"p100 got ${row.getLong(3)}")
+    // the top-r arm (cnt <= refineLimit) must agree on the same shape
+    val row2 = Stats.exactQuantiles(df, "v", Seq(0.25, 0.5, 1.0),
+      nBuckets = 8, refineLimit = 1 << 20).collect().head
+    assert((1 to 3).forall(i => row2.getLong(i) == row.getLong(i)),
+      "top-r and distinct-value arms must agree")
+  }
+
   test("nulls are excluded; empty input fails loudly") {
     val df = Seq[Option[Double]](Some(1.0), None, Some(3.0), None)
       .toDF("v")
