@@ -49,13 +49,15 @@ object SparkEntry {
     s.readStream.schema(s.read.parquet(srcDir).schema).parquet(srcDir)
 
   /** File stream over a staged events dir, with the same nanos→micros ts
-    * fix the batch `Tables.events` applies.
+    * fix the batch `Tables.events` applies. `opts` reach the file source
+    * (e.g. `maxFilesPerTrigger` for the time-sliced replays).
     */
-  private def eventsStream(s: SparkSession, srcDir: String)
+  private def eventsStream(s: SparkSession, srcDir: String,
+                           opts: Map[String, String] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     val rawSchema = s.read.parquet(srcDir).schema
-    val raw = s.readStream.schema(rawSchema).parquet(srcDir)
+    val raw = s.readStream.schema(rawSchema).options(opts).parquet(srcDir)
     rawSchema("ts").dataType match {
       case LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -270,6 +272,34 @@ object SparkEntry {
       val out = graft.core.TempDirs.scratch("stream_sess_out")
       val ckpt = graft.core.TempDirs.scratch("stream_sess_ckpt")
       val fixed = eventsStream(s, stageEventsDir(s, d, "stream_sess"))
+      withStatePartitions(s, 8) {
+        val q = graft.streaming.StreamingEvents.sessionWindowStream(fixed)
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", ckpt)
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      s.read.parquet(out)
+    }),
+    // the BOUNDED-STATE sessionization variant: the SAME session_window
+    // aggregation and flush predicate as q_stream_sessions, replayed the
+    // deployment way — time-ordered slice files, one per trigger
+    // (StreamReplay) — so the watermark ADVANCES between micro-batches and
+    // closed sessions leave the state store as they flush. State peaks at
+    // |one slice| + |2.5h horizon| instead of every session in history
+    // (the round-14 sweep measured the one-batch replay at 9.5 M state
+    // rows / 3.3 GB at sf10); the output rows are IDENTICAL — no event is
+    // ever late under time-ordered slices, so the final watermark and
+    // flush rule emit the same session set, which the shared oracle pins
+    "q_stream_sessions_bounded" -> ((s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val out = graft.core.TempDirs.scratch("stream_sessb_out")
+      val ckpt = graft.core.TempDirs.scratch("stream_sessb_ckpt")
+      val src = graft.core.TempDirs.scratch("stream_sessb_src")
+      graft.streaming.StreamReplay.stageTimeSliced(
+        s.read.parquet(s"$d/events.parquet"), src): Unit
+      val fixed = eventsStream(s, src, Map("maxFilesPerTrigger" -> "1"))
       withStatePartitions(s, 8) {
         val q = graft.streaming.StreamingEvents.sessionWindowStream(fixed)
           .writeStream.format("parquet")
@@ -2623,6 +2653,27 @@ object SparkEntry {
     // sessions rebuilt batch-side (lag/gap), flushed when the final
     // watermark passes session_end = last event + gap
     "q_stream_sessions" ->
+      """WITH mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
+        |x AS (SELECT user_id, ts, value,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+        |    event_id
+        |  FROM events),
+        |sess AS (SELECT user_id, ts, value,
+        |    CAST(sum(CASE WHEN prev_ts IS NULL
+        |        OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        |  FROM x)
+        |SELECT min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, user_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM sess, mx GROUP BY user_id, sid, wm
+        |HAVING max(ts) + INTERVAL 30 MINUTE <= wm""".stripMargin,
+    // the bounded-state variant emits the SAME session set (time-ordered
+    // slices make no event late; the final watermark and flush rule are
+    // unchanged) — the oracle is deliberately identical
+    "q_stream_sessions_bounded" ->
       """WITH mx AS (SELECT max(ts) - INTERVAL 2 HOUR AS wm FROM events),
         |x AS (SELECT user_id, ts, value,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
