@@ -240,6 +240,19 @@ object SparkEntry {
     // aggregate where exact usually means sort-everything)
     "q_exact_quantiles" -> ((s, d) =>
       graft.operators.Stats.exactQuantiles(lineitem(s, d), "l_quantity")),
+    // the FORCED-REFINE shape (round-14 ask: the registered l_quantity row
+    // rides 50 distinct values where the locate pass short-circuits):
+    // price² is high-cardinality and ~110x density-skewed toward the low
+    // buckets (uniform x → density(x²) ∝ 1/√), and the deliberately tight
+    // (nBuckets=16, refineLimit=4096) forces multi-level histogram
+    // refinement plus the final top-r pass at EVERY fixture scale — exact
+    // double arithmetic both sides, so the oracle hash-matches
+    "q_exact_quantiles_refine" -> ((s, d) =>
+      graft.operators.Stats.exactQuantiles(
+        lineitem(s, d).withColumn("sq_price",
+          col("l_extendedprice") * col("l_extendedprice")),
+        "sq_price", Seq(0.25, 0.5, 0.75, 0.99),
+        nBuckets = 16, refineLimit = 4096L)),
     // Structured Streaming under the ORACLE: the events table replayed as a
     // file stream through the watermarked 1-hour window agg (append mode,
     // AvailableNow), sink read back as the result. Append emission is
@@ -2431,6 +2444,17 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
     "q_exact_quantiles" ->
       """WITH c AS (SELECT l_quantity AS x FROM lineitem WHERE l_quantity IS NOT NULL),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM c),
+        |m AS (SELECT count(*) AS n FROM c)
+        |SELECT CAST(m.n AS BIGINT) AS n,
+        |  max(CASE WHEN rn = CAST(ceil(0.25 * m.n) AS BIGINT) THEN x END) AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * m.n) AS BIGINT) THEN x END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.75 * m.n) AS BIGINT) THEN x END) AS p75,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * m.n) AS BIGINT) THEN x END) AS p99
+        |FROM r, m GROUP BY m.n""".stripMargin,
+    "q_exact_quantiles_refine" ->
+      """WITH c AS (SELECT l_extendedprice * l_extendedprice AS x
+        |    FROM lineitem WHERE l_extendedprice IS NOT NULL),
         |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM c),
         |m AS (SELECT count(*) AS n FROM c)
         |SELECT CAST(m.n AS BIGINT) AS n,
