@@ -56,6 +56,10 @@ object Scale {
     // round-14: the fused moveout aggregate at full shape (16 candidates
     // x 1000 samples, exact semblance folds)
     "q_moveout_semblance_long",
+    // round-15: the bounded-state session replay (state peak must stay at
+    // |slice| + |horizon|) and the forced-refine exact-quantiles shape
+    "q_stream_sessions_bounded",
+    "q_exact_quantiles_refine",
   )
 
   private def peakHeapMb(): Double = {

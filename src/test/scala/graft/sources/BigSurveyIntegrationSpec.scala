@@ -7,28 +7,23 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** GB-scale FOREIGN survey end to end — the reference's own integration
-  * anchor is a full 3-D survey ingest → selection → export →
-  * byte-compare (`tests/integration/test_segy_roundtrip_teapot.py:
-  * 151-310`); the committed golden files kill complementary-bug risk at
-  * 25 traces, this spec does it at survey scale. The fixture is
-  * synthesized AT TEST TIME by the independent Python encoder
-  * (`tools/gen_big_segy.py`, ~1 GiB, never committed); every sample obeys
-  * one closed-form formula, so any region byte-checks without trusting
-  * either writer.
+/** FOREIGN survey end to end, parameterized by survey geometry — the
+  * reference's own integration anchor is a full 3-D survey ingest →
+  * selection → export → byte-compare (`tests/integration/
+  * test_segy_roundtrip_teapot.py:151-310`); the committed golden files
+  * kill complementary-bug risk at 25 traces, these specs do it at survey
+  * scale. The fixture is synthesized AT TEST TIME by the independent
+  * Python encoder (`tools/gen_big_segy.py`, never committed); every
+  * sample obeys one closed-form formula, so any region byte-checks
+  * without trusting either writer.
   *
-  * Nightly tier: heavyweight (generates + scans ~1 GiB). Gated behind
-  * `SPARK_GRAFT_BIG_FIXTURE=1`; `sbt test` skips it otherwise.
+  * Two tiers share this body: [[SurveyIntegrationSmokeSpec]] (~77 MB,
+  * always on — every `sbt test` and driver round exercises the full
+  * chain) and [[BigSurveyIntegrationSpec]] (~1 GiB, nightly-class behind
+  * `SPARK_GRAFT_BIG_FIXTURE=1`).
   */
-class BigSurveyIntegrationSpec extends SparkSpec {
+abstract class SurveyIntegrationBase extends SparkSpec {
 
-  private val enabled = sys.env.get("SPARK_GRAFT_BIG_FIXTURE").contains("1")
-
-  // survey geometry (matches gen_big_segy.py defaults scaled by env —
-  // SPARK_GRAFT_BIG_NIL/NXL/NS override for quicker local runs)
-  private val nIl = sys.env.getOrElse("SPARK_GRAFT_BIG_NIL", "415").toInt
-  private val nXl = sys.env.getOrElse("SPARK_GRAFT_BIG_NXL", "415").toInt
-  private val ns = sys.env.getOrElse("SPARK_GRAFT_BIG_NS", "1500").toInt
   private val il0 = 2000
   private val xl0 = 500
 
@@ -36,10 +31,7 @@ class BigSurveyIntegrationSpec extends SparkSpec {
   private def v(il: Int, xl: Int, j0: Int): Float =
     (((il * 31 + xl * 7 + j0) % 65536) - 32768 + 0.5).toFloat
 
-  test("GB-scale foreign survey: read, grid, full-trace probes, store, " +
-      "selection, export, byte-compare") {
-    assume(enabled, "set SPARK_GRAFT_BIG_FIXTURE=1 to run the GB-scale tier")
-
+  protected def runSurveyIntegration(nIl: Int, nXl: Int, ns: Int): Unit = {
     val dir = Files.createTempDirectory("bigsurvey").toString
     val f = s"$dir/big.sgy"
     val gen = new ProcessBuilder("python3", "tools/gen_big_segy.py", f,
@@ -89,7 +81,7 @@ class BigSurveyIntegrationSpec extends SparkSpec {
     MdioDataset.write(df.select("inline", "crossline", "samples"), store,
       schema, sortDims = Seq("inline", "crossline"))
     val h = MdioDataset.open(spark, store)
-    val selIl = il0 + 100
+    val selIl = il0 + math.min(100, nIl / 2)
     val sel = h.sel("inline" -> graft.operators.Selection.Range(selIl, selIl + 9))
     val selAgg = sel.agg(count(lit(1)).as("n"),
       countDistinct(col("inline")).as("nil")).head()
@@ -132,9 +124,45 @@ class BigSurveyIntegrationSpec extends SparkSpec {
           src.seek(3600L + srcIdx * traceBytes + 240); src.readFully(orig)
           assert(java.util.Arrays.equals(got, orig),
             s"payload differs from the foreign file at (il=$il, xl=$xl)")
-          t += 97 // sampled stride: ~43 traces across the box
+          t += 97 // sampled stride across the box
         }
       } finally src.close()
     } finally raf.close()
+    org.apache.hadoop.fs.FileUtil
+      .fullyDelete(new java.io.File(dir)): Unit
+  }
+}
+
+/** ~1 GiB tier. Gated behind `SPARK_GRAFT_BIG_FIXTURE=1`; `sbt test`
+  * skips it otherwise (the always-on [[SurveyIntegrationSmokeSpec]]
+  * keeps the same chain exercised in every suite run).
+  */
+class BigSurveyIntegrationSpec extends SurveyIntegrationBase {
+
+  private val enabled = sys.env.get("SPARK_GRAFT_BIG_FIXTURE").contains("1")
+
+  // survey geometry (matches gen_big_segy.py defaults scaled by env —
+  // SPARK_GRAFT_BIG_NIL/NXL/NS override for quicker local runs)
+  private val nIl = sys.env.getOrElse("SPARK_GRAFT_BIG_NIL", "415").toInt
+  private val nXl = sys.env.getOrElse("SPARK_GRAFT_BIG_NXL", "415").toInt
+  private val ns = sys.env.getOrElse("SPARK_GRAFT_BIG_NS", "1500").toInt
+
+  test("GB-scale foreign survey: read, grid, full-trace probes, store, " +
+      "selection, export, byte-compare") {
+    assume(enabled, "set SPARK_GRAFT_BIG_FIXTURE=1 to run the GB-scale tier")
+    runSurveyIntegration(nIl, nXl, ns)
+  }
+}
+
+/** The always-on ~77 MB sibling (128×96×1500 samples): the same
+  * closed-form foreign survey, the same ingest → grid → probe → store →
+  * select → export → byte-compare chain, small enough for every
+  * `sbt test` and every driver round — so the strongest end-to-end
+  * anchor no longer runs only under its nightly env gate.
+  */
+class SurveyIntegrationSmokeSpec extends SurveyIntegrationBase {
+  test("~77MB foreign survey: read, grid, full-trace probes, store, " +
+      "selection, export, byte-compare") {
+    runSurveyIntegration(nIl = 128, nXl = 96, ns = 1500)
   }
 }
