@@ -1361,7 +1361,12 @@ object SparkEntry {
       val df = lineitem(s, d)
         .select(col("l_suppkey").as("cell"), col("l_orderkey").as("ok"),
           col("l_linenumber").as("ln"))
-        .repartition(s.sparkContext.defaultParallelism)
+        // partition BY CELL (not round-robin): each cell's Θ(nSamples)
+        // aggregation state then lives in exactly one task instead of one
+        // copy per map partition — with cells ≥ cores this keeps full
+        // kernel parallelism and cuts partial-buffer serialization and
+        // GC-survivor churn by the partition count
+        .repartition(s.sparkContext.defaultParallelism, col("cell"))
         .select(col("cell"),
           graft.functions.TraceExprs.longModToDouble(
             sequence(col("ok") + 1L + col("ln"),
@@ -1413,7 +1418,9 @@ object SparkEntry {
         .select((col("l_suppkey") % 64).as("cell"),
           (col("l_linenumber") - 1).cast("double").as("off"),
           col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-        .repartition(s.sparkContext.defaultParallelism)
+        // by-cell partitioning: one state buffer per cell total (see
+        // q_trace_stack_long's note)
+        .repartition(s.sparkContext.defaultParallelism, col("cell"))
         .select(col("cell"), col("off"),
           graft.functions.TraceExprs.longModToDouble(
             sequence((col("ok") + 1L + col("ln")) * 8L,
@@ -1454,7 +1461,9 @@ object SparkEntry {
         .select((col("l_suppkey") % 64).as("cell"),
           (col("l_linenumber") - 1).cast("double").as("off"),
           col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-        .repartition(s.sparkContext.defaultParallelism)
+        // by-cell partitioning: one state buffer per cell total (see
+        // q_trace_stack_long's note)
+        .repartition(s.sparkContext.defaultParallelism, col("cell"))
         .select(col("cell"), col("off"),
           graft.functions.TraceExprs.longModToDouble(
             sequence((col("ok") + 1L + col("ln")) * 8L,
@@ -1498,7 +1507,9 @@ object SparkEntry {
         .select((col("l_suppkey") % 64).as("cell"),
           (col("l_linenumber") - 1).cast("double").as("off"),
           col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-        .repartition(s.sparkContext.defaultParallelism)
+        // by-cell partitioning: one state buffer per cell total (see
+        // q_trace_stack_long's note)
+        .repartition(s.sparkContext.defaultParallelism, col("cell"))
         .select(col("cell"), col("off"),
           graft.functions.TraceExprs.longModToDouble(
             sequence((col("ok") + 1L + col("ln")) * 8L,

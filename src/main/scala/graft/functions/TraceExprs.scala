@@ -378,30 +378,65 @@ final case class ShiftResampleExpr(left: Expression, right: Expression)
 }
 
 /** Mutable buffer for [[StackAgg]]: trace count + per-position exact
-  * sums. Two regimes, switched per BUFFER, never per position:
-  *  - `decSums == null` → LONG mode: every value seen so far was
+  * sums. Three regimes, switched per BUFFER, never per position, and
+  * only ever forward (long → fast10 → decimal):
+  *  - LONG (`longSums != null`): every value seen so far was
   *    integer-valued with |x| ≤ 2⁴⁰ and fewer than 4M rows accumulated,
   *    so the per-position sums are exact signed longs (no allocation,
   *    no BigDecimal churn — 3 allocations/sample in the all-decimal
   *    first cut made a 600 M-sample stack spend its time in GC);
-  *  - `decSums != null` → DECIMAL mode: the general exact path at
-  *    scale 10. Promotion (long→decimal) is exact: an integer sum s
-  *    IS the decimal s.0000000000.
+  *  - FAST10 (`f10Hi/f10Lo != null`): every value was in the PROVABLE
+  *    fixed-point set of [[StackBuffer.q10]] (a multiple of 2⁻¹⁰ with
+  *    |x| < 2¹⁸ — fractional moveout shifts of integer traces land
+  *    here), so the per-position sums are exact scale-10 numerators in
+  *    signed 128-bit (hi, lo) pairs. Same zero-allocation update as
+  *    long mode; BigDecimal.valueOf's Double.toString+parse per sample
+  *    in decimal mode is ~10³ slower and made the velocity-panel query
+  *    GC-bound (9–46 s same-run spreads at sf0.1);
+  *  - DECIMAL (`decSums != null`): the general exact path at scale 10.
+  * Each promotion is exact: an integer sum s IS the numerator s·10¹⁰
+  * (128-bit product), which IS the decimal s.0000000000.
   * Arrays are null until the first trace fixes the length.
   */
 final class StackBuffer(var n: Long, var longSums: Array[Long],
                         var decSums: Array[JBigDecimal])
     extends Serializable {
+  /** FAST10 per-position signed 128-bit scale-10 numerators. */
+  var f10Hi: Array[Long] = null
+  var f10Lo: Array[Long] = null
+
   def length: Int =
     if (decSums != null) decSums.length
+    else if (f10Hi != null) f10Hi.length
     else if (longSums != null) longSums.length else -1
 
-  /** Exact long→decimal promotion (no-op in decimal mode). */
+  /** Exact long→fast10 promotion (no-op unless in long/empty mode):
+    * each signed long sum s becomes the 128-bit product s · 10¹⁰.
+    */
+  def promoteToF10(len: Int): Unit = if (f10Hi == null && decSums == null) {
+    f10Hi = new Array[Long](len)
+    f10Lo = new Array[Long](len)
+    if (longSums != null) {
+      var i = 0
+      while (i < len) {
+        val s = longSums(i)
+        f10Lo(i) = s * StackBuffer.E10
+        f10Hi(i) = Math.multiplyHigh(s, StackBuffer.E10)
+        i += 1
+      }
+      longSums = null
+    }
+  }
+
+  /** Exact promotion to decimal mode (no-op in decimal mode). */
   def promote(): Unit = if (decSums == null) {
     decSums =
-      if (longSums == null) null
+      if (f10Hi != null)
+        Array.tabulate(f10Hi.length)(i =>
+          new JBigDecimal(SqAcc.toBigInt(f10Hi(i), f10Lo(i)), 10))
+      else if (longSums == null) null
       else longSums.map(v => JBigDecimal.valueOf(v).setScale(10))
-    longSums = null
+    longSums = null; f10Hi = null; f10Lo = null
   }
 }
 
@@ -417,56 +452,141 @@ object StackBuffer {
   val MaxLongAbs: Long = 1L << 40
   val MaxLongRows: Long = 4L * 1000 * 1000
 
-  /** Accumulate one trace (already read into a dense double array; only
-    * the first `len` entries are live) — the exact body of the original
-    * StackAgg.update after the ArrayData read.
+  /** 10¹⁰, as the two exact factors 2¹⁰ · 5¹⁰ = 1024 · 9765625. */
+  val E10: Long = 10000000000L
+  private val E10Odd: Long = 9765625L // 5¹⁰ = 10¹⁰ / 1024
+  /** Sentinel for "no provable fast-path numerator" (a real numerator
+    * can never be it: |q| ≤ 2¹⁸·10¹⁰ ≪ 2⁶³).
     */
-  def add(b: StackBuffer, xs: Array[Double], len: Int): Unit = {
-    require(b.length < 0 || b.length == len,
-      s"stack: trace lengths differ within a group (${b.length} vs $len)")
-    if (b.decSums == null) {
-      var ok = b.n < MaxLongRows
-      var i = 0
-      while (ok && i < len) {
-        val x = xs(i)
-        ok = x == math.rint(x) && math.abs(x) <= MaxLongAbs
-        i += 1
-      }
-      if (ok) {
-        if (b.longSums == null) b.longSums = new Array[Long](len)
-        i = 0
-        while (i < len) { b.longSums(i) += xs(i).toLong; i += 1 }
-        b.n += 1
-        return
-      }
-      b.promote()
-      if (b.decSums == null) b.decSums = Array.fill(len)(JBigDecimal.ZERO)
-    }
-    var i = 0
-    while (i < len) {
-      b.decSums(i) = b.decSums(i).add(
-        JBigDecimal.valueOf(xs(i)).setScale(10, RoundingMode.HALF_UP))
-      i += 1
-    }
-    b.n += 1
+  val Q10Sentinel: Long = Long.MinValue
+  /** FAST10 magnitude bound 2¹⁸ — see [[q10]]'s proof. */
+  private val F10MaxAbs: Double = 262144.0
+
+  /** The exact scale-10 numerator of
+    * `BigDecimal.valueOf(x).setScale(10, HALF_UP)` — i.e. of the decimal
+    * quantization the DECIMAL mode applies per value — computed in pure
+    * long arithmetic, or [[Q10Sentinel]] when x is outside the provable
+    * set. Fast set: x a multiple of 2⁻¹⁰ with |x| < 2¹⁸ (covers integers
+    * and the k/1024 lerp fractions moveout shifts produce).
+    *
+    * Proof the two agree on the fast set: such x has the exact decimal
+    * expansion (x·1024)·5¹⁰ / 10¹⁰ — at most 10 fractional digits — so
+    * the exact numerator is the integer (x·1024)·9765625. valueOf goes
+    * through Double.toString's SHORTEST round-tripping decimal s, which
+    * satisfies |s − x| ≤ ulp(x)/2 ≤ 2⁻³⁵ (|x| < 2¹⁸), i.e.
+    * |s·10¹⁰ − numerator| ≤ 0.146 < 0.5 — strictly inside the HALF_UP
+    * rounding cell of the same integer. Both multiplications (x·1024 a
+    * power-of-two scaling of a double, int·9765625 within 2⁵² in long)
+    * are exact.
+    */
+  @inline def q10(x: Double): Long = {
+    val t = x * 1024.0
+    if (math.abs(x) < F10MaxAbs && t == math.rint(t)) t.toLong * E10Odd
+    else Q10Sentinel
   }
 
-  /** Merge `o` into `b` (exact in either mode). */
+  /** `BigDecimal.valueOf(x).setScale(10, HALF_UP)`, string-free when x
+    * is in [[q10]]'s fast set (valueOf(long, scale) skips the
+    * Double.toString+parse round-trip — the decimal hot path's cost).
+    */
+  def decQ(x: Double): JBigDecimal = {
+    val q = q10(x)
+    if (q != Q10Sentinel) JBigDecimal.valueOf(q, 10)
+    else JBigDecimal.valueOf(x).setScale(10, RoundingMode.HALF_UP)
+  }
+
+  /** Accumulate one trace (already read into a dense double array; only
+    * the first `len` entries are live). Returns the row's mode so a
+    * mode-paired Σx² accumulator can square the SAME exact values:
+    * 0 = long, 1 = fast10 (`qNums(0..len-1)` now hold the row's exact
+    * scale-10 numerators), 2 = decimal. `qNums` must have ≥ len slots.
+    */
+  def addWithQ(b: StackBuffer, xs: Array[Double], len: Int,
+               qNums: Array[Long]): Int = {
+    require(b.length < 0 || b.length == len,
+      s"stack: trace lengths differ within a group (${b.length} vs $len)")
+    var mode = 2
+    if (b.decSums == null) {
+      // one classification pass: long-mode acceptance and the fast-path
+      // numerators together, each short-circuiting independently
+      var longOk = b.f10Hi == null && b.n < MaxLongRows
+      var fastOk = true
+      var i = 0
+      while (i < len && (longOk || fastOk)) {
+        val x = xs(i)
+        if (longOk && !(x == math.rint(x) && math.abs(x) <= MaxLongAbs))
+          longOk = false
+        if (fastOk) {
+          val q = q10(x)
+          if (q == Q10Sentinel) fastOk = false else qNums(i) = q
+        }
+        i += 1
+      }
+      mode = if (longOk) 0 else if (fastOk) 1 else 2
+    }
+    if (mode == 0) {
+      if (b.longSums == null) b.longSums = new Array[Long](len)
+      var i = 0
+      while (i < len) { b.longSums(i) += xs(i).toLong; i += 1 }
+    } else if (mode == 1) {
+      if (b.f10Hi == null) b.promoteToF10(len)
+      val hi = b.f10Hi; val lo = b.f10Lo
+      var i = 0
+      while (i < len) {
+        // signed 128-bit += sign-extended qNums(i)
+        val v = qNums(i)
+        val newLo = lo(i) + v
+        if (java.lang.Long.compareUnsigned(newLo, lo(i)) < 0) hi(i) += 1
+        lo(i) = newLo
+        hi(i) += (v >> 63)
+        i += 1
+      }
+    } else {
+      b.promote()
+      if (b.decSums == null) b.decSums = Array.fill(len)(JBigDecimal.ZERO)
+      var i = 0
+      while (i < len) {
+        b.decSums(i) = b.decSums(i).add(decQ(xs(i)))
+        i += 1
+      }
+    }
+    b.n += 1
+    mode
+  }
+
+  /** Merge `o` into `b` (exact in every mode pairing; the result mode is
+    * the weaker of the two — long+long over the row cap and any fast10
+    * pairing merge as fast10 128-bit sums, which any long sum converts
+    * to exactly).
+    */
   def mergeInto(b: StackBuffer, o: StackBuffer): Unit = {
     if (o.length < 0) return
     if (b.length < 0) {
-      b.longSums = o.longSums; b.decSums = o.decSums; b.n = o.n
+      b.longSums = o.longSums; b.f10Hi = o.f10Hi; b.f10Lo = o.f10Lo
+      b.decSums = o.decSums; b.n = o.n
       return
     }
     require(b.length == o.length,
       s"stack: trace lengths differ across partitions (${b.length} vs ${o.length})")
-    if (b.decSums == null && o.decSums == null && b.n + o.n <= MaxLongRows) {
+    val len = b.length
+    if (b.decSums == null && o.decSums == null &&
+        b.f10Hi == null && o.f10Hi == null && b.n + o.n <= MaxLongRows) {
       var i = 0
-      while (i < b.longSums.length) { b.longSums(i) += o.longSums(i); i += 1 }
+      while (i < len) { b.longSums(i) += o.longSums(i); i += 1 }
+    } else if (b.decSums == null && o.decSums == null) {
+      b.promoteToF10(len); o.promoteToF10(len)
+      var i = 0
+      while (i < len) {
+        val nLo = b.f10Lo(i) + o.f10Lo(i)
+        if (java.lang.Long.compareUnsigned(nLo, b.f10Lo(i)) < 0) b.f10Hi(i) += 1
+        b.f10Lo(i) = nLo
+        b.f10Hi(i) += o.f10Hi(i)
+        i += 1
+      }
     } else {
       b.promote(); o.promote()
       var i = 0
-      while (i < b.decSums.length) {
+      while (i < len) {
         b.decSums(i) = b.decSums(i).add(o.decSums(i)); i += 1
       }
     }
@@ -486,6 +606,9 @@ object StackBuffer {
       val sumD =
         if (b.decSums != null)
           java.lang.Double.parseDouble(b.decSums(i).toPlainString)
+        else if (b.f10Hi != null)
+          java.lang.Double.parseDouble(new JBigDecimal(
+            SqAcc.toBigInt(b.f10Hi(i), b.f10Lo(i)), 10).toPlainString)
         else b.longSums(i).toDouble
       out(i) = sumD / b.n.toDouble
       i += 1
@@ -499,9 +622,13 @@ object StackBuffer {
     if (b.decSums != null) {
       out.writeByte(1)
       b.decSums.foreach(d => out.writeUTF(d.toPlainString))
+    } else if (b.f10Hi != null) {
+      out.writeByte(2)
+      SqAcc.writeLongs(out, b.f10Hi)
+      SqAcc.writeLongs(out, b.f10Lo)
     } else if (b.longSums != null) {
       out.writeByte(0)
-      b.longSums.foreach(out.writeLong)
+      SqAcc.writeLongs(out, b.longSums)
     }
   }
 
@@ -509,9 +636,17 @@ object StackBuffer {
     val n = in.readLong()
     val len = in.readInt()
     if (len < 0) new StackBuffer(n, null, null)
-    else if (in.readByte() == 1)
-      new StackBuffer(n, null, Array.fill(len)(new JBigDecimal(in.readUTF())))
-    else new StackBuffer(n, Array.fill(len)(in.readLong()), null)
+    else in.readByte() match {
+      case 1 =>
+        new StackBuffer(n, null,
+          Array.fill(len)(new JBigDecimal(in.readUTF())))
+      case 2 =>
+        val b = new StackBuffer(n, null, null)
+        b.f10Hi = SqAcc.readLongs(in, len)
+        b.f10Lo = SqAcc.readLongs(in, len)
+        b
+      case _ => new StackBuffer(n, SqAcc.readLongs(in, len), null)
+    }
   }
 }
 
@@ -545,6 +680,7 @@ case class StackAgg(child: Expression,
   // it saves an 8 KB young-gen allocation per 1000-sample row — ~5 GB of
   // churn over a sf0.1 long-trace query
   @transient private var scratch: Array[Double] = null
+  @transient private var qScratch: Array[Long] = null
 
   override def createAggregationBuffer(): StackBuffer =
     new StackBuffer(0L, null, null)
@@ -554,14 +690,16 @@ case class StackAgg(child: Expression,
     if (v != null) {
       val a = v.asInstanceOf[ArrayData]
       val n = a.numElements()
-      if (scratch == null || scratch.length < n)
+      if (scratch == null || scratch.length < n) {
         scratch = new Array[Double](n)
+        qScratch = new Array[Long](n)
+      }
       val xs = scratch
       var i = 0
       while (i < n) {
         xs(i) = TraceExprs.elemStrict("trace_stack", a, i, isFloat); i += 1
       }
-      StackBuffer.add(b, xs, n)
+      StackBuffer.addWithQ(b, xs, n, qScratch): Unit
     }
     b
   }
@@ -576,7 +714,7 @@ case class StackAgg(child: Expression,
       UnsafeArrayData.fromPrimitiveArray(StackBuffer.meanArray(b)))
 
   override def serialize(b: StackBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
+    val bos = new ByteArrayOutputStream(32 + 16 * math.max(0, b.length))
     val out = new DataOutputStream(bos)
     StackBuffer.write(out, b)
     out.flush()
@@ -596,16 +734,23 @@ case class StackAgg(child: Expression,
 
 /** Exact Σx² accumulator, mode-paired with a [[StackBuffer]]: while the
   * stack is in long mode the squares accumulate as an UNSIGNED 128-bit
-  * integer (x ≤ 2⁴⁰ ⇒ x² ≤ 2⁸⁰ overflows a long; 4M rows × 1000
-  * positions × 2⁸⁰ still fits 2¹²⁸ with room), and when the stack
-  * promotes to decimals the 128-bit total converts exactly and further
-  * squares are the scale-20 products of the SAME scale-10 HALF_UP
-  * quantized values the stack sums — so the semblance denominator is an
-  * exact rational in either mode, bit-reproducible under any merge
-  * order.
+  * integer at scale 0 (x ≤ 2⁴⁰ ⇒ x² ≤ 2⁸⁰ overflows a long; 4M rows ×
+  * 1000 positions × 2⁸⁰ still fits 2¹²⁸ with room); while it is in
+  * FAST10 mode the squares are the scale-20 products of the SAME exact
+  * scale-10 numerators (q² fits 2¹⁰⁴, unsigned 128-bit at scale 20 with
+  * an overflow guard that promotes to decimal near 2¹²⁰ — unreachable
+  * below ~10⁵ maximal-magnitude rows); and in decimal mode they are the
+  * scale-20 BigDecimal products of the SAME scale-10 HALF_UP quantized
+  * values the stack sums. Every promotion is exact, so the semblance
+  * denominator is an exact rational in every mode, bit-reproducible
+  * under any merge order.
   */
 final class SqAcc(var hi: Long, var lo: Long, var dec: JBigDecimal)
     extends Serializable {
+  /** true → the 128-bit value is a scale-20 numerator (FAST20 mode);
+    * false → a scale-0 integer (long mode). Meaningless once `dec` set.
+    */
+  var sc20: Boolean = false
 
   private def add128(pHi: Long, pLo: Long): Unit = {
     val newLo = lo + pLo
@@ -617,38 +762,126 @@ final class SqAcc(var hi: Long, var lo: Long, var dec: JBigDecimal)
   /** += v² (long mode; v integer-valued, |v| ≤ 2⁴⁰). */
   def addLong(v: Long): Unit = add128(Math.multiplyHigh(v, v), v * v)
 
+  /** += q² where q is an exact scale-10 numerator (FAST20 mode, with
+    * guard-promotion to decimal; dispatches to the decimal arm if a
+    * guard already promoted this accumulator).
+    */
+  def addQ(q: Long): Unit =
+    if (dec != null) dec = dec.add(SqAcc.decSq(q))
+    else {
+      if (java.lang.Long.compareUnsigned(hi, SqAcc.F20GuardHi) >= 0) {
+        promote()
+        dec = dec.add(SqAcc.decSq(q))
+      } else add128(Math.multiplyHigh(q, q), q * q)
+    }
+
   /** += q² (decimal mode; q already scale-10 quantized). */
   def addDec(q: JBigDecimal): Unit = dec = dec.add(q.multiply(q))
 
+  /** Enter FAST20 mode: exact when the scale-0 total is small enough to
+    * multiply by 10²⁰ inside 128 bits (≤ 2⁶⁰ — the common case: a few
+    * integer-mode rows before the first fractional shift); otherwise
+    * promotes to decimal, which addQ then feeds exactly. No-op if
+    * already FAST20 or decimal.
+    */
+  def ensureF20(): Unit =
+    if (dec == null && !sc20) {
+      if (hi == 0L && lo >= 0L && lo <= SqAcc.MaxSc0ToF20) {
+        val h1 = Math.multiplyHigh(lo, StackBuffer.E10)
+        val l1 = lo * StackBuffer.E10
+        val h2 = h1 * StackBuffer.E10 + SqAcc.uMulHighE10(l1)
+        val l2 = l1 * StackBuffer.E10
+        hi = h2; lo = l2; sc20 = true
+      } else promote()
+    }
+
   def toBigDecimal: JBigDecimal =
     if (dec != null) dec
+    else if (sc20) new JBigDecimal(SqAcc.toBigInt(hi, lo), 20)
     else new JBigDecimal(SqAcc.toBigInt(hi, lo)).setScale(20)
 
   /** Exact 128-bit → decimal promotion (no-op in decimal mode). */
   def promote(): Unit = if (dec == null) {
     dec = toBigDecimal
-    hi = 0L; lo = 0L
+    hi = 0L; lo = 0L; sc20 = false
   }
 
-  def mergeFrom(o: SqAcc): Unit =
+  def mergeFrom(o: SqAcc): Unit = {
+    if (dec == null && o.dec == null && sc20 != o.sc20) {
+      // align scales first: upscale the scale-0 side (exact or, if too
+      // big, a decimal promotion the re-check below routes correctly)
+      if (!sc20) ensureF20() else o.ensureF20()
+    }
     if (dec == null && o.dec == null) add128(o.hi, o.lo)
     else { promote(); dec = dec.add(o.toBigDecimal) }
+  }
 }
 
 object SqAcc {
   def empty(): SqAcc = new SqAcc(0L, 0L, null)
 
+  /** FAST20 guard: promote before an add once hi reaches 2⁵⁶ (value
+    * ≥ 2¹²⁰) — each q² add is < 2¹⁰⁵, leaving > 2²² adds of headroom
+    * before 128-bit wrap, and the first guarded add promotes.
+    */
+  val F20GuardHi: Long = 1L << 56
+  /** Largest scale-0 128-bit total that upscales to scale 20 inside
+    * 128 bits: 2⁶⁰ · 10²⁰ < 2¹²⁷.
+    */
+  val MaxSc0ToF20: Long = 1L << 60
+
+  /** Unsigned-high-word of a · 10¹⁰ (Java 17 has no
+    * Math.unsignedMultiplyHigh; the positive-multiplier correction term
+    * suffices).
+    */
+  @inline def uMulHighE10(a: Long): Long =
+    Math.multiplyHigh(a, StackBuffer.E10) + ((a >> 63) & StackBuffer.E10)
+
+  /** q² as an exact scale-20 decimal, through the 128-bit product
+    * (q² can exceed 2⁶³).
+    */
+  def decSq(q: Long): JBigDecimal =
+    new JBigDecimal(toBigInt(Math.multiplyHigh(q, q), q * q), 20)
+
   def toBigInt(hi: Long, lo: Long): java.math.BigInteger =
     java.math.BigInteger.valueOf(hi).shiftLeft(64)
       .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
 
+  /** Bulk big-endian long-array write — byte-identical to a writeLong
+    * loop, without DataOutputStream's per-value path: the velocity-panel
+    * profile showed BUFFER SERIALIZATION (≈64k writeLong calls per
+    * partial buffer, 2048 buffers a pass at sf0.1), not arithmetic, as
+    * the wall once the fixed-point tier landed.
+    */
+  def writeLongs(out: DataOutputStream, a: Array[Long]): Unit = {
+    val bytes = new Array[Byte](a.length * 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().put(a)
+    out.write(bytes)
+  }
+
+  def readLongs(in: DataInputStream, len: Int): Array[Long] = {
+    val bytes = new Array[Byte](len * 8)
+    in.readFully(bytes)
+    val a = new Array[Long](len)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(a)
+    a
+  }
+
   def write(out: DataOutputStream, s: SqAcc): Unit =
     if (s.dec != null) { out.writeByte(1); out.writeUTF(s.dec.toPlainString) }
-    else { out.writeByte(0); out.writeLong(s.hi); out.writeLong(s.lo) }
+    else {
+      out.writeByte(if (s.sc20) 2 else 0)
+      out.writeLong(s.hi); out.writeLong(s.lo)
+    }
 
-  def read(in: DataInputStream): SqAcc =
-    if (in.readByte() == 1) new SqAcc(0L, 0L, new JBigDecimal(in.readUTF()))
-    else new SqAcc(in.readLong(), in.readLong(), null)
+  def read(in: DataInputStream): SqAcc = in.readByte() match {
+    case 1 => new SqAcc(0L, 0L, new JBigDecimal(in.readUTF()))
+    case 2 =>
+      val s = new SqAcc(in.readLong(), in.readLong(), null)
+      s.sc20 = true
+      s
+    case _ => new SqAcc(in.readLong(), in.readLong(), null)
+  }
 }
 
 /** Aggregation state of [[MoveoutStackAgg]]: one exact-sum stack per
@@ -664,7 +897,7 @@ final class MoveoutBuffer(val stacks: Array[StackBuffer],
   * numeric step is the SAME code: the lerp is [[ShiftResampleExpr]]'s
   * formula verbatim (floor → int cast → frac → `v0 + (v1−v0)·f`, reads
   * outside the trace as 0), the per-candidate sums go through
-  * [[StackBuffer.add]] (the one shared exact-stacking path), the stacked
+  * [[StackBuffer.addWithQ]] (the one shared exact-stacking path), the stacked
   * mean through [[StackBuffer.meanArray]], the energy is [[DotExpr]]'s
   * left fold of the mean with itself, and ties resolve to the smallest
   * candidate (ascending scan, strict `>` replaces — the
@@ -739,6 +972,7 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
   // of 2 allocations per row
   @transient private var trScratch: Array[Double] = null
   @transient private var shScratch: Array[Double] = null
+  @transient private var qScratch: Array[Long] = null
 
   override def createAggregationBuffer(): MoveoutBuffer =
     new MoveoutBuffer(
@@ -756,6 +990,7 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
       if (trScratch == null || trScratch.length < n) {
         trScratch = new Array[Double](n)
         shScratch = new Array[Double](n)
+        qScratch = new Array[Long](n)
       }
       val tr = trScratch
       var i = 0
@@ -777,24 +1012,23 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
           shifted(i) = v0 + (v1 - v0) * f
           i += 1
         }
-        val wasLong = bufs(c).decSums == null
-        StackBuffer.add(bufs(c), shifted, n)
+        val mode = StackBuffer.addWithQ(bufs(c), shifted, n, qScratch)
         if (buf.sqs != null) {
-          // Σx² stays mode-paired with the stack: squares of the exact
-          // longs while the stack is long, squares of the SAME scale-10
-          // quantized values once it promotes (this row included)
+          // Σx² squares the SAME exact values the stack summed this row:
+          // the longs in long mode, the scale-10 numerators in fast10
+          // mode, the quantized decimals once fully promoted
           val sq = buf.sqs(c)
-          if (bufs(c).decSums == null) {
+          if (mode == 0) {
             i = 0
             while (i < n) { sq.addLong(shifted(i).toLong); i += 1 }
-          } else {
-            if (wasLong) sq.promote()
+          } else if (mode == 1) {
+            sq.ensureF20()
             i = 0
-            while (i < n) {
-              sq.addDec(JBigDecimal.valueOf(shifted(i))
-                .setScale(10, RoundingMode.HALF_UP))
-              i += 1
-            }
+            while (i < n) { sq.addQ(qScratch(i)); i += 1 }
+          } else {
+            sq.promote()
+            i = 0
+            while (i < n) { sq.addDec(StackBuffer.decQ(shifted(i))); i += 1 }
           }
         }
         c += 1
@@ -807,21 +1041,15 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
     var c = 0
     while (c < b.stacks.length) {
       if (b.sqs != null) {
-        // mirror StackBuffer.mergeInto's three cases, with predicates
-        // read BEFORE the stack merge mutates them: o empty → untouched;
-        // b empty → adopt o's state (same mode as the adopted stack
-        // arrays); else promote exactly when the stack merge promotes
-        val bs = b.stacks(c); val os = o.stacks(c)
-        if (os.length < 0) { /* nothing to merge */ }
-        else if (bs.length < 0) {
-          val sq = b.sqs(c); val osq = o.sqs(c)
+        // every SqAcc mode is self-describing (scale-0 / scale-20 /
+        // decimal) and all conversions are exact, so the Σx² merge no
+        // longer mirrors the stack merge's promotion decisions — the
+        // matrices may diverge in representation, never in value
+        val sq = b.sqs(c); val osq = o.sqs(c)
+        if (b.stacks(c).length < 0) {
           sq.hi = osq.hi; sq.lo = osq.lo; sq.dec = osq.dec
-        } else {
-          val keepLong = bs.decSums == null && os.decSums == null &&
-            bs.n + os.n <= StackBuffer.MaxLongRows
-          if (!keepLong) { b.sqs(c).promote(); o.sqs(c).promote() }
-          b.sqs(c).mergeFrom(o.sqs(c))
-        }
+          sq.sc20 = osq.sc20
+        } else if (o.stacks(c).length >= 0) sq.mergeFrom(osq)
       }
       StackBuffer.mergeInto(b.stacks(c), o.stacks(c))
       c += 1
@@ -831,7 +1059,8 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
 
   /** num = Σ_t s_t² over the EXACT per-position sums, as a scale-20
     * decimal — long sums square through BigInteger (s_t² can exceed
-    * 2⁶³), decimal sums through scale-10 × scale-10 products.
+    * 2⁶³), fast10 sums through their exact scale-10 decimals, decimal
+    * sums through scale-10 × scale-10 products.
     */
   private def numerator(b: StackBuffer): JBigDecimal = {
     var num = JBigDecimal.ZERO
@@ -839,6 +1068,12 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
       var i = 0
       while (i < b.decSums.length) {
         num = num.add(b.decSums(i).multiply(b.decSums(i))); i += 1
+      }
+    } else if (b.f10Hi != null) {
+      var i = 0
+      while (i < b.f10Hi.length) {
+        val s = new JBigDecimal(SqAcc.toBigInt(b.f10Hi(i), b.f10Lo(i)), 10)
+        num = num.add(s.multiply(s)); i += 1
       }
     } else if (b.longSums != null) {
       var acc = java.math.BigInteger.ZERO
@@ -886,7 +1121,9 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
   }
 
   override def serialize(buf: MoveoutBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
+    val len = math.max(0, buf.stacks(0).length)
+    val bos = new ByteArrayOutputStream(
+      8 + buf.stacks.length * (48 + 16 * len))
     val out = new DataOutputStream(bos)
     out.writeInt(buf.stacks.length)
     buf.stacks.foreach(StackBuffer.write(out, _))
@@ -919,6 +1156,11 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
   */
 final class PosSqAcc(var hi: Array[Long], var lo: Array[Long],
                      var dec: Array[JBigDecimal]) extends Serializable {
+  /** true → the 128-bit positions hold scale-20 numerators (FAST20);
+    * false → scale-0 integers (long mode). Meaningless once `dec` set.
+    */
+  var sc20: Boolean = false
+
   def length: Int =
     if (dec != null) dec.length else if (hi != null) hi.length else -1
 
@@ -928,6 +1170,35 @@ final class PosSqAcc(var hi: Array[Long], var lo: Array[Long],
   def ensureDec(n: Int): Unit =
     if (dec == null) dec = Array.fill(n)(JBigDecimal.ZERO)
 
+  /** Enter FAST20 mode: allocates fresh at length n, upscales a scale-0
+    * era exactly when every position is ≤ 2⁶⁰ (then ·10²⁰ fits 128
+    * bits), and otherwise promotes to decimal — addQ then feeds the
+    * decimal arm exactly. No-op if already FAST20 or decimal.
+    */
+  def ensureF20(n: Int): Unit = if (dec == null && !sc20) {
+    if (hi == null) {
+      hi = new Array[Long](n); lo = new Array[Long](n); sc20 = true
+    } else {
+      var ok = true
+      var i = 0
+      while (ok && i < hi.length) {
+        ok = hi(i) == 0L && lo(i) >= 0L && lo(i) <= SqAcc.MaxSc0ToF20
+        i += 1
+      }
+      if (ok) {
+        i = 0
+        while (i < hi.length) {
+          val h1 = Math.multiplyHigh(lo(i), StackBuffer.E10)
+          val l1 = lo(i) * StackBuffer.E10
+          hi(i) = h1 * StackBuffer.E10 + SqAcc.uMulHighE10(l1)
+          lo(i) = l1 * StackBuffer.E10
+          i += 1
+        }
+        sc20 = true
+      } else promote()
+    }
+  }
+
   /** 128-bit += v² at position i (long mode). */
   def addLong(i: Int, v: Long): Unit = {
     val pHi = Math.multiplyHigh(v, v); val pLo = v * v
@@ -936,23 +1207,44 @@ final class PosSqAcc(var hi: Array[Long], var lo: Array[Long],
     lo(i) = nLo; hi(i) += pHi
   }
 
+  /** += q² at position i where q is an exact scale-10 numerator (FAST20
+    * mode, guard-promoting the whole accumulator to decimal near the
+    * 128-bit ceiling; dispatches to the decimal arm after promotion).
+    */
+  def addQ(i: Int, q: Long): Unit =
+    if (dec != null) dec(i) = dec(i).add(SqAcc.decSq(q))
+    else {
+      if (java.lang.Long.compareUnsigned(hi(i), SqAcc.F20GuardHi) >= 0) {
+        promote()
+        dec(i) = dec(i).add(SqAcc.decSq(q))
+      } else addLong(i, q) // same 128-bit += q², scale carried by sc20
+    }
+
   /** += q² at position i (decimal mode; q scale-10 quantized). */
   def addDec(i: Int, q: JBigDecimal): Unit = dec(i) = dec(i).add(q.multiply(q))
 
   def posDec(i: Int): JBigDecimal =
     if (dec != null) dec(i)
+    else if (sc20) new JBigDecimal(SqAcc.toBigInt(hi(i), lo(i)), 20)
     else new JBigDecimal(SqAcc.toBigInt(hi(i), lo(i))).setScale(20)
 
   /** Exact per-position 128-bit → decimal promotion. */
   def promote(): Unit = if (dec == null && hi != null) {
-    dec = Array.tabulate(hi.length)(i =>
-      new JBigDecimal(SqAcc.toBigInt(hi(i), lo(i))).setScale(20))
-    hi = null; lo = null
+    dec = Array.tabulate(hi.length)(posDec)
+    hi = null; lo = null; sc20 = false
   }
 
   def mergeFrom(o: PosSqAcc): Unit = {
     if (o.length < 0) return
-    if (length < 0) { hi = o.hi; lo = o.lo; dec = o.dec; return }
+    if (length < 0) {
+      hi = o.hi; lo = o.lo; dec = o.dec; sc20 = o.sc20
+      return
+    }
+    if (dec == null && o.dec == null && sc20 != o.sc20) {
+      // align scales: upscale the scale-0 side exactly (or promote it
+      // to decimal if too big — the re-check below routes that)
+      if (!sc20) ensureF20(hi.length) else o.ensureF20(o.hi.length)
+    }
     if (dec == null && o.dec == null) {
       var i = 0
       while (i < hi.length) {
@@ -978,7 +1270,8 @@ object PosSqAcc {
       if (p.dec != null) {
         out.writeByte(1); p.dec.foreach(d => out.writeUTF(d.toPlainString))
       } else {
-        out.writeByte(0); p.hi.foreach(out.writeLong); p.lo.foreach(out.writeLong)
+        out.writeByte(if (p.sc20) 2 else 0)
+        SqAcc.writeLongs(out, p.hi); SqAcc.writeLongs(out, p.lo)
       }
     }
   }
@@ -986,12 +1279,14 @@ object PosSqAcc {
   def read(in: DataInputStream): PosSqAcc = {
     val n = in.readInt()
     if (n < 0) empty()
-    else if (in.readByte() == 1)
-      new PosSqAcc(null, null, Array.fill(n)(new JBigDecimal(in.readUTF())))
-    else {
-      val hi = Array.fill(n)(in.readLong())
-      val lo = Array.fill(n)(in.readLong())
-      new PosSqAcc(hi, lo, null)
+    else in.readByte() match {
+      case 1 =>
+        new PosSqAcc(null, null,
+          Array.fill(n)(new JBigDecimal(in.readUTF())))
+      case tag =>
+        val p = new PosSqAcc(SqAcc.readLongs(in, n), SqAcc.readLongs(in, n), null)
+        p.sc20 = tag == 2
+        p
     }
   }
 }
@@ -1067,6 +1362,7 @@ case class MoveoutPanelAgg(samples: Expression, offset: Expression,
   @transient private lazy val cands: Array[Double] = candidates.toArray
   @transient private var trScratch: Array[Double] = null
   @transient private var shScratch: Array[Double] = null
+  @transient private var qScratch: Array[Long] = null
 
   override def createAggregationBuffer(): PanelBuffer =
     new PanelBuffer(
@@ -1083,6 +1379,7 @@ case class MoveoutPanelAgg(samples: Expression, offset: Expression,
       if (trScratch == null || trScratch.length < n) {
         trScratch = new Array[Double](n)
         shScratch = new Array[Double](n)
+        qScratch = new Array[Long](n)
       }
       val tr = trScratch
       var i = 0
@@ -1104,20 +1401,24 @@ case class MoveoutPanelAgg(samples: Expression, offset: Expression,
           shifted(i) = v0 + (v1 - v0) * f
           i += 1
         }
-        val wasLong = buf.stacks(c).decSums == null
-        StackBuffer.add(buf.stacks(c), shifted, n)
+        // Σx² squares the SAME exact values the stack summed this row:
+        // longs / scale-10 numerators / quantized decimals by mode
+        val mode = StackBuffer.addWithQ(buf.stacks(c), shifted, n, qScratch)
         val p = buf.pos(c)
-        if (buf.stacks(c).decSums == null) {
+        if (mode == 0) {
           p.ensureLong(n)
           i = 0
           while (i < n) { p.addLong(i, shifted(i).toLong); i += 1 }
+        } else if (mode == 1) {
+          p.ensureF20(n)
+          i = 0
+          while (i < n) { p.addQ(i, qScratch(i)); i += 1 }
         } else {
-          if (wasLong) p.promote()
+          p.promote()
           p.ensureDec(n)
           i = 0
           while (i < n) {
-            p.addDec(i, JBigDecimal.valueOf(shifted(i))
-              .setScale(10, RoundingMode.HALF_UP))
+            p.addDec(i, StackBuffer.decQ(shifted(i)))
             i += 1
           }
         }
@@ -1130,18 +1431,10 @@ case class MoveoutPanelAgg(samples: Expression, offset: Expression,
   override def merge(b: PanelBuffer, o: PanelBuffer): PanelBuffer = {
     var c = 0
     while (c < b.stacks.length) {
-      // mirror StackBuffer.mergeInto's predicates, read pre-merge
-      val bs = b.stacks(c); val os = o.stacks(c)
-      if (os.length < 0) { /* nothing */ }
-      else if (bs.length < 0) {
-        val bp = b.pos(c); val op = o.pos(c)
-        bp.hi = op.hi; bp.lo = op.lo; bp.dec = op.dec
-      } else {
-        val keepLong = bs.decSums == null && os.decSums == null &&
-          bs.n + os.n <= StackBuffer.MaxLongRows
-        if (!keepLong) { b.pos(c).promote(); o.pos(c).promote() }
-        b.pos(c).mergeFrom(o.pos(c))
-      }
+      // PosSqAcc modes are self-describing and every conversion exact,
+      // so the Σx² merge runs its own matrix (mergeFrom handles the
+      // empty sides too) — no stack-predicate mirroring needed
+      b.pos(c).mergeFrom(o.pos(c))
       StackBuffer.mergeInto(b.stacks(c), o.stacks(c))
       c += 1
     }
@@ -1164,6 +1457,8 @@ case class MoveoutPanelAgg(samples: Expression, offset: Expression,
       while (t < len) {
         val s =
           if (b.decSums != null) b.decSums(t)
+          else if (b.f10Hi != null)
+            new JBigDecimal(SqAcc.toBigInt(b.f10Hi(t), b.f10Lo(t)), 10)
           else JBigDecimal.valueOf(b.longSums(t))
         pNum(t + 1) = pNum(t).add(s.multiply(s))
         pDen(t + 1) = pDen(t).add(buf.pos(c).posDec(t))
@@ -1188,7 +1483,12 @@ case class MoveoutPanelAgg(samples: Expression, offset: Expression,
   }
 
   override def serialize(buf: PanelBuffer): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
+    // presized for the dominant fixed-point case (hi+lo per stack and
+    // per pos entry): ~64 KB per candidate at 1000 samples — growing a
+    // default-32-byte stream there doubles ~11 times per buffer
+    val len = math.max(0, buf.stacks(0).length)
+    val bos = new ByteArrayOutputStream(
+      8 + buf.stacks.length * (32 + 32 * len))
     val out = new DataOutputStream(bos)
     out.writeInt(buf.stacks.length)
     buf.stacks.foreach(StackBuffer.write(out, _))
