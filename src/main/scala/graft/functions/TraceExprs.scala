@@ -187,16 +187,50 @@ final case class AgcExpr(child: Expression, window: Int)
       v(i) = TraceExprs.elemStrict(prettyName, a, i, isFloat); i += 1
     }
     val out = new Array[Double](n)
+    // INTEGRAL fast path — O(n) sliding sum instead of the O(n·window)
+    // fold: when every sample is integer-valued with |x| ≤ 2²⁰ and the
+    // window ≤ 2¹³, every windowed Σx² is an exact integer ≤ 2⁵³, so the
+    // double fold, the long sliding accumulator, and any other order all
+    // produce the SAME exact value — bit-identical output, 40× fewer ops
+    // at window 121. (SEG-Y fixed-point formats 1/2/3/8 land here; fully
+    // fractional data keeps the direct fold below, whose left-to-right
+    // order the oracle replays.)
+    var allInt = window <= 8191
     i = 0
-    while (i < n) {
-      val lo = math.max(0, i - half)
-      val hi = math.min(n - 1, i + half)
-      var acc = 0.0
-      var j = lo
-      while (j <= hi) { acc += v(j) * v(j); j += 1 }
-      val rms = math.sqrt(acc / (hi - lo + 1).toDouble)
-      out(i) = if (rms > 0.0) v(i) / rms else 0.0
+    while (allInt && i < n) {
+      val x = v(i)
+      allInt = x == math.rint(x) && math.abs(x) <= 1048576.0
       i += 1
+    }
+    if (allInt) {
+      val sq = new Array[Long](n)
+      i = 0
+      while (i < n) { val l = v(i).toLong; sq(i) = l * l; i += 1 }
+      var acc = 0L
+      var lo = 0
+      var hi = -1 // inclusive live window [lo, hi]
+      i = 0
+      while (i < n) {
+        val nLo = math.max(0, i - half)
+        val nHi = math.min(n - 1, i + half)
+        while (hi < nHi) { hi += 1; acc += sq(hi) }
+        while (lo < nLo) { acc -= sq(lo); lo += 1 }
+        val rms = math.sqrt(acc.toDouble / (nHi - nLo + 1).toDouble)
+        out(i) = if (rms > 0.0) v(i) / rms else 0.0
+        i += 1
+      }
+    } else {
+      i = 0
+      while (i < n) {
+        val lo = math.max(0, i - half)
+        val hi = math.min(n - 1, i + half)
+        var acc = 0.0
+        var j = lo
+        while (j <= hi) { acc += v(j) * v(j); j += 1 }
+        val rms = math.sqrt(acc / (hi - lo + 1).toDouble)
+        out(i) = if (rms > 0.0) v(i) / rms else 0.0
+        i += 1
+      }
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }

@@ -265,6 +265,43 @@ class StackFastPathFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("AGC integral sliding-window fast path is bit-identical to the fold") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    def direct(v: Array[Double], window: Int): Array[Double] = {
+      val n = v.length; val half = window / 2
+      Array.tabulate(n) { i =>
+        val lo = math.max(0, i - half); val hi = math.min(n - 1, i + half)
+        var acc = 0.0
+        var j = lo
+        while (j <= hi) { acc += v(j) * v(j); j += 1 }
+        val rms = math.sqrt(acc / (hi - lo + 1).toDouble)
+        if (rms > 0.0) v(i) / rms else 0.0
+      }
+    }
+    val rnd = new scala.util.Random(5)
+    (0 until 60).foreach { it =>
+      val n = 1 + rnd.nextInt(400)
+      val window = Seq(1, 3, 121, 1023, 8191)(rnd.nextInt(5))
+      val v = rnd.nextInt(3) match {
+        case 0 => Array.fill(n)( // integral incl. the ±2^20 bound
+          (rnd.nextInt(2097153) - 1048576).toDouble)
+        case 1 => Array.fill(n)(rnd.nextDouble() * 2000 - 1000)
+        case _ => Array.fill(n)(if (rnd.nextBoolean())
+          rnd.nextInt(100).toDouble else rnd.nextDouble())
+      }
+      val expr = AgcExpr(Literal(ArrayData.toArrayData(v),
+        ArrayType(DoubleType, containsNull = false)), window)
+      val got = expr.kernel(ArrayData.toArrayData(v)).toDoubleArray()
+      val want = direct(v, window)
+      (0 until n).foreach(i =>
+        assert(java.lang.Double.doubleToRawLongBits(got(i)) ==
+          java.lang.Double.doubleToRawLongBits(want(i)),
+          s"iter $it n=$n window=$window pos $i: ${got(i)} vs ${want(i)}"))
+    }
+  }
+
   test("PosSqAcc: guard promotion mid-stream keeps every position exact") {
     val len = 3
     val q = StackBuffer.q10(262143.0 + 1023.0 / 1024)
