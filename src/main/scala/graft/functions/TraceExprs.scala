@@ -203,9 +203,9 @@ final case class AgcExpr(child: Expression, window: Int)
       i += 1
     }
     if (allInt) {
-      val sq = new Array[Long](n)
-      i = 0
-      while (i < n) { val l = v(i).toLong; sq(i) = l * l; i += 1 }
+      // squares recomputed on window entry/exit (each element exactly
+      // twice) — a per-row squares array would be 8 KB of allocation
+      // per 1000-sample row, which measurably GC-bound the long query
       var acc = 0L
       var lo = 0
       var hi = -1 // inclusive live window [lo, hi]
@@ -213,8 +213,8 @@ final case class AgcExpr(child: Expression, window: Int)
       while (i < n) {
         val nLo = math.max(0, i - half)
         val nHi = math.min(n - 1, i + half)
-        while (hi < nHi) { hi += 1; acc += sq(hi) }
-        while (lo < nLo) { acc -= sq(lo); lo += 1 }
+        while (hi < nHi) { hi += 1; val l = v(hi).toLong; acc += l * l }
+        while (lo < nLo) { val l = v(lo).toLong; acc -= l * l; lo += 1 }
         val rms = math.sqrt(acc.toDouble / (nHi - nLo + 1).toDouble)
         out(i) = if (rms > 0.0) v(i) / rms else 0.0
         i += 1
