@@ -846,7 +846,14 @@ final class SqAcc(var hi: Long, var lo: Long, var dec: JBigDecimal)
       // big, a decimal promotion the re-check below routes correctly)
       if (!sc20) ensureF20() else o.ensureF20()
     }
-    if (dec == null && o.dec == null) add128(o.hi, o.lo)
+    // merge guard: addQ's per-add guard bounds ONE buffer below ~2^120,
+    // but merges COMPOSE (one partial per map partition) — unguarded,
+    // ~2^7 guard-limit partials walk the total past 2^127 where the
+    // signed hi read turns Σx² negative. Promote to decimal instead.
+    if (dec == null && o.dec == null &&
+        java.lang.Long.compareUnsigned(hi, SqAcc.MergeGuardHi) < 0 &&
+        java.lang.Long.compareUnsigned(o.hi, SqAcc.MergeGuardHi) < 0)
+      add128(o.hi, o.lo)
     else { promote(); dec = dec.add(o.toBigDecimal) }
   }
 }
@@ -859,6 +866,13 @@ object SqAcc {
     * before 128-bit wrap, and the first guarded add promotes.
     */
   val F20GuardHi: Long = 1L << 56
+  /** MERGE guard: a pairwise 128-bit merge is safe only while both
+    * sides are < 2¹²⁶ (sum < 2¹²⁷, the signed-hi ceiling); sides at or
+    * above promote to decimal. Large enough that the long-mode bound
+    * (4M rows × 1000 positions × 2⁸⁰ = 2¹²²) and any single guarded
+    * FAST20 buffer never trip it.
+    */
+  val MergeGuardHi: Long = 1L << 62
   /** Largest scale-0 128-bit total that upscales to scale 20 inside
     * 128 bits: 2⁶⁰ · 10²⁰ < 2¹²⁷.
     */
@@ -1074,17 +1088,11 @@ case class MoveoutStackAgg(samples: Expression, offset: Expression,
   override def merge(b: MoveoutBuffer, o: MoveoutBuffer): MoveoutBuffer = {
     var c = 0
     while (c < b.stacks.length) {
-      if (b.sqs != null) {
-        // every SqAcc mode is self-describing (scale-0 / scale-20 /
-        // decimal) and all conversions are exact, so the Σx² merge no
-        // longer mirrors the stack merge's promotion decisions — the
-        // matrices may diverge in representation, never in value
-        val sq = b.sqs(c); val osq = o.sqs(c)
-        if (b.stacks(c).length < 0) {
-          sq.hi = osq.hi; sq.lo = osq.lo; sq.dec = osq.dec
-          sq.sc20 = osq.sc20
-        } else if (o.stacks(c).length >= 0) sq.mergeFrom(osq)
-      }
+      // every SqAcc mode is self-describing (scale-0 / scale-20 /
+      // decimal) and all conversions are exact, so the Σx² merge runs
+      // its own matrix unconditionally — an empty side is a scale-0
+      // zero, which every pairing absorbs exactly
+      if (b.sqs != null) b.sqs(c).mergeFrom(o.sqs(c))
       StackBuffer.mergeInto(b.stacks(c), o.stacks(c))
       c += 1
     }
@@ -1279,7 +1287,19 @@ final class PosSqAcc(var hi: Array[Long], var lo: Array[Long],
       // to decimal if too big — the re-check below routes that)
       if (!sc20) ensureF20(hi.length) else o.ensureF20(o.hi.length)
     }
-    if (dec == null && o.dec == null) {
+    // same composing-merges overflow guard as SqAcc.mergeFrom, per
+    // position: any side at ≥ 2¹²⁶ routes the whole merge to decimal
+    var fits = dec == null && o.dec == null
+    if (fits) {
+      var i = 0
+      while (fits && i < hi.length) {
+        fits =
+          java.lang.Long.compareUnsigned(hi(i), SqAcc.MergeGuardHi) < 0 &&
+          java.lang.Long.compareUnsigned(o.hi(i), SqAcc.MergeGuardHi) < 0
+        i += 1
+      }
+    }
+    if (fits) {
       var i = 0
       while (i < hi.length) {
         val nLo = lo(i) + o.lo(i)

@@ -142,13 +142,21 @@ object DedupIndex {
       : (Option[Int], Option[(Int, Int)]) =
     try {
       val t = spark.read.parquet(s"$indexPath/sigs")
-      val k = t.where(col("band").isNull)
-        .select(size(col("sig"))).limit(1).collect().headOption.map(_.getInt(0))
       val others = t.columns.filterNot(Set("band", "band_hash", "sig"))
-      val meta = t.where(col(others.head).isNull)
-        .select(col("band"), col("band_hash")).limit(1).collect().headOption
-        .map(r => (r.getInt(0), r.getLong(1).toInt))
-      (k, meta)
+      // ONE driver-blocking job for all three limit-1 probes (this runs
+      // per micro-batch on the streaming append path — two separate
+      // collect() jobs doubled the per-batch planning/footer cost)
+      val rows = t.where(col("band").isNull)
+        .select(lit(0).as("w"), size(col("sig")).cast("long").as("v")).limit(1)
+        .unionByName(t.where(col(others.head).isNull)
+          .select(lit(1).as("w"), col("band").cast("long").as("v")).limit(1))
+        .unionByName(t.where(col(others.head).isNull)
+          .select(lit(2).as("w"), col("band_hash").cast("long").as("v"))
+          .limit(1))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val meta = for { n <- rows.get(1); b <- rows.get(2) }
+        yield (n.toInt, b.toInt)
+      (rows.get(0).map(_.toInt), meta)
     } catch { case _: org.apache.spark.sql.AnalysisException => (None, None) }
 
   /** Fail loudly on any parameter mismatch against the stored index —

@@ -139,6 +139,19 @@ object Retrieval {
     *    exists to avoid can't happen here because both arms are fully
     *    consumed by the single write job below.
     *
+    *    Known tradeoff vs the parquet stage: a cached block lost between
+    *    the count and the write (executor death on a real cluster) makes
+    *    Spark recompute that partition from lineage, re-executing the
+    *    embedding stateful operator against an already-committed state
+    *    version — which micro-batch validation rejects, FAILING the
+    *    batch. That is recoverable, not corrupting: the restart replays
+    *    the batch and the [[graft.streaming.BatchMarkers]] idempotence
+    *    check skips any half-applied append. The parquet stage never
+    *    fails this way (files survive executors) at the cost of a
+    *    write+read round-trip per micro-batch; deployments appending
+    *    very large batches on flaky fleets can prefer the build path's
+    *    staged barrier by calling buildIndex-style overwrite batching.
+    *
     * ATOMIC per append: the index is ONE table. Each call appends its
     * corpus stats as a single null-term MARKER ROW
     * `(id=NULL, dl=Σdl, term=NULL, tf=n_docs)` unioned into the same

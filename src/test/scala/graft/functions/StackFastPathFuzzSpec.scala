@@ -265,6 +265,50 @@ class StackFastPathFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("SqAcc: COMPOSED merges past 2^127 promote instead of wrapping") {
+    // addQ's guard bounds one buffer below ~2^120, but merges compose —
+    // one partial per map partition. 128 guard-limit partials exceed
+    // 2^127, where an unguarded 128-bit sum turns Σx² negative.
+    val q = StackBuffer.q10(262143.0 + 1023.0 / 1024)
+    val perBuf = 190000 // stays below the per-add guard
+    val one = SqAcc.empty()
+    one.ensureF20()
+    (0 until perBuf).foreach(_ => one.addQ(q))
+    assert(one.dec == null, "base buffer should still be fixed-point")
+    def clone1(): SqAcc = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      SqAcc.write(out, one); out.flush()
+      SqAcc.read(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(bos.toByteArray)))
+    }
+    val acc = SqAcc.empty()
+    acc.ensureF20()
+    val copies = 128
+    (0 until copies).foreach(_ => acc.mergeFrom(clone1()))
+    val ref = SqAcc.decSq(q).multiply(new JBD(perBuf.toLong * copies))
+    assert(acc.toBigDecimal.signum() > 0, "merged Σx² wrapped negative")
+    assert(acc.toBigDecimal.compareTo(ref) == 0)
+  }
+
+  test("PosSqAcc: COMPOSED merges past 2^127 promote instead of wrapping") {
+    val len = 2
+    val q = StackBuffer.q10(262143.0 + 1023.0 / 1024)
+    val perBuf = 190000
+    val one = PosSqAcc.empty()
+    one.ensureF20(len)
+    (0 until perBuf).foreach(_ => (0 until len).foreach(i => one.addQ(i, q)))
+    assert(one.dec == null)
+    val acc = PosSqAcc.empty()
+    val copies = 128
+    (0 until copies).foreach(_ => acc.mergeFrom(posRoundtrip(one)))
+    val ref = SqAcc.decSq(q).multiply(new JBD(perBuf.toLong * copies))
+    (0 until len).foreach { i =>
+      assert(acc.posDec(i).signum() > 0, s"pos $i wrapped negative")
+      assert(acc.posDec(i).compareTo(ref) == 0)
+    }
+  }
+
   test("AGC integral sliding-window fast path is bit-identical to the fold") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

@@ -139,6 +139,32 @@ class TraceOpsSpec extends SparkSpec {
     }
   }
 
+  test("by-cell pre-partitioning is reused by the aggregate: ONE exchange") {
+    // the registered long-trace queries repartition by the group key so
+    // each cell's Θ(cands·nSamples) state lives in exactly one task —
+    // that only holds if the groupBy REUSES the hash partitioning
+    // instead of planting a second shuffle; guard the plan property
+    val df = Seq((1, 0.0, Seq(1.0, 2.0, 3.0)), (2, 1.0, Seq(2.0, 0.0, 1.0)),
+        (1, 2.0, Seq(0.0, 1.0, 2.0)))
+      .toDF("cell", "off", "v")
+      .repartition(4, col("cell"))
+    Seq(
+      TraceOps.semblancePanel(df, Seq("cell"), "v", 3, "off",
+        Seq(0.0, 0.5), window = 3),
+      TraceOps.moveoutScan(df, Seq("cell"), "v", 3, "off", Seq(0.0, 0.5)),
+      TraceOps.stack(df, Seq("cell"), "v", nSamples = 3)
+    ).foreach { r =>
+      r.collect() // force AQE to finalize
+      val plan = r.queryExecution.executedPlan.toString
+      // AQE prints the plan twice (Final + Initial), so ONE live shuffle
+      // = exactly two "Exchange hashpartitioning" lines; a groupBy that
+      // re-shuffled instead of reusing the repartition would print four
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(shuffles == 2,
+        s"expected the explicit repartition to be the ONLY shuffle:\n$plan")
+    }
+  }
+
   test("FIR expressions with equal taps are structurally EQUAL (canonicalization)") {
     import graft.functions.FirFilterExpr
     import org.apache.spark.sql.catalyst.expressions.BoundReference
