@@ -265,6 +265,49 @@ class StackFastPathFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("StackBuffer: long+long merges past the row cap promote to fast10") {
+    // the over-cap pairing used to promote to decimal; it now lands on
+    // fast10 (exact either way) — pin exactness at adversarial sums
+    val len = 3
+    val q = new Array[Long](len)
+    val big = StackBuffer.MaxLongAbs.toDouble // 2^40, long-mode ceiling
+    val a = new StackBuffer(0L, null, null)
+    val b = new StackBuffer(0L, null, null)
+    (0 until 5).foreach { _ =>
+      StackBuffer.addWithQ(a, Array(big, -big, 7.0), len, q): Unit
+      StackBuffer.addWithQ(b, Array(big, big, -3.0), len, q): Unit
+    }
+    assert(a.longSums != null && b.longSums != null)
+    a.n = StackBuffer.MaxLongRows - 2 // force the over-cap pairing
+    b.n = 5L
+    StackBuffer.mergeInto(a, b)
+    assert(a.f10Hi != null, "over-cap long+long should merge as fast10")
+    // exact expectations: 5 rows each side
+    val sums = Seq(10 * big.toLong, 0L, 5 * 7L - 5 * 3L)
+    (0 until len).foreach { i =>
+      val got = new JBD(SqAcc.toBigInt(a.f10Hi(i), a.f10Lo(i)), 10)
+      assert(got.compareTo(new JBD(sums(i)).setScale(10)) == 0,
+        s"pos $i: $got")
+    }
+  }
+
+  test("SqAcc.ensureF20 at the 2^60 upscale boundary: exact or decimal") {
+    // just under the bound: exact ×10^20 inside 128 bits
+    val under = SqAcc.empty()
+    under.lo = SqAcc.MaxSc0ToF20 // largest upscalable scale-0 total
+    under.ensureF20()
+    assert(under.dec == null && under.sc20)
+    val want = new JBD(SqAcc.MaxSc0ToF20).setScale(20)
+    assert(under.toBigDecimal.compareTo(want) == 0)
+    // just over: promotes to decimal, value preserved exactly
+    val over = SqAcc.empty()
+    over.lo = SqAcc.MaxSc0ToF20 + 1
+    over.ensureF20()
+    assert(over.dec != null)
+    assert(over.toBigDecimal.compareTo(
+      new JBD(SqAcc.MaxSc0ToF20 + 1).setScale(20)) == 0)
+  }
+
   test("SqAcc: COMPOSED merges past 2^127 promote instead of wrapping") {
     // addQ's guard bounds one buffer below ~2^120, but merges compose —
     // one partial per map partition. 128 guard-limit partials exceed
