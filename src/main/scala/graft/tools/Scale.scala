@@ -57,9 +57,11 @@ object Scale {
     // x 1000 samples, exact semblance folds)
     "q_moveout_semblance_long",
     // round-15: the bounded-state session replay (state peak must stay at
-    // |slice| + |horizon|) and the forced-refine exact-quantiles shape
+    // |slice| + |horizon|), the forced-refine exact-quantiles shape, and
+    // the velocity-spectrum panel (heaviest per-cell aggregation state)
     "q_stream_sessions_bounded",
     "q_exact_quantiles_refine",
+    "q_moveout_panel_long",
   )
 
   private def peakHeapMb(): Double = {
