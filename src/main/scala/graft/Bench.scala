@@ -72,6 +72,31 @@ object Bench {
         try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () })
     }
 
+    // Box-health controls: a bench total is only comparable across rounds
+    // if the box was equally healthy both days — two consecutive closing
+    // records (r14's outlier, r15's 222.9 s) needed prose to explain a
+    // degraded-I/O day. Formalized here: a fixed set of RARELY-TOUCHED
+    // queries runs median-of-3 BEFORE and AFTER the timed sweep and both
+    // medians land in the record itself, so any future reader can
+    // normalize a total against the controls' drift from their historical
+    // ~1.5 s / ~0.4 s / ~2.3 s instead of trusting the round's prose.
+    // Empty SPARK_GRAFT_BENCH_CONTROLS disables (focused re-benches).
+    val controlSet = sys.env.getOrElse("SPARK_GRAFT_BENCH_CONTROLS",
+      if (args.isEmpty) "q_dedup_components_best,q_stats,q_bm25" else "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    def controlPass(): Seq[(String, Double)] = controlSet.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val secs = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          try { fullCount(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 } // a broken control reads -1,
+                                              // never kills the record
+        }.sorted
+        name -> secs(1)
+      }
+    }
+    val controlsPre = controlPass()
+
     // SPARK_GRAFT_BENCH_REPEATS > 1 → each query runs N times BACK TO
     // BACK and reports the per-query MEDIAN plus the min–max spread:
     // same-day full-suite totals vary ±20% run-to-run on this box, so
@@ -107,7 +132,15 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, r) if r.ok => r.sec }.sum
     val nFail = results.count(!_._2.ok)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"repeats":$repeats,"sf":"$sfDir"}"""
+    val controlsPost = controlPass()
+    val controlsJson =
+      if (controlSet.isEmpty) ""
+      else {
+        def block(xs: Seq[(String, Double)]) =
+          xs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+        s""","controls":{"pre":${block(controlsPre)},"post":${block(controlsPost)}}"""
+      }
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"repeats":$repeats$controlsJson,"sf":"$sfDir"}"""
     println(line)
     if (args.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

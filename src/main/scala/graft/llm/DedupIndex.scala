@@ -143,28 +143,45 @@ object DedupIndex {
     try {
       val t = spark.read.parquet(s"$indexPath/sigs")
       val others = t.columns.filterNot(Set("band", "band_hash", "sig"))
-      // ONE driver-blocking job for all three limit-1 probes (this runs
-      // per micro-batch on the streaming append path — two separate
-      // collect() jobs doubled the per-batch planning/footer cost)
+      // ONE driver-blocking job for both limit-1 probes (this runs per
+      // micro-batch on the streaming append path — separate collect()
+      // jobs multiplied the per-batch planning/footer cost), and (n,
+      // bands) come from the SAME meta row: two independent limit(1)
+      // probes could pair values from different meta rows on an index
+      // whose appends ever skipped validation
       val rows = t.where(col("band").isNull)
-        .select(lit(0).as("w"), size(col("sig")).cast("long").as("v")).limit(1)
+        .select(lit(0).as("w"), size(col("sig")).cast("long").as("v1"),
+          lit(0L).as("v2")).limit(1)
         .unionByName(t.where(col(others.head).isNull)
-          .select(lit(1).as("w"), col("band").cast("long").as("v")).limit(1))
-        .unionByName(t.where(col(others.head).isNull)
-          .select(lit(2).as("w"), col("band_hash").cast("long").as("v"))
-          .limit(1))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val meta = for { n <- rows.get(1); b <- rows.get(2) }
-        yield (n.toInt, b.toInt)
-      (rows.get(0).map(_.toInt), meta)
+          .select(lit(1).as("w"), col("band").cast("long").as("v1"),
+            col("band_hash").as("v2")).limit(1))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val meta = rows.get(1).map { case (n, b) => (n.toInt, b.toInt) }
+      (rows.get(0).map(_._1.toInt), meta)
     } catch { case _: org.apache.spark.sql.AnalysisException => (None, None) }
+
+  /** Per-JVM cache of FULLY-KNOWN index parameters, keyed by index path.
+    * An index's (n, k, bands) are immutable once written — every append
+    * validates equality and compaction preserves the meta rows — so one
+    * successful read (or this JVM's own write) pins them for the JVM's
+    * lifetime and the streaming append path stops paying a probe job per
+    * micro-batch. A rebuild (`buildIndex` overwrite) in THIS JVM refreshes
+    * the entry; a concurrent rebuild from another JVM is outside the
+    * single-writer contract appends already require.
+    */
+  private val paramsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, (Int, Int))]()
 
   /** Fail loudly on any parameter mismatch against the stored index —
     * mismatched (n, k, bands) silently mixes incompatible hash spaces.
     */
   private def validateParams(spark: SparkSession, indexPath: String,
                              what: String, n: Int, k: Int, bands: Int): Unit = {
-    val (storedK, storedMeta) = storedParams(spark, indexPath)
+    val cached = Option(paramsCache.get(indexPath))
+    val (storedK, storedMeta) = cached match {
+      case Some((ck, cm)) => (Some(ck), Some(cm))
+      case None => storedParams(spark, indexPath)
+    }
     require(storedK.forall(_ == k),
       s"$what with k=$k against an index built with k=${storedK.get}")
     storedMeta.foreach { case (sn, sb) =>
@@ -172,6 +189,11 @@ object DedupIndex {
         s"$what with (n=$n, bands=$bands) against an index built with " +
           s"(n=$sn, bands=$sb)")
     }
+    // cache only complete pairs; a pre-meta-row index stays probe-per-call
+    // until its first post-upgrade append writes the meta row
+    if (cached.isEmpty)
+      for { sk <- storedK; sm <- storedMeta }
+        paramsCache.put(indexPath, (sk, sm)): Unit
   }
 
   private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
@@ -209,6 +231,11 @@ object DedupIndex {
         .sortWithinPartitions("band", "band_hash")
         .write.mode(mode).parquet(s"$indexPath/sigs")
     }
+    // after ANY successful write the stored params ARE (n, k, bands):
+    // overwrite sets them, append validated equality first. Refreshing
+    // here keeps the cache correct across an in-JVM rebuild and seeds it
+    // for the streaming append path (no probe job on the next batch).
+    paramsCache.put(indexPath, (k, (n, bands))): Unit
   }
 
   /** Shared candidate → verify stage: hot-bucket cap, bucket equi-join,

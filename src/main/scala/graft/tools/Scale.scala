@@ -96,6 +96,16 @@ object Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // experiment knobs (e.g. the bounded-session replay's
+    // graft.stream.rowsPerSlice / graft.stream.stateStore) ride in as
+    // runtime confs: SPARK_GRAFT_EXTRA_CONFS="k1=v1,k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach { kvs =>
+      kvs.split(",").map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    }
+
     graft.core.Tables.all.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").foreach(_ => ())
       catch { case _: Throwable => () }

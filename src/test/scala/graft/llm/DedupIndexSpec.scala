@@ -119,4 +119,22 @@ class DedupIndexSpec extends SparkSpec {
     assert(DedupIndex.pairsFromIndex(spark, idx).columns
       .sameElements(Array("id_a", "id_b", "est_jaccard")))
   }
+
+  test("per-JVM params cache refreshes on an in-JVM rebuild") {
+    val idx = graft.core.TempDirs.scratch("dedup_idx_cache")
+    DedupIndex.buildIndex(docs.limit(30), idx, n = 3, k = 32, bands = 8)
+    // seed the cache through a validated append
+    DedupIndex.appendToIndex(
+      docs.where(col("doc_id").between(31, 60)), idx)
+    // REBUILD the same path with different params: the cache entry must
+    // refresh from the write, so the NEW params validate and the OLD
+    // params fail — a stale entry would invert both
+    DedupIndex.buildIndex(docs.limit(30), idx, n = 4, k = 16, bands = 4)
+    DedupIndex.appendToIndex(
+      docs.where(col("doc_id").between(31, 60)), idx, n = 4, k = 16, bands = 4)
+    val e = intercept[IllegalArgumentException] {
+      DedupIndex.appendToIndex(docs.limit(10), idx) // stale (3, 32, 8)
+    }
+    assert(e.getMessage.contains("k=32") && e.getMessage.contains("k=16"))
+  }
 }
