@@ -66,9 +66,38 @@ object Scratch {
     * splits and this is the identity — no shuffle is ever added to a big
     * scan. The round-robin exchange it inserts on small inputs moves only
     * the compact source bytes.
+    *
+    * Scheduled split count is NOT achievable parallelism for a file scan:
+    * Spark byte-range-splits parquet regardless of row-group layout, and
+    * only the split containing a row group's start reads its rows — a
+    * writer that emitted one giant row group per file (pyarrow's default
+    * up to 2^20 rows, common for mid-size tables) yields 32 scheduled
+    * splits of which 31 are EMPTY, and every downstream kernel runs on
+    * one core. Measured at sf10: the BM25 index build's tokenize+aggregate
+    * over a one-row-group 57 MB documents table ran 32 tasks at
+    * concurrency 1.07 — 183 s where the same plan behind an exchange takes
+    * 9 s (bench/bm25_phases_sf10_r16.json, round-16 diagnosis). So a
+    * FILE-BACKED frame with fewer files than target parallelism (each file
+    * guarantees only as many data-bearing splits as row groups — worst
+    * case one) is spread explicitly whenever the table is compact enough
+    * that the spread is negligible insurance
+    * (`graft.rebalance.forceBytes`, default 2 GiB, optimizer-estimated —
+    * no job). Frames with >= target files, in-memory frames, and
+    * beyond-threshold tables keep the scan as planned: at real scale
+    * inputs arrive as many files and the guard never fires.
     */
   def rebalance(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) return df.repartition(target)
+    val files =
+      try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.nonEmpty && files.length < target) {
+      val forceBytes = BigInt(spark.conf
+        .get("graft.rebalance.forceBytes", (2L << 30).toString).toLong)
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= forceBytes)
+        return df.repartition(target)
+    }
+    df
   }
 }

@@ -31,6 +31,36 @@ class ScratchSpec extends SparkSpec {
     } finally spark.conf.unset("graft.scratch.stageMinBytes")
   }
 
+  test("rebalance spreads a hollow-split file scan: few files, many " +
+       "scheduled byte-range splits") {
+    // one ~2 MB single-row-group parquet file; openCostInBytes shrunk so
+    // Spark schedules >= target byte-range splits over it — only the split
+    // containing the row group's start would carry rows (the sf10
+    // documents pathology, bench/bm25_phases_sf10_r16.json)
+    val dir = TempDirs.scratch("rebalance_hollow")
+    spark.range(20000).selectExpr("id", "repeat('x', 100) AS text")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val prev = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", "16384")
+    try {
+      val scan = spark.read.parquet(dir)
+      val target = spark.sparkContext.defaultParallelism
+      assert(scan.inputFiles.length < target)
+      assert(scan.rdd.getNumPartitions >= target,
+        "fixture must schedule >= target splits for the guard branch")
+      val out = Scratch.rebalance(scan)
+      assert(!(out eq scan))
+      assert(out.rdd.getNumPartitions == target)
+      // beyond the force-bytes gate the scan is kept as planned
+      spark.conf.set("graft.rebalance.forceBytes", "1")
+      assert(Scratch.rebalance(scan) eq scan)
+    } finally {
+      spark.conf.unset("graft.rebalance.forceBytes")
+      prev.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
+        v => spark.conf.set("spark.sql.files.openCostInBytes", v))
+    }
+  }
+
   test("rebalance repartitions a compact single-partition source up to " +
        "the session parallelism") {
     val narrow = spark.range(1000).coalesce(1).toDF("x")
