@@ -376,8 +376,9 @@ object Dedup {
     // ([[graft.functions.VecExprs]]) — no interpreted HOF folds in the
     // pair join's hot path.
     val unit = Scratch.stage(
-      embeddings.select(col(blockCol).as("blk"), col(idCol).as("id"),
-        graft.functions.VecExprs.unitVec(col(vecCol)).as("u")),
+      Scratch.rebalance(embeddings)
+        .select(col(blockCol).as("blk"), col(idCol).as("id"),
+          graft.functions.VecExprs.unitVec(col(vecCol)).as("u")),
       "unit_vecs")
     val dotAB = graft.functions.VecExprs.dot(col("ua"), col("ub"))
     unit.select(col("blk"), col("id").as("id_a"), col("u").as("ua"))

@@ -255,10 +255,14 @@ object Ivf {
   private[llm] def assignWithIndex(vectors: DataFrame, indexPath: String,
                                    idCol: String, vecCol: String): DataFrame = {
     val sess = vectors.sparkSession
+    // spread a hollow-split vector scan before the per-row distance kernel
+    // (one-row-group parquet collapses the argmin over every corpus vector
+    // to ONE task — measured 143.6 s for q_ann_ivf at sf10, Scratch scaladoc)
+    val v = graft.core.Scratch.rebalance(vectors)
     val centTable = sess.read.parquet(s"$indexPath/centroids")
     if (centTable.count() <= kernelMaxCells(sess))
-      assignCellsKernel(vectors, readCentroids(sess, indexPath), idCol, vecCol)
-    else assignCellsTwoLevel(vectors, centTable, idCol, vecCol)
+      assignCellsKernel(v, readCentroids(sess, indexPath), idCol, vecCol)
+    else assignCellsTwoLevel(v, centTable, idCol, vecCol)
   }
 
   /** Incremental index maintenance: assign `newVectors` against the

@@ -60,10 +60,13 @@ object Pq {
     }
   }
 
-  /** The code table (idCol, codes: array<long>[m]) — a narrow codegen'd map. */
+  /** The code table (idCol, codes: array<long>[m]) — a narrow codegen'd map
+    * (input spread first: a hollow-split scan would run every vector's
+    * m×ksub distance loop on one task — see [[graft.core.Scratch.rebalance]]).
+    */
   def encode(embeddings: DataFrame, books: Array[Array[Array[Double]]],
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embeddings.select(col(idCol),
+    graft.core.Scratch.rebalance(embeddings).select(col(idCol),
       VecExprs.pqEncode(col(vecCol), books).as("codes"))
 
   /** Build + persist the PQ index: `codes` (one row per corpus vector) and

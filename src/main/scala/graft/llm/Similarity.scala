@@ -47,7 +47,11 @@ object Similarity {
     // FILTERED search: the metadata predicate restricts the corpus side
     // only (queries stay unrestricted — the vector-DB convention); it sits
     // on the scan, so Catalyst prunes rows before any distance math
-    val corpus = corpusFilter.fold(embeddings)(embeddings.where)
+    // spread the corpus scan before the per-row cosine kernel: a
+    // hollow-split parquet source would run every (row × query) dot
+    // product on one task ([[graft.core.Scratch.rebalance]])
+    val corpus = graft.core.Scratch.rebalance(
+        corpusFilter.fold(embeddings)(embeddings.where))
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
@@ -72,7 +76,7 @@ object Similarity {
     */
   def lshSignatures(embeddings: DataFrame, bits: Int, tables: Int, dim: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embeddings.select(col(idCol), col(vecCol),
+    graft.core.Scratch.rebalance(embeddings).select(col(idCol), col(vecCol),
       posexplode(CrossHashExprs.planeSigs(col(vecCol), tables, bits, dim))
         .as(Seq("tbl", "bucket")))
 
@@ -128,7 +132,7 @@ object Similarity {
   def lshSignaturesLean(embeddings: DataFrame, bits: Int, tables: Int, dim: Int,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): DataFrame =
-    embeddings.select(col(idCol),
+    graft.core.Scratch.rebalance(embeddings).select(col(idCol),
       posexplode(CrossHashExprs.planeSigs(col(vecCol), tables, bits, dim))
         .as(Seq("tbl", "bucket")))
 

@@ -40,7 +40,7 @@ object Sq {
     */
   def bounds(embeddings: DataFrame,
              vecCol: String = "embedding"): (Array[Double], Array[Double]) = {
-    val rows = embeddings
+    val rows = graft.core.Scratch.rebalance(embeddings)
       .select(posexplode(transform(col(vecCol), _.cast("double")))
         .as(Seq("pos", "x")))
       .groupBy("pos")
@@ -53,10 +53,12 @@ object Sq {
     (rows.map(_.getAs[Double]("lo")), rows.map(_.getAs[Double]("hi")))
   }
 
-  /** The code table (idCol, codes: array<long>[dim]) — a narrow map. */
+  /** The code table (idCol, codes: array<long>[dim]) — a narrow map (input
+    * spread first against hollow-split scans, [[graft.core.Scratch.rebalance]]).
+    */
   def encode(embeddings: DataFrame, lo: Array[Double], hi: Array[Double],
              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    embeddings.select(col(idCol),
+    graft.core.Scratch.rebalance(embeddings).select(col(idCol),
       VecExprs.sqEncode(col(vecCol), lo, hi).as("codes"))
 
   /** Build + persist the SQ index: `codes` (one row per corpus vector) and
