@@ -56,6 +56,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // The long trace fixtures (q_trace_stack_long, q_moveout_*_long) key
+    // their by-cell repartition on `l_suppkey % 64` — one state buffer per
+    // cell, co-partitioned with the aggregate. 64 distinct keys cap busy
+    // tasks at 64: on a wider box the kernel rows would under-utilize
+    // SILENTLY, so refuse to bench there until the fixture modulus is
+    // raised (raise the modulus, not the partition count — see the
+    // fixtures' comments in SparkEntry).
+    require(spark.sparkContext.defaultParallelism <= 64,
+      s"bench box has ${spark.sparkContext.defaultParallelism} cores but " +
+        "the long trace fixtures cap busy tasks at 64 (l_suppkey % 64); " +
+        "raise the fixture modulus before benching on this machine")
+
     // Warm the file-system/footer caches once so per-query times measure the
     // query, not first-touch metadata I/O.
     graft.core.Tables.all.foreach { t =>

@@ -67,37 +67,120 @@ object Scratch {
     * scan. The round-robin exchange it inserts on small inputs moves only
     * the compact source bytes.
     *
-    * Scheduled split count is NOT achievable parallelism for a file scan:
-    * Spark byte-range-splits parquet regardless of row-group layout, and
-    * only the split containing a row group's start reads its rows — a
+    * Scheduled split count is NOT achievable parallelism for a parquet
+    * scan: Spark byte-range-splits parquet regardless of row-group layout,
+    * and only the split containing a row group's start reads its rows — a
     * writer that emitted one giant row group per file (pyarrow's default
     * up to 2^20 rows, common for mid-size tables) yields 32 scheduled
     * splits of which 31 are EMPTY, and every downstream kernel runs on
     * one core. Measured at sf10: the BM25 index build's tokenize+aggregate
     * over a one-row-group 57 MB documents table ran 32 tasks at
     * concurrency 1.07 — 183 s where the same plan behind an exchange takes
-    * 9 s (bench/bm25_phases_sf10_r16.json, round-16 diagnosis). So a
-    * FILE-BACKED frame with fewer files than target parallelism (each file
-    * guarantees only as many data-bearing splits as row groups — worst
-    * case one) is spread explicitly whenever the table is compact enough
-    * that the spread is negligible insurance
-    * (`graft.rebalance.forceBytes`, default 2 GiB, optimizer-estimated —
-    * no job). Frames with >= target files, in-memory frames, and
-    * beyond-threshold tables keep the scan as planned: at real scale
-    * inputs arrive as many files and the guard never fires.
+    * 9 s (bench/bm25_phases_sf10_r16.json, round-16 diagnosis).
+    *
+    * Achievable parallelism for a narrow plan over a few-file parquet scan
+    * is therefore `min(scheduled splits, total row groups)` — and the row
+    * -group count is EXACT and cheap: O(files) parquet-footer metadata
+    * reads on the driver (cached per path for the JVM's lifetime; part
+    * files are never rewritten in place). Round 16 proxied this with a
+    * file count + a 2 GiB optimizer-size cap, which had a hole in each
+    * direction: a one-row-group file BIGGER than the cap (the same writer
+    * pathology, scaled up) kept its collapsed plan, and a few-file table
+    * with many row groups per file ate a redundant exchange. The footer
+    * count closes both.
+    *
+    * The footers also give exact row counts, which gate the insurance
+    * cost: below `graft.rebalance.minRows` the downstream kernel finishes
+    * in milliseconds on one task and the exchange's two extra stages are
+    * pure loss (round 16's q_sq_codes 0.22→0.48 s at sf0.1 — a 2,000-row
+    * table spread to 32 tasks). A filter between scan and rebalance makes
+    * the footer count an overestimate of the frame's rows — erring toward
+    * spreading, the cheap direction.
+    *
+    * The footer path applies only to an EXCHANGE-FREE plan over parquet
+    * files: a frame whose compute already sits above a join/aggregate/
+    * window/sort is distributed by that shuffle, so its scheduled
+    * partition count is authoritative (round-16's guard inserted a
+    * redundant exchange there). Non-parquet file scans have no hollow
+    * splits (every byte-range split of a text/CSV file bears rows), and
+    * in-memory frames have no files — both keep the scheduled-count rule.
+    * At real scale inputs arrive as many files with many row groups and
+    * every branch is the identity.
     */
   def rebalance(df: DataFrame): DataFrame = {
+    import scala.util.control.NonFatal
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) return df.repartition(target)
+    val scheduled = df.rdd.getNumPartitions
+    // inputFiles throws for plans with no file-based leaves (e.g. some
+    // streaming micro-batch shapes expose the scan only at execution time)
     val files =
-      try df.inputFiles catch { case _: Throwable => Array.empty[String] }
-    if (files.nonEmpty && files.length < target) {
-      val forceBytes = BigInt(spark.conf
-        .get("graft.rebalance.forceBytes", (2L << 30).toString).toLong)
-      if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= forceBytes)
-        return df.repartition(target)
+      try df.inputFiles catch { case NonFatal(_) => Array.empty[String] }
+    val parquetOnly = files.nonEmpty && files.forall(_.endsWith(".parquet"))
+    if (parquetOnly && files.length < target && isExchangeFree(df)) {
+      val (rowGroups, rows) = footerStats(spark, files)
+      val minRows = spark.conf
+        .get("graft.rebalance.minRows", DefaultRebalanceMinRows.toString).toLong
+      if (rows < minRows) df
+      else if (math.min(scheduled, rowGroups) < target) df.repartition(target)
+      else df
+    } else if (scheduled < target) df.repartition(target)
+    else df
+  }
+
+  /** Default for `graft.rebalance.minRows`: the table size below which a
+    * single-task kernel pass beats paying an exchange's two extra stages.
+    * A/B'd at sf0.1 (bench/ab_rebalance_r17.json): 4096 un-spreads the
+    * 2,000-row embeddings table (q_sq_codes 0.74→0.50 s, q_ann_ivf
+    * 1.92→1.61 s vs always-spread) while keeping the 5,000-doc documents
+    * table spread for its tokenize-heavy consumers (gating it out at 8192
+    * cost q_bm25 1.41→2.25 s — per-row kernel weight, not bytes, is what
+    * the exchange buys parallelism for, so the gate errs low).
+    */
+  private val DefaultRebalanceMinRows = 4096L
+
+  /** True when the optimized plan contains no shuffle-inducing operator —
+    * i.e. the frame's partitioning is the scan's partitioning and the
+    * hollow-split analysis applies.
+    */
+  private def isExchangeFree(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    !df.queryExecution.optimizedPlan.exists {
+      case _: Join | _: Aggregate | _: Window | _: Sort => true
+      case _: RepartitionOperation | _: GlobalLimit => true
+      case _ => false
     }
-    df
+  }
+
+  /** (total row groups, total rows) across `files` from parquet footers —
+    * driver-side metadata reads, cached per path (part files are
+    * write-once; an unreadable footer counts conservatively as one giant
+    * row group, erring toward spreading).
+    */
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+
+  private def footerStats(spark: org.apache.spark.sql.SparkSession,
+                          files: Array[String]): (Int, Long) = {
+    import scala.util.control.NonFatal
+    if (footerCache.size > 65536) footerCache.clear()
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    var groups = 0
+    var rows = 0L
+    files.foreach { f =>
+      val st = footerCache.computeIfAbsent(f, path => {
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new org.apache.hadoop.fs.Path(path), hadoopConf)
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try (reader.getRowGroups.size, reader.getRecordCount)
+          finally reader.close()
+        } catch { case NonFatal(_) => (1, Long.MaxValue) }
+      })
+      groups += st._1
+      rows = if (rows == Long.MaxValue || st._2 == Long.MaxValue) Long.MaxValue
+             else rows + st._2
+    }
+    (groups, rows)
   }
 }

@@ -2,12 +2,50 @@ package graft.core
 
 import graft.SparkSpec
 
-/** The rebalance contract: repartition up ONLY when the source plans fewer
-  * partitions than the session's parallelism — at real scale (many input
-  * splits) it must be the identity, adding no exchange to a big scan.
+/** The rebalance contract: spread a scan ONLY when its achievable
+  * parallelism — min(scheduled splits, parquet row groups), from footer
+  * metadata — is below the session's parallelism AND the table is big
+  * enough (`graft.rebalance.minRows`) that single-task compute costs more
+  * than the exchange. At real scale (many files × many row groups) it must
+  * be the identity, adding no exchange to a big scan.
   */
 class ScratchSpec extends SparkSpec {
   import spark.implicits._
+
+  /** One parquet file of `rows` rows of incompressible (hex) text, with
+    * `parquet.block.size` chosen so the file holds `rowGroupsTarget` row
+    * groups (1 = the pyarrow mid-size-table pathology). Returns (dir,
+    * fileSize). Incompressible so the size→split math is codec-stable.
+    */
+  private def writeFixture(tag: String, rows: Int, oneRowGroup: Boolean): (String, Long) = {
+    val dir = TempDirs.scratch(s"rebalance_$tag")
+    val df = spark.range(rows).selectExpr(
+      "id",
+      "concat(md5(string(id)), md5(string(id + 1)), md5(string(id + 2))) AS text")
+      .coalesce(1)
+    val writer =
+      if (oneRowGroup) df.write
+      else df.write.option("parquet.block.size", "16384")
+    writer.mode("overwrite").parquet(dir)
+    val file = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    (dir, file.length())
+  }
+
+  /** Run `body` with openCostInBytes derived from the actual file size so
+    * Spark schedules >= defaultParallelism byte-range splits over it —
+    * layout-independent (a codec or writer change can't shrink the fixture
+    * under the branch being tested).
+    */
+  private def withHollowSplits[T](fileSize: Long)(body: => T): T = {
+    val target = spark.sparkContext.defaultParallelism
+    val openCost = math.max(1L, fileSize / (target * 2L))
+    val prev = spark.conf.getOption("spark.sql.files.openCostInBytes")
+    spark.conf.set("spark.sql.files.openCostInBytes", openCost.toString)
+    try body
+    finally prev.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
+      v => spark.conf.set("spark.sql.files.openCostInBytes", v))
+  }
 
   test("rebalance is the identity when the scan already plans enough " +
        "partitions") {
@@ -31,18 +69,15 @@ class ScratchSpec extends SparkSpec {
     } finally spark.conf.unset("graft.scratch.stageMinBytes")
   }
 
-  test("rebalance spreads a hollow-split file scan: few files, many " +
+  test("rebalance spreads a hollow-split file scan: one row group, many " +
        "scheduled byte-range splits") {
-    // one ~2 MB single-row-group parquet file; openCostInBytes shrunk so
-    // Spark schedules >= target byte-range splits over it — only the split
-    // containing the row group's start would carry rows (the sf10
-    // documents pathology, bench/bm25_phases_sf10_r16.json)
-    val dir = TempDirs.scratch("rebalance_hollow")
-    spark.range(20000).selectExpr("id", "repeat('x', 100) AS text")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
-    val prev = spark.conf.getOption("spark.sql.files.openCostInBytes")
-    spark.conf.set("spark.sql.files.openCostInBytes", "16384")
-    try {
+    // the sf10 documents pathology (bench/bm25_phases_sf10_r16.json): one
+    // single-row-group file, >= target scheduled splits of which all but
+    // one are EMPTY — only the split containing the row group's start
+    // carries rows. No size cap applies (round 16's 2 GiB cap left a
+    // bigger-file hole); the spread keys on footer row-group count alone.
+    val (dir, size) = writeFixture("hollow", rows = 20000, oneRowGroup = true)
+    withHollowSplits(size) {
       val scan = spark.read.parquet(dir)
       val target = spark.sparkContext.defaultParallelism
       assert(scan.inputFiles.length < target)
@@ -51,14 +86,69 @@ class ScratchSpec extends SparkSpec {
       val out = Scratch.rebalance(scan)
       assert(!(out eq scan))
       assert(out.rdd.getNumPartitions == target)
-      // beyond the force-bytes gate the scan is kept as planned
-      spark.conf.set("graft.rebalance.forceBytes", "1")
-      assert(Scratch.rebalance(scan) eq scan)
-    } finally {
-      spark.conf.unset("graft.rebalance.forceBytes")
-      prev.fold(spark.conf.unset("spark.sql.files.openCostInBytes"))(
-        v => spark.conf.set("spark.sql.files.openCostInBytes", v))
+      // below the row gate the spread is pure loss and the scan is kept
+      spark.conf.set("graft.rebalance.minRows", "100000")
+      try assert(Scratch.rebalance(scan) eq scan)
+      finally spark.conf.unset("graft.rebalance.minRows")
     }
+  }
+
+  test("rebalance keeps a few-file scan whose row groups already cover " +
+       "the session parallelism") {
+    // many row groups in ONE file: every row group's start lands in some
+    // split, so >= target splits bear data — round 16's file-count proxy
+    // added a redundant exchange here; the footer count must not
+    val (dir, size) = writeFixture("manyrg", rows = 20000, oneRowGroup = false)
+    withHollowSplits(size) {
+      val scan = spark.read.parquet(dir)
+      val target = spark.sparkContext.defaultParallelism
+      val groups = {
+        val f = new java.io.File(dir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+          spark.sessionState.newHadoopConf())
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }
+      assert(groups >= target, s"fixture wrote only $groups row groups")
+      assert(scan.rdd.getNumPartitions >= target)
+      assert(Scratch.rebalance(scan) eq scan)
+    }
+  }
+
+  test("rebalance keeps a tiny file-backed table single-task: below " +
+       "minRows the exchange is pure loss") {
+    // round 16 spread every few-file scan under 2 GiB, which cost
+    // q_sq_codes 0.22->0.48 s at sf0.1 on a 2,000-row table; the footer
+    // row count now keeps these as planned even when scheduled < target
+    val (dir, _) = writeFixture("tiny", rows = 500, oneRowGroup = true)
+    val scan = spark.read.parquet(dir)
+    assert(scan.rdd.getNumPartitions <
+      spark.sparkContext.defaultParallelism)
+    assert(Scratch.rebalance(scan) eq scan)
+  }
+
+  test("rebalance leaves a frame above a shuffle alone: the exchange " +
+       "already distributes the compute") {
+    val (dir, size) = writeFixture("agg", rows = 20000, oneRowGroup = true)
+    // AQE would coalesce the tiny shuffle to 1 partition and route the
+    // frame into the scheduled-count rule; pin the shuffle width so the
+    // test isolates the footer path's exchange-free check
+    val prevCoalesce =
+      spark.conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try withHollowSplits(size) {
+      val agg = spark.read.parquet(dir)
+        .groupBy($"id" % 32 as "g").count()
+      // scheduled = shuffle partitions >= target; footer path must not
+      // fire on the one-row-group leaf below the aggregate
+      assert(agg.rdd.getNumPartitions >=
+        spark.sparkContext.defaultParallelism)
+      assert(Scratch.rebalance(agg) eq agg)
+    } finally prevCoalesce.fold(
+      spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled"))(
+      v => spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v))
   }
 
   test("rebalance repartitions a compact single-partition source up to " +
