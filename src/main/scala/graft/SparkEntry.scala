@@ -3617,9 +3617,15 @@ object SparkEntry {
            |    + (coalesce(l[$i0 + 1], 0.0) - coalesce(l[$i0], 0.0))
            |      * ($i + sh - floor($i + sh)))""".stripMargin
       }
-      def q(c: String): String = s"CAST($c AS DECIMAL(18,10))"
+      // scale 2 (not 10): every interpolated value is an exact QUARTER
+      // (candidates are k/4, samples integer-valued), so scale 2 loses
+      // nothing — and the freed digits are needed at bench scale, where
+      // key-shifted replication grows l_partkey ~linearly with sf
+      // (DECIMAL(18,10) overflowed at sf1's ~1.03e8 values; 19,2 holds
+      // to sf100+ and keeps s1*s1 within DuckDB's 38-digit product cap)
+      def q(c: String): String = s"CAST($c AS DECIMAL(19,2))"
       def sExpr(i: Int): String =
-        s"CAST(sum(${q(s"r$i")}) AS DECIMAL(18,10))"
+        s"CAST(sum(${q(s"r$i")}) AS DECIMAL(19,2))"
       s"""WITH t AS (SELECT l_suppkey AS cell,
         |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
         |    [CAST(l_partkey AS DOUBLE), CAST(l_orderkey % 997 AS DOUBLE),
