@@ -23,7 +23,6 @@ object SessionsTrigger {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -37,6 +36,28 @@ object SessionsTrigger {
       spark.read.parquet(s"$sfDir/events.parquet"), src,
       rowsPerSlice = rowsPerSlice)
     println(s"[trig] staged $nSlices slices of ~$rowsPerSlice rows")
+
+    // stage-level walls inside addBatch: the micro-batch runs a 2-stage
+    // job (slice scan + shuffle write, then the 8-partition state stage)
+    // plus the sink's commit — stage submission→completion walls split
+    // addBatch into named terms
+    val stageWall = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val info = s.stageInfo
+          val wall = (for {
+            t0 <- info.submissionTime; t1 <- info.completionTime
+          } yield t1 - t0).getOrElse(0L)
+          // with default openCost a 100k-row slice file is ONE map task,
+          // so task count discriminates: 1t = slice scan + shuffle write,
+          // 8t = the statePartitions stage (state update + sink write)
+          val kind = s"stage_${info.numTasks}t"
+          stageWall.merge(kind, (wall, 1L),
+            (a, b) => (a._1 + b._1, a._2 + b._2)): Unit
+        }
+      })
 
     // collected per-batch: durationMs splits + state commit metrics
     val batches = new java.util.concurrent.ConcurrentLinkedQueue[
@@ -59,9 +80,18 @@ object SessionsTrigger {
     })
 
     val t0 = System.nanoTime()
-    val fixed = spark.readStream
-      .schema(spark.read.parquet(s"$sfDir/events.parquet").schema)
+    // same ts normalization as SparkEntry.eventsStream: watermarks reject
+    // TIMESTAMP_NTZ and the raw fixture carries TIMESTAMP(NANOS)-as-long
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    val rawSchema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val raw = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1").parquet(src)
+    val fixed = rawSchema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val wall = try {
@@ -92,8 +122,12 @@ object SessionsTrigger {
       val (s, m) = agg(k, all.map(_._3))
       f""""$k":{"total_ms":$s,"mean_ms":$m%.1f}"""
     }.mkString(",")
+    val stageJson = stageWall.asScala.toSeq.sortBy(_._1).map {
+      case (k, (tot, n)) =>
+        f""""$k":{"total_ms":$tot,"count":$n,"mean_ms":${tot.toDouble / math.max(1, n)}%.1f}"""
+    }.mkString(",")
     println(
-      f"""{"what":"per-trigger durationMs split of the bounded-sessions replay (round-17 ask #4)","sfDir":"$sfDir","rowsPerSlice":$rowsPerSlice,"slices":$nSlices,"batches":${all.size},"wall_s":$wall%.1f,"durationMs":{$durJson},"stateOperator":{$stateJson}}""")
+      f"""{"what":"per-trigger durationMs split of the bounded-sessions replay (round-17 ask #4)","sfDir":"$sfDir","rowsPerSlice":$rowsPerSlice,"slices":$nSlices,"batches":${all.size},"wall_s":$wall%.1f,"durationMs":{$durJson},"stateOperator":{$stateJson},"stageWalls":{$stageJson}}""")
     spark.stop()
   }
 }
