@@ -1982,7 +1982,7 @@ object SparkEntry {
     // stream; the exact top-10 terms' estimates ride the broadcast counter
     // table — over-count-only error, bit-replayable in SQL
     "q_cms_terms" -> ((s, d) => {
-      val toks = graft.core.Scratch.rebalance(documents(s, d))
+      val toks = graft.core.Scratch.rebalance(documents(s, d), heavy = true)
         .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
       val cnts = Cms.counters(toks, "term", d = 4, w = 64)
       val top = toks.groupBy(col("term"))

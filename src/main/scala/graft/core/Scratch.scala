@@ -90,11 +90,19 @@ object Scratch {
     * count closes both.
     *
     * The footers also give exact row counts, which gate the insurance
-    * cost: below `graft.rebalance.minRows` the downstream kernel finishes
-    * in milliseconds on one task and the exchange's two extra stages are
+    * cost: below the row gate the downstream kernel finishes in
+    * milliseconds on one task and the exchange's two extra stages are
     * pure loss (round 16's q_sq_codes 0.22→0.48 s at sf0.1 — a 2,000-row
-    * table spread to 32 tasks). A filter between scan and rebalance makes
-    * the footer count an overestimate of the frame's rows — erring toward
+    * table spread to 32 tasks). The gate is per KERNEL WEIGHT, declared
+    * by the caller: `heavy = true` marks tokenize/shingle/char-gram
+    * consumers, whose per-row cost is orders above the vector kernels'
+    * (`graft.rebalance.minRowsHeavy`, default 512 — the round-17 A/B
+    * measured a 5,000-doc tokenize WANTING the spread the 4096 gate
+    * denied it: q_bm25 1.41→2.25 s), while the default gate
+    * (`graft.rebalance.minRows`, 4096) covers encode/signature/cosine
+    * kernels where the same A/B showed the spread is pure loss at
+    * fixture sizes. A filter between scan and rebalance makes the footer
+    * count an overestimate of the frame's rows — erring toward
     * spreading, the cheap direction.
     *
     * The footer path applies only to an EXCHANGE-FREE plan over parquet
@@ -107,7 +115,7 @@ object Scratch {
     * At real scale inputs arrive as many files with many row groups and
     * every branch is the identity.
     */
-  def rebalance(df: DataFrame): DataFrame = {
+  def rebalance(df: DataFrame, heavy: Boolean = false): DataFrame = {
     import scala.util.control.NonFatal
     val spark = df.sparkSession
     val target = spark.sparkContext.defaultParallelism
@@ -119,8 +127,11 @@ object Scratch {
     val parquetOnly = files.nonEmpty && files.forall(_.endsWith(".parquet"))
     if (parquetOnly && files.length < target && isExchangeFree(df)) {
       val (rowGroups, rows) = footerStats(spark, files)
-      val minRows = spark.conf
-        .get("graft.rebalance.minRows", DefaultRebalanceMinRows.toString).toLong
+      val minRows =
+        if (heavy) spark.conf.get("graft.rebalance.minRowsHeavy",
+          DefaultRebalanceMinRowsHeavy.toString).toLong
+        else spark.conf.get("graft.rebalance.minRows",
+          DefaultRebalanceMinRows.toString).toLong
       if (rows < minRows) df
       else if (math.min(scheduled, rowGroups) < target) df.repartition(target)
       else df
@@ -128,16 +139,17 @@ object Scratch {
     else df
   }
 
-  /** Default for `graft.rebalance.minRows`: the table size below which a
-    * single-task kernel pass beats paying an exchange's two extra stages.
-    * A/B'd at sf0.1 (bench/ab_rebalance_r17.json): 4096 un-spreads the
-    * 2,000-row embeddings table (q_sq_codes 0.74→0.50 s, q_ann_ivf
-    * 1.92→1.61 s vs always-spread) while keeping the 5,000-doc documents
-    * table spread for its tokenize-heavy consumers (gating it out at 8192
-    * cost q_bm25 1.41→2.25 s — per-row kernel weight, not bytes, is what
-    * the exchange buys parallelism for, so the gate errs low).
+  /** Row gates below which the spread's exchange costs more than the
+    * single-task kernel pass it buys — per kernel weight, A/B'd at sf0.1
+    * (bench/ab_rebalance_r17.json). 4096 un-spreads the 2,000-row
+    * embeddings table for the vector kernels (q_sq_codes 0.74→0.50 s,
+    * q_ann_ivf 1.92→1.61 s vs always-spread); the heavy gate stays low
+    * because the tokenize/shingle shape still profits at 5,000 docs
+    * (gating it at 8192 cost q_bm25 1.41→2.25 s) and its micro-batch
+    * deltas (~2,500 rows) profited in round 16's always-spread behavior.
     */
   private val DefaultRebalanceMinRows = 4096L
+  private val DefaultRebalanceMinRowsHeavy = 512L
 
   /** True when the optimized plan contains no shuffle-inducing operator —
     * i.e. the frame's partitioning is the scan's partitioning and the

@@ -178,7 +178,7 @@ object Dedup {
                    maxBucketSize: Int = 10000,
                    scratchPath: Option[String] = None): DataFrame = {
     val sigs = Scratch.stage(
-      withMinhashSignature(Scratch.rebalance(df), textCol, idCol, n, k),
+      withMinhashSignature(Scratch.rebalance(df, heavy = true), textCol, idCol, n, k),
       "minhash_sig", scratchPath)
     nearDupPairsFromSignatures(sigs, idCol, k, bands, minEstJaccard, maxBucketSize)
   }
@@ -220,7 +220,7 @@ object Dedup {
                          textCol: String = "text",
                          idCol: String = "doc_id"): DataFrame = {
     val inv = Scratch.stage(
-      winnowFingerprints(Scratch.rebalance(docs), kChars, window, textCol, idCol)
+      winnowFingerprints(Scratch.rebalance(docs, heavy = true), kChars, window, textCol, idCol)
         .select(col(idCol).as("id"), col("fp")),
       "winnow_inv")
     val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
@@ -286,7 +286,7 @@ object Dedup {
                       textCol: String = "text", idCol: String = "doc_id",
                       n: Int = 3): DataFrame = {
     val sh = Scratch.stage(
-      Scratch.rebalance(docs)
+      Scratch.rebalance(docs, heavy = true)
         .select(col(idCol), shingles(col(textCol), n).as("sh")), "jaccard_sh")
     val jac = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
       size(array_union(col("sh_a"), col("sh_b")))
@@ -323,7 +323,7 @@ object Dedup {
     // one scan hashes the shingles; the staged (blk, id, s) index feeds the
     // doc-frequency window, both self-join sides, and the size recount
     val inverted = Scratch.stage(
-      Scratch.rebalance(df)
+      Scratch.rebalance(df, heavy = true)
         .select(col(blockCol).as("blk"), col(idCol).as("id"),
           shingleHashes(col(textCol), n).as("h0"))
         .select(col("blk"), col("id"), explode(col("h0")).as("s")),
@@ -704,7 +704,7 @@ object Dedup {
         s"blocking (got $bands) — raise bands or use MinHash LSH")
     val width = bits / bands
     val fp = Scratch.stage(
-      withSimhash(Scratch.rebalance(df), textCol).select(col(idCol), col("simhash")),
+      withSimhash(Scratch.rebalance(df, heavy = true), textCol).select(col(idCol), col("simhash")),
       "simhash_fp", scratchPath)
     val banded = fp.select(col(idCol), col("simhash"),
         explode(sequence(lit(0), lit(bands - 1))).as("band"))

@@ -94,7 +94,7 @@ object DedupIndex {
     val spark = newDocs.sparkSession
     validateParams(spark, indexPath, "query", n, k, bands)
     val newSigs = Scratch.stage(
-      Dedup.withMinhashSignature(Scratch.rebalance(newDocs), textCol, idCol, n, k),
+      Dedup.withMinhashSignature(Scratch.rebalance(newDocs, heavy = true), textCol, idCol, n, k),
       "dedup_qidx")
     val t = spark.read.parquet(s"$indexPath/sigs")
     val banded = t.where(col("band").isNotNull && col(idCol).isNotNull)
@@ -201,7 +201,7 @@ object DedupIndex {
                          n: Int, k: Int, bands: Int): Unit = {
     val session = docs.sparkSession
     Scratch.withStage(
-      Dedup.withMinhashSignature(Scratch.rebalance(docs), textCol, idCol, n, k),
+      Dedup.withMinhashSignature(Scratch.rebalance(docs, heavy = true), textCol, idCol, n, k),
       "dedup_widx") { sigs =>
       val banded = Dedup.lshBucketsFromSignatures(sigs, idCol, k, bands)
         .select(col(idCol), col("band").cast("int"), col("band_hash"),

@@ -65,7 +65,7 @@ object Retrieval {
     // Size-gated: a corpus below the stage gate just tokenizes twice (tf +
     // stats arms) — cheaper than the write round-trip at that size.
     val ex = Scratch.stageIfLarge(
-      Scratch.rebalance(docs)
+      Scratch.rebalance(docs, heavy = true)
         .select(col(idCol), size(toks).cast("long").as("dl"),
           posexplode_outer(toks).as(Seq("_pos", "term")))
         .where(col("_pos").isNull || col("_pos") === 0 ||
@@ -166,7 +166,7 @@ object Retrieval {
   private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
                          textCol: String, idCol: String): Unit = {
     val toks = TextAnalysis.tokens(lower(col(textCol)))
-    val agg = Scratch.rebalance(docs)
+    val agg = Scratch.rebalance(docs, heavy = true)
       .select(col(idCol), size(toks).cast("long").as("dl"),
         posexplode_outer(toks).as(Seq("_pos", "term")))
       .groupBy(col(idCol), col("dl"), col("term"))

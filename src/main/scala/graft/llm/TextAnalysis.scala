@@ -282,7 +282,7 @@ object TextAnalysis {
     // expensive and multiply-referenced.
     // rebalance ahead of the char-gram explode: a compact corpus file
     // otherwise runs every doc's O(len) gram generation on one task
-    val normed = graft.core.Scratch.rebalance(df).select(col(idCol),
+    val normed = graft.core.Scratch.rebalance(df, heavy = true).select(col(idCol),
       regexp_replace(lower(col(textCol)), "\\s+", " ").as("_norm"))
     val nm = col("_norm")
     val grams = when(length(nm) >= n,

@@ -19,9 +19,12 @@ import org.apache.spark.sql.SparkSession
   * bench/ab_rebalance_r17.json. SPARK_GRAFT_SF_DIR picks the scale.
   */
 object AbRebalance {
-  private val Touched = Seq("q_sq_codes", "q_stream_ann_lsh", "q_bm25", "q_ann_ivf")
+  private val Touched = Seq("q_sq_codes", "q_stream_ann_lsh", "q_bm25", "q_ann_ivf",
+    "q_stream_bm25", "q_bm25_compact")
   private val Controls = Seq("q_stats", "q_trace_agc_long", "q_funnel")
-  private val Variants = Seq("pre" -> "0", "post4096" -> "4096", "post8192" -> "8192")
+  // (name, minRows for vector kernels, minRowsHeavy for tokenize/shingle)
+  private val Variants = Seq(("pre", "0", "0"), ("shipped", "4096", "512"),
+    ("uniform4096", "4096", "4096"))
 
   def main(args: Array[String]): Unit = {
     val reps = args.headOption.map(_.toInt).getOrElse(5)
@@ -48,8 +51,9 @@ object AbRebalance {
     val times = scala.collection.mutable.Map[(String, String), List[Double]]()
       .withDefaultValue(Nil)
     (1 to reps).foreach { rep =>
-      Variants.foreach { case (variant, minRows) =>
+      Variants.foreach { case (variant, minRows, minRowsHeavy) =>
         spark.conf.set("graft.rebalance.minRows", minRows)
+        spark.conf.set("graft.rebalance.minRowsHeavy", minRowsHeavy)
         names.foreach { name =>
           val s = runOnce(name)
           times((variant, name)) = s :: times((variant, name))
@@ -57,17 +61,18 @@ object AbRebalance {
         }
       }
     }
-    spark.conf.unset("graft.rebalance.minRows")
+    spark.conf.unset("graft.rebalance.minRows"); spark.conf.unset("graft.rebalance.minRowsHeavy")
 
     def median(xs: List[Double]): Double = {
       val s = xs.sorted; s(s.size / 2)
     }
     val what = "same-session A/B of the rebalance footer row gate " +
       "(round-17): pre = minRows=0 (always spread, r16 behavior), " +
-      "post4096/post8192 = footer-row-gated; variants interleaved " +
+      "shipped = minRows 4096/minRowsHeavy 512, uniform4096 = both 4096; " +
+      "variants interleaved " +
       s"round-robin, median-of-$reps, controls never touch rebalance. " +
       s"sfDir=$sfDir"
-    val body = Variants.map { case (variant, _) =>
+    val body = Variants.map { case (variant, _, _) =>
       val qs = names.map { n =>
         val xs = times((variant, n))
         f""""$n":{"sec":${median(xs)}%.3f,"spread":${xs.max - xs.min}%.3f}"""
