@@ -151,6 +151,46 @@ class ScratchSpec extends SparkSpec {
       v => spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", v))
   }
 
+  test("rebalance's heavy gate: tokenize-weight callers spread tables " +
+       "the vector gate keeps single-task") {
+    // 2,000 rows sits between minRowsHeavy (512) and minRows (4096): a
+    // shingle/tokenize consumer declares heavy = true and gets the
+    // spread; a vector-kernel consumer does not
+    val (dir, size) = writeFixture("heavy", rows = 2000, oneRowGroup = true)
+    withHollowSplits(size) {
+      val scan = spark.read.parquet(dir)
+      assert(scan.rdd.getNumPartitions >=
+        spark.sparkContext.defaultParallelism)
+      assert(Scratch.rebalance(scan) eq scan)
+      val out = Scratch.rebalance(scan, heavy = true)
+      assert(!(out eq scan))
+      assert(out.rdd.getNumPartitions ==
+        spark.sparkContext.defaultParallelism)
+    }
+  }
+
+  test("rebalance spreads a multi-file scan whose per-file row groups " +
+       "still undercut the session parallelism") {
+    // two one-row-group files: 2 data-bearing splits < target even though
+    // the scheduler plans plenty of byte-range splits over them
+    val dir = TempDirs.scratch("rebalance_twofiles")
+    spark.range(20000).selectExpr(
+      "id",
+      "concat(md5(string(id)), md5(string(id + 1)), md5(string(id + 2))) AS text")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    val size = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    withHollowSplits(size) {
+      val scan = spark.read.parquet(dir)
+      val target = spark.sparkContext.defaultParallelism
+      assert(scan.inputFiles.length == 2)
+      assert(scan.rdd.getNumPartitions >= target)
+      val out = Scratch.rebalance(scan)
+      assert(!(out eq scan))
+      assert(out.rdd.getNumPartitions == target)
+    }
+  }
+
   test("rebalance repartitions a compact single-partition source up to " +
        "the session parallelism") {
     val narrow = spark.range(1000).coalesce(1).toDF("x")
