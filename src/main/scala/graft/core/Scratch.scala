@@ -180,15 +180,20 @@ object Scratch {
     var groups = 0
     var rows = 0L
     files.foreach { f =>
-      val st = footerCache.computeIfAbsent(f, path => {
+      // failures are NOT cached (a footer probed mid-write may become
+      // readable); the conservative (1 group, MaxValue rows) stand-in is
+      // used for this call only and always chooses to spread
+      val st = Option(footerCache.get(f)).getOrElse {
         try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(path), hadoopConf)
+            .fromPath(new org.apache.hadoop.fs.Path(f), hadoopConf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          try (reader.getRowGroups.size, reader.getRecordCount)
-          finally reader.close()
+          val v = try (reader.getRowGroups.size, reader.getRecordCount)
+                  finally reader.close()
+          footerCache.put(f, v)
+          v
         } catch { case NonFatal(_) => (1, Long.MaxValue) }
-      })
+      }
       groups += st._1
       rows = if (rows == Long.MaxValue || st._2 == Long.MaxValue) Long.MaxValue
              else rows + st._2

@@ -44,6 +44,30 @@ object TempDirs {
     deletePath(p)
   }
 
+  /** Snapshot of the live scratch registry, for [[releaseSince]]. */
+  def snapshot(): java.util.Set[String] = {
+    val s = new java.util.HashSet[String]()
+    registered.forEach(p => { s.add(p); () })
+    s
+  }
+
+  /** Release every scratch path registered AFTER `snap` was taken — the
+    * long-session lever: scratch is deleted only at JVM exit by default,
+    * so a driver that runs many queries in one session (a sweep, a
+    * long-lived service) accumulates it unboundedly — the round-17 sf10
+    * sweep filled 77 GB of disk from four SEG-Y round-trip runs alone and
+    * starved every query after it. ONLY safe when the frames produced
+    * since the snapshot are fully consumed (counted/written), because a
+    * returned lazy frame still scans its scratch.
+    */
+  def releaseSince(snap: java.util.Set[String]): Int = {
+    var n = 0
+    registered.forEach { p =>
+      if (!snap.contains(p)) { release(p); n += 1 }
+    }
+    n
+  }
+
   /** Best-effort recursive delete that understands non-local schemes (the
     * shared-filesystem scratch root case). */
   private def deletePath(p: String): Unit =

@@ -118,6 +118,12 @@ object Scale {
     val stateListener = graft.streaming.StateMetrics.attach(spark)
     val lines = names.map { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name, sys.error(s"unknown query $name"))
+      // scratch dirs are deleted only at JVM exit by default; a multi-query
+      // sweep at sf10 accumulates them unboundedly (four SEG-Y round-trip
+      // runs = 56 GB — the round-17 sweep filled the disk and starved the
+      // LSH family). Every run here fully consumes its frame (fullCount),
+      // so per-query release is safe.
+      val scratchSnap = graft.core.TempDirs.snapshot()
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = graft.Bench.fullCount(fn(spark, sfDir))
@@ -153,6 +159,9 @@ object Scale {
         }
       }
       Thread.sleep(200)
+      val released = graft.core.TempDirs.releaseSince(scratchSnap)
+      if (released > 0)
+        System.err.println(s"[scale] $name: released $released scratch dirs")
       val (stRows, stMem) = stateListener.drain()
       val stateJson =
         if (stRows > 0 || stMem > 0)
