@@ -56,17 +56,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // The long trace fixtures (q_trace_stack_long, q_moveout_*_long) key
-    // their by-cell repartition on `l_suppkey % 64` — one state buffer per
-    // cell, co-partitioned with the aggregate. 64 distinct keys cap busy
-    // tasks at 64: on a wider box the kernel rows would under-utilize
-    // SILENTLY, so refuse to bench there until the fixture modulus is
-    // raised (raise the modulus, not the partition count — see the
-    // fixtures' comments in SparkEntry).
-    require(spark.sparkContext.defaultParallelism <= 64,
-      s"bench box has ${spark.sparkContext.defaultParallelism} cores but " +
-        "the long trace fixtures cap busy tasks at 64 (l_suppkey % 64); " +
-        "raise the fixture modulus before benching on this machine")
+    // The long trace fixtures (q_moveout_*_long) key their by-cell
+    // repartition on `l_suppkey % 512` — one state buffer per cell,
+    // co-partitioned with the aggregate, so boxes up to 512 cores stay
+    // fully busy (the r17 64-cell modulus forced a >64-core refusal
+    // here; raising the modulus removed it). Past 512 cores raise the
+    // modulus again — mirrored in the oracle SQL — rather than the
+    // partition count.
 
     // Warm the file-system/footer caches once so per-query times measure the
     // query, not first-touch metadata I/O.
@@ -114,8 +110,10 @@ object Bench {
     // same-day full-suite totals vary ±20% run-to-run on this box, so
     // single-run per-query comparisons across code changes sit inside
     // noise — the clean committed record uses median-of-3. Consecutive
-    // (not whole-suite-interleaved) repeats keep cross-query memoized
-    // state (the persisted ANN indexes) valid for every repetition.
+    // (not whole-suite-interleaved) repeats keep a query's warm state
+    // (JIT, file/footer caches) comparable across its repetitions; each
+    // repetition rebuilds its own scratch indexes (paths are UUID-fresh),
+    // so per-query scratch release below never invalidates a repeat.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "1").toInt
     require(repeats >= 1, s"SPARK_GRAFT_BENCH_REPEATS must be >= 1, got $repeats")
     case class R(sec: Double, ok: Boolean, rows: Long, spread: Double)
@@ -124,6 +122,14 @@ object Bench {
       else SparkEntry.queries.view.filterKeys(args.contains).toMap
     val results: Seq[(String, R)] = selected.toSeq.sortBy(_._1).map {
       case (name, fn) =>
+        // scratch dirs are deleted only at JVM exit by default; a full
+        // sweep accumulates them unboundedly (the round-17 sf10 war
+        // story: four SEG-Y round-trips = 77 GB, starving the LSH
+        // family). Every run here fully consumes its frame (fullCount)
+        // and no query reads another query's scratch (paths are
+        // UUID-fresh per call), so releasing AFTER a query's repeats is
+        // safe — the release brackets the repeats, never splits them.
+        val scratchSnap = graft.core.TempDirs.snapshot()
         val runs = (1 to repeats).map { _ =>
           val t0 = System.nanoTime()
           try { val n = fullCount(fn(spark, sfDir)); ((System.nanoTime() - t0) / 1e9, true, n) }
@@ -132,6 +138,14 @@ object Bench {
             ((System.nanoTime() - t0) / 1e9, false, -1L)
           }
         }
+        // enforced safety condition (not just commented): a still-active
+        // stream may hold reads against registered scratch — leave its
+        // paths for the exit hook rather than delete under it
+        if (spark.streams.active.isEmpty)
+          graft.core.TempDirs.releaseSince(scratchSnap): Unit
+        else
+          System.err.println(s"[bench] $name: streams still active — " +
+            "skipping scratch release for this query")
         val secs = runs.map(_._1).sorted
         val median = secs(secs.size / 2)
         name -> R(median, runs.forall(_._2),
@@ -152,7 +166,10 @@ object Bench {
           xs.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
         s""","controls":{"pre":${block(controlsPre)},"post":${block(controlsPost)}}"""
       }
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"repeats":$repeats$controlsJson,"sf":"$sfDir"}"""
+    // post-sweep scratch footprint: with per-query release this is bounded
+    // by the LAST query's residue (0 in practice), not the whole sweep's
+    val scratchBytes = graft.core.TempDirs.liveBytes()
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_failed":$nFail,"repeats":$repeats$controlsJson,"scratch_live_bytes":$scratchBytes,"sf":"$sfDir"}"""
     println(line)
     if (args.isEmpty) {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")

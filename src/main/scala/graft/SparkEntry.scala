@@ -26,6 +26,21 @@ object SparkEntry {
   private def documents(s: SparkSession, d: String) = Tables.documents(s, d)
   private def embeddings(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** The boilerplate flood for the adversarial-skew near-dup fixture
+    * (q_neardup_lsh_skew): a long fixed preamble prepended to 30% of docs.
+    * 42 words ≈ 40 shingles — enough to dominate most docs' minhash
+    * components, so the flooded docs' bands collide into a handful of
+    * quadratic-blowup buckets and the hot-bucket cap ENGAGES (the clean
+    * fixtures never fire the default cap). No quotes — the string is
+    * interpolated into the DuckDB oracle SQL verbatim.
+    */
+  private val SkewBoilerplate: String =
+    "subscribe to our newsletter for the latest updates and exclusive " +
+    "offers terms of service apply all rights reserved unauthorized " +
+    "reproduction is prohibited contact support for assistance follow us " +
+    "on social media share this article with your friends read the full " +
+    "story after the break advertisement continue reading below"
+
   /** Stage a single-file fixture table into a scratch DIRECTORY (the
     * file-stream source requires one; a real deployment streams a landing
     * dir to begin with) and return it. One copy per streaming query run.
@@ -702,6 +717,21 @@ object SparkEntry {
       Dedup.dedupExactBest(
         TextAnalysis.qualityScore(documents(s, d)), "quality")),
     "q_neardup_lsh" -> ((s, d) => Dedup.nearDupPairs(documents(s, d))),
+    // ADVERSARIAL-SKEW variant (r17 verdict ask #6): a Zipf-shaped
+    // boilerplate flood — 30% of docs share the long fixed preamble, so
+    // their minhash bands collide into a handful of quadratic-blowup
+    // buckets. maxBucketSize=64 makes the hot-bucket cap ENGAGE at
+    // sf0.01+ (the 10000 default never fires on the clean fixtures):
+    // flooded buckets are dropped, members still pair through their
+    // diverse bands, and the oracle replicates the documented cap
+    // semantics (QUALIFY count(*) OVER bucket <= cap) bit-for-bit.
+    "q_neardup_lsh_skew" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"),
+        when(col("doc_id") % 10 < 3,
+          concat(lit(SkewBoilerplate), lit(" "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.nearDupPairs(docs, maxBucketSize = 64)
+    }),
     // dedup-index lifecycle (the near-dup mirror of q_bm25_compact): build
     // from a split, append the rest, compact, query — must reproduce the
     // from-scratch batch LSH pairs bit-for-bit against the same oracle
@@ -1456,15 +1486,16 @@ object SparkEntry {
       val cands = (0 until 16).map(_ / 8.0) // 0, 0.125, …, 1.875 samples
       val df = lineitem(s, d)
         .where(col("l_orderkey") % 16 === 0)
-        .select((col("l_suppkey") % 64).as("cell"),
+        .select((col("l_suppkey") % 512).as("cell"),
           (col("l_linenumber") - 1).cast("double").as("off"),
           col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
         // by-cell partitioning: one state buffer per cell total (see
-        // q_trace_stack_long's note). cell has exactly 64 distinct values
-        // (l_suppkey % 64), so hash-partitioning caps busy tasks at ≤64
-        // regardless of requested width — a deliberate fixture shape (the
-        // bench box has 32 cores); on wider machines raise the modulus,
-        // not the partition count
+        // q_trace_stack_long's note). cell has 512 distinct values at
+        // sf0.1+ (l_suppkey % 512, ~73-trace gathers), so hash-
+        // partitioning keeps every box up to 512 cores busy — the r17
+        // 64-cell modulus silently capped busy tasks on wider boxes and
+        // forced a Bench refusal; raising the modulus (mirrored in the
+        // oracle SQL) removed both
         .repartition(s.sparkContext.defaultParallelism, col("cell"))
         .select(col("cell"), col("off"),
           graft.functions.TraceExprs.longModToDouble(
@@ -1503,15 +1534,16 @@ object SparkEntry {
       val cands = (0 until 16).map(_ / 8.0)
       val df = lineitem(s, d)
         .where(col("l_orderkey") % 16 === 0)
-        .select((col("l_suppkey") % 64).as("cell"),
+        .select((col("l_suppkey") % 512).as("cell"),
           (col("l_linenumber") - 1).cast("double").as("off"),
           col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
         // by-cell partitioning: one state buffer per cell total (see
-        // q_trace_stack_long's note). cell has exactly 64 distinct values
-        // (l_suppkey % 64), so hash-partitioning caps busy tasks at ≤64
-        // regardless of requested width — a deliberate fixture shape (the
-        // bench box has 32 cores); on wider machines raise the modulus,
-        // not the partition count
+        // q_trace_stack_long's note). cell has 512 distinct values at
+        // sf0.1+ (l_suppkey % 512, ~73-trace gathers), so hash-
+        // partitioning keeps every box up to 512 cores busy — the r17
+        // 64-cell modulus silently capped busy tasks on wider boxes and
+        // forced a Bench refusal; raising the modulus (mirrored in the
+        // oracle SQL) removed both
         .repartition(s.sparkContext.defaultParallelism, col("cell"))
         .select(col("cell"), col("off"),
           graft.functions.TraceExprs.longModToDouble(
@@ -1547,21 +1579,22 @@ object SparkEntry {
     }),
     // the panel at FULL shape: 1000 samples × 16 candidates × window 121
     // — the windowed prefix-sum eval stays exact at this length, so the
-    // probed panel values hash-match; 64 cells × 16 candidates = 1024
+    // probed panel values hash-match; 512 cells × 16 candidates = 8192
     // rows of (cell, shift, probes)
     "q_moveout_panel_long" -> ((s, d) => {
       val cands = (0 until 16).map(_ / 8.0)
       val df = lineitem(s, d)
         .where(col("l_orderkey") % 16 === 0)
-        .select((col("l_suppkey") % 64).as("cell"),
+        .select((col("l_suppkey") % 512).as("cell"),
           (col("l_linenumber") - 1).cast("double").as("off"),
           col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
         // by-cell partitioning: one state buffer per cell total (see
-        // q_trace_stack_long's note). cell has exactly 64 distinct values
-        // (l_suppkey % 64), so hash-partitioning caps busy tasks at ≤64
-        // regardless of requested width — a deliberate fixture shape (the
-        // bench box has 32 cores); on wider machines raise the modulus,
-        // not the partition count
+        // q_trace_stack_long's note). cell has 512 distinct values at
+        // sf0.1+ (l_suppkey % 512, ~73-trace gathers), so hash-
+        // partitioning keeps every box up to 512 cores busy — the r17
+        // 64-cell modulus silently capped busy tasks on wider boxes and
+        // forced a Bench refusal; raising the modulus (mirrored in the
+        // oracle SQL) removed both
         .repartition(s.sparkContext.defaultParallelism, col("cell"))
         .select(col("cell"), col("off"),
           graft.functions.TraceExprs.longModToDouble(
@@ -2846,6 +2879,10 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "q_jaccard_blocked" -> OracleSqlGen.blockedJaccardSql(),
     "q_neardup_lsh" -> OracleSqlGen.nearDupLshSql(),
+    "q_neardup_lsh_skew" -> OracleSqlGen.nearDupLshSql(maxBucketSize = 64,
+      docsFrom = "(SELECT doc_id, CASE WHEN doc_id % 10 < 3 THEN " +
+        s"'$SkewBoilerplate' || ' ' || text ELSE text END AS text " +
+        "FROM documents) skew_docs"),
     // the lifecycle must land exactly where the batch plan lands
     "q_neardup_index" -> OracleSqlGen.nearDupLshSql(),
     "q_stream_neardup_index" -> OracleSqlGen.nearDupLshSql(),
@@ -3576,7 +3613,7 @@ object SparkEntry {
           |      + (coalesce(v[CAST(floor(p + sh) AS BIGINT) + 1], 0.0)
           |         - coalesce(v[CAST(floor(p + sh) AS BIGINT)], 0.0))
           |        * (p + sh - floor(p + sh))""".stripMargin
-      s"""WITH t AS (SELECT l_suppkey % 64 AS cell,
+      s"""WITH t AS (SELECT l_suppkey % 512 AS cell,
         |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
         |    list_transform(range(1, 1001),
         |      i -> CAST(((l_orderkey + 1) * i + l_linenumber) % 1000 * 8 AS DOUBLE)) AS v
@@ -3663,7 +3700,7 @@ object SparkEntry {
           |      + (coalesce(v[CAST(floor(p + sh) AS BIGINT) + 1], 0.0)
           |         - coalesce(v[CAST(floor(p + sh) AS BIGINT)], 0.0))
           |        * (p + sh - floor(p + sh))""".stripMargin
-      s"""WITH t AS (SELECT l_suppkey % 64 AS cell,
+      s"""WITH t AS (SELECT l_suppkey % 512 AS cell,
         |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
         |    list_transform(range(1, 1001),
         |      i -> CAST(((l_orderkey + 1) * i + l_linenumber) % 1000 * 8 AS DOUBLE)) AS v
@@ -3750,7 +3787,7 @@ object SparkEntry {
           |      + (coalesce(v[CAST(floor(p + sh) AS BIGINT) + 1], 0.0)
           |         - coalesce(v[CAST(floor(p + sh) AS BIGINT)], 0.0))
           |        * (p + sh - floor(p + sh))""".stripMargin
-      s"""WITH t AS (SELECT l_suppkey % 64 AS cell,
+      s"""WITH t AS (SELECT l_suppkey % 512 AS cell,
         |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
         |    list_transform(range(1, 1001),
         |      i -> CAST(((l_orderkey + 1) * i + l_linenumber) % 1000 * 8 AS DOUBLE)) AS v

@@ -32,11 +32,22 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
+      // per-query scratch release (same bracket as Bench/Scale): the
+      // parquet write fully consumes the frame and no query reads another
+      // query's scratch (UUID-fresh paths), so a full dump's disk
+      // footprint is one query's, not the whole registry's — at sf1+ the
+      // SEG-Y round-trip family alone is tens of GB otherwise
+      val scratchSnap = graft.core.TempDirs.snapshot()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      if (spark.streams.active.isEmpty)
+        graft.core.TempDirs.releaseSince(scratchSnap): Unit
+      else
+        System.err.println(s"[verify] $name: streams still active — " +
+          "skipping scratch release for this query")
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

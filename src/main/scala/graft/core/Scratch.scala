@@ -133,6 +133,13 @@ object Scratch {
         else spark.conf.get("graft.rebalance.minRows",
           DefaultRebalanceMinRows.toString).toLong
       if (rows < minRows) df
+      // min(scheduled, rowGroups) is an UPPER BOUND on data-bearing splits,
+      // not achievable parallelism: skewed row-group sizes (many tiny
+      // groups whose starts land in one byte-range split plus one giant
+      // group) can pass rowGroups >= target yet still leave most splits
+      // empty. Erring un-spread there is perf-only; comparing row-group
+      // start offsets against split boundaries (footers carry them) is
+      // the upgrade if a skewed writer shows up in practice.
       else if (math.min(scheduled, rowGroups) < target) df.repartition(target)
       else df
     } else if (scheduled < target) df.repartition(target)
@@ -154,6 +161,14 @@ object Scratch {
   /** True when the optimized plan contains no shuffle-inducing operator —
     * i.e. the frame's partitioning is the scan's partitioning and the
     * hollow-split analysis applies.
+    *
+    * The match covers the operators graft plans ever put under a
+    * rebalance (scan→filter→project chains); it does NOT recognize
+    * shuffle-inducing shapes the optimizer keeps as-is (MapGroups,
+    * CoGroup, script transforms — anything requiring a
+    * ClusteredDistribution), so a rebalance over such a frame would
+    * re-add the r16 redundant-exchange cost. Callers must pass
+    * scan-rooted frames only — every current call site does.
     */
   private def isExchangeFree(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
@@ -167,15 +182,22 @@ object Scratch {
   /** (total row groups, total rows) across `files` from parquet footers —
     * driver-side metadata reads, cached per path (part files are
     * write-once; an unreadable footer counts conservatively as one giant
-    * row group, erring toward spreading).
+    * row group, erring toward spreading). Access-ordered LRU bounded at
+    * 65,536 paths (same pattern as the directory-manifest cache): the
+    * previous clear-all at the bound was a periodic cold-start stampede
+    * of footer reads on a long-lived service.
     */
-  private val footerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Int, Long)]()
+  private val footerCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, (Int, Long)](
+      16, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Int, Long)]): Boolean =
+        size() > 65536
+    })
 
   private def footerStats(spark: org.apache.spark.sql.SparkSession,
                           files: Array[String]): (Int, Long) = {
     import scala.util.control.NonFatal
-    if (footerCache.size > 65536) footerCache.clear()
     val hadoopConf = spark.sessionState.newHadoopConf()
     var groups = 0
     var rows = 0L

@@ -68,16 +68,42 @@ object TempDirs {
     n
   }
 
+  /** Total on-disk bytes across still-registered scratch paths — the
+    * footprint a sweep's per-query releases leave behind. Local-scheme
+    * only (a `du` over registered dirs); non-existent paths count 0.
+    */
+  def liveBytes(): Long = {
+    var total = 0L
+    registered.forEach { p =>
+      def size(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+        else if (f.isFile) f.length()
+        else 0L
+      total += size(new java.io.File(p))
+    }
+    total
+  }
+
   /** Best-effort recursive delete that understands non-local schemes (the
-    * shared-filesystem scratch root case). */
+    * shared-filesystem scratch root case). The Hadoop conf comes from the
+    * active session when one exists — a fresh `Configuration()` may lack
+    * the session's object-store credentials, and a credential failure
+    * falling through to the local-file branch would silently leak remote
+    * scratch. */
   private def deletePath(p: String): Unit =
     try {
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .flatMap(s => try Some(s.sessionState.newHadoopConf())
+                      catch { case scala.util.control.NonFatal(_) => None })
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
       val hp = new org.apache.hadoop.fs.Path(p)
-      val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = hp.getFileSystem(conf)
       fs.delete(hp, true)
       ()
     } catch {
-      case _: Throwable => deleteRecursively(new java.io.File(p))
+      case scala.util.control.NonFatal(_) =>
+        deleteRecursively(new java.io.File(p))
     }
 
   private def deleteRecursively(f: java.io.File): Unit = {

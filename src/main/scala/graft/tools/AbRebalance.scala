@@ -9,9 +9,13 @@ import org.apache.spark.sql.SparkSession
   * guard gates on exact row counts; this tool measures the gate's effect.
   *
   * Variants share one JVM/session (the conf is read per rebalance call):
-  *   pre      — graft.rebalance.minRows=0  (always spread; r16 behavior)
-  *   post4096 — minRows=4096 (documents@sf0.1 spreads, embeddings doesn't)
-  *   post8192 — minRows=8192 (the shipped default; neither spreads)
+  *   pre         — minRows=0, minRowsHeavy=0 (always spread; r16 behavior)
+  *   shipped     — minRows=4096, minRowsHeavy=512 (the Scratch.scala
+  *                 defaults: vector kernels gate at 4096 so the 2,000-row
+  *                 embeddings table doesn't spread; tokenize/shingle
+  *                 kernels gate at 512 so 5,000-doc documents still does)
+  *   uniform4096 — minRows=4096, minRowsHeavy=4096 (the weight-blind gate
+  *                 the A/B rejected: it cost q_bm25 1.41→2.25 s)
   * Rounds interleave variants to cancel box drift; controls (q_stats,
   * q_trace_agc_long, q_funnel) never touch rebalance.
   *

@@ -100,7 +100,13 @@ object AnnRecallHeap {
     }
     val histJson = histogram.map(jstr).mkString(",")
     println(
-      f"""{"what":"heap attribution of $name at $sfDir (round-17 ask #3)","cold_s":$cold%.1f,"warm_s":$warm%.1f,"heap_peak_mb":${peak / 1048576}%d,"sum_peak_exec_mb":${
+      // sum_task_peaks_mb sums per-task peakExecutionMemory across all
+      // tasks and stages; task peaks are NOT simultaneous, so this
+      // OVERSTATES concurrent executor memory (it bounds total booked
+      // allocation, not a live peak) — the conflation verdict rests on
+      // the <0.3 GB live histogram, not this number. Renamed from the
+      // r17 record's misreadable "sum_peak_exec_mb".
+      f"""{"what":"heap attribution of $name at $sfDir (round-17 ask #3)","cold_s":$cold%.1f,"warm_s":$warm%.1f,"heap_peak_mb":${peak / 1048576}%d,"sum_task_peaks_mb":${
         import scala.jdk.CollectionConverters._
         stagePeak.asScala.values.map(_._1).sum / 1048576
       }%d,"top_stages":[${topStages.mkString(",")}],"histogram_top":[$histJson]}""")

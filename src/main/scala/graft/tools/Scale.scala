@@ -159,7 +159,16 @@ object Scale {
         }
       }
       Thread.sleep(200)
-      val released = graft.core.TempDirs.releaseSince(scratchSnap)
+      // releaseSince's safety condition ("frames since the snapshot are
+      // fully consumed") is ENFORCED, not assumed: a stream still active
+      // here (one the bounded stop above failed to kill) may hold reads
+      // against registered scratch, so its paths stay until JVM exit.
+      val released =
+        if (spark.streams.active.nonEmpty) {
+          System.err.println(s"[scale] $name: ${spark.streams.active.length} " +
+            "streams still active — skipping scratch release for this query")
+          0
+        } else graft.core.TempDirs.releaseSince(scratchSnap)
       if (released > 0)
         System.err.println(s"[scale] $name: released $released scratch dirs")
       val (stRows, stMem) = stateListener.drain()
