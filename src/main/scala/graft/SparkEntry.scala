@@ -3750,7 +3750,11 @@ object SparkEntry {
            |    + (coalesce(l[$i0 + 1], 0.0) - coalesce(l[$i0], 0.0))
            |      * ($i + sh - floor($i + sh)))""".stripMargin
       }
-      def q(c: String): String = s"CAST($c AS DECIMAL(18,10))"
+      // scale 2 like q_moveout_semblance's r17 fix: every interpolated
+      // value is an exact QUARTER, so scale 2 loses nothing, and
+      // DECIMAL(18,10) sums overflowed at sf1 (~1.02e8); 19,2 holds to
+      // sf100+ and keeps s1*s1 within DuckDB's 38-digit product cap
+      def q(c: String): String = s"CAST($c AS DECIMAL(19,2))"
       def sd(c: String): String = s"CAST(CAST($c AS VARCHAR) AS DOUBLE)"
       s"""WITH t AS (SELECT l_suppkey AS cell,
         |    CAST(l_linenumber - 1 AS DOUBLE) AS off,
@@ -3763,9 +3767,9 @@ object SparkEntry {
         |    ${rExpr(1)} AS r1, ${rExpr(2)} AS r2, ${rExpr(3)} AS r3
         |  FROM x),
         |stk AS (SELECT cell, s, CAST(count(*) AS BIGINT) AS n,
-        |    ${"CAST(sum(" + q("r1") + ") AS DECIMAL(18,10))"} AS s1,
-        |    ${"CAST(sum(" + q("r2") + ") AS DECIMAL(18,10))"} AS s2,
-        |    ${"CAST(sum(" + q("r3") + ") AS DECIMAL(18,10))"} AS s3,
+        |    ${"CAST(sum(" + q("r1") + ") AS DECIMAL(19,2))"} AS s1,
+        |    ${"CAST(sum(" + q("r2") + ") AS DECIMAL(19,2))"} AS s2,
+        |    ${"CAST(sum(" + q("r3") + ") AS DECIMAL(19,2))"} AS s3,
         |    sum(${q("r1")} * ${q("r1")}) AS d1,
         |    sum(${q("r2")} * ${q("r2")}) AS d2,
         |    sum(${q("r3")} * ${q("r3")}) AS d3

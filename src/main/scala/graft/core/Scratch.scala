@@ -162,19 +162,21 @@ object Scratch {
     * i.e. the frame's partitioning is the scan's partitioning and the
     * hollow-split analysis applies.
     *
-    * The match covers the operators graft plans ever put under a
-    * rebalance (scan→filter→project chains); it does NOT recognize
-    * shuffle-inducing shapes the optimizer keeps as-is (MapGroups,
-    * CoGroup, script transforms — anything requiring a
-    * ClusteredDistribution), so a rebalance over such a frame would
-    * re-add the r16 redundant-exchange cost. Callers must pass
-    * scan-rooted frames only — every current call site does.
+    * Beyond the relational operators, the match also catches the typed /
+    * scripted shapes that demand a ClusteredDistribution without the
+    * optimizer rewriting them (MapGroups, CoGroup, FlatMapGroupsWithState,
+    * script transforms) — a rebalance over one of those would re-add the
+    * r16 redundant-exchange cost. No current call site passes one
+    * (rebalance callers are scan→filter→project chains), so this is a
+    * guard rail, not a hot path.
     */
   private def isExchangeFree(df: DataFrame): Boolean = {
     import org.apache.spark.sql.catalyst.plans.logical._
     !df.queryExecution.optimizedPlan.exists {
       case _: Join | _: Aggregate | _: Window | _: Sort => true
       case _: RepartitionOperation | _: GlobalLimit => true
+      case _: MapGroups | _: CoGroup | _: FlatMapGroupsWithState => true
+      case _: ScriptTransformation => true
       case _ => false
     }
   }

@@ -16,6 +16,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 con = duckdb.connect()
+# Resource knobs for big-SF sweeps (the r18 sf10 run was OOM-killed with
+# DuckDB's default 80%-of-RAM limit while a Spark JVM shared the box):
+#   GRAFT_DUCKDB_MEMORY (e.g. '32GB'), GRAFT_DUCKDB_THREADS, GRAFT_DUCKDB_TMP
+import os
+if os.environ.get("GRAFT_DUCKDB_MEMORY"):
+    con.sql(f"SET memory_limit='{os.environ['GRAFT_DUCKDB_MEMORY']}'")
+if os.environ.get("GRAFT_DUCKDB_THREADS"):
+    con.sql(f"SET threads={int(os.environ['GRAFT_DUCKDB_THREADS'])}")
+if os.environ.get("GRAFT_DUCKDB_TMP"):
+    con.sql(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
 
