@@ -2050,6 +2050,27 @@ object SparkEntry {
         .agg(count(lit(1)).cast("long").as("n"),
           sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
             .as("sum_qty"))),
+    // ADVERSARIAL-SKEW variant (the salted-join half of the r17 #6 ask,
+    // beside q_neardup_lsh_skew's cap half): 30% of fact rows collapse
+    // onto ONE hot key — a catastrophic Zipf head a plain hash join would
+    // put on a single task — and the salted path must stay row-identical
+    // to the plain-join oracle. The task-level spread itself is pinned in
+    // SaltedJoinSpec ("the hot key spreads across salt buckets"); this
+    // row pins the RESULT under the skew the spread exists for.
+    "q_salted_join_skew" -> ((s, d) => {
+      val hot = (c: org.apache.spark.sql.Column) =>
+        when(c % 10 < 3, lit(0L)).otherwise(c)
+      val fact = lineitem(s, d).select(hot(col("l_orderkey")).as("k"),
+        col("l_quantity"))
+      val dim = orders(s, d).select(hot(col("o_orderkey")).as("k"),
+          col("o_orderstatus"))
+        .groupBy(col("k")).agg(min(col("o_orderstatus")).as("status"))
+      graft.operators.SaltedJoin.join(fact, dim, on = Seq("k"), salts = 8)
+        .groupBy(col("status"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+            .as("sum_qty"))
+    }),
     // co-located join: both sides written bucketed on the join key, then
     // sort-merge-joined with broadcast disabled — correctness gated here,
     // the NO-exchange plan shape pinned in BucketingSpec (at 100 TB this
@@ -4095,6 +4116,19 @@ object SparkEntry {
       """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
+    // the plain (unsalted) join over the SAME hot-key collapse — the
+    // salting must be invisible in the result
+    "q_salted_join_skew" ->
+      """WITH f AS (SELECT CASE WHEN l_orderkey % 10 < 3 THEN 0
+        |      ELSE l_orderkey END AS k, l_quantity FROM lineitem),
+        |d AS (SELECT k, min(o_orderstatus) AS status FROM (
+        |    SELECT CASE WHEN o_orderkey % 10 < 3 THEN 0
+        |      ELSE o_orderkey END AS k, o_orderstatus FROM orders)
+        |  GROUP BY 1)
+        |SELECT d.status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(f.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM f JOIN d ON f.k = d.k
         |GROUP BY 1""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n,
