@@ -3168,15 +3168,7 @@ object SparkEntry {
     "q_winnow_pairs" -> OracleSqlGen.winnowPairsSql(minShared = 32),
     "q_editdist_pairs" -> OracleSqlGen.editDistPairsSql(k = 4),
     "q_editdist_dedup" -> OracleSqlGen.editDistDedupSql(k = 4),
-    "q_editdist_link" ->
-      """WITH l AS (SELECT doc_id AS left_id, text AS t, length(text) AS n
-        |    FROM documents WHERE doc_id % 2 = 0),
-        |r AS (SELECT doc_id AS right_id, text AS t, length(text) AS n
-        |    FROM documents WHERE doc_id % 2 = 1)
-        |SELECT l.left_id, r.right_id,
-        |    CAST(levenshtein(l.t, r.t) AS BIGINT) AS ed
-        |FROM l JOIN r ON abs(l.n - r.n) <= 4
-        |WHERE levenshtein(l.t, r.t) <= 4""".stripMargin,
+    "q_editdist_link" -> OracleSqlGen.editDistLinkSql(k = 4),
     "q_gram_lm" ->
       """WITH nm AS (SELECT doc_id,
         |    regexp_replace(lower(text), '\s+', ' ', 'g') AS t FROM documents),
