@@ -16,7 +16,11 @@ object TempDirs {
 
   private lazy val hookInstalled: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      registered.forEach(deletePath)
+      // one bad path (e.g. a LinkageError resolving a filesystem impl at
+      // shutdown, after classloaders start closing) must not abort the
+      // hook and leak every path behind it — swallow per-path Throwable
+      registered.forEach(p =>
+        try deletePath(p) catch { case _: Throwable => () })
     }))
 
   /** Scratch root: `graft.scratch.dir` (shared path on clusters) or tmpdir. */
@@ -63,26 +67,75 @@ object TempDirs {
   def releaseSince(snap: java.util.Set[String]): Int = {
     var n = 0
     registered.forEach { p =>
-      if (!snap.contains(p)) { release(p); n += 1 }
+      // deletePath handles NonFatal internally (local-delete fallback);
+      // a FATAL throwable on one path (LinkageError from a broken fs
+      // impl) must not abort the whole sweep mid-release — drop the path
+      // from the registry either way and keep sweeping
+      if (!snap.contains(p)) {
+        try release(p)
+        catch { case _: Throwable => registered.remove(p): Unit }
+        n += 1
+      }
     }
     n
   }
 
   /** Total on-disk bytes across still-registered scratch paths — the
-    * footprint a sweep's per-query releases leave behind. Local-scheme
-    * only (a `du` over registered dirs); non-existent paths count 0.
+    * footprint a sweep's per-query releases leave behind. Resolves each
+    * path's scheme the same way [[deletePath]] does: non-local schemes go
+    * through Hadoop's `getContentSummary` (so a shared-filesystem scratch
+    * root doesn't silently read 0 while remote scratch remains), local
+    * paths use an NIO walk that neither follows directory symlinks nor
+    * sizes through file symlinks (a link into the fixture tree would
+    * otherwise double-count or loop). `None` = at least one path could
+    * not be measured — callers should record "unknown", not 0.
     */
-  def liveBytes(): Long = {
+  def liveBytes(): Option[Long] = {
     var total = 0L
+    var unknown = false
     registered.forEach { p =>
-      def size(f: java.io.File): Long =
-        if (f.isDirectory)
-          Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
-        else if (f.isFile) f.length()
-        else 0L
-      total += size(new java.io.File(p))
+      pathBytes(p) match {
+        case Some(n) => total += n
+        case None    => unknown = true
+      }
     }
-    total
+    if (unknown) None else Some(total)
+  }
+
+  private def pathBytes(p: String): Option[Long] = {
+    import scala.util.control.NonFatal
+    val scheme =
+      try Option(new java.net.URI(p).getScheme).getOrElse("file")
+      catch { case NonFatal(_) => "file" }
+    if (scheme == "file") {
+      import java.nio.file.{Files, LinkOption, Paths}
+      import java.nio.file.attribute.BasicFileAttributes
+      val path = Paths.get(p)
+      if (!Files.exists(path, LinkOption.NOFOLLOW_LINKS)) Some(0L)
+      else
+        try {
+          val walk = Files.walk(path) // does NOT follow dir symlinks
+          try {
+            var sum = 0L
+            walk.forEach { f =>
+              val attrs = Files.readAttributes(
+                f, classOf[BasicFileAttributes], LinkOption.NOFOLLOW_LINKS)
+              if (attrs.isRegularFile) sum += attrs.size()
+            }
+            Some(sum)
+          } finally walk.close()
+        } catch { case NonFatal(_) => None }
+    } else
+      try {
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .flatMap(s => try Some(s.sessionState.newHadoopConf())
+                        catch { case NonFatal(_) => None })
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(conf)
+        if (!fs.exists(hp)) Some(0L)
+        else Some(fs.getContentSummary(hp).getLength)
+      } catch { case NonFatal(_) => None }
   }
 
   /** Best-effort recursive delete that understands non-local schemes (the

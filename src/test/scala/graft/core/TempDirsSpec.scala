@@ -39,9 +39,35 @@ class TempDirsSpec extends SparkSpec {
     mkFile(p, "x.bin", 1024)
     mkFile(s"$p/sub", "y.bin", 512)
     val live = TempDirs.liveBytes()
-    assert(live >= 1536, s"expected >= 1536 live bytes, got $live")
+    assert(live.exists(_ >= 1536), s"expected >= 1536 live bytes, got $live")
     TempDirs.releaseSince(snap): Unit
     assert(!new java.io.File(p).exists())
+  }
+
+  test("liveBytes does not follow symlinks out of a scratch dir") {
+    assume(!System.getProperty("os.name").toLowerCase.contains("win"))
+    val snap = TempDirs.snapshot()
+    val outside = java.nio.file.Files.createTempDirectory("tds_outside")
+    java.nio.file.Files.write(
+      outside.resolve("big.bin"), new Array[Byte](1 << 20)): Unit
+    val p = TempDirs.scratch("tds_links")
+    mkFile(p, "real.bin", 256)
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(p, "loop"), java.nio.file.Paths.get(p)): Unit
+    java.nio.file.Files.createSymbolicLink(
+      java.nio.file.Paths.get(p, "out"), outside): Unit
+    val live = TempDirs.liveBytes()
+    // counts the 256-byte real file, not the 1 MB behind the symlink and
+    // not an infinite loop through the self-link
+    assert(live.exists(n => n >= 256 && n < (1 << 20)),
+      s"symlinked bytes leaked into the footprint: $live")
+    // drop the links before release so the measurement is what was under
+    // test, not the deleter's own symlink handling
+    java.nio.file.Files.delete(java.nio.file.Paths.get(p, "loop"))
+    java.nio.file.Files.delete(java.nio.file.Paths.get(p, "out"))
+    TempDirs.releaseSince(snap): Unit
+    java.nio.file.Files.delete(outside.resolve("big.bin"))
+    java.nio.file.Files.delete(outside)
   }
 
   test("releaseSince is a no-op for an unchanged registry") {
