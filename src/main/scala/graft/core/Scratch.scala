@@ -126,24 +126,64 @@ object Scratch {
       try df.inputFiles catch { case NonFatal(_) => Array.empty[String] }
     val parquetOnly = files.nonEmpty && files.forall(_.endsWith(".parquet"))
     if (parquetOnly && files.length < target && isExchangeFree(df)) {
-      val (rowGroups, rows) = footerStats(spark, files)
+      val (midpointsByFile, rows) = footerStats(spark, files)
+      val rowGroups = midpointsByFile.valuesIterator.map(_.length).sum
       val minRows =
         if (heavy) spark.conf.get("graft.rebalance.minRowsHeavy",
           DefaultRebalanceMinRowsHeavy.toString).toLong
         else spark.conf.get("graft.rebalance.minRows",
           DefaultRebalanceMinRows.toString).toLong
       if (rows < minRows) df
-      // min(scheduled, rowGroups) is an UPPER BOUND on data-bearing splits,
-      // not achievable parallelism: skewed row-group sizes (many tiny
-      // groups whose starts land in one byte-range split plus one giant
-      // group) can pass rowGroups >= target yet still leave most splits
-      // empty. Erring un-spread there is perf-only; comparing row-group
-      // start offsets against split boundaries (footers carry them) is
-      // the upgrade if a skewed writer shows up in practice.
-      else if (math.min(scheduled, rowGroups) < target) df.repartition(target)
-      else df
+      // Achievable parallelism is the number of scheduled splits that
+      // READ at least one row group — parquet assigns a row group to the
+      // byte-range split containing its MIDPOINT (parquet-mr's
+      // RangeMetadataFilter; the reader Spark builds per split filters
+      // the footer by [start, start+length)). min(scheduled, rowGroups)
+      // is only an upper bound on that: skewed row-group sizes (many
+      // tiny groups whose midpoints land in one split plus one giant
+      // group) pass rowGroups >= target while most splits stay empty.
+      // The footers carry the offsets, the planned FilePartitions carry
+      // the split ranges — comparing them counts data-bearing splits
+      // EXACTLY. Fallback to the old bound when the physical scan shape
+      // is unrecognizable (no FilePartition leaves — streaming relation,
+      // reused exchange), erring un-spread as before.
+      else {
+        val bearing = dataBearingSplits(df, midpointsByFile)
+          .getOrElse(math.min(scheduled, rowGroups))
+        if (bearing < target) df.repartition(target) else df
+      }
     } else if (scheduled < target) df.repartition(target)
     else df
+  }
+
+  /** Count the planned splits that contain at least one row-group
+    * midpoint — the splits that will actually produce rows. Walks the
+    * frame's RDD lineage to the FileScanRDD (its partitions are the
+    * planned `FilePartition`s, each a bin-packed set of
+    * (path, start, length) file ranges); `None` when no FilePartition
+    * leaf is found within a bounded depth.
+    */
+  private def dataBearingSplits(
+      df: DataFrame,
+      midpointsByFile: Map[String, Array[Long]]): Option[Int] = {
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    def filePartitions(rdd: RDD[_], depth: Int): Seq[FilePartition] =
+      if (depth > 8) Seq.empty
+      else {
+        val own = rdd.partitions.collect { case fp: FilePartition => fp }
+        if (own.nonEmpty) own.toSeq
+        else rdd.dependencies.flatMap(d => filePartitions(d.rdd, depth + 1))
+      }
+    val parts =
+      try filePartitions(df.rdd, 0)
+      catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    if (parts.isEmpty) None
+    else Some(parts.count(_.files.exists { pf =>
+      val key = pf.toPath.toUri.toString
+      midpointsByFile.get(key).exists(_.exists(m =>
+        m >= pf.start && m < pf.start + pf.length))
+    }))
   }
 
   /** Row gates below which the spread's exchange costs more than the
@@ -181,47 +221,58 @@ object Scratch {
     }
   }
 
-  /** (total row groups, total rows) across `files` from parquet footers —
-    * driver-side metadata reads, cached per path (part files are
-    * write-once; an unreadable footer counts conservatively as one giant
-    * row group, erring toward spreading). Access-ordered LRU bounded at
-    * 65,536 paths (same pattern as the directory-manifest cache): the
-    * previous clear-all at the bound was a periodic cold-start stampede
-    * of footer reads on a long-lived service.
+  /** (row-group MIDPOINT offsets per file, total rows) across `files`
+    * from parquet footers — driver-side metadata reads, cached per path
+    * (part files are write-once; an unreadable footer counts
+    * conservatively as one giant row group at offset 0, erring toward
+    * spreading). Midpoint = startingPos + compressedSize/2, the offset
+    * parquet-mr's range filter tests for split membership. Keys are the
+    * files' URI forms so they match `PartitionedFile.toPath` in
+    * [[dataBearingSplits]]. Access-ordered LRU bounded at 65,536 paths
+    * (same pattern as the directory-manifest cache): the previous
+    * clear-all at the bound was a periodic cold-start stampede of footer
+    * reads on a long-lived service.
     */
   private val footerCache = java.util.Collections.synchronizedMap(
-    new java.util.LinkedHashMap[String, (Int, Long)](
+    new java.util.LinkedHashMap[String, (Array[Long], Long)](
       16, 0.75f, /*accessOrder=*/ true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[String, (Int, Long)]): Boolean =
+          e: java.util.Map.Entry[String, (Array[Long], Long)]): Boolean =
         size() > 65536
     })
 
   private def footerStats(spark: org.apache.spark.sql.SparkSession,
-                          files: Array[String]): (Int, Long) = {
+                          files: Array[String])
+      : (Map[String, Array[Long]], Long) = {
     import scala.util.control.NonFatal
+    import scala.jdk.CollectionConverters._
     val hadoopConf = spark.sessionState.newHadoopConf()
-    var groups = 0
     var rows = 0L
-    files.foreach { f =>
+    val byFile = files.map { f =>
+      val path = new org.apache.hadoop.fs.Path(f)
+      val key = path.toUri.toString
       // failures are NOT cached (a footer probed mid-write may become
-      // readable); the conservative (1 group, MaxValue rows) stand-in is
-      // used for this call only and always chooses to spread
-      val st = Option(footerCache.get(f)).getOrElse {
+      // readable); the conservative (one group at 0, MaxValue rows)
+      // stand-in is used for this call only and always chooses to spread
+      val st = Option(footerCache.get(key)).getOrElse {
         try {
           val in = org.apache.parquet.hadoop.util.HadoopInputFile
-            .fromPath(new org.apache.hadoop.fs.Path(f), hadoopConf)
+            .fromPath(path, hadoopConf)
           val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-          val v = try (reader.getRowGroups.size, reader.getRecordCount)
-                  finally reader.close()
-          footerCache.put(f, v)
+          val v = try {
+            val mids = reader.getRowGroups.asScala.map(b =>
+              b.getStartingPos + b.getCompressedSize / 2).toArray
+            (mids, reader.getRecordCount)
+          } finally reader.close()
+          footerCache.put(key, v)
           v
-        } catch { case NonFatal(_) => (1, Long.MaxValue) }
+        } catch { case NonFatal(_) => (Array(0L), Long.MaxValue) }
       }
-      groups += st._1
-      rows = if (rows == Long.MaxValue || st._2 == Long.MaxValue) Long.MaxValue
+      rows = if (rows == Long.MaxValue || st._2 == Long.MaxValue)
+               Long.MaxValue
              else rows + st._2
-    }
-    (groups, rows)
+      key -> st._1
+    }.toMap
+    (byFile, rows)
   }
 }

@@ -191,6 +191,69 @@ class ScratchSpec extends SparkSpec {
     }
   }
 
+  test("rebalance spreads a skew-row-group file: many tiny groups in one " +
+       "split plus one giant group defeat the min(scheduled, rowGroups) " +
+       "bound") {
+    // the layout the r18 guard documented as its known optimism: dozens
+    // of tiny row groups clustered in the file's FIRST byte-range split
+    // followed by one giant group — rowGroups >= target and scheduled >=
+    // target, yet only 2 splits contain a row-group midpoint. Built with
+    // parquet-mr's row-group append (no writer emits this naturally,
+    // which is why the old bound survived 3 rounds).
+    import org.apache.parquet.hadoop.{ParquetFileReader, ParquetFileWriter}
+    import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+    val (tinyDir, _) = {
+      val dir = TempDirs.scratch("rebalance_skew_tiny")
+      spark.range(3000).selectExpr(
+        "id",
+        "concat(md5(string(id)), md5(string(id + 1)), md5(string(id + 2))) AS text")
+        .coalesce(1).write.option("parquet.block.size", "4096")
+        .mode("overwrite").parquet(dir)
+      (dir, ())
+    }
+    val (giantDir, _) = writeFixture("skew_giant", rows = 40000,
+      oneRowGroup = true)
+    def partFile(dir: String) = new java.io.File(dir).listFiles()
+      .find(_.getName.endsWith(".parquet")).get.getAbsolutePath
+    val conf = spark.sessionState.newHadoopConf()
+    val outDir = TempDirs.scratch("rebalance_skew")
+    new java.io.File(outDir).mkdirs()
+    val outPath = new org.apache.hadoop.fs.Path(s"$outDir/part-skew.parquet")
+    val tinyIn = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(partFile(tinyDir)), conf)
+    val (schema, kv) = {
+      val r = ParquetFileReader.open(tinyIn)
+      try (r.getFooter.getFileMetaData.getSchema,
+           r.getFooter.getFileMetaData.getKeyValueMetaData)
+      finally r.close()
+    }
+    val w = new ParquetFileWriter(HadoopOutputFile.fromPath(outPath, conf),
+      schema, ParquetFileWriter.Mode.CREATE, 128L << 20, 0)
+    w.start()
+    w.appendFile(tinyIn)
+    w.appendFile(HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(partFile(giantDir)), conf))
+    w.end(kv)
+    val groups = {
+      val r = ParquetFileReader.open(HadoopInputFile.fromPath(outPath, conf))
+      try r.getRowGroups.size finally r.close()
+    }
+    val size = new java.io.File(outPath.toUri.getPath).length()
+    val target = spark.sparkContext.defaultParallelism
+    assert(groups >= target, s"fixture wrote only $groups row groups")
+    withHollowSplits(size) {
+      val scan = spark.read.parquet(outDir)
+      assert(scan.rdd.getNumPartitions >= target,
+        "fixture must schedule >= target splits")
+      // old bound: min(scheduled, rowGroups) >= target -> would keep the
+      // scan; the exact data-bearing count sees ~2 non-empty splits
+      val out = Scratch.rebalance(scan)
+      assert(!(out eq scan),
+        "skewed row-group layout must trigger the spread")
+      assert(out.rdd.getNumPartitions == target)
+    }
+  }
+
   test("rebalance repartitions a compact single-partition source up to " +
        "the session parallelism") {
     val narrow = spark.range(1000).coalesce(1).toDF("x")

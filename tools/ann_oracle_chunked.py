@@ -15,11 +15,16 @@ is independent of every other vector, so the union is bit-identical to
 the unchunked aggregate (the r17 verdict's ask #1, shape (a)).
 
 Usage:
-  python3 tools/ann_oracle_chunked.py <verify_out_dir> <sf_dir> [chunk_rows]
+  python3 tools/ann_oracle_chunked.py <verify_out_dir> <sf_dir> [chunk_rows] [query]
 
-Reads <verify_out_dir>/oracle_sql.json (must contain q_ann_ivf), compares
-against <verify_out_dir>/q_ann_ivf/*.parquet, prints the same OK/FAIL line
-format as compare_oracle.py.
+[query] defaults to q_ann_ivf and may be any of the i_asg-family oracles
+(q_ann_ivf / _2l / _filtered / q_ann_ivfpq / _rerank / _res /
+q_ann_recall) - all seven generate the IDENTICAL assignment-CTE shape
+(SELECT vec_id, cell, min-struct argmin over the e x i_cent cross
+product), verified by marker-count assert below. Reads
+<verify_out_dir>/oracle_sql.json, compares against
+<verify_out_dir>/<query>/*.parquet, prints the same OK/FAIL line format
+as compare_oracle.py.
 """
 import glob
 import json
@@ -32,6 +37,7 @@ import pandas as pd
 
 out_dir, sf_dir = sys.argv[1], sys.argv[2]
 chunk = int(sys.argv[3]) if len(sys.argv) > 3 else 20000
+qname = sys.argv[4] if len(sys.argv) > 4 else "q_ann_ivf"
 
 con = duckdb.connect()
 con.sql(f"SET memory_limit='{os.environ.get('GRAFT_DUCKDB_MEMORY', '24GB')}'")
@@ -40,7 +46,7 @@ if os.environ.get("GRAFT_DUCKDB_TMP"):
     con.sql(f"SET temp_directory='{os.environ['GRAFT_DUCKDB_TMP']}'")
 con.sql(f"CREATE VIEW embeddings AS FROM '{sf_dir}/embeddings.parquet'")
 
-sql = json.load(open(f"{out_dir}/oracle_sql.json"))["q_ann_ivf"]
+sql = json.load(open(f"{out_dir}/oracle_sql.json"))[qname]
 
 # --- mechanical split of the generated text ------------------------------
 # WITH e AS (...), i_nc AS (...), i_seeds AS (...), i_cent AS (...),
@@ -78,7 +84,7 @@ while lo < n:
 final = f"{head},\ni_asg AS (SELECT vec_id, cell FROM asg_acc),\n{tail}"
 exp = con.sql(final).df()
 
-files = glob.glob(f"{out_dir}/q_ann_ivf/*.parquet")
+files = glob.glob(f"{out_dir}/{qname}/*.parquet")
 got = pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
 
@@ -95,13 +101,13 @@ if ok:
         if gv.dtype.kind == "f" or ev.dtype.kind == "f":
             if not np.array_equal(gv.astype(float), ev.astype(float),
                                   equal_nan=True):
-                print(f"FAIL q_ann_ivf: col {c} float mismatch")
+                print(f"FAIL {qname}: col {c} float mismatch")
                 ok = False
         elif not (gv == ev).all():
-            print(f"FAIL q_ann_ivf: col {c} mismatch")
+            print(f"FAIL {qname}: col {c} mismatch")
             ok = False
 else:
-    print(f"FAIL q_ann_ivf: shape spark=({len(got)}, {sorted(got.columns)}) "
+    print(f"FAIL {qname}: shape spark=({len(got)}, {sorted(got.columns)}) "
           f"oracle=({len(exp)}, {sorted(exp.columns)})")
 if ok:
-    print(f"OK   q_ann_ivf ({len(got)} rows)")
+    print(f"OK   {qname} ({len(got)} rows)")
