@@ -49,39 +49,67 @@ con.sql(f"CREATE VIEW embeddings AS FROM '{sf_dir}/embeddings.parquet'")
 sql = json.load(open(f"{out_dir}/oracle_sql.json"))[qname]
 
 # --- mechanical split of the generated text ------------------------------
-# WITH e AS (...), i_nc AS (...), i_seeds AS (...), i_cent AS (...),
-# i_asg AS (SELECT ... FROM e, i_cent cent GROUP BY e.vec_id)),
-# i_probes AS (... down to the final SELECT
-ASG_MARK = "i_asg AS ("
-PROBE_MARK = "i_probes AS ("
-JOIN_MARK = "FROM e, i_cent cent GROUP BY e.vec_id"
-assert ASG_MARK in sql and PROBE_MARK in sql and JOIN_MARK in sql, \
-    "oracle SQL shape changed; update the markers"
-head = sql[: sql.index(ASG_MARK)].rstrip().rstrip(",")  # WITH e/nc/seeds/cent
-asg_body = sql[sql.index(ASG_MARK) + len(ASG_MARK): sql.index(PROBE_MARK)]
-asg_body = asg_body.rstrip().rstrip(",").rstrip()
-assert asg_body.endswith(")"), asg_body[-80:]
-asg_body = asg_body[:-1]  # strip the CTE's closing paren
-tail = sql[sql.index(PROBE_MARK):]  # i_probes ... final SELECT
+# The assignment CTE is named `i_asg` (ANN index family) or `asg`
+# (q_semantic_dedup); its body is extracted by paren matching (not a
+# next-CTE marker, which differs per query), and its cross-product join
+# is one of two fixed spellings. Everything before it is the head
+# (WITH e/nc/seeds/cent), everything after is the tail.
+ASG_NAMES = ["i_asg AS (", "asg AS ("]
+JOIN_MARKS = ["FROM e, i_cent cent GROUP BY e.vec_id",
+              "FROM e, cent GROUP BY e.vec_id"]
+asg_mark = next((m for m in ASG_NAMES
+                 if f"\n{m}" in sql or sql.startswith(m)), None)
+assert asg_mark, "oracle SQL shape changed; no assignment CTE found"
+asg_name = asg_mark.split(" ")[0]
+start = sql.index(asg_mark)
+body_start = start + len(asg_mark)
+depth = 1
+i = body_start
+while depth > 0:
+    if sql[i] == "(":
+        depth += 1
+    elif sql[i] == ")":
+        depth -= 1
+    i += 1
+body_end = i - 1  # the CTE's closing paren
+head = sql[:start].rstrip().rstrip(",")
+asg_body = sql[body_start:body_end]
+tail = sql[body_end + 1:].lstrip().lstrip(",").lstrip()
+join_mark = next((m for m in JOIN_MARKS if m in asg_body), None)
+assert join_mark, "oracle SQL shape changed; no cross-product join found"
+assert asg_body.count(join_mark) == 1
 
 n = con.sql(f"SELECT max(vec_id) + 1 FROM embeddings").fetchone()[0]
 con.sql("CREATE TEMP TABLE asg_acc (vec_id BIGINT, cell BIGINT)")
+# GRAFT_ASG_CACHE=<path.parquet>: persist the chunked assignment across
+# retries — the asg loop is ~17 min at sf10 and per-query-identical for a
+# given (query, sf), so tail-side failures shouldn't pay it again
+cache = os.environ.get("GRAFT_ASG_CACHE")
+if cache and os.path.exists(cache):
+    con.sql(f"INSERT INTO asg_acc SELECT * FROM read_parquet('{cache}')")
+    print(f"  asg loaded from cache {cache}", file=sys.stderr)
+    n = 0  # skip the loop
 lo = 0
 while lo < n:
     hi = lo + chunk
     # materialize the slice so DuckDB parallelizes over a table, not a
     # single parquet row-group; the seed/centroid CTEs stay full-corpus
+    cent_alias = ("i_cent cent" if "i_cent" in join_mark else "cent")
     sliced = asg_body.replace(
-        JOIN_MARK,
+        join_mark,
         f"FROM (SELECT * FROM e WHERE e.vec_id >= {lo} AND e.vec_id < {hi}) e,"
-        f" i_cent cent GROUP BY e.vec_id")
+        f" {cent_alias} GROUP BY e.vec_id")
     assert sliced != asg_body
     con.sql(f"{head},\nasg_slice AS ({sliced})\n"
             "INSERT INTO asg_acc SELECT vec_id, cell FROM asg_slice")
     print(f"  asg slice [{lo}, {min(hi, n)}) done", file=sys.stderr)
     lo = hi
 
-final = f"{head},\ni_asg AS (SELECT vec_id, cell FROM asg_acc),\n{tail}"
+if cache and not os.path.exists(cache):
+    con.sql(f"COPY asg_acc TO '{cache}' (FORMAT PARQUET)")
+    print(f"  asg cached to {cache}", file=sys.stderr)
+
+final = f"{head},\n{asg_name} AS (SELECT vec_id, cell FROM asg_acc),\n{tail}"
 exp = con.sql(final).df()
 
 files = glob.glob(f"{out_dir}/{qname}/*.parquet")

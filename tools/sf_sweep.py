@@ -32,7 +32,7 @@ import time
 
 ANN_CHUNKED = {"q_ann_ivf", "q_ann_ivf_2l", "q_ann_ivf_filtered",
                "q_ann_ivfpq", "q_ann_ivfpq_rerank", "q_ann_ivfpq_res",
-               "q_ann_recall"}
+               "q_ann_recall", "q_semantic_dedup"}
 MOVEOUT_CHUNKED = {"q_moveout_scan_long", "q_moveout_semblance_long",
                    "q_moveout_panel_long"}
 TOOLS = os.path.dirname(os.path.abspath(__file__))
