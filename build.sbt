@@ -27,4 +27,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}", // 128 GiB box; 8g starved GC under the 154-query suite
+  // Commit AND fault the whole heap before main() runs: on this
+  // (Firecracker-style) box, first-touch of tens of GB is kernel-bound —
+  // measured 20–50 s at ~90% SYSTEM time, absorbed by whichever query
+  // first drives the heap high-water mark up (the r18 driver record's
+  // 127 s q_trace_shift_long artifact, and this round's 30–50 s one-off
+  // spreads on q_ann_recall/q_bm25_compact/q_trace_agc_long, all
+  // reproduced and attributed to exactly this). Pre-touching moves the
+  // one-time cost to JVM startup, outside every timed region; G1
+  // pre-touches in parallel. Sized by the same SPARK_DRIVER_MEM knob.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  "-XX:+AlwaysPreTouch",
 )
