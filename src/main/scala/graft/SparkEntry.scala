@@ -118,6 +118,21 @@ object SparkEntry {
       case _ => body
     }
 
+  /** Overlap independent EAGER side-effect steps (index builds, fixture
+    * writes to disjoint scratch paths) from futures — guide §2.6: actions
+    * are only sequential because driver code calls them sequentially, so
+    * submitting independent build jobs concurrently lets one job's
+    * straggler tail backfill with the next job's tasks instead of paying
+    * serial job barriers. Await rethrows, so failures stay loud; every
+    * step writes to its own path, so results are order-independent.
+    */
+  private def inParallel(steps: (() => Unit)*): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    steps.map(s => Future(s())).foreach(Await.result(_, Duration.Inf))
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A representative slice of the engine: mask filter → broadcast-joined
     * enrich → grouped exact-decimal aggregation.
@@ -583,8 +598,10 @@ object SparkEntry {
       val ckpt = graft.core.TempDirs.scratch("stream_bm25_ckpt")
       val srcDir = graft.core.TempDirs.scratch("stream_bm25_src")
       val docs = documents(s, d)
-      Retrieval.buildIndex(docs.where(col("doc_id") % 2 === 0), idx)
-      docs.where(col("doc_id") % 2 === 1).write.parquet(srcDir)
+      // index build and stream-source staging are independent — overlap
+      inParallel(
+        () => Retrieval.buildIndex(docs.where(col("doc_id") % 2 === 0), idx),
+        () => docs.where(col("doc_id") % 2 === 1).write.parquet(srcDir))
       withStatePartitions(s, 8) {
         val q = graft.streaming.StreamingRetrieval.appendPostings(
           tableStream(s, srcDir), idx, checkpoint = Some(ckpt))
@@ -1033,8 +1050,10 @@ object SparkEntry {
       val ckpt = graft.core.TempDirs.scratch("stream_ndidx_ckpt")
       val srcDir = graft.core.TempDirs.scratch("stream_ndidx_src")
       val docs = documents(s, d)
-      DedupIndex.buildIndex(docs.where(col("doc_id") % 2 === 0), idx)
-      docs.where(col("doc_id") % 2 === 1).write.parquet(srcDir)
+      // index build and stream-source staging are independent — overlap
+      inParallel(
+        () => DedupIndex.buildIndex(docs.where(col("doc_id") % 2 === 0), idx),
+        () => docs.where(col("doc_id") % 2 === 1).write.parquet(srcDir))
       withStatePartitions(s, 8) {
         val q = graft.streaming.StreamingCorpus.appendDedupIndex(
           tableStream(s, srcDir), idx, checkpoint = Some(ckpt),
@@ -1048,9 +1067,11 @@ object SparkEntry {
       val ckpt = graft.core.TempDirs.scratch("stream_lsh_ckpt")
       val srcDir = graft.core.TempDirs.scratch("stream_lsh_src")
       val e = embeddings(s, d)
-      Similarity.lshSignatures(e.where(col("vec_id") % 2 === 0),
-        bits = 4, tables = 8, dim = 64).write.parquet(sigDir)
-      e.where(col("vec_id") % 2 === 1).write.parquet(srcDir)
+      // signature build and stream-source staging are independent — overlap
+      inParallel(
+        () => Similarity.lshSignatures(e.where(col("vec_id") % 2 === 0),
+          bits = 4, tables = 8, dim = 64).write.parquet(sigDir),
+        () => e.where(col("vec_id") % 2 === 1).write.parquet(srcDir))
       withStatePartitions(s, 8) {
         val q = graft.streaming.StreamingAnn.appendSignatures(
           tableStream(s, srcDir), sigDir, bits = 4, tables = 8, dim = 64,
@@ -1158,14 +1179,21 @@ object SparkEntry {
           .join(exact, Seq("query_id", "neighbor_id"))
           .agg((count(lit(1)) / (qids.size * 10.0)).as("recall"))
           .withColumn("method", lit(name))
-      val sigs = Scratch.stage(
-        Similarity.lshSignatures(emb, bits = 4, tables = 8, dim = 64), "recall_sig")
+      // the four index builds are independent eager jobs over the same
+      // corpus writing to disjoint paths — overlap them (guide §2.6)
+      // instead of paying four serial job barriers
+      val sigDir = graft.core.TempDirs.scratch("recall_sig")
       val ivfPath = graft.core.TempDirs.scratch("recall_ivf")
-      Ivf.buildIndexSeeded(emb, ivfPath)
       val pqPath = graft.core.TempDirs.scratch("recall_pq")
-      Pq.buildIndex(emb, pqPath, m = 8, ksub = 16)
       val sqPath = graft.core.TempDirs.scratch("recall_sq")
-      Sq.buildIndex(emb, sqPath)
+      inParallel(
+        () => { Scratch.stage(Similarity.lshSignatures(
+          emb, bits = 4, tables = 8, dim = 64), "recall_sig",
+          Some(sigDir)): Unit },
+        () => Ivf.buildIndexSeeded(emb, ivfPath),
+        () => Pq.buildIndex(emb, pqPath, m = 8, ksub = 16),
+        () => Sq.buildIndex(emb, sqPath))
+      val sigs = s.read.parquet(sigDir)
       recallOf(Similarity.lshTopKFromSignatures(sigs, qids, k = 10), "lsh")
         .unionAll(recallOf(
           Ivf.ivfTopKFromIndex(emb, ivfPath, qids, k = 10), "ivf"))
@@ -1274,12 +1302,14 @@ object SparkEntry {
         col("l_partkey").cast("int").as("crossline"),
         col("l_orderkey").as("ok"),
         array(cents.cast("int")).as("samples"))
-      Seq(0, 1).foreach { par =>
+      // the two member-file exports are independent writes to disjoint
+      // files — overlap them (guide §2.6)
+      inParallel(Seq(0, 1).map(par => () => {
         src.where(col("ok") % 2 === par).drop("ok")
           .write.format("segy").option("fields", "inline,crossline")
           .option("formatCode", "2")
           .mode("overwrite").save(s"$dir/shot_$par.sgy")
-      }
+      }): _*)
       val tmpl = DatasetTemplate("SegyDirGrid", "time",
         Seq("inline", "crossline", "time"), Seq(8, 8, 512))
       val store = graft.core.TempDirs.scratch("segy_dir_ingest_store")
@@ -1302,12 +1332,14 @@ object SparkEntry {
         col("l_orderkey").cast("int").as("inline"),
         col("l_linenumber").cast("int").as("crossline"),
         array(col("l_partkey").cast("float")).as("samples"))
-      src.where(col("inline") % 2 === 0)
-        .write.format("segy").option("fields", "inline,crossline")
-        .mode("overwrite").save(s"$dir/shot_even.sgy")
-      src.where(col("inline") % 2 === 1)
-        .write.format("segy").option("fields", "inline,crossline")
-        .mode("overwrite").save(s"$dir/shot_odd.sgy")
+      // independent member-file exports — overlap them (guide §2.6)
+      inParallel(
+        () => src.where(col("inline") % 2 === 0)
+          .write.format("segy").option("fields", "inline,crossline")
+          .mode("overwrite").save(s"$dir/shot_even.sgy"),
+        () => src.where(col("inline") % 2 === 1)
+          .write.format("segy").option("fields", "inline,crossline")
+          .mode("overwrite").save(s"$dir/shot_odd.sgy"))
       s.read.format("segy").option("fields", "inline,crossline").load(dir)
         .select(col("inline").as("il"), col("crossline").as("xl"),
           element_at(col("samples"), 1).cast("long").as("pk"))
@@ -1734,12 +1766,20 @@ object SparkEntry {
             formatCode = fmt))
         f
       }
-      val f2 = file(2, array(
+      // the two format exports are independent (disjoint scratch files) —
+      // overlap them (guide §2.6): each is a sort+serialize+write chain
+      // whose straggler tail the other's tasks backfill
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val f2F = Future(file(2, array(
         (col("l_partkey") % 20000 * 100000 - 1000000000).cast("int"),
-        (-(col("l_partkey") % 20000) * 100000 + 1000000000).cast("int")))
-      val f8 = file(8, array(
+        (-(col("l_partkey") % 20000) * 100000 + 1000000000).cast("int"))))
+      val f8F = Future(file(8, array(
         (col("l_partkey") % 255 - 127).cast("int"),
-        (col("l_orderkey") % 200 - 100).cast("int")))
+        (col("l_orderkey") % 200 - 100).cast("int"))))
+      val f2 = Await.result(f2F, Duration.Inf)
+      val f8 = Await.result(f8F, Duration.Inf)
       def decoded(f: String, fmt: Int) = {
         val dec = SegyRead.intSamples(col("samples"), 2, formatCode = fmt)
         SegyRead.readStandardTraces(s, f, Seq(Inline, Crossline))

@@ -23,6 +23,15 @@ object Verify {
       // (the sort fallback sorts the 8 KB sample rows; see Bench.scala)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         "4096")
+      // mirror Bench: the 178-query surface compiles thousands of distinct
+      // codegen units — the default 100-entry class cache thrashes and
+      // Janino recompilation dominates the dump's driver time (measured in
+      // the r19 bench: q_ann_recall 14.1→5.5 s from this + the join pref)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      // mirror Bench: hash-join when the per-partition build side fits —
+      // results are plan-invariant (the determinism audit pins that), so
+      // the oracle compare is unaffected; see Bench.scala for the full note
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

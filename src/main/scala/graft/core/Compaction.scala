@@ -46,14 +46,22 @@ object Compaction {
     val perPartL = session.conf.get(confKey, (64L << 20).toString).toLong
     require(perPartL > 0, s"$confKey must be positive, got $perPartL")
     val sessionParts = session.conf.get("spark.sql.shuffle.partitions").toInt
-    // clamp BEFORE narrowing: sizeInBytes is a BigInt that can be
-    // Long.MaxValue (unknown stats), and a bare .toInt wraps to an
-    // arbitrary partition count. 1 << 20 partitions ≈ 64 TB at the
-    // default 64 MB target — past that, fail the math safe, not weird.
-    val estParts =
-      ((sized.queryExecution.optimizedPlan.stats.sizeInBytes / BigInt(perPartL))
-        .min(BigInt(1 << 20)).toInt) + 1
-    math.max(sessionParts, estParts)
+    val size = sized.queryExecution.optimizedPlan.stats.sizeInBytes
+    // UNKNOWN stats read as Long.MaxValue-scale (Catalyst's
+    // defaultSizeInBytes; stats products can exceed it) — e.g. a
+    // foreachBatch frame whose plan embeds a stateful streaming operator.
+    // The old 2^20 clamp turned that into a million-task shuffle — each
+    // task deserializing the whole serialized plan (measured: an 18 MiB
+    // task binary × 2^20 tasks, a multi-hour hang on the streaming dedup
+    // append). No stats ⇒ no sizing signal ⇒ use the session width.
+    if (size >= BigInt(Long.MaxValue) / 16) sessionParts
+    else {
+      // clamp BEFORE narrowing: a bare .toInt on a BigInt quotient wraps
+      // to an arbitrary partition count. 1 << 20 partitions ≈ 64 TB at
+      // the default 64 MB target — past that, fail the math safe.
+      val estParts = (size / BigInt(perPartL)).min(BigInt(1 << 20)).toInt + 1
+      math.max(sessionParts, estParts)
+    }
   }
 
   /** The standard compaction rewrite: recluster the table at `tablePath`

@@ -122,7 +122,7 @@ object Dedup {
       .withColumn("band_hash", bandHash(col("sig"), col("band"), r))
   }
 
-  private def bandHash(sig: Column, band: Column, r: Int): Column =
+  private[llm] def bandHash(sig: Column, band: Column, r: Int): Column =
     conv(substring(md5(concat_ws(",",
       slice(sig, band * r + 1, lit(r)).cast("array<string>"))), 1, 15), 16, 10)
       .cast("long")

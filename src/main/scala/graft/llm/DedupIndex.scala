@@ -199,38 +199,63 @@ object DedupIndex {
   private def writeIndex(docs: DataFrame, indexPath: String, mode: String,
                          textCol: String, idCol: String,
                          n: Int, k: Int, bands: Int): Unit = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
     val session = docs.sparkSession
-    Scratch.withStage(
-      Dedup.withMinhashSignature(Scratch.rebalance(docs, heavy = true), textCol, idCol, n, k),
-      "dedup_widx") { sigs =>
-      val banded = Dedup.lshBucketsFromSignatures(sigs, idCol, k, bands)
-        .select(col(idCol), col("band").cast("int"), col("band_hash"),
-          lit(null).cast("array<long>").as("sig"))
-      val sigRows = sigs.select(col(idCol), lit(null).cast("int").as("band"),
-        lit(null).cast("long").as("band_hash"), col("sig"))
-      // one meta row per build/append, same write job (atomic with the
-      // data): id NULL distinguishes it from both data kinds
-      val metaRow = session.range(1).select(
-        lit(null).cast(sigs.schema(idCol).dataType).as(idCol),
-        lit(n).cast("int").as("band"), lit(bands.toLong).as("band_hash"),
-        lit(null).cast("array<long>").as("sig"))
-      val width = Compaction.sizedWidth(session, sigs,
-        "graft.dedup.sigsPartitionBytes")
-      banded.unionByName(sigRows).unionByName(metaRow)
-        // bucket-keyed distribution + bucket-sorted files (the BM25
-        // postings pattern): each partition's file carries contiguous
-        // (band, band_hash) runs, so the parquet row-group min/max stats
-        // give bucket scans row-group skipping from the very first write —
-        // hash distribution, not range, to avoid a sampling job per append.
-        // The signature rows' key is NULL/NULL — distributing on the raw
-        // columns would funnel the table's FAT column through ONE shuffle
-        // partition and one writer task — so they spread by id hash instead
-        // (the distribution key is not stored; band stays NULL in the data)
-        .repartition(width, coalesce(col("band"), lit(-1)),
-          coalesce(col("band_hash"), pmod(xxhash64(col(idCol)), lit(1000000L))))
-        .sortWithinPartitions("band", "band_hash")
-        .write.mode(mode).parquet(s"$indexPath/sigs")
-    }
+    val r = k / bands
+    val sigs = Dedup.withMinhashSignature(
+      Scratch.rebalance(docs, heavy = true), textCol, idCol, n, k)
+    // ONE pass, no scratch stage: each doc explodes into its `bands`
+    // banded rows plus one signature row AFTER the signature projection.
+    // The generator argument is a plain sequence() — the sig expression
+    // cannot be inlined past the Generate (the post-explode projection
+    // needs the generated `_b`), so the minhash kernel runs exactly once
+    // per doc and the corpus is scanned exactly once per build/append.
+    // The previous shape staged the signature table to parquet purely so
+    // its two consumer arms (banded + signature rows) would not
+    // re-shingle the corpus — a full write+read round-trip of the sig
+    // table per build/append (and per streaming micro-batch append; this
+    // also means a stateful foreachBatch frame is now evaluated by the
+    // single write job instead of by the stage write).
+    val exploded = sigs
+      .select(col(idCol), col("sig"),
+        explode(sequence(lit(0), lit(bands))).as("_b"))
+      .select(col(idCol),
+        when(col("_b") < bands, col("_b")).cast("int").as("band"),
+        when(col("_b") < bands,
+          Dedup.bandHash(col("sig"), col("_b"), r)).as("band_hash"),
+        when(col("_b") === bands, col("sig")).as("sig"))
+    // one meta row per build/append, same write job (atomic with the
+    // data): id NULL distinguishes it from both data kinds
+    val metaRow = session.range(1).select(
+      lit(null).cast(sigs.schema(idCol).dataType).as(idCol),
+      lit(n).cast("int").as("band"), lit(bands.toLong).as("band_hash"),
+      lit(null).cast("array<long>").as("sig"))
+    // Width sizes from the SOURCE frame's stats (parquet scan bytes at
+    // real scale), not from the exploded plan: optimizer size estimates
+    // through Generate+array projections are wildly inflated (measured: a
+    // KB-scale test corpus estimated past the sizedWidth 2^20-partition
+    // clamp, i.e. a million-task shuffle), while the doc scan's bytes are
+    // real file sizes and bound the sig-table bytes at any corpus whose
+    // docs out-weigh their 32-long signatures. Tiny-text corpora
+    // overestimate toward MORE, smaller files; compactIndex re-sizes by
+    // the real on-disk table. The old staged path's exact sizing is not
+    // worth a full extra write+read of the signatures.
+    val width = Compaction.sizedWidth(session, docs,
+      "graft.dedup.sigsPartitionBytes")
+    exploded.unionByName(metaRow)
+      // bucket-keyed distribution + bucket-sorted files (the BM25
+      // postings pattern): each partition's file carries contiguous
+      // (band, band_hash) runs, so the parquet row-group min/max stats
+      // give bucket scans row-group skipping from the very first write —
+      // hash distribution, not range, to avoid a sampling job per append.
+      // The signature rows' key is NULL/NULL — distributing on the raw
+      // columns would funnel the table's FAT column through ONE shuffle
+      // partition and one writer task — so they spread by id hash instead
+      // (the distribution key is not stored; band stays NULL in the data)
+      .repartition(width, coalesce(col("band"), lit(-1)),
+        coalesce(col("band_hash"), pmod(xxhash64(col(idCol)), lit(1000000L))))
+      .sortWithinPartitions("band", "band_hash")
+      .write.mode(mode).parquet(s"$indexPath/sigs")
     // after ANY successful write the stored params ARE (n, k, bands):
     // overwrite sets them, append validated equality first. Refreshing
     // here keeps the cache correct across an in-JVM rebuild and seeds it

@@ -16,6 +16,12 @@ object ProfileQuery {
     val names = if (args.isEmpty) Seq("q_ingest_e2e") else args.toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
+      // mirror Bench's session exactly, so profiles explain bench numbers
+      .config("spark.sql.files.openCostInBytes", "131072")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4096")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
