@@ -126,12 +126,8 @@ object SparkEntry {
     * serial job barriers. Await rethrows, so failures stay loud; every
     * step writes to its own path, so results are order-independent.
     */
-  private def inParallel(steps: (() => Unit)*): Unit = {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    steps.map(s => Future(s())).foreach(Await.result(_, Duration.Inf))
-  }
+  private def inParallel(steps: (() => Unit)*): Unit =
+    graft.core.Par.run(steps: _*)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * A representative slice of the engine: mask filter → broadcast-joined

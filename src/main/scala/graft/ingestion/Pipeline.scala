@@ -375,7 +375,9 @@ object IngestPipeline {
     if (gridDims.isEmpty) return
     val (big, small) = gridDims.partition(d =>
       cardinalities.getOrElse(d, 0L) > maxVals)
-    big.foreach(d => writeDimDistributed(stored, d, path))
+    // each over-gate dim is an independent distinct+sort+write chain to
+    // its own dims/<d> path — overlap them (guide §2.6)
+    graft.core.Par.map(big)(d => writeDimDistributed(stored, d, path)): Unit
     if (small.isEmpty) return
     val aggs = small.map(d => collect_set(col(d)).as(d))
     val row = stored.agg(aggs.head, aggs.drop(1): _*).collect().head

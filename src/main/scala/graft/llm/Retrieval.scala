@@ -171,7 +171,17 @@ object Retrieval {
         posexplode_outer(toks).as(Seq("_pos", "term")))
       .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).cast("long").as("tf"), min(col("_pos")).as("_mp"))
-    if (mode == "append") {
+    // Barrier choice by SOURCE size (the Scratch.stageIfLarge trade): the
+    // parquet stage's write+read round-trip only pays for itself when the
+    // aggregate is big enough that block-manager caching would pressure
+    // memory — below graft.scratch.stageMinBytes (64 MB default) the
+    // persist+count barrier materializes the same aggregate once at a
+    // fraction of the cost. Appends (micro-batch deltas) always take the
+    // persist path, as before; builds now take it for small corpora too.
+    val sourceBytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val minBytes = BigInt(docs.sparkSession.conf
+      .get("graft.scratch.stageMinBytes", (64L << 20).toString).toLong)
+    if (mode == "append" || sourceBytes < minBytes) {
       val cached = agg.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {

@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stats {
 
+  private def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    graft.core.Par.map(xs)(f)
+
   /** A1–A3 in one pass over the non-zero mask of `valueCol`. */
   def summaryStats(df: DataFrame, valueCol: String): DataFrame = {
     val x = col(valueCol)
@@ -181,7 +184,9 @@ object Stats {
         // each bounded by refineLimit rows; never a silent truncation
         require(ranks.max <= Int.MaxValue,
           s"rank ${ranks.max} exceeds the top-r limit; raise nBuckets/refineLimit")
-        ranks.map(r => r -> slice.orderBy(col("x")).limit(r.toInt)
+        // one TakeOrdered job per rank — independent, so overlap them
+        // (guide §2.6) instead of paying serial job barriers
+        parMap(ranks)(r => r -> slice.orderBy(col("x")).limit(r.toInt)
           .agg(max(col("x"))).collect().head.get(0)).toMap
       } else if (!(w > 0.0) || !java.lang.Double.isFinite(w)) {
         // sub-ulp or CONSTANT-IN-DOUBLE range (sLo == sHi makes w = 0):
@@ -213,11 +218,14 @@ object Stats {
         }
         // every rank locates its bucket on the SAME collected counts; ranks
         // sharing a bucket refine together
-        ranks.groupBy { r =>
+        // distinct buckets refine independently (disjoint slices) —
+        // overlap their job chains (guide §2.6); ranks sharing a bucket
+        // still refine together
+        parMap(ranks.groupBy { r =>
           var bi = 0
           while (bi < nBuckets - 1 && cumBefore(bi + 1) < r) bi += 1
           bi
-        }.flatMap { case (bi, rs) =>
+        }.toSeq) { case (bi, rs) =>
           val sub = slice
             .where(col("x") >= sLo + (bi - 1) * w && col("x") <= sLo + (bi + 2) * w)
             .where(b === bi)
@@ -226,7 +234,7 @@ object Stats {
           resolve(sub, bounds.getDouble(0), bounds.getDouble(1),
             rs.map(_ - cumBefore(bi)), counts.getOrElse(bi, 0L), depth + 1)
             .map { case (localR, v) => (localR + cumBefore(bi)) -> v }
-        }
+        }.flatten.toMap
       }
     }
 

@@ -50,7 +50,10 @@ object ProfileQuery {
       def run(tag: String): Unit = {
         val t0 = System.nanoTime()
         jobTimes.clear()
-        fn(spark, sfDir).count()
+        // time the SAME action Bench times: the query's own optimized plan
+        // to InternalRows — .count() here let Catalyst prune subtrees and
+        // measured a different query (see Bench.fullCount scaladoc)
+        graft.Bench.fullCount(fn(spark, sfDir))
         println(f"[$name/$tag] total ${(System.nanoTime() - t0) / 1e9}%.2f s, ${jobTimes.size} jobs")
         jobTimes.foreach { case (id, ns, site) =>
           println(f"  job $id%4d ${ns / 1e9}%6.2f s  $site") }
