@@ -181,7 +181,25 @@ object SegyExport {
       try java.nio.charset.Charset.forName("IBM037")     // EBCDIC, like the reference
       catch { case _: Exception => java.nio.charset.StandardCharsets.US_ASCII }
     val head = textHeader.mkString.getBytes(charset) ++ binaryHeader
-    val rdd = records.select("trace_record").rdd
+    // Both jobs below (per-partition byte counts, then the write) share
+    // one RDD so their partitioning is identical; the sort SHUFFLE is
+    // reused, but the reduce side — the sort and the per-sample encode
+    // kernels (IBM32/IEEE/int packing are the expensive half of an
+    // export) — re-executes in the second job. Below the size gate
+    // (`graft.segy.cacheRecordsMaxBytes`, default 2 GiB) the serialized
+    // records persist to the block manager instead, so the encode runs
+    // once; above it the recompute stands (caching a 100 TB export would
+    // re-write the whole payload through storage — the §8 anti-pattern).
+    val recordsOnly = records.select("trace_record")
+    val cacheMax = BigInt(sess.conf.get("graft.segy.cacheRecordsMaxBytes",
+      (2L << 30).toString).toLong)
+    val cached =
+      if (recordsOnly.queryExecution.optimizedPlan.stats.sizeInBytes <= cacheMax)
+        Some(recordsOnly.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else None
+    val rdd = cached.getOrElse(recordsOnly).rdd
+    try {
 
     val isPosix = outPath.getFileSystem(conf)
       .isInstanceOf[org.apache.hadoop.fs.LocalFileSystem]
@@ -263,6 +281,7 @@ object SegyExport {
       } finally os.close()
       fs.delete(new org.apache.hadoop.fs.Path(partsDir), true)
     }
+    } finally { cached.foreach(_.unpersist()): Unit }
   }
 
   /** E5: the masked-export pipeline. Returns the globally ordered, masked,
