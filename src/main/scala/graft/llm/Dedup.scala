@@ -328,18 +328,29 @@ object Dedup {
           shingleHashes(col(textCol), n).as("h0"))
         .select(col("blk"), col("id"), explode(col("h0")).as("s")),
       "jaccard_inv")
-    // block doc counts from a pruned scan of the source (blockCol only)
-    val blockSizes = df.groupBy(col(blockCol).as("blk"))
-      .agg(count(lit(1)).as("n_docs"))
-    // doc frequency as a window over (blk, s): one shuffle that the
-    // (blk, s) self-join below reuses, instead of aggregate + re-join
-    val wDf = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("blk"), col("s"))
-    val kept = inverted
-      .join(broadcast(blockSizes), Seq("blk"))
-      .withColumn("df_n", count(lit(1)).over(wDf))
-      .where(col("df_n") <= col("n_docs") * maxDocFrac)
-      .select(col("blk"), col("s"), col("id"))
+    // At maxDocFrac >= 1 the cap is vacuous — each doc's shingles are
+    // distinct ([[graft.functions.ShingleHashExpr]] dedups in-kernel), so
+    // a shingle's (blk, s) row count can never exceed the block's doc
+    // count — and the window below would cost a full sort of the inverted
+    // index just to compute an always-true predicate. Skip it outright;
+    // the uncapped arm (nearDupRecall's exact ground truth) pairs straight
+    // off the staged index.
+    val kept =
+      if (maxDocFrac >= 1.0) inverted.select(col("blk"), col("s"), col("id"))
+      else {
+        // block doc counts from a pruned scan of the source (blockCol only)
+        val blockSizes = df.groupBy(col(blockCol).as("blk"))
+          .agg(count(lit(1)).as("n_docs"))
+        // doc frequency as a window over (blk, s): one shuffle that the
+        // (blk, s) self-join below reuses, instead of aggregate + re-join
+        val wDf = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("blk"), col("s"))
+        inverted
+          .join(broadcast(blockSizes), Seq("blk"))
+          .withColumn("df_n", count(lit(1)).over(wDf))
+          .where(col("df_n") <= col("n_docs") * maxDocFrac)
+          .select(col("blk"), col("s"), col("id"))
+      }
     val sizes = kept.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = kept.as("a")
       .join(kept.as("b"),
