@@ -14,7 +14,7 @@ object ProfileQuery {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = if (args.isEmpty) Seq("q_ingest_e2e") else args.toSeq
-    val spark = SparkSession.builder().master("local[32]")
+    val b = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       // mirror Bench's session exactly, so profiles explain bench numbers
       .config("spark.sql.files.openCostInBytes", "131072")
@@ -24,7 +24,15 @@ object ProfileQuery {
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // SPARK_GRAFT_PROFILE_CONF ("k=v,k=v") overlays overrides, same as
+    // Explain's SPARK_GRAFT_EXPLAIN_CONF — for A/Bing a session conf with
+    // the profiler's in-order query list (Bench sorts its args).
+    sys.env.getOrElse("SPARK_GRAFT_PROFILE_CONF", "").split(",")
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); b.config(k, v)
+      }
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.scheduler._
     val jobTimes = scala.collection.mutable.ArrayBuffer[(Int, Long, String)]()
