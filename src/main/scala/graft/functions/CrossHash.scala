@@ -29,11 +29,20 @@ object CrossHash {
   /** 2^61 − 1 (Mersenne prime) — modulus of the minhash permutations. */
   val M61: Long = 2305843009213693951L
 
+  // One MessageDigest per thread: `getInstance` allocates (provider lookup
+  // + digest state) and the kernels call md5h60 per element — per shingle,
+  // per winnow gram, per row. `digest()` leaves the instance reset, so
+  // reuse is value-identical.
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** md5-60 of raw bytes: first 15 hex chars of md5 as a 60-bit long.
     * = bytes 0..6 big-endian (56 bits) followed by the high nibble of byte 7.
     */
   def md5h60(bytes: Array[Byte]): Long = {
-    val d = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+    val d = md5Local.get().digest(bytes)
     var h = 0L
     var i = 0
     while (i < 7) { h = (h << 8) | (d(i) & 0xffL); i += 1 }

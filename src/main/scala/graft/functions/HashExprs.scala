@@ -17,6 +17,16 @@ import org.apache.spark.sql.types._
   * surrounding projection stays a single generated loop.
   */
 object CrossHashExprs {
+  /** string → long: scalar md5-60, value-identical to the column formula
+    * `conv(substring(md5(x),1,15),16,10).cast("long")` (the [[CrossHash]]
+    * cross-engine contract) but computed digest-to-long in one kernel — no
+    * 32-char hex rendering, no base-16 string parse, no decimal cast. The
+    * interpreted pipeline was the whole map-side cost of the sketch/sample
+    * operators (HLL registers, CMS buckets, hash sampling, shuffle keys).
+    */
+  def md5h60(c: Column): Column =
+    ColumnBridge.column(Md5H60Expr(ColumnBridge.expression(c)))
+
   /** array<string> → array<long>: per-element md5-60. */
   def md5h60Array(c: Column): Column =
     ColumnBridge.column(Md5H60Array(ColumnBridge.expression(c)))
@@ -60,6 +70,27 @@ object CrossHashExprs {
     * per-position char k-gram md5-60 hashes). */
   def winnowFps(c: Column, kChars: Int, window: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(c), kChars, window))
+}
+
+/** Scalar md5-60 (see [[CrossHashExprs.md5h60]]); codegen is a static call
+  * into [[CrossHash]] so the surrounding projection stays one generated
+  * loop.
+  */
+final case class Md5H60Expr(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_h60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    CrossHash.md5h60(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, in =>
+      s"${ev.value} = graft.functions.CrossHash.md5h60($in.getBytes());")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5H60Expr =
+    copy(child = newChild)
 }
 
 final case class Md5H60Array(child: Expression)

@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
 object Cms {
 
   private def h60(e: Column): Column =
-    conv(substring(md5(e), 1, 15), 16, 10).cast("long")
+    graft.functions.CrossHashExprs.md5h60(e)
 
   private def bucketOf(key: Column, i: Column, w: Int): Column =
     pmod(h60(concat(lit("cms"), i.cast("string"), lit(":"),

@@ -22,8 +22,7 @@ object CorpusPrep {
     * decimal rendering — the banding encoding, over the full signature).
     */
   def sigDigest(sig: Column): Column =
-    conv(substring(md5(concat_ws(",", sig.cast("array<string>"))), 1, 15), 16, 10)
-      .cast("long")
+    CrossHashExprs.md5h60(concat_ws(",", sig.cast("array<string>")))
 
   /** All sketch columns in one pass: fp (exact-dup key), sig + sig_h
     * (near-dup LSH), simhash, quality/keep, token budgets.

@@ -123,9 +123,8 @@ object Dedup {
   }
 
   private[llm] def bandHash(sig: Column, band: Column, r: Int): Column =
-    conv(substring(md5(concat_ws(",",
-      slice(sig, band * r + 1, lit(r)).cast("array<string>"))), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.CrossHashExprs.md5h60(concat_ws(",",
+      slice(sig, band * r + 1, lit(r)).cast("array<string>")))
 
   /** Near-dup candidate pairs from a materialized signature table: self-join
     * the bucket table on (band, band_hash) — only same-bucket docs pair up.
@@ -767,8 +766,7 @@ object Dedup {
       .select(col(idCol).as("_pid"), posexplode(parts).as(Seq("ord", "_para")))
       .where(trim(col("_para")) =!= "")
       .select(col("_pid"), col("ord"),
-        conv(substring(md5(col("_para")), 1, 15), 16, 10).cast("long")
-          .as("_phash"))
+        graft.functions.CrossHashExprs.md5h60(col("_para")).as("_phash"))
     val winners = paras.groupBy("_phash")
       .agg(min(struct(col("_pid"), col("ord"))).as("_w"))
     val keptOrds = paras.join(winners, "_phash")
@@ -812,8 +810,7 @@ object Dedup {
       .select(col(idCol).as("_lid"), posexplode(parts).as(Seq("ord", "_line")))
       .where(length(col("_line")) >= minChars)
       .select(col("_lid"), col("ord"),
-        conv(substring(md5(col("_line")), 1, 15), 16, 10).cast("long")
-          .as("_lh"))
+        graft.functions.CrossHashExprs.md5h60(col("_line")).as("_lh"))
     val banned = lines.groupBy("_lh")
       .agg(countDistinct(col("_lid")).as("_nd"))
       .where(col("_nd") >= maxDocs)

@@ -27,7 +27,7 @@ object Hll {
   val alpha: Double = 0.709 // alpha_64 (Flajolet et al. 2007)
 
   private def h60(e: Column): Column =
-    conv(substring(md5(e), 1, 15), 16, 10).cast("long")
+    graft.functions.CrossHashExprs.md5h60(e)
 
   /** Register table (j, m_j) — ALL m rows present (empty registers hold 0,
     * they weigh 2⁰ = 1 in the estimate).
@@ -42,7 +42,9 @@ object Hll {
     // (probability 2^-54) saturates at 55
     val rho = when(rest === 0, lit(55))
       .otherwise(lit(55) - length(bin(rest)))
-    val occupied = keys
+    // the register pass hashes every key row; behind a compact scan that
+    // plans fewer data-bearing splits than cores it would run on one task
+    val occupied = graft.core.Scratch.rebalance(keys)
       .groupBy(pmod(h, lit(m.toLong)).as("j"))
       .agg(max(rho).cast("long").as("m_j"))
     val all = (0L until m.toLong).toDF("j")
@@ -63,7 +65,7 @@ object Hll {
     val rest = shiftright(h, 6)
     val rho = when(rest === 0, lit(55))
       .otherwise(lit(55) - length(bin(rest)))
-    val occupied = keys
+    val occupied = graft.core.Scratch.rebalance(keys)
       .groupBy(col(groupCol), pmod(h, lit(m.toLong)).as("j"))
       .agg(max(rho).cast("long").as("m_j"))
     val groups = keys.select(col(groupCol)).distinct()

@@ -85,8 +85,8 @@ object Ivf {
     */
   def seedTable(embeddings: DataFrame, nCells: Int,
                 idCol: String = "vec_id"): DataFrame = {
-    val h = conv(substring(md5(concat(lit("seed:"), col(idCol).cast("string"))),
-      1, 15), 16, 10).cast("long")
+    val h = graft.functions.CrossHashExprs.md5h60(
+      concat(lit("seed:"), col(idCol).cast("string")))
     val hashed = embeddings.select(col(idCol), h.as("_h"))
     if (nCells <= kernelMaxCells(embeddings.sparkSession)) {
       hashed.orderBy(col("_h"), col(idCol))
@@ -203,8 +203,8 @@ object Ivf {
   private[llm] def coarseGrouping(centroids: DataFrame)
       : (Array[Array[Double]], DataFrame) = {
     val sess = centroids.sparkSession
-    val ch = conv(substring(md5(concat(lit("coarse:"), col("cell").cast("string"))),
-      1, 15), 16, 10).cast("long")
+    val ch = graft.functions.CrossHashExprs.md5h60(
+      concat(lit("coarse:"), col("cell").cast("string")))
     val nFine = centroids.count()
     val coarseK = math.max(16, math.ceil(math.sqrt(nFine.toDouble)).toInt)
     require(coarseK <= kernelMaxCells(sess),

@@ -40,8 +40,8 @@ object Multimodal {
   def fakeDecodeFeatures(payload: Column, dim: Int): Column = {
     val digest = sha2(payload.cast("binary"), 256)
     transform(sequence(lit(0), lit(dim - 1)), i => {
-      val h = conv(substring(md5(concat(digest, lit(":"), i.cast("string"))), 1, 15),
-        16, 10).cast("long")
+      val h = graft.functions.CrossHashExprs.md5h60(
+        concat(digest, lit(":"), i.cast("string")))
       (h % 1000).cast("double") / 500.0 - 1.0
     })
   }

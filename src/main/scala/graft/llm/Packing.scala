@@ -59,8 +59,8 @@ object Packing {
                     idCol: String = "doc_id"): DataFrame = {
     require(nShards > 0, s"nShards must be positive, got $nShards")
     val keyed = docs.select(col(idCol),
-      conv(substring(md5(concat(lit("shuf:"), col(idCol).cast("string"))),
-        1, 15), 16, 10).cast("long").as("shuffle_key"))
+      graft.functions.CrossHashExprs.md5h60(
+        concat(lit("shuf:"), col(idCol).cast("string"))).as("shuffle_key"))
     graft.operators.GlobalOrder
       .withGlobalSeq(keyed, Seq("shuffle_key", idCol), "seq")
       .withColumn("shard", col("seq") % nShards)

@@ -42,8 +42,8 @@ object Pq {
                 vecCol: String = "embedding",
                 salt: String = "pq:"): Array[Array[Array[Double]]] = {
     require(m > 0 && ksub > 0, s"need m > 0 and ksub > 0, got m=$m ksub=$ksub")
-    val h = conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
-      1, 15), 16, 10).cast("long")
+    val h = graft.functions.CrossHashExprs.md5h60(
+      concat(lit(salt), col(idCol).cast("string")))
     val seeds = embeddings
       .select(transform(col(vecCol), _.cast("double")).as("_v"), h.as("_h"),
         col(idCol))

@@ -18,8 +18,8 @@ object Sampling {
 
   /** The sampling bucket of a row: md5-60("salt:id") mod 10000. */
   def bucket(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15), 16, 10)
-      .cast("long") % M
+    graft.functions.CrossHashExprs.md5h60(
+      concat(lit(salt + ":"), id.cast("string"))) % M
 
   /** Uniform deterministic sample at `rate` ∈ [0, 1]. */
   def hashSample(df: DataFrame, rate: Double, idCol: String = "doc_id",
@@ -98,8 +98,8 @@ object Sampling {
                   idCol: String = "doc_id",
                   salt: String = "cap"): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
-    val h = conv(substring(md5(concat(lit(salt + ":"),
-      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val h = graft.functions.CrossHashExprs.md5h60(
+      concat(lit(salt + ":"), col(idCol).cast("string")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(h, col(idCol))
     df.withColumn("_rk", row_number().over(w))

@@ -53,6 +53,6 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(sampled.count() == survivors.count())
 
     // nothing in the pipeline left cached blocks behind
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assertNoLingeringCache()
   }
 }

@@ -357,8 +357,7 @@ class DedupSpec extends SparkSpec {
   test("dedup operators leave no persisted RDDs behind (scratch staging)") {
     Dedup.nearDupPairs(corpus, minEstJaccard = 0.4).count()
     Dedup.blockedJaccard(corpus.withColumn("source", lit("s")), "source").count()
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      s"leaked caches: ${spark.sparkContext.getPersistentRDDs.keys}")
+    assertNoLingeringCache()
   }
 
   test("simhash: identical text → identical hash; similar → small hamming") {

@@ -253,8 +253,7 @@ class RetrievalSpec extends SparkSpec {
       s"append must be one materialize job + one write job, saw ${jobs.get}")
     assert(scratchDirs() == before,
       "the append path must not stage to scratch parquet")
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "the append barrier cache must be released on return")
+    assertNoLingeringCache() // the append barrier cache must release on return
     val appended = Retrieval.bm25TopKFromIndex(spark, path,
       Seq(0L -> "spark fast", 1L -> "engine"), k = 10)
     val direct = Retrieval.bm25TopK(docs,
