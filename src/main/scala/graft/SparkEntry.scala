@@ -2025,13 +2025,13 @@ object SparkEntry {
     }),
     // HLL cardinality: 64 deterministic registers over the orderkey
     // stream, raw estimate (no ln corrections — transcendental-free),
-    // emitted beside the exact distinct for the error story
-    "q_hll_distinct" -> ((s, d) => {
-      val keys = lineitem(s, d).select(col("l_orderkey").as("k"))
-      Hll.estimate(Hll.registers(keys, "k"))
-        .crossJoin(broadcast(
-          keys.agg(countDistinct(col("k")).as("true_n"))))
-    }),
+    // emitted beside the exact distinct for the error story. One pass:
+    // the exact count rides the register aggregate (each key owns one
+    // register, so per-register distincts sum to the global distinct)
+    // instead of a second full scan — value-identical, oracle-pinned.
+    "q_hll_distinct" -> ((s, d) =>
+      Hll.estimateWithExact(
+        lineitem(s, d).select(col("l_orderkey").as("k")), "k")),
     // grouped HLL: distinct users per event type, one 64-register sketch
     // per group beside the exact distinct
     "q_hll_grouped" -> ((s, d) => {

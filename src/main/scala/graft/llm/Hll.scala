@@ -52,6 +52,44 @@ object Hll {
       .select(col("j"), coalesce(col("m_j"), lit(0L)).as("m_j"))
   }
 
+  /** One-pass raw estimate + EXACT distinct, one row: (est_n,
+    * n_zero_registers, true_n). Value-identical to
+    * `estimate(registers(keys)) × countDistinct(keys)` — each key hashes
+    * to exactly ONE register (j is a function of the key), so the
+    * per-register exact distinct counts sum to the global exact distinct —
+    * but the corpus is scanned ONCE: the error-story query paid a second
+    * full scan (plus its own aggregate chain) only to re-read the same
+    * keys the register pass had already consumed.
+    */
+  def estimateWithExact(keys: DataFrame, keyCol: String): DataFrame = {
+    val sess = keys.sparkSession
+    import sess.implicits._
+    val h = h60(concat(lit("hll:"), col(keyCol).cast("string")))
+    val rest = shiftright(h, 6)
+    val rho = when(rest === 0, lit(55))
+      .otherwise(lit(55) - length(bin(rest)))
+    val occupied = graft.core.Scratch.rebalance(keys)
+      .groupBy(pmod(h, lit(m.toLong)).as("j"))
+      .agg(max(rho).cast("long").as("m_j"),
+        countDistinct(col(keyCol)).as("nd"))
+    val all = (0L until m.toLong).toDF("j")
+    val regs = all.join(occupied, Seq("j"), "left")
+      .select(col("j"), coalesce(col("m_j"), lit(0L)).as("m_j"),
+        coalesce(col("nd"), lit(0L)).as("nd"))
+    regs
+      .agg(
+        aggregate(
+          transform(array_sort(collect_list(struct(col("j"), col("m_j")))),
+            s => pow(lit(2.0), -s.getField("m_j").cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("s"),
+        sum(when(col("m_j") === 0, 1L).otherwise(0L)).as("n_zero_registers"),
+        sum(col("nd")).as("true_n"))
+      .select(
+        (lit(alpha * m * m) / col("s")).as("est_n"),
+        col("n_zero_registers"),
+        col("true_n"))
+  }
+
   /** Grouped registers: one m-register sketch per `groupCol` value —
     * "distinct users per slice" across a whole dimension in one pass.
     * Empty registers materialize per group via the groups × all-j cross

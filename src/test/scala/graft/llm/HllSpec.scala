@@ -42,6 +42,22 @@ class HllSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("est_n") - 200) / 200 < 0.5))
   }
 
+  test("estimateWithExact equals the two-pass estimate × countDistinct form") {
+    // duplicates included so per-register countDistinct is exercised
+    val keys = (0 until 4000).map(i => s"key${i % 1500}").toDF("k")
+    val one = Hll.estimateWithExact(keys, "k").collect().head
+    val two = Hll.estimate(Hll.registers(keys, "k"))
+      .crossJoin(broadcast(keys.agg(countDistinct($"k").as("true_n"))))
+      .collect().head
+    assert(one.getAs[Double]("est_n") == two.getAs[Double]("est_n"))
+    assert(one.getAs[Long]("n_zero_registers") ==
+      two.getAs[Long]("n_zero_registers"))
+    assert(one.getAs[Long]("true_n") == two.getAs[Long]("true_n"))
+    assert(one.getAs[Long]("true_n") == 1500L)
+    assert(one.schema.fieldNames.toSeq ==
+      Seq("est_n", "n_zero_registers", "true_n"))
+  }
+
   test("capPerGroup keeps at most cap rows per group, deterministically") {
     val df = (0 until 500).map(i => (i.toLong, s"s${i % 4}"))
       .toDF("doc_id", "source")
