@@ -843,13 +843,29 @@ object SparkEntry {
       val docs = documents(s, d)
       // fixture-relaxed thresholds (token floor 10, one required stopword
       // — the synthetic corpus is short and stopword-sparse); thresholds
-      // are explicit on BOTH engines, the pipeline shape is the point
-      val kept = docs.join(
-        TextAnalysis.gopherRules(docs, minTokens = 10, minReqStopwords = 1)
-          .where(col("keep")).select("doc_id", "n_tokens"), "doc_id")
-      val exact = kept.groupBy(md5(col("text")).as("_h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      val exactKept = kept.join(exact.select("doc_id"), "doc_id")
+      // are explicit on BOTH engines, the pipeline shape is the point.
+      // One pass decides gopher-keep AND the exact-dedup winner: the
+      // per-md5(text)-group min doc_id rides a min(struct(doc_id,
+      // n_tokens)) aggregate (doc_id is unique, so struct order = doc_id
+      // order — value-identical to the old groupBy-min + re-join), and
+      // the tiny (doc_id, n_tokens) winner table is staged to scratch so
+      // the giant tokenize expression exists in exactly ONE plan. The
+      // old shape re-joined gopherRules onto docs and re-joined the
+      // md5-group back onto that, embedding the tokenize tree in every
+      // consumer arm — AQE re-optimizes the logical plan per stage
+      // (~25 stages here), and walking those trees measured as
+      // multi-second driver planning stalls (thread dumps: main in
+      // SimplifyBinaryComparison while all executors idle).
+      val winners = graft.core.Scratch.stage(
+        TextAnalysis.gopherRules(docs, minTokens = 10, minReqStopwords = 1,
+            keepText = true)
+          .where(col("keep"))
+          .groupBy(md5(col("text")).as("_h"))
+          .agg(min(struct(col("doc_id"), col("n_tokens"))).as("w"))
+          .select(col("w.doc_id").as("doc_id"),
+            col("w.n_tokens").as("n_tokens")),
+        "llm_prep_kept")
+      val exactKept = docs.join(winners, "doc_id")
       val dropped = Dedup.nearDupPairs(exactKept)
         .select(col("id_b").cast("long").as("doc_id")).distinct()
       exactKept.join(dropped, Seq("doc_id"), "left_anti")

@@ -87,7 +87,8 @@ object TextAnalysis {
     */
   def gopherRules(df: DataFrame, textCol: String = "text",
                   minTokens: Int = 50, maxTokens: Int = 100000,
-                  minReqStopwords: Int = 2): DataFrame = {
+                  minReqStopwords: Int = 2,
+                  keepText: Boolean = false): DataFrame = {
     val toks = tokens(col(textCol))
     val lowered = transform(toks, w => lower(w))
     val nSymbol =
@@ -125,7 +126,13 @@ object TextAnalysis {
       .withColumn("keep",
         col("r_len") && col("r_mean") && col("r_symbol") &&
           col("r_alpha") && col("r_stop"))
-      .drop(textCol)
+      // keepText: a composing pipeline (q_llm_prep_e2e) that still needs
+      // the text downstream keeps it here instead of re-joining this
+      // projection back onto its own input — a self-join of the corpus
+      // whose flag expressions the optimizer then re-walks in every
+      // consumer arm (and AQE re-optimizes per stage; measured as
+      // multi-second driver planning stalls at 25 stages/query)
+      .drop((if (keepText) Seq.empty[String] else Seq(textCol)): _*)
   }
 
   /** Language-ID marker words (tiny n-gram/stopword heuristic). */
